@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings every entry point (Verify, Bench,
+  * tests, CLI) shares. Local mode here, but every knob is chosen so the
+  * same code lands well on a multi-executor cluster:
+  *   - shuffle.partitions sized to cores (not the 200 default) locally;
+  *     on a real cluster AQE coalescing makes the exact number soft.
+  *   - AQE on: runtime re-plan (skew-join splitting, partition
+  *     coalescing, broadcast-join demotion/promotion at 100 TB scale).
+  *   - UTC session time zone for oracle (DuckDB) parity.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+  }
+
+  /** Local session for tests/tools; cluster deployments use spark-submit
+    * and only pick up the conf defaults from [[builder]]. */
+  def local(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val s = builder(appName).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

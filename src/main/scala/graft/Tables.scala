@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loader. One parquet file per table under a scale-factor
+  * directory (see TESTDATA.md). Columns arrive lower-cased already; the
+  * reference force-lowercases names (cmd/root.go:313-314), and
+  * [[graft.sync.Normalize]] reproduces that for arbitrary sources.
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extension: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = tpch ++ extension
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

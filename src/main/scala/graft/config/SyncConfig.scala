@@ -1,0 +1,99 @@
+package graft.config
+
+/** Connection half of the reference's yml config (example.yml:1-12,
+  * connect/connect.go:3-14): one endpoint per side. For JDBC endpoints
+  * `url` is a full JDBC URL; `props` carries user/password/driver.
+  */
+final case class Endpoint(url: String, props: Map[String, String] = Map.empty)
+
+/** Mirror of the reference's viper yml surface (cmd/app.go:19-32,
+  * cmd/root.go:646-672, example.yml):
+  *   src/dest endpoints, pageSize (rows per extract slice), maxParallel
+  *   (concurrent tables), batchRowSize (JDBC write batch), tables
+  *   (table -> custom SELECTs, the `-s` mode), exclude (skip list).
+  *
+  * pageSize maps to rows-per-partition for the partitioned JDBC read;
+  * maxParallel to the driver-side table scheduler; batchRowSize to the
+  * JDBC writer `batchsize` option. The reference's placeholder clamp
+  * (65535/cols - 10, cmd/root.go:405-407) is unnecessary on Spark's
+  * addBatch writer and is kept only as validation.
+  */
+final case class SyncConfig(
+    src: Endpoint,
+    dest: Endpoint,
+    pageSize: Int = 100000,
+    maxParallel: Int = 30,
+    batchRowSize: Int = 1000,
+    tables: Map[String, Seq[String]] = Map.empty,
+    exclude: Seq[String] = Seq.empty) {
+  require(pageSize > 0, "pageSize must be positive")
+  require(maxParallel > 0, "maxParallel must be positive")
+  require(batchRowSize > 0, "batchRowSize must be positive")
+}
+
+object SyncConfig {
+
+  /** Tiny yml-subset loader for the reference's example.yml shape — flat
+    * `key: value` scalars plus a one-level `tables:` map of lists. No
+    * external dependency (zero-egress build); the subset is exactly what
+    * the reference's viper usage reads.
+    */
+  def fromYaml(text: String): SyncConfig = {
+    val lines = text.linesIterator
+      .map(_.replaceAll("#.*$", ""))
+      .filter(_.trim.nonEmpty)
+      .toVector
+
+    // section -> scalars; tables -> name -> sqls
+    val scalars = scala.collection.mutable.Map[String, String]()
+    val tables = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    var section = ""
+    var curTable = ""
+    lines.foreach { raw =>
+      val indent = raw.takeWhile(_ == ' ').length
+      val line = raw.trim
+      if (indent == 0 && line.endsWith(":")) {
+        section = line.dropRight(1); curTable = ""
+      } else if (indent == 0 && line.contains(":")) {
+        val Array(k, v) = line.split(":", 2); scalars(k.trim) = v.trim
+        section = ""
+      } else if (section == "tables" && line.endsWith(":")) {
+        curTable = line.dropRight(1).trim
+        tables(curTable) = Vector.empty
+      } else if (section == "tables" && line.startsWith("- ") && curTable.nonEmpty) {
+        tables(curTable) = tables(curTable) :+ stripQuotes(line.drop(2).trim)
+      } else if (section.nonEmpty && line.contains(":")) {
+        val Array(k, v) = line.split(":", 2)
+        scalars(s"$section.${k.trim}") = stripQuotes(v.trim)
+      }
+    }
+
+    def endpoint(side: String): Endpoint = {
+      val host = scalars.getOrElse(s"$side.host", "localhost")
+      val port = scalars.getOrElse(s"$side.port", "3306")
+      val db = scalars.getOrElse(s"$side.database", "")
+      val user = scalars.get(s"$side.username")
+      val pass = scalars.get(s"$side.password")
+      Endpoint(
+        s"jdbc:mysql://$host:$port/$db",
+        (user.map("user" -> _) ++ pass.map("password" -> _)).toMap)
+    }
+
+    SyncConfig(
+      src = endpoint("src"),
+      dest = endpoint("dest"),
+      pageSize = scalars.get("pageSize").map(_.toInt).getOrElse(100000),
+      maxParallel = scalars.get("maxParallel").map(_.toInt).getOrElse(30),
+      batchRowSize = scalars.get("batchRowSize").map(_.toInt).getOrElse(1000),
+      tables = tables.view.mapValues(_.toSeq).toMap,
+      exclude = scalars
+        .get("exclude")
+        .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.catalog.ParquetCatalog
+import graft.sync.{Compare, ParquetSink, Sync}
+
+/** Reference-parity operator inventory (SURVEY §2) as verifiable
+  * queries. Each reproduces the *semantics* of SQL the reference pushes
+  * to MySQL — projection/rename, NOT IN exclusion, zero-row probe,
+  * keyset pagination (single + composite PK), full scan, counts, paged
+  * counts, the truncate-load sync round trip, and count compare — plus
+  * the relational surface Spark gives for free that the reference lacks
+  * (joins beyond the pagination self-join, set ops, rollup/cube,
+  * windows), exercised because a user switching engines gets them.
+  *
+  * Floating-point discipline: aggregates go through DECIMAL casts so
+  * results are order-independent and bit-identical to the DuckDB
+  * oracle; raw double columns pass through untouched (bit-exact from
+  * parquet on both engines).
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec = "decimal(18,4)"
+
+  val all: Seq[Q] = Seq(
+    // R6/R7 — counts and paged counts (cmd/compare.go:112, cmd/root.go:358-364)
+    Q(
+      "q02_count_star",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+    Q(
+      "q03_paged_count",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(ceil(count(lit(1)) / lit(100000.0)).cast("bigint").as("total_page_num")),
+      Some(
+        "SELECT CAST(ceil(count(*) / 100000.0) AS BIGINT) AS total_page_num FROM lineitem")),
+
+    // R1/R2 + lower() — projection with lower-case normalization
+    Q(
+      "q04_lowercase_project",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .select(col("n_nationkey").as("key"), lower(col("n_name")).as("name")),
+      Some("SELECT n_nationkey AS key, lower(n_name) AS name FROM nation")),
+
+    // R3 — the discovery exclusion predicate (NOT IN)
+    Q(
+      "q05_exclusion_filter",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .filter(!col("n_name").isin("ALGERIA", "KENYA", "CHINA"))
+          .select("n_name"),
+      Some(
+        "SELECT n_name FROM nation WHERE n_name NOT IN ('ALGERIA','KENYA','CHINA')")),
+
+    // R4/S5 — zero-row schema probe (`where 1=0`)
+    Q(
+      "q06_schema_probe",
+      (s, dir) => t(s, dir, "supplier").filter(expr("1=0")),
+      Some("SELECT * FROM supplier WHERE 1=0")),
+
+    // S7/R5/R8/R9 — keyset pagination, single-column PK: the deferred-join
+    // page (ORDER BY pk LIMIT page, then self LEFT JOIN back for full rows)
+    Q(
+      "q07_keyset_page",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val keys =
+          c.select("c_custkey").orderBy("c_custkey").offset(80).limit(40)
+        keys.join(c, Seq("c_custkey"), "left")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      },
+      Some("""SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+              FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 40 OFFSET 80) temp
+              LEFT JOIN customer t ON temp.c_custkey = t.c_custkey""")),
+
+    // S7 composite-PK variant (cmd/root.go:334-357)
+    Q(
+      "q08_composite_keyset_page",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val keys = li
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+          .offset(100)
+          .limit(50)
+        keys.join(li, Seq("l_orderkey", "l_linenumber"), "left")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      },
+      Some("""SELECT t.l_orderkey, t.l_linenumber, t.l_quantity, t.l_returnflag
+              FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                    ORDER BY l_orderkey, l_linenumber LIMIT 50 OFFSET 100) temp
+              LEFT JOIN lineitem t ON temp.l_orderkey = t.l_orderkey
+                                  AND temp.l_linenumber = t.l_linenumber""")),
+
+    // S6 — full-table scan fallback (no PK)
+    Q(
+      "q09_full_scan",
+      (s, dir) => t(s, dir, "region"),
+      Some("SELECT * FROM region")),
+
+    // S9/S11 — truncate-load sync round trip through a sink; the result a
+    // user reads back must equal the source exactly.
+    Q(
+      "q10_sync_roundtrip",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_sync").toString
+        val catalog = new ParquetCatalog(dir)
+        val sink = ParquetSink(out)
+        Sync.syncTable(s, catalog, sink, "nation")
+        sink.readBack(s, "nation")
+      },
+      Some("SELECT * FROM nation")),
+
+    // R12 — compareDb count compare, post-sync (src == dest)
+    Q(
+      "q11_count_compare",
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_cmp").toString
+        val catalog = new ParquetCatalog(dir)
+        val sink = ParquetSink(out)
+        val tables = Seq("region", "nation", "supplier")
+        tables.foreach(Sync.syncTable(s, catalog, sink, _))
+        import s.implicits._
+        Compare.countCompare(s, catalog, sink, tables).toDF()
+      },
+      Some("""SELECT 'region' AS table_name, count(*) AS src_rows, count(*) AS dest_rows,
+                     'YES' AS dest_is_exist, 'YES' AS is_ok FROM region
+              UNION ALL
+              SELECT 'nation', count(*), count(*), 'YES', 'YES' FROM nation
+              UNION ALL
+              SELECT 'supplier', count(*), count(*), 'YES', 'YES' FROM supplier""")),
+
+    // R5 generalized — left join + aggregate (orders per customer)
+    Q(
+      "q12_left_join_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey"""),
+      bench = true),
+
+    // §2.3 — the reference's full scalar-function surface
+    // (lower, upper, ceil, hex, cast)
+    Q(
+      "q13_scalar_funcs",
+      (s, dir) =>
+        t(s, dir, "nation").select(
+          col("n_nationkey"),
+          lower(col("n_name")).as("lname"),
+          upper(col("n_name")).as("uname"),
+          ceil(col("n_nationkey") / lit(4.0)).cast("bigint").as("grp"),
+          hex(col("n_nationkey")).as("hexkey"),
+          col("n_nationkey").cast("string").as("strkey")),
+      Some("""SELECT n_nationkey, lower(n_name) AS lname, upper(n_name) AS uname,
+                     CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS grp,
+                     hex(n_nationkey) AS hexkey,
+                     CAST(n_nationkey AS VARCHAR) AS strkey
+              FROM nation""")),
+
+    // Free-with-Spark relational surface (SURVEY R14)
+    Q(
+      "q14_distinct",
+      (s, dir) => t(s, dir, "customer").select("c_mktsegment").distinct(),
+      Some("SELECT DISTINCT c_mktsegment FROM customer")),
+    Q(
+      "q15_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+    Q(
+      "q16_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+    Q(
+      "q17_except",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        c.except(o)
+      },
+      Some("SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")),
+    Q(
+      "q18_intersect",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        c.intersect(o)
+      },
+      Some("SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders")),
+    Q(
+      "q19_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+    Q(
+      "q20_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(dec)).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      sum(CAST(l_quantity AS $dec)) AS sum_qty
+               FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+    Q(
+      "q21_window_topk",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) x WHERE rn <= 2""")),
+    Q(
+      "q22_orderby_limit",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // Headline aggregation (TPC-H Q1 shape) — decimal-exact
+    Q(
+      "q01_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+            sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec))).as("sum_disc_price"),
+            count(lit(1)).as("count_order")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      sum(CAST(l_quantity AS $dec)) AS sum_qty,
+                      sum(CAST(l_extendedprice AS $dec)) AS sum_base_price,
+                      sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS sum_disc_price,
+                      count(*) AS count_order
+               FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // Headline 3-way join — revenue by market segment
+    Q(
+      "q23_revenue_by_segment",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(col("l_extendedprice").cast(dec) *
+              (lit(1) - col("l_discount").cast(dec))).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT c_mktsegment,
+                      sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS revenue,
+                      count(*) AS n
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment"""),
+      bench = true)
+  )
+}

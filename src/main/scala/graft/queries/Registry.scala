@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Queries without an oracle get the driver's weaker rows-only
+  * check — reserved for ops SQL can't express (MinHash-LSH, ANN, custom
+  * expressions).
+  *
+  * Determinism rules every entry follows (the driver hash-compares
+  * values after sorting columns by name):
+  *   - aggregate floating columns through DECIMAL casts (order-exact),
+  *     or keep double arithmetic strictly per-row (bit-exact across
+  *     engines for identical operation order);
+  *   - alias every computed column identically in Spark and SQL;
+  *   - no ordering dependence: results are compared as bags.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Registry {
+  lazy val all: Seq[Q] =
+    ParityQueries.all ++ DedupQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ EventQueries.all
+
+  lazy val byName: Map[String, Q] = {
+    val m = all.map(q => q.name -> q).toMap
+    require(m.size == all.size, "duplicate query names in Registry")
+    m
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,164 @@
+package graft.sync
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.catalog.{Catalog, JdbcCatalog}
+import graft.config.{Endpoint, SyncConfig}
+
+/** Column-name normalization, mirroring the reference's forced
+  * lower-casing of every column (cmd/root.go:313-314). */
+object Normalize {
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+}
+
+/** Where synced rows land. The reference only writes MySQL (batched
+  * multi-row INSERT in a txn, cmd/root.go:375-507); Spark's JDBC writer
+  * does the same prepared-batch-per-partition loop natively, and a
+  * parquet sink covers the fixture/test path.
+  */
+sealed trait Sink {
+  /** Truncate-and-load (reference S11: `truncate table` then insert). */
+  def overwrite(df: DataFrame, table: String): Unit
+  def readBack(spark: SparkSession, table: String): DataFrame
+}
+
+final case class ParquetSink(dir: String) extends Sink {
+  override def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+  override def readBack(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+}
+
+/** JDBC sink: truncate-overwrite with batched writes. `numPartitions`
+  * caps concurrent connections (reference pool ceiling, cmd/app.go:74-76);
+  * `batchsize` is its batchRowSize. `truncate=true` keeps the target
+  * table's DDL (the reference never re-creates on data load either).
+  */
+final case class JdbcSink(
+    endpoint: Endpoint,
+    batchRowSize: Int = 1000,
+    numPartitions: Int = 30)
+    extends Sink {
+  private def props: Properties = {
+    val p = new Properties()
+    endpoint.props.foreach { case (k, v) => p.setProperty(k, v) }
+    p.setProperty("batchsize", batchRowSize.toString)
+    p
+  }
+  override def overwrite(df: DataFrame, table: String): Unit = {
+    val capped =
+      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions) else df
+    capped.write
+      .mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .jdbc(endpoint.url, table, props)
+  }
+  override def readBack(spark: SparkSession, table: String): DataFrame =
+    Normalize.lowercaseColumns(spark.read.jdbc(endpoint.url, table, props))
+}
+
+final case class TableReport(
+    table: String,
+    rows: Long,
+    elapsedMs: Long,
+    ok: Boolean,
+    error: Option[String] = None)
+
+/** The reference's full-migration pipeline (cmd/root.go:58-208),
+  * Spark-shaped: discovery -> per-table [read, normalize, truncate-load]
+  * -> report. Per-table concurrency (its maxParallel goroutine
+  * semaphore, cmd/root.go:104-113) becomes a driver-side parallel
+  * collection over tables; per-page concurrency is simply the source
+  * DataFrame's partitioning (task-per-slice on executors).
+  */
+object Sync {
+
+  def syncTable(
+      spark: SparkSession,
+      catalog: Catalog,
+      sink: Sink,
+      table: String): TableReport = {
+    val t0 = System.nanoTime()
+    try {
+      val df = Normalize.lowercaseColumns(catalog.read(spark, table))
+      sink.overwrite(df, table)
+      val rows = sink.readBack(spark, table).count()
+      TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
+    } catch {
+      case e: Exception =>
+        TableReport(table, -1, (System.nanoTime() - t0) / 1000000, ok = false,
+          Some(e.getMessage))
+    }
+  }
+
+  def syncAll(
+      spark: SparkSession,
+      catalog: Catalog,
+      sink: Sink,
+      config: SyncConfig): Seq[TableReport] = {
+    val tables = catalog.listTables(config.exclude)
+    val pool = new java.util.concurrent.ForkJoinPool(config.maxParallel)
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      val par = tables.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map(t => syncTable(spark, catalog, sink, t)).seq.toSeq
+    } finally pool.shutdown()
+  }
+}
+
+/** compareDb (cmd/compare.go): per-table source/target row-count
+  * equality with existence flag; strengthened by an optional content
+  * compare (symmetric exceptAll) the reference cannot do.
+  */
+object Compare {
+  final case class CompareRow(
+      table_name: String,
+      src_rows: Long,
+      dest_rows: Long,
+      dest_is_exist: String,
+      is_ok: String)
+
+  def countCompare(
+      spark: SparkSession,
+      src: Catalog,
+      sink: Sink,
+      tables: Seq[String]): Seq[CompareRow] =
+    tables.map { t =>
+      val srcCnt = src.read(spark, t).count()
+      val dest =
+        try Some(sink.readBack(spark, t).count())
+        catch { case _: Exception => None }
+      CompareRow(
+        t,
+        srcCnt,
+        dest.getOrElse(-1L),
+        if (dest.isDefined) "YES" else "NO",
+        if (dest.contains(srcCnt)) "YES" else "NO")
+    }
+
+  /** Content equality: both directions of exceptAll are empty. Stronger
+    * than the reference's count check; distributed (no collect of data,
+    * only of the two difference counts). */
+  def contentEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.sorted.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    val an = a.select(cols: _*)
+    val bn = b.select(cols: _*)
+    an.exceptAll(bn).isEmpty && bn.exceptAll(an).isEmpty
+  }
+}
+
+/** DDL replay (cmd/tablemeta.go:41-96): the reference copies `show
+  * create table` output verbatim. Spark cannot express MySQL DDL extras
+  * (indexes, auto_increment, charset), so this stays a raw-JDBC driver
+  * step against the target; Spark-generated DDL (the JDBC writer's
+  * createTableOptions path) is the portable fallback used when fidelity
+  * is not required.
+  */
+object DdlReplay {
+  def replay(target: JdbcCatalog, ddl: Seq[String]): Unit =
+    ddl.foreach(target.execute)
+}
