@@ -1,0 +1,54 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SyncConfigSpec extends AnyFunSuite {
+  val yml =
+    """# mirror of the reference's example.yml shape
+      |src:
+      |  host: 192.168.1.1
+      |  port: 3306
+      |  database: srcdb
+      |  username: u1
+      |  password: p1
+      |dest:
+      |  host: 192.168.1.2
+      |  port: 3307
+      |  database: destdb
+      |  username: u2
+      |  password: p2
+      |pageSize: 100000
+      |maxParallel: 30
+      |batchRowSize: 1000
+      |tables:
+      |  tab1:
+      |    - select * from tab1 where id <= 100
+      |    - select * from tab1 where id > 100
+      |  tab2:
+      |    - "select * from tab2"
+      |exclude: big_table log_table
+      |""".stripMargin
+
+  test("parses the reference yml surface") {
+    val c = SyncConfig.fromYaml(yml)
+    assert(c.src.url == "jdbc:mysql://192.168.1.1:3306/srcdb")
+    assert(c.src.props == Map("user" -> "u1", "password" -> "p1"))
+    assert(c.dest.url == "jdbc:mysql://192.168.1.2:3307/destdb")
+    assert(c.pageSize == 100000 && c.maxParallel == 30 && c.batchRowSize == 1000)
+    assert(c.tables("tab1").size == 2)
+    assert(c.tables("tab2") == Seq("select * from tab2"))
+    assert(c.exclude == Seq("big_table", "log_table"))
+  }
+
+  test("defaults mirror the reference's shipped defaults") {
+    val c = SyncConfig.fromYaml("src:\n  host: a\ndest:\n  host: b\n")
+    assert(c.pageSize == 100000 && c.maxParallel == 30 && c.batchRowSize == 1000)
+    assert(c.tables.isEmpty && c.exclude.isEmpty)
+  }
+
+  test("rejects nonsense knobs") {
+    intercept[IllegalArgumentException] {
+      SyncConfig(graft.config.Endpoint("x"), Endpoint("y"), pageSize = 0)
+    }
+  }
+}
