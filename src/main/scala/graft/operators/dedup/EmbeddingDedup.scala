@@ -1,0 +1,47 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.similarity.VectorOps
+
+/** Embedding-cosine near-duplicate detection: bucket vectors by a
+  * random-hyperplane LSH signature, then confirm cosine within each
+  * bucket. The bucket join is the only shuffle; with `nbits` bits the
+  * expected bucket population is n / 2^nbits, which is how this stays
+  * sub-quadratic at 100 TB — tune nbits so buckets hold O(100) vectors.
+  * Recall can be raised by multiple probe tables (seed variants);
+  * exposed as `numTables`.
+  */
+object EmbeddingDedup {
+
+  def candidatePairs(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      dim: Int,
+      threshold: Double = 0.95,
+      nbits: Int = 8,
+      numTables: Int = 2): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("v"))
+    // materialized before the self-join so bucket signatures (nbits ×
+    // numTables dot products per vector) are computed once per vector,
+    // not once per candidate pair (see MinHashLSH)
+    val tabled = base.select(
+      col("id"),
+      col("v"),
+      posexplode(array((0 until numTables).map(t =>
+        VectorOps.hyperplaneBucket(col("v"), dim, nbits, seed = 42L + t)): _*))
+        .as(Seq("tab", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = tabled.select(col("tab"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = tabled.select(col("tab"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("tab", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` columns using codegen'd
+  * higher-order functions (`zip_with` + `aggregate`) — no UDF, no MLlib
+  * Vector boxing; arithmetic is promoted to double for stable sums.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => when(n === 0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Signed random-hyperplane LSH bucket: bit i = sign(v · plane_i).
+    * Planes are generated deterministically from `seed` on the driver
+    * and inlined as literals — tiny (nbits × dim doubles), no
+    * broadcast needed. Cosine-similar vectors collide with probability
+    * 1 - theta/pi per bit (Charikar 2002). */
+  def hyperplaneBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until nbits)
+      .map { i =>
+        val plane = typedLit(planes(i).toSeq)
+        (dot(v, plane) >= 0).cast("long") * lit(1L << i)
+      }
+      .reduce(_ + _)
+  }
+}

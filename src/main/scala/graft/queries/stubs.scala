@@ -1,7 +1,6 @@
 package graft.queries
 
 /** Placeholder groups — filled in as the extension operators land. */
-object DedupQueries { val all: Seq[Q] = Seq.empty }
 object TextQueries { val all: Seq[Q] = Seq.empty }
 object SimilarityQueries { val all: Seq[Q] = Seq.empty }
 object EventQueries { val all: Seq[Q] = Seq.empty }

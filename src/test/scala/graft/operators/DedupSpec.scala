@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.dedup._
+import graft.operators.similarity.VectorOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "The  Quick  Brown  Fox jumps over the lazy dog"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"), // near dup (1 word)
+    (5L, "completely different content about spark dataframes and shuffles"),
+    (6L, "completely different content about spark dataframes and shuffles!") // near dup of 5
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per identical text") {
+    val ids = ExactDedup.dedup(docs, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("normalized exact dedup also collapses doc 3") {
+    val key = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val ids = ExactDedup.dedup(docs, key, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("minhash finds the near-dup pairs and estimates high jaccard") {
+    val pairs = MinHashLSH
+      .candidatePairs(docs, col("text"), col("doc_id"),
+        MinHashLSH.Params(shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L)), s"near dup missing: $pairs")
+    assert(pairs.contains((5L, 6L)), s"punctuation near-dup missing: $pairs")
+    assert(!pairs.exists(p => Set(1L, 2L, 3L, 4L).contains(p._1) && Set(5L, 6L).contains(p._2)),
+      s"false positive across topics: $pairs")
+  }
+
+  test("minhash estimate equals 1.0 for identical docs") {
+    val est = MinHashLSH
+      .candidatePairs(docs.filter(col("doc_id").isin(1, 2)), col("text"), col("doc_id"),
+        MinHashLSH.Params())
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0, near dups small, distinct large") {
+    val fp = SimHashDedup.fingerprints(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(4L)) <= 16, "one-word edit should be close")
+    assert(ham(fp(1L), fp(5L)) > 16, "different topics should be far")
+  }
+
+  test("simhash pairs picks up token-identical docs at hamming 0") {
+    // docs 1, 2, 3 all normalize to identical token streams
+    val pairs = SimHashDedup.candidatePairs(docs, col("text"), col("doc_id"), maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs and sane for near dups") {
+    val withBlock = docs.withColumn("src", lit("all"))
+    val pairs = NGramJaccard
+      .pairsWithinBlock(withBlock, col("text"), col("doc_id"), col("src"), n = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 4L)) > 0.5 && pairs((1L, 4L)) < 1.0)
+  }
+
+  test("embedding cosine dedup finds planted duplicate vector") {
+    val base = Array.tabulate(8)(i => i.toFloat / 10f)
+    val nearDup = base.clone(); nearDup(0) += 0.001f
+    val other = Array.tabulate(8)(i => (8 - i).toFloat / 10f)
+    val emb = Seq(
+      (10L, base.toSeq), (11L, nearDup.toSeq), (12L, other.toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = EmbeddingDedup
+      .candidatePairs(emb, col("embedding"), col("vec_id"), dim = 8,
+        threshold = 0.999, nbits = 2, numTables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._2 == 12L || p._1 == 12L))
+  }
+
+  test("vector ops: cosine of orthogonal/identical vectors") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(c) < 1e-9)
+    val d = df.select(VectorOps.cosine(col("a"), col("a")).as("c")).as[Double].head()
+    assert(math.abs(d - 1.0) < 1e-9)
+  }
+}
