@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.similarity.{IvfIndex, SimilaritySearch, VectorOps}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+  private lazy val probe: Seq[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+
+  /** Exact reference ranking computed driver-side. */
+  private lazy val exactTop: Seq[(Long, Double)] = {
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    all.map { case (id, v) => (id, cos(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(20)
+      .toSeq
+  }
+
+  test("brute force top-10 matches the driver-side exact ranking") {
+    val got = SimilaritySearch
+      .bruteForceTopK(emb, col("embedding"), col("vec_id"), probe, 10)
+      .select("id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == exactTop.take(10).map(_._1))
+    got.zip(exactTop).foreach { case ((_, c1), (_, c2)) =>
+      assert(math.abs(c1 - c2) < 1e-9)
+    }
+  }
+
+  test("ann top-10 recalls most of the exact top-10") {
+    val got = SimilaritySearch
+      .annTopK(emb, col("embedding"), col("vec_id"), probe, 10,
+        dim = 64, nbits = 4, numTables = 4)
+      .select("id").as[Long].collect().toSet
+    val recall = exactTop.take(10).map(_._1).count(got.contains) / 10.0
+    assert(got.contains(0L), "probe itself must always be found (identical buckets)")
+    assert(recall >= 0.3, s"ANN recall $recall too low; got=$got")
+  }
+
+  test("ivf top-10 recalls most of the exact top-10 with 3/8 cells probed") {
+    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val got = index
+      .topK(emb, col("embedding"), col("vec_id"), probe, 10, nprobe = 3)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(0L), "probe's own cell is always the nearest cell")
+    val recall = exactTop.take(10).map(_._1).count(got.contains) / 10.0
+    assert(recall >= 0.3, s"IVF recall $recall too low; got=$got")
+  }
+
+  test("ivf cell assignment partitions the corpus completely") {
+    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val cells = emb.select(index.cell(col("embedding")).as("c"))
+    assert(cells.filter(col("c").isNull).count() == 0)
+    assert(cells.count() == emb.count())
+    assert(cells.distinct().count() > 1, "kmeans must produce multiple cells")
+  }
+
+  test("batch top-k returns k rows per probe, rank 1 is the probe itself") {
+    val probes = emb.filter(col("vec_id") < 5)
+    val got = SimilaritySearch
+      .topKJoin(emb, col("embedding"), col("vec_id"),
+        probes, col("embedding"), col("vec_id"), k = 5)
+      .select("probe_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 25)
+    (0L until 5L).foreach { p =>
+      val self = got.find(r => r._1 == p && r._3 == 1).get
+      assert(self._2 == p, s"rank-1 neighbor of $p should be itself")
+    }
+  }
+
+  test("vector ops agree with driver-side math on fixture data") {
+    val row = emb.filter(col("vec_id") === 1)
+      .select(VectorOps.norm(col("embedding")).as("n")).as[Double].head()
+    val v = emb.filter(col("vec_id") === 1)
+      .select("embedding").as[Seq[Float]].head()
+    val expected = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(row - expected) < 1e-9)
+  }
+}
