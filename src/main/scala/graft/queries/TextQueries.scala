@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingMinHash
+import graft.operators.TextOps
+import graft.operators.text.TextAnalysis
+
+/** Text-analysis inventory over `documents`. These are all per-row
+  * expressions, so (unlike aggregates over doubles) raw double outputs
+  * are bit-identical to the oracle as long as the operation order
+  * matches — the SQL strings below mirror the Scala expressions
+  * operation for operation.
+  */
+object TextQueries {
+
+  private def stops(l: Seq[String]): String =
+    l.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def hitsSql(list: Seq[String]): String =
+    s"length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+      s"t -> list_contains(${stops(list)}, t)))"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qt01_token_stats",
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tokens_bpe"),
+          TextAnalysis.charCount(col("text")).as("n_chars_calc"),
+          TextAnalysis.byteCount(col("text")).as("n_bytes")),
+      Some("""SELECT doc_id,
+                     length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+                     length(text) AS n_chars_calc,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents"""),
+      bench = true),
+    Q(
+      "qt02_quality_score",
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.digitCount(col("text")).as("n_digit"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn).as("en_stop_hits"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id,
+                      length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                      ${hitsSql(TextAnalysis.stopEn)} AS en_stop_hits,
+                      least(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+                      + least(CAST(${hitsSql(TextAnalysis.stopEn)} AS DOUBLE)
+                              / greatest(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
+                        AS quality
+               FROM documents""")),
+    Q(
+      "qt03_lang_id",
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang").as("lang_label"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEn).as("en_hits"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopDe).as("de_hits"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopFr).as("fr_hits"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopEs).as("es_hits"),
+          TextAnalysis.langGuess(col("text")).as("lang_pred")),
+      Some(s"""SELECT doc_id, lang AS lang_label, en_hits, de_hits, fr_hits, es_hits,
+                      CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                           WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                           WHEN fr_hits >= es_hits THEN 'fr'
+                           ELSE 'es' END AS lang_pred
+               FROM (SELECT doc_id, lang,
+                            ${hitsSql(TextAnalysis.stopEn)} AS en_hits,
+                            ${hitsSql(TextAnalysis.stopDe)} AS de_hits,
+                            ${hitsSql(TextAnalysis.stopFr)} AS fr_hits,
+                            ${hitsSql(TextAnalysis.stopEs)} AS es_hits
+                     FROM documents) x""")),
+    Q(
+      "qt04_fingerprints",
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"),
+          TextAnalysis.sha256Fingerprint(col("text")).as("fp_sha256")),
+      Some(s"""SELECT doc_id, md5($normSql) AS fp_md5, sha256($normSql) AS fp_sha256
+               FROM documents""")),
+    Q(
+      "qt05_rolling_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          RollingMinHash(TextOps.normalized(col("text")), 32).as("fp_rolling")),
+      None),
+    Q(
+      "qt06_lang_quality_agg",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            sum(TextAnalysis.punctCount(col("text")).cast("long")).as("total_punct")),
+      Some("""SELECT lang, count(*) AS n_docs,
+                     sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+                     sum(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)) AS total_punct
+              FROM documents GROUP BY lang"""),
+      bench = true)
+  )
+}
