@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+      // reader rejects by default; read as raw ns longs and convert in
+      // Tables.load (exact integer µs division)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   /** Local session for tests/tools; cluster deployments use spark-submit

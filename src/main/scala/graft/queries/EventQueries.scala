@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.multimodal.Multimodal
+import graft.streaming.EventPipeline
+
+/** Event-stream (batch shape) and multimodal-plumbing inventory.
+  * Timestamps in the fixture are µs-precision, so raw ts values and
+  * date_trunc results compare exactly against DuckDB.
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qe01_hourly_window",
+      (s, dir) =>
+        EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 hour"),
+      Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
+                     count(*) AS n,
+                     sum(CAST(value AS DECIMAL(18,4))) AS total_value
+              FROM events GROUP BY 1, 2"""),
+      bench = true),
+    Q(
+      "qe02_daily_window",
+      (s, dir) =>
+        EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 day"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+                     count(*) AS n,
+                     sum(CAST(value AS DECIMAL(18,4))) AS total_value
+              FROM events GROUP BY 1, 2""")),
+    Q(
+      "qe03_sessionize",
+      (s, dir) => EventPipeline.sessionize(Tables.load(s, dir, "events")),
+      Some("""WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              ), s AS (
+                SELECT user_id, event_id,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+              )
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(event_id) AS first_event, max(event_id) AS last_event
+              FROM s GROUP BY user_id, session_id""")),
+    Q(
+      "qe04_type_stats",
+      (s, dir) => EventPipeline.typeStats(Tables.load(s, dir, "events")),
+      Some("""SELECT event_type, count(*) AS n,
+                     sum(CAST(value AS DECIMAL(18,4))) AS total_value,
+                     min(ts) AS first_ts, max(ts) AS last_ts
+              FROM events GROUP BY event_type""")),
+    Q(
+      "qe05_json_extract",
+      (s, dir) => EventPipeline.extractProps(Tables.load(s, dir, "events")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events""")),
+    Q(
+      "qm01_media_bytes",
+      (s, dir) => {
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        media.select(
+          col("id").as("doc_id"),
+          col("media_type"),
+          octet_length(col("content")).as("n_bytes"))
+      },
+      Some("""SELECT doc_id, 'text/plain' AS media_type,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents""")),
+    Q(
+      "qm02_decode_meta",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        Multimodal.decodeStub(media).toDF()
+          .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+            col("width"), col("height"), col("checksum"))
+      },
+      None),
+    Q(
+      "qm03_frame_sample",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2).toDF()
+          .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
+            col("offset"), col("frameChecksum").as("frame_checksum"))
+      },
+      None)
+  )
+}

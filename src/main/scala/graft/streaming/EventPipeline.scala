@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators, written once against DataFrame so the same
+  * code runs in batch (fixture parquet) and in Structured Streaming
+  * (readStream over the same schema) — the transformations below are
+  * all streaming-compatible: windowed aggregation with event-time
+  * semantics, and sessionization that runs on a bounded window in
+  * batch or via session_window in streaming.
+  */
+object EventPipeline {
+
+  /** Tumbling event-time window aggregate. In streaming, attach
+    * `.withWatermark("ts", ...)` upstream (see [[streamingHourly]]). */
+  def windowedAgg(events: DataFrame, duration: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value"))
+      .select(
+        col("w.start").as("w_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value"))
+
+  /** Gap-based sessionization (30-min default): a new session starts
+    * when a user's inter-event gap exceeds the timeout. Deterministic
+    * ordering by (ts, event_id). Batch shape; the streaming analog is
+    * `session_window` (see [[streamingSessions]]). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser))
+    val newSession = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    events
+      .withColumn("new_session", newSession)
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+  }
+
+  /** Top event types by decimal-exact total value. */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("total_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  /** JSON payload extraction (the `props` column). */
+  def extractProps(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  // ----- Structured Streaming variants (same logic, streaming source) -----
+
+  /** Hourly windowed counts with a watermark — streaming-ready plan;
+    * feed it a readStream DataFrame with the events schema. */
+  def streamingHourly(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Streaming sessionization via session_window (gap-based). */
+  def streamingSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("user_id"), col("n_events"))
+}

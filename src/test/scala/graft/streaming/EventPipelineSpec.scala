@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+class EventPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.load(spark, sf0001, "events").cache()
+
+  /** The streaming parquet source rejects TIMESTAMP(NANOS) footers
+    * (batch reads convert them), so stage the fixture through a batch
+    * rewrite — also the realistic stream-source shape (a directory). */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events.write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("windowed agg covers every event exactly once") {
+    val agg = EventPipeline.windowedAgg(events, "1 hour")
+    assert(agg.agg(sum("n")).as[Long].head() == events.count())
+  }
+
+  test("sessionize: event totals preserved, sessions are per-user ordered") {
+    val sessions = EventPipeline.sessionize(events)
+    assert(sessions.agg(sum("n_events")).as[Long].head() == events.count())
+    // session ids per user start at 1 and are dense
+    val perUser = sessions.groupBy("user_id")
+      .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("json extraction parses every props payload") {
+    val k = EventPipeline.extractProps(events)
+    assert(k.filter(col("k").isNull).count() == 0)
+  }
+
+  test("structured streaming: hourly counts over file source match batch") {
+    val stream = spark.readStream.schema(events.schema).parquet(streamDir)
+    val q = EventPipeline.streamingHourly(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hourly_out")
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("structured streaming: session_window emits per-user sessions") {
+    val stream = spark.readStream.schema(events.schema).parquet(streamDir)
+    val q = EventPipeline.streamingSessions(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("sessions_out")
+    assert(out.agg(sum("n_events")).as[Long].head() == events.count())
+    assert(out.filter(col("s_end") <= col("s_start")).count() == 0)
+  }
+}
