@@ -1,0 +1,118 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.catalog.{Catalog, JdbcCatalog, ParquetCatalog}
+import graft.config.{Endpoint, SyncConfig}
+import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
+
+/** CLI mirroring the reference's cobra surface (cmd/root.go:36-45,
+  * compare.go, create.go):
+  *
+  *   graft sync         --config cfg.yml    full migration (DDL+data)
+  *   graft compare      --config cfg.yml    row-count compare
+  *   graft create-table --config cfg.yml    DDL-only
+  *
+  * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
+  * host/port/database yml keys build a MySQL url. The reference's
+  * SIGINT handling (kill tagged queries, cmd/app.go:161-191) maps to a
+  * shutdown hook cancelling all Spark jobs — executor-side JDBC
+  * fetches die with their tasks.
+  */
+object Main {
+
+  def catalogFor(e: Endpoint): Catalog =
+    if (e.url.startsWith("parquet:")) new ParquetCatalog(e.url.stripPrefix("parquet:"))
+    else new JdbcCatalog(e)
+
+  def sinkFor(e: Endpoint, cfg: SyncConfig): Sink =
+    if (e.url.startsWith("parquet:")) ParquetSink(e.url.stripPrefix("parquet:"))
+    else JdbcSink(e, cfg.batchRowSize, cfg.maxParallel)
+
+  private def table(rows: Seq[Seq[String]]): String = {
+    if (rows.isEmpty) return ""
+    val widths = rows.transpose.map(_.map(_.length).max)
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    val body = rows.map(r =>
+      r.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |"))
+    (sep +: body.head +: sep +: body.tail :+ sep).mkString("\n")
+  }
+
+  def run(args: Array[String], spark: SparkSession): Int = {
+    val cmd = args.headOption.getOrElse("help")
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val cfg = opt("--config")
+      .map(p => SyncConfig.fromYaml(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))))
+      .getOrElse(SyncConfig(Endpoint("parquet:/root/testdata/sf0.001"), Endpoint("parquet:/tmp/graft_out")))
+
+    // reference O4: cooperative cancel of in-flight work on shutdown
+    sys.addShutdownHook {
+      if (!spark.sparkContext.isStopped) spark.sparkContext.cancelAllJobs()
+    }
+
+    val t0 = System.nanoTime()
+    cmd match {
+      case "sync" =>
+        val catalog = catalogFor(cfg.src)
+        val sink = sinkFor(cfg.dest, cfg)
+        val reports = Sync.syncAll(spark, catalog, sink, cfg)
+        println(table(
+          Seq("Object", "Rows", "ElapsedMs", "Result") +:
+            reports.map(r => Seq(r.table, r.rows.toString, r.elapsedMs.toString,
+              if (r.ok) "OK" else s"FAILED ${r.error.getOrElse("")}"))))
+        println(f"Sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"failed ${reports.count(!_.ok)}")
+        reports.count(!_.ok)
+      case "compare" =>
+        val catalog = catalogFor(cfg.src)
+        val sink = sinkFor(cfg.dest, cfg)
+        val tables = catalog.listTables(cfg.exclude)
+        val rows = Compare.countCompare(spark, catalog, sink, tables)
+        println(table(
+          Seq("Table", "SourceRows", "DestRows", "DestIsExist", "IsOk") +:
+            rows.map(r => Seq(r.table_name, r.src_rows.toString, r.dest_rows.toString,
+              r.dest_is_exist, r.is_ok))))
+        val failed = rows.filter(_.is_ok == "NO")
+        if (failed.nonEmpty) {
+          println("Failed tables:")
+          println(table(
+            Seq("Table", "SourceRows", "DestRows") +:
+              failed.map(r => Seq(r.table_name, r.src_rows.toString, r.dest_rows.toString))))
+        }
+        println(f"Compare finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        failed.size
+      case "create-table" =>
+        (catalogFor(cfg.src), cfg.dest) match {
+          case (src: JdbcCatalog, dest) if !dest.url.startsWith("parquet:") =>
+            // verbatim DDL replay is MySQL-dialect work; portable path:
+            // create empty tables from source schemas via the JDBC writer
+            val sink = sinkFor(dest, cfg)
+            catalogFor(cfg.src).listTables(cfg.exclude).foreach { t =>
+              sink.overwrite(src.read(spark, t).limit(0), t)
+            }
+          case _ =>
+            println("create-table requires JDBC endpoints on both sides")
+        }
+        println(f"Table create finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        0
+      case other =>
+        println(s"unknown command '$other'; usage: graft <sync|compare|create-table> --config cfg.yml")
+        2
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder("graft-cli")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val failures = run(args, spark)
+    spark.stop()
+    if (failures != 0) sys.exit(math.min(failures, 1))
+  }
+}

@@ -69,14 +69,19 @@ object SyncConfig {
     }
 
     def endpoint(side: String): Endpoint = {
-      val host = scalars.getOrElse(s"$side.host", "localhost")
-      val port = scalars.getOrElse(s"$side.port", "3306")
-      val db = scalars.getOrElse(s"$side.database", "")
       val user = scalars.get(s"$side.username")
       val pass = scalars.get(s"$side.password")
-      Endpoint(
-        s"jdbc:mysql://$host:$port/$db",
-        (user.map("user" -> _) ++ pass.map("password" -> _)).toMap)
+      val props = (user.map("user" -> _) ++ pass.map("password" -> _)).toMap
+      // `url:` (any JDBC url, or parquet:<dir> for file endpoints)
+      // generalizes the reference's host/port/database triple
+      scalars.get(s"$side.url") match {
+        case Some(u) => Endpoint(u, props)
+        case None =>
+          val host = scalars.getOrElse(s"$side.host", "localhost")
+          val port = scalars.getOrElse(s"$side.port", "3306")
+          val db = scalars.getOrElse(s"$side.database", "")
+          Endpoint(s"jdbc:mysql://$host:$port/$db", props)
+      }
     }
 
     SyncConfig(

@@ -1,0 +1,64 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** End-to-end CLI flows: parquet -> parquet sync + compare, and
+  * parquet -> embedded Derby JDBC sync + compare (the reference's
+  * actual database-to-database shape). */
+class MainSpec extends SparkSpec {
+
+  private def writeCfg(body: String): String = {
+    val f = Files.createTempFile("graft_cli", ".yml")
+    Files.writeString(f, body)
+    f.toString
+  }
+
+  test("sync + compare parquet->parquet via CLI") {
+    val out = Files.createTempDirectory("graft_cli_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |maxParallel: 4
+         |exclude: lineitem orders events documents embeddings part
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("compare", "--config", cfg), spark) == 0)
+    assert(new java.io.File(s"$out/nation.parquet").exists())
+  }
+
+  test("sync + compare parquet->Derby JDBC via CLI") {
+    val url = "jdbc:derby:memory:clidb;create=true"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: $url
+         |maxParallel: 2
+         |batchRowSize: 500
+         |exclude: lineitem orders events documents embeddings part customer supplier
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("compare", "--config", cfg), spark) == 0)
+  }
+
+  test("compare flags missing destination tables") {
+    val out = Files.createTempDirectory("graft_cli_out2").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |exclude: lineitem orders events documents embeddings part customer supplier
+         |""".stripMargin)
+    // nothing synced yet -> every table missing -> nonzero failure count
+    assert(Main.run(Array("compare", "--config", cfg), spark) > 0)
+  }
+
+  test("unknown command exits 2") {
+    assert(Main.run(Array("frobnicate"), spark) == 2)
+  }
+}
