@@ -86,6 +86,25 @@ object DedupQueries {
       },
       None),
     Q(
+      "qd09_source_signature",
+      (s, dir) => {
+        // corpus-level sketch: element-wise-min merge of per-doc MinHash
+        // signatures per source (partial+final aggregation via the typed
+        // Aggregator — the merged sig estimates Jaccard of shingle UNIONS)
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = MinHashLSH.signatures(docs, col("text"), col("doc_id"),
+          MinHashLSH.Params())
+        val merge = org.apache.spark.sql.functions.udaf(
+          new graft.functions.MinHashMerge(48),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        docs.select(col("doc_id").as("id"), col("source"))
+          .join(sigs, "id")
+          .groupBy("source")
+          .agg(merge(col("sig")).as("group_sig"))
+          .select(col("source"), xxhash64(col("group_sig")).as("sig_hash"))
+      },
+      None),
+    Q(
       "qd08_embedding_dup_pairs",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

@@ -302,6 +302,105 @@ object ParityQueries {
                JOIN orders ON l_orderkey = o_orderkey
                JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment"""),
-      bench = true)
+      bench = true),
+
+    Q(
+      "q24_count_distinct",
+      (s, dir) =>
+        t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n_custs")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_custs FROM orders")),
+
+    // pushdown-visible timestamp filter + aggregation
+    Q(
+      "q25_date_filter",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+            lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+                      sum(CAST(l_quantity AS $dec)) AS sum_qty
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+               GROUP BY l_returnflag""")),
+
+    Q(
+      "q26_having",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 3),
+      Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+              GROUP BY o_custkey HAVING count(*) >= 3""")),
+
+    Q(
+      "q27_case_bucketing",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") < 1000, lit("small"))
+              .when(col("o_totalprice") < 10000, lit("medium"))
+              .otherwise(lit("large")).as("band")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice < 1000 THEN 'small'
+                          WHEN o_totalprice < 10000 THEN 'medium'
+                          ELSE 'large' END AS band
+              FROM orders""")),
+
+    Q(
+      "q28_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded")),
+      Some("""SELECT p_partkey,
+                     substring(p_name, 1, 5) AS prefix,
+                     concat_ws('-', p_brand, p_type) AS brand_type,
+                     replace(p_name, ' ', '_') AS snake,
+                     length(p_name) AS name_len,
+                     lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+              FROM part""")),
+
+    Q(
+      "q29_full_outer_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .groupBy("c_custkey").agg(count(lit(1)).as("n_c"))
+        val o = t(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_o"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(
+            coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+            coalesce(col("n_c"), lit(0L)).as("n_c"),
+            coalesce(col("n_o"), lit(0L)).as("n_o"))
+      },
+      Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                     coalesce(n_c, 0) AS n_c, coalesce(n_o, 0) AS n_o
+              FROM (SELECT c_custkey, count(*) AS n_c FROM customer GROUP BY c_custkey) c
+              FULL OUTER JOIN
+                   (SELECT o_custkey, count(*) AS n_o FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey""")),
+
+    Q(
+      "q30_max_order_per_cust",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val mx = t(s, dir, "orders")
+          .groupBy("o_custkey").agg(max("o_totalprice").as("max_price"))
+        c.join(mx, c("c_custkey") === mx("o_custkey"), "left")
+          .select(col("c_custkey"), col("max_price"))
+      },
+      Some("""SELECT c_custkey,
+                     (SELECT max(o_totalprice) FROM orders
+                      WHERE o_custkey = c_custkey) AS max_price
+              FROM customer"""))
   )
 }

@@ -94,6 +94,36 @@ object Sync {
     }
   }
 
+  /** Custom-SQL mode (reference `-s`, cmd/root.go:95-96 + example.yml
+    * `tables:`): each configured table is loaded from its list of
+    * arbitrary SELECTs, each pushed verbatim to the source database via
+    * the JDBC `query` option (so the source engine executes it — same
+    * pushdown-by-construction semantics as the reference), unioned, and
+    * truncate-loaded into the sink. */
+  def syncCustom(
+      spark: SparkSession,
+      src: graft.config.Endpoint,
+      sink: Sink,
+      config: SyncConfig): Seq[TableReport] =
+    config.tables.toSeq.map { case (table, sqls) =>
+      val t0 = System.nanoTime()
+      try {
+        val dfs = sqls.map { sql =>
+          var r = spark.read.format("jdbc").option("url", src.url).option("query", sql)
+          src.props.foreach { case (k, v) => r = r.option(k, v) }
+          Normalize.lowercaseColumns(r.load())
+        }
+        val df = dfs.reduce(_.unionAll(_))
+        sink.overwrite(df, table)
+        val rows = sink.readBack(spark, table).count()
+        TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
+      } catch {
+        case e: Exception =>
+          TableReport(table, -1, (System.nanoTime() - t0) / 1000000, ok = false,
+            Some(e.getMessage))
+      }
+    }
+
   def syncAll(
       spark: SparkSession,
       catalog: Catalog,

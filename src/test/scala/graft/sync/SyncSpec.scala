@@ -79,6 +79,26 @@ class JdbcDerbySpec extends SparkSpec {
     assert(sink.readBack(spark, "nation").count() == 25)
   }
 
+  test("custom-SQL mode pushes each configured SELECT to the source verbatim") {
+    DdlReplay.replay(target, Seq(
+      "CREATE TABLE src_n (k INT NOT NULL PRIMARY KEY, v VARCHAR(32))"))
+    import org.apache.spark.sql.functions._
+    val df = spark.range(20).select(
+      col("id").cast("int").as("k"), concat(lit("v"), col("id")).as("v"))
+    JdbcSink(Endpoint(url)).overwrite(df, "src_n")
+
+    val cfg = SyncConfig(
+      Endpoint(url), Endpoint(url),
+      tables = Map("paged_copy" -> Seq(
+        "SELECT k, v FROM src_n WHERE k < 10",
+        "SELECT k, v FROM src_n WHERE k >= 10")))
+    val reports = Sync.syncCustom(spark, Endpoint(url), JdbcSink(Endpoint(url)), cfg)
+    assert(reports.forall(_.ok), reports.mkString(";"))
+    assert(reports.head.rows == 20)
+    val back = JdbcSink(Endpoint(url)).readBack(spark, "paged_copy")
+    assert(back.count() == 20 && back.columns.toSeq == Seq("k", "v"))
+  }
+
   test("exclusion filtering works over JDBC discovery") {
     DdlReplay.replay(target, Seq("CREATE TABLE skipme (id INT)"))
     assert(!target.listTables(Seq("skipme")).contains("skipme"))
