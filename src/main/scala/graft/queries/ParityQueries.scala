@@ -401,6 +401,73 @@ object ParityQueries {
       Some("""SELECT c_custkey,
                      (SELECT max(o_totalprice) FROM orders
                       WHERE o_custkey = c_custkey) AS max_price
-              FROM customer"""))
+              FROM customer""")),
+
+    // windows beyond rank (q21): running totals, lag deltas, frames,
+    // ntile — all ordered by the unique o_orderkey so results are
+    // deterministic, with DECIMAL arithmetic shared with the oracle
+    Q(
+      "q31_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+                      sum(CAST(o_totalprice AS $dec))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                        AS running_total
+               FROM orders""")),
+
+    Q(
+      "q32_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast(dec) -
+            lag(col("o_totalprice").cast(dec), 1).over(w)).as("delta"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+                      CAST(o_totalprice AS $dec) -
+                        lag(CAST(o_totalprice AS $dec), 1)
+                          OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                        AS delta
+               FROM orders""")),
+
+    Q(
+      "q33_moving_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, 0)
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec)).over(w).as("moving_sum"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+                      sum(CAST(o_totalprice AS $dec))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS moving_sum
+               FROM orders""")),
+
+    // NOTE: a global (unpartitioned) window serializes onto one task —
+    // acceptable only for demonstration/small outputs; at scale, rank
+    // within natural partitions (q21/q31-q33) or zipWithIndex-style
+    // monotonically_increasing_id + offset arithmetic instead.
+    Q(
+      "q34_ntile_rownum",
+      (s, dir) => {
+        val w = Window.orderBy("o_orderkey")
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          row_number().over(w).as("rn"))
+      },
+      Some("""SELECT o_orderkey,
+                     ntile(4) OVER (ORDER BY o_orderkey) AS quartile,
+                     row_number() OVER (ORDER BY o_orderkey) AS rn
+              FROM orders"""))
   )
 }

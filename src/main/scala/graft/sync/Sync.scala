@@ -82,7 +82,7 @@ object Sync {
       sink: Sink,
       table: String): TableReport = {
     val t0 = System.nanoTime()
-    try {
+    try Jobs.tagged(spark, s"graft-sync-$table") {
       val df = Normalize.lowercaseColumns(catalog.read(spark, table))
       sink.overwrite(df, table)
       val rows = sink.readBack(spark, table).count()
@@ -107,9 +107,10 @@ object Sync {
       config: SyncConfig): Seq[TableReport] =
     config.tables.toSeq.map { case (table, sqls) =>
       val t0 = System.nanoTime()
-      try {
+      try Jobs.tagged(spark, s"graft-sync-$table") {
         val dfs = sqls.map { sql =>
-          var r = spark.read.format("jdbc").option("url", src.url).option("query", sql)
+          var r = spark.read.format("jdbc").option("url", src.url)
+            .option("query", Jobs.tagSql(sql))
           src.props.foreach { case (k, v) => r = r.option(k, v) }
           Normalize.lowercaseColumns(r.load())
         }
