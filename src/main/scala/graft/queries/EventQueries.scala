@@ -19,7 +19,7 @@ object EventQueries {
         EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 hour"),
       Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
                      count(*) AS n,
-                     sum(CAST(value AS DECIMAL(18,4))) AS total_value
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
               FROM events GROUP BY 1, 2"""),
       bench = true),
     Q(
@@ -28,7 +28,7 @@ object EventQueries {
         EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 day"),
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
                      count(*) AS n,
-                     sum(CAST(value AS DECIMAL(18,4))) AS total_value
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
               FROM events GROUP BY 1, 2""")),
     Q(
       "qe03_sessionize",
@@ -42,8 +42,9 @@ object EventQueries {
                 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
               ), s AS (
                 SELECT user_id, event_id,
-                       sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS session_id
                 FROM g
               )
               SELECT user_id, session_id, count(*) AS n_events,
@@ -53,7 +54,7 @@ object EventQueries {
       "qe04_type_stats",
       (s, dir) => EventPipeline.typeStats(Tables.load(s, dir, "events")),
       Some("""SELECT event_type, count(*) AS n,
-                     sum(CAST(value AS DECIMAL(18,4))) AS total_value,
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
                      min(ts) AS first_ts, max(ts) AS last_ts
               FROM events GROUP BY event_type""")),
     Q(

@@ -228,9 +228,9 @@ object ParityQueries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast(dec)).as("sum_qty")),
+          .agg(sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-                      sum(CAST(l_quantity AS $dec)) AS sum_qty
+                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty
                FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
     Q(
       "q21_window_topk",
@@ -265,16 +265,16 @@ object ParityQueries {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec)).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+            sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
             sum(col("l_extendedprice").cast(dec) *
-              (lit(1) - col("l_discount").cast(dec))).as("sum_disc_price"),
+              (lit(1) - col("l_discount").cast(dec))).cast(dec).as("sum_disc_price"),
             count(lit(1)).as("count_order")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-                      sum(CAST(l_quantity AS $dec)) AS sum_qty,
-                      sum(CAST(l_extendedprice AS $dec)) AS sum_base_price,
-                      sum(CAST(l_extendedprice AS $dec) *
-                          (1 - CAST(l_discount AS $dec))) AS sum_disc_price,
+                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty,
+                      CAST(sum(CAST(l_extendedprice AS $dec)) AS $dec) AS sum_base_price,
+                      CAST(sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS $dec) AS sum_disc_price,
                       count(*) AS count_order
                FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       bench = true),
@@ -291,12 +291,12 @@ object ParityQueries {
           .groupBy(col("c_mktsegment"))
           .agg(
             sum(col("l_extendedprice").cast(dec) *
-              (lit(1) - col("l_discount").cast(dec))).as("revenue"),
+              (lit(1) - col("l_discount").cast(dec))).cast(dec).as("revenue"),
             count(lit(1)).as("n"))
       },
       Some(s"""SELECT c_mktsegment,
-                      sum(CAST(l_extendedprice AS $dec) *
-                          (1 - CAST(l_discount AS $dec))) AS revenue,
+                      CAST(sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS $dec) AS revenue,
                       count(*) AS n
                FROM lineitem
                JOIN orders ON l_orderkey = o_orderkey
@@ -319,9 +319,9 @@ object ParityQueries {
             lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(dec)).as("sum_qty")),
+            sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty")),
       Some(s"""SELECT l_returnflag, count(*) AS n,
-                      sum(CAST(l_quantity AS $dec)) AS sum_qty
+                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty
                FROM lineitem
                WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
                GROUP BY l_returnflag""")),
@@ -412,12 +412,12 @@ object ParityQueries {
         val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("running_total"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("running_total"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      sum(CAST(o_totalprice AS $dec))
+                      CAST(sum(CAST(o_totalprice AS $dec))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
-                        AS running_total
+                        AS $dec) AS running_total
                FROM orders""")),
 
     Q(
@@ -427,13 +427,13 @@ object ParityQueries {
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
           (col("o_totalprice").cast(dec) -
-            lag(col("o_totalprice").cast(dec), 1).over(w)).as("delta"))
+            lag(col("o_totalprice").cast(dec), 1).over(w)).cast(dec).as("delta"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      CAST(o_totalprice AS $dec) -
+                      CAST(CAST(o_totalprice AS $dec) -
                         lag(CAST(o_totalprice AS $dec), 1)
                           OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
-                        AS delta
+                        AS $dec) AS delta
                FROM orders""")),
 
     Q(
@@ -443,13 +443,13 @@ object ParityQueries {
           .rowsBetween(-2, 0)
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).as("moving_sum"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("moving_sum"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      sum(CAST(o_totalprice AS $dec))
+                      CAST(sum(CAST(o_totalprice AS $dec))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                        AS moving_sum
+                        AS $dec) AS moving_sum
                FROM orders""")),
 
     // NOTE: a global (unpartitioned) window serializes onto one task —

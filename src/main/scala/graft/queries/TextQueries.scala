@@ -110,8 +110,8 @@ object TextQueries {
             sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
             sum(TextAnalysis.punctCount(col("text")).cast("long")).as("total_punct")),
       Some("""SELECT lang, count(*) AS n_docs,
-                     sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
-                     sum(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)) AS total_punct
+                     CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+                     CAST(sum(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)) AS BIGINT) AS total_punct
               FROM documents GROUP BY lang"""),
       bench = true)
   )

@@ -20,7 +20,7 @@ object EventPipeline {
       .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("total_value"))
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total_value"))
       .select(
         col("w.start").as("w_start"),
         col("event_type"),
@@ -38,7 +38,8 @@ object EventPipeline {
     events
       .withColumn("new_session", newSession)
       .withColumn("session_id",
-        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("bigint"))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -52,7 +53,7 @@ object EventPipeline {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("total_value"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
 
