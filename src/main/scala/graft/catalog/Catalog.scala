@@ -30,6 +30,17 @@ trait Catalog {
   def primaryKey(table: String): Seq[String]
 
   def read(spark: SparkSession, table: String): DataFrame
+
+  /** Partition-aware read: `pageSize` rows per slice, at most
+    * `maxSlices` concurrent slices (= source connections for JDBC).
+    * File sources are already split by the data source, so the default
+    * is the plain read; JDBC overrides with the keyset-replacement
+    * range-partitioned extract. */
+  def readPartitioned(
+      spark: SparkSession,
+      table: String,
+      pageSize: Long,
+      maxSlices: Int): DataFrame = read(spark, table)
 }
 
 /** Parquet-directory catalog for the fixture corpus: each `t.parquet`
@@ -114,6 +125,16 @@ final class JdbcCatalog(endpoint: Endpoint, schema: Option[String] = None)
     endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
     spark.read.jdbc(endpoint.url, table, props)
   }
+
+  /** JDBC reads route through the PK-range partitioned extract, so a
+    * plain `sync` gets task-per-slice parallelism (the reference's
+    * page-per-goroutine, cmd/root.go:137-141) without callers opting in. */
+  override def readPartitioned(
+      spark: SparkSession,
+      table: String,
+      pageSize: Long,
+      maxSlices: Int): DataFrame =
+    graft.sync.PartitionedReader.read(spark, endpoint, table, pageSize, maxSlices)
 
   /** Run DDL/SQL directly on the endpoint (truncate, CREATE TABLE
     * replay — the reference's S11/S12 driver-side statements). */

@@ -40,7 +40,7 @@ object SyncConfig {
     */
   def fromYaml(text: String): SyncConfig = {
     val lines = text.linesIterator
-      .map(_.replaceAll("#.*$", ""))
+      .map(stripComment)
       .filter(_.trim.nonEmpty)
       .toVector
 
@@ -55,7 +55,7 @@ object SyncConfig {
       if (indent == 0 && line.endsWith(":")) {
         section = line.dropRight(1); curTable = ""
       } else if (indent == 0 && line.contains(":")) {
-        val Array(k, v) = line.split(":", 2); scalars(k.trim) = v.trim
+        val Array(k, v) = line.split(":", 2); scalars(k.trim) = stripQuotes(v.trim)
         section = ""
       } else if (section == "tables" && line.endsWith(":")) {
         curTable = line.dropRight(1).trim
@@ -95,6 +95,23 @@ object SyncConfig {
         .get("exclude")
         .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty))
+  }
+
+  /** YAML comment rule: '#' starts a comment only at start-of-line or
+    * after whitespace, and never inside a quoted scalar — so passwords,
+    * URLs with fragments, and custom SQL containing '#' survive. */
+  private def stripComment(line: String): String = {
+    var quote: Char = 0
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '#' && (i == 0 || line(i - 1).isWhitespace))
+        return line.substring(0, i)
+      i += 1
+    }
+    line
   }
 
   private def stripQuotes(s: String): String =

@@ -23,17 +23,19 @@ object EmbeddingDedup {
       threshold: Double = 0.95,
       nbits: Int = 8,
       numTables: Int = 2): DataFrame = {
-    val base = df.select(id.as("id"), vec.as("v"))
+    val base = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), vec.as("v"))
     // materialized before the self-join so bucket signatures (nbits ×
     // numTables dot products per vector) are computed once per vector,
-    // not once per candidate pair (see MinHashLSH)
+    // not once per candidate pair; localCheckpoint so the blocks are
+    // freed when the result is dropped (see MinHashLSH)
     val tabled = base.select(
       col("id"),
       col("v"),
       posexplode(array((0 until numTables).map(t =>
         VectorOps.hyperplaneBucket(col("v"), dim, nbits, seed = 42L + t)): _*))
         .as(Seq("tab", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = tabled.select(col("tab"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = tabled.select(col("tab"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("tab", "bucket"))

@@ -30,12 +30,13 @@ object NGramJaccard {
       n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     // materialized so gram arrays are built once per doc, not once per
-    // pair through the join lineage (see MinHashLSH)
-    val g = df.select(
+    // pair through the join lineage; localCheckpoint so the blocks are
+    // freed when the result is dropped (see MinHashLSH)
+    val g = graft.operators.Parallelism.ensureMin(df).select(
       block.as("blk"),
       id.as("id"),
       TextOps.tokenShingles(text, n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = g.select(col("blk"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = g.select(col("blk"), col("id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("blk"))

@@ -23,14 +23,15 @@ object SimHashDedup {
   def fingerprint(text: Column): Column = simhash64(TextOps.tokens(text))
 
   def fingerprints(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.select(id.as("id"), fingerprint(text).as("sh"))
+    graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), fingerprint(text).as("sh"))
 
   /** Pairs (id_a < id_b) with Hamming distance <= maxHamming. */
   def candidatePairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     // materialized before the self-join so the per-doc fingerprint is
-    // computed once, not once per candidate pair (see MinHashLSH)
-    val fps = fingerprints(df, text, id)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // computed once, not once per candidate pair; localCheckpoint so the
+    // blocks are freed when the result is dropped (see MinHashLSH)
+    val fps = fingerprints(df, text, id).localCheckpoint(true)
     val banded = fps.select(
       col("id"),
       col("sh"),

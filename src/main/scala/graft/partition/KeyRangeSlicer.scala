@@ -13,22 +13,76 @@ import org.apache.spark.sql.functions._
   * duplicate/lost rows, unlike the reference's deliberately-one-extra
   * empty page (`i <= totalPageNum`, cmd/root.go:367).
   *
-  * Slice bounds come from approximate quantiles of the leading key
-  * (a cheap stats pass), so skewed key distributions still give
-  * near-equal slice sizes — equal-width min/max splitting would not.
-  * Composite PKs (cmd/root.go:334-357) slice on the leading column;
-  * rows sharing one leading-key value stay in one slice, preserving the
-  * partition property without multi-column range logic in SQL.
+  * Two ways to derive the cut points:
+  *   - [[histogramCuts]] from a pushed-down bucket histogram (one
+  *     aggregate the source database computes over its own PK index —
+  *     no key data crosses the wire; the JDBC path, see
+  *     `sync.PartitionedReader`);
+  *   - [[slicePredicates]] from approximate quantiles of a DataFrame
+  *     already at hand (the file-source path).
+  * Both give near-equal slice sizes under key skew — equal-width
+  * min/max splitting would not. Composite PKs (cmd/root.go:334-357)
+  * slice on the leading column; rows sharing one leading-key value stay
+  * in one slice, preserving the partition property without multi-column
+  * range logic in SQL.
   */
 object KeyRangeSlicer {
 
-  /** Half-open WHERE-clause predicates partitioning `df` by `pkCols`.
-    *   - no PK       => single full-scan slice (reference S6 fallback)
-    *   - empty table => single slice
-    * First and last predicates are unbounded on the outside so rows
-    * outside the sampled range (or NULL-free new inserts) are never
-    * dropped.
-    */
+  /** Half-open range predicates from sorted cut values. Always an exact
+    * partition of the keyspace regardless of where the cuts came from:
+    * first slice is unbounded below (and absorbs NULLs), last unbounded
+    * above, so rows outside the sampled range are never dropped. */
+  def predicatesFromCuts(lead: String, cuts: Seq[Long]): Array[String] = {
+    val bounds = cuts.distinct.sorted
+    if (bounds.isEmpty) return Array("1=1")
+    val first = s"$lead < ${bounds.head} OR $lead IS NULL"
+    val middle = bounds.sliding(2).collect { case Seq(a, b) if a != b =>
+      s"$lead >= $a AND $lead < $b"
+    }.toSeq
+    val last = s"$lead >= ${bounds.last}"
+    (first +: middle :+ last).toArray
+  }
+
+  /** Equal-count cut points from a bucket histogram over [min, max]:
+    * `hist` maps bucket index (0-based, equal-width) to row count.
+    * Walks the cumulative histogram and cuts at each bucket upper bound
+    * where the running total crosses k·total/numSlices. Cut precision is
+    * bucket-width — fine, since slice-balance is best-effort while
+    * partition-exactness is guaranteed by [[predicatesFromCuts]]. */
+  def histogramCuts(
+      hist: Seq[(Int, Long)],
+      min: Long,
+      max: Long,
+      nBuckets: Int,
+      numSlices: Int): Seq[Long] = {
+    val total = hist.map(_._2).sum
+    if (total == 0 || numSlices <= 1 || max <= min) return Seq.empty
+    val counts = Array.fill(nBuckets)(0L)
+    hist.foreach { case (b, c) =>
+      counts(math.min(math.max(b, 0), nBuckets - 1)) += c
+    }
+    val span = BigInt(max) - BigInt(min) + 1
+    def bucketUpper(i: Int): Long = {
+      val cut = BigInt(min) + (BigInt(i + 1) * span + nBuckets - 1) / nBuckets
+      cut.min(BigInt(max)).max(BigInt(min) + 1).toLong
+    }
+    val cuts = scala.collection.mutable.ArrayBuffer[Long]()
+    var cum = 0L
+    var k = 1
+    var i = 0
+    while (i < nBuckets && k < numSlices) {
+      cum += counts(i)
+      while (k < numSlices && cum * numSlices >= k.toLong * total) {
+        cuts += bucketUpper(i)
+        k += 1
+      }
+      i += 1
+    }
+    cuts.distinct.sorted.toSeq
+  }
+
+  /** Quantile-derived predicates for a DataFrame already at hand (file
+    * sources; for JDBC prefer the pushed-down histogram path). */
   def slicePredicates(df: DataFrame, pkCols: Seq[String], numSlices: Int): Array[String] = {
     if (pkCols.isEmpty || numSlices <= 1) return Array("1=1")
     val lead = pkCols.head
@@ -45,17 +99,8 @@ object KeyRangeSlicer {
       .stat
       .approxQuantile(lead, probs, 0.001)
       .map(math.floor(_).toLong)
-      .distinct
-      .sorted
-    if (cuts.isEmpty) return Array("1=1")
-
-    val bounds = cuts.toSeq
-    val first = s"$lead < ${bounds.head} OR $lead IS NULL"
-    val middle = bounds.sliding(2).collect { case Seq(a, b) if a != b =>
-      s"$lead >= $a AND $lead < $b"
-    }.toSeq
-    val last = s"$lead >= ${bounds.last}"
-    (first +: middle :+ last).toArray
+      .toSeq
+    if (cuts.isEmpty) Array("1=1") else predicatesFromCuts(lead, cuts)
   }
 
   /** Slice count for a table: ceil(rowCount / pageSize), mirroring the

@@ -1,5 +1,6 @@
 package graft.sync
 
+import java.sql.DriverManager
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -12,14 +13,24 @@ import graft.partition.KeyRangeSlicer
   * reference's keyset pagination (SURVEY S7). Instead of one
   * `ORDER BY pk LIMIT off,n` deferred-join query per page, the table is
   * read as one `spark.read.jdbc(url, table, predicates, props)` call
-  * whose predicates are quantile-derived half-open PK ranges:
-  * one Spark task per slice, each an O(1) index range scan on the
-  * source database, together an exact partition of the keyspace.
+  * whose predicates are half-open PK ranges: one Spark task per slice,
+  * each an O(1) index range scan on the source database, together an
+  * exact partition of the keyspace.
+  *
+  * All planning statistics are computed BY the source database and only
+  * aggregates cross the wire — no Spark-side scan happens before the
+  * parallel extract:
+  *   1. one `COUNT(*), MIN(pk), MAX(pk)` round trip (index-only on the
+  *      PK) sizes the slice count;
+  *   2. one pushed-down equal-width bucket histogram
+  *      (`FLOOR((pk-min)*B/span) GROUP BY`) turns the key distribution
+  *      into equal-COUNT cut points, so skewed keys still yield balanced
+  *      slices. SQL uses only FLOOR/arithmetic/GROUP BY — portable
+  *      across MySQL-wire targets and Derby (the test sink).
   *
   * Scale behavior: slice count = ceil(rows / pageSize) capped at
   * `maxSlices`, which doubles as the connection ceiling per table
-  * (the reference's maxOpen=60 pool, cmd/app.go:53). Stats for the
-  * quantile cuts come from one narrow scan of the PK column only.
+  * (the reference's maxOpen=60 pool, cmd/app.go:53).
   */
 object PartitionedReader {
 
@@ -31,20 +42,57 @@ object PartitionedReader {
       maxSlices: Int = 60): DataFrame = {
     val props = new Properties()
     endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    def fullScan =
+      Normalize.lowercaseColumns(spark.read.jdbc(endpoint.url, table, props))
 
-    val catalog = new JdbcCatalog(endpoint)
-    val pk = catalog.primaryKey(table)
-    val probe = Normalize.lowercaseColumns(spark.read.jdbc(endpoint.url, table, props))
-    if (pk.isEmpty)
-      return probe // full-scan fallback (reference S6: no split key)
+    val pk = new JdbcCatalog(endpoint).primaryKey(table)
+    if (pk.isEmpty) return fullScan // reference S6: no split key
+    val lead = pk.head
 
-    val rowCount = probe.count()
-    val n = KeyRangeSlicer.numSlices(rowCount, pageSize, maxSlices)
-    if (n <= 1) return probe
+    queryRows(endpoint, s"SELECT COUNT(*), MIN($lead), MAX($lead) FROM $table")
+      .headOption match {
+      case Some(Seq(cnt: Number, mn: Number, mx: Number)) =>
+        val rowCount = cnt.longValue()
+        val n = KeyRangeSlicer.numSlices(rowCount, pageSize, maxSlices)
+        val (mnL, mxL) = (mn.longValue(), mx.longValue())
+        if (n <= 1 || mxL <= mnL) return fullScan
 
-    val keyStats = probe.select(pk.head) // narrow column scan for quantiles
-    val predicates = KeyRangeSlicer.slicePredicates(keyStats, pk, n)
-    Normalize.lowercaseColumns(
-      spark.read.jdbc(endpoint.url, table, predicates, props))
+        val nBuckets = math.max(64, n * 8)
+        val span = BigInt(mxL) - BigInt(mnL) + 1
+        // 1E0 forces DOUBLE arithmetic on every dialect (Derby included)
+        val histSql =
+          s"""SELECT b, COUNT(*) FROM (
+             |  SELECT FLOOR(($lead - $mnL) * 1E0 * $nBuckets / $span) AS b
+             |  FROM $table WHERE $lead IS NOT NULL) x GROUP BY b""".stripMargin
+        val hist = queryRows(endpoint, histSql).collect {
+          case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
+        }
+        val cuts = KeyRangeSlicer.histogramCuts(hist, mnL, mxL, nBuckets, n)
+        if (cuts.isEmpty) fullScan
+        else
+          Normalize.lowercaseColumns(
+            spark.read.jdbc(
+              endpoint.url, table, KeyRangeSlicer.predicatesFromCuts(lead, cuts), props))
+      case _ => fullScan // empty table or non-numeric PK
+    }
+  }
+
+  /** Driver-side pushed-down query: the database computes, one result
+    * set of aggregates comes back. */
+  private def queryRows(endpoint: Endpoint, sql: String): Seq[Seq[Any]] = {
+    val props = new Properties()
+    endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = DriverManager.getConnection(endpoint.url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(Jobs.tagSql(sql))
+        val width = rs.getMetaData.getColumnCount
+        val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+        while (rs.next()) buf += (1 to width).map(rs.getObject)
+        rs.close()
+        buf.toSeq
+      } finally st.close()
+    } finally conn.close()
   }
 }

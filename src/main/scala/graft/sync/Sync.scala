@@ -80,10 +80,13 @@ object Sync {
       spark: SparkSession,
       catalog: Catalog,
       sink: Sink,
-      table: String): TableReport = {
+      table: String,
+      pageSize: Long = 100000L,
+      maxSlices: Int = 60): TableReport = {
     val t0 = System.nanoTime()
     try Jobs.tagged(spark, s"graft-sync-$table") {
-      val df = Normalize.lowercaseColumns(catalog.read(spark, table))
+      val df = Normalize.lowercaseColumns(
+        catalog.readPartitioned(spark, table, pageSize, maxSlices))
       sink.overwrite(df, table)
       val rows = sink.readBack(spark, table).count()
       TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
@@ -136,7 +139,8 @@ object Sync {
       import scala.collection.parallel.CollectionConverters._
       val par = tables.par
       par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map(t => syncTable(spark, catalog, sink, t)).seq.toSeq
+      par.map(t =>
+        syncTable(spark, catalog, sink, t, config.pageSize.toLong)).seq.toSeq
     } finally pool.shutdown()
   }
 }

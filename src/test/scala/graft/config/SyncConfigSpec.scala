@@ -46,6 +46,24 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(c.tables.isEmpty && c.exclude.isEmpty)
   }
 
+  test("'#' inside values survives; only whitespace-preceded '#' comments") {
+    val c = SyncConfig.fromYaml(
+      """src:
+        |  url: "jdbc:mysql://h:3306/db#frag"
+        |  password: 'p#ss word'   # trailing comment goes
+        |dest:
+        |  host: b
+        |pageSize: "2000"
+        |tables:
+        |  t1:
+        |    - select '#' AS h, c from t1  # comment
+        |""".stripMargin)
+    assert(c.src.url == "jdbc:mysql://h:3306/db#frag")
+    assert(c.src.props("password") == "p#ss word")
+    assert(c.pageSize == 2000) // quoted top-level scalar parses
+    assert(c.tables("t1") == Seq("select '#' AS h, c from t1"))
+  }
+
   test("rejects nonsense knobs") {
     intercept[IllegalArgumentException] {
       SyncConfig(graft.config.Endpoint("x"), Endpoint("y"), pageSize = 0)

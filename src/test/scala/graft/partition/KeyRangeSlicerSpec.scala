@@ -45,6 +45,35 @@ class KeyRangeSlicerSpec extends SparkSpec {
     assert(KeyRangeSlicer.slicePredicates(df, Seq("k"), 4).length == 1)
   }
 
+  test("histogram cuts: uniform histogram gives balanced exact partition") {
+    // 64 equal-width buckets over keys 0..6399, 100 rows each
+    val hist = (0 until 64).map(b => (b, 100L))
+    val cuts = KeyRangeSlicer.histogramCuts(hist, 0L, 6399L, 64, 4)
+    assert(cuts.size == 3)
+    val preds = KeyRangeSlicer.predicatesFromCuts("k", cuts)
+    assert(preds.length == 4)
+    val df = (0L until 6400L).toDF("k")
+    val sizes = preds.map(p => df.filter(expr(p)).count())
+    assert(sizes.sum == 6400)
+    assert(sizes.forall(s => s >= 1200 && s <= 2000), sizes.toSeq.toString)
+  }
+
+  test("histogram cuts: heavy skew still partitions exactly, cuts within bounds") {
+    // everything piles into bucket 0 except a tail
+    val hist = Seq((0, 10000L), (63, 10L))
+    val cuts = KeyRangeSlicer.histogramCuts(hist, 0L, 6399L, 64, 4)
+    val df = ((0L until 100L) ++ Seq.fill(50)(6399L)).toDF("k")
+    val preds = KeyRangeSlicer.predicatesFromCuts("k", cuts)
+    assert(preds.map(p => df.filter(expr(p)).count()).sum == df.count())
+    assert(cuts.forall(c => c > 0L && c <= 6399L))
+  }
+
+  test("histogram cuts: empty or degenerate input gives no cuts") {
+    assert(KeyRangeSlicer.histogramCuts(Seq.empty, 0, 100, 64, 4).isEmpty)
+    assert(KeyRangeSlicer.histogramCuts(Seq((0, 5L)), 7, 7, 64, 4).isEmpty)
+    assert(KeyRangeSlicer.histogramCuts(Seq((0, 5L)), 0, 100, 64, 1).isEmpty)
+  }
+
   test("numSlices mirrors ceil(count/pageSize) with a cap") {
     assert(KeyRangeSlicer.numSlices(0, 100000) == 1)
     assert(KeyRangeSlicer.numSlices(100000, 100000) == 1)
