@@ -84,7 +84,26 @@ object DedupQueries {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             round(col("jaccard"), 4).as("jaccard"))
       },
-      None),
+      // exact token-2-gram Jaccard is SQL-expressible: build the same
+      // distinct-gram sets in DuckDB list functions; int/int division
+      // through DOUBLE matches Spark's cast order bit-for-bit
+      Some {
+        val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        val grams =
+          s"""list_distinct(list_transform(
+             |  range(1, greatest(len(string_split($norm, ' ')) - 1, 1) + 1),
+             |  i -> list_aggregate(list_slice(string_split($norm, ' '), i, i + 1),
+             |                      'string_agg', ' ')))""".stripMargin
+        val union = "len(list_distinct(list_concat(a.grams, b.grams)))"
+        val jac =
+          s"""CASE WHEN $union = 0 THEN 1.0
+             |     ELSE len(list_intersect(a.grams, b.grams))::DOUBLE / $union::DOUBLE
+             |END""".stripMargin
+        s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jac, 4) AS jaccard
+           |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE $jac >= 0.12""".stripMargin
+      }),
     Q(
       "qd09_source_signature",
       (s, dir) => {

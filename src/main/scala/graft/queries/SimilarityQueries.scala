@@ -5,13 +5,26 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.similarity.{IvfIndex, SimilaritySearch}
 
-/** Similarity-search inventory over `embeddings`. Rankings over float
-  * cosine are not bit-stable across engines, so the search queries get
-  * rows-only checks (value-level verification lives in SimilaritySpec,
-  * which cross-checks ANN/IVF against the exact brute force); the
-  * label-profile query is integer-exact and oracled.
+/** Similarity-search inventory over `embeddings`. The exact queries
+  * (brute force, batch top-k) ARE oracled: both engines fold the dot
+  * product sequentially in double (Spark `aggregate`/`zip_with`,
+  * DuckDB `list_reduce`), so cosines are bit-identical and the ranked
+  * top-k sets agree, with ids as deterministic tie-breaks. The
+  * LSH/IVF variants depend on seeded driver-side randomness SQL can't
+  * reproduce — rows-only there; SimilaritySpec cross-checks them
+  * against the exact brute force.
   */
 object SimilarityQueries {
+
+  /** DuckDB sequential double dot product over the 64-dim embeddings —
+    * operation-ordered to match VectorOps.dot exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = s"sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})"
+    s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dotSql(a, b)} / ($d) END"
+  }
 
   /** Deterministic probe: the corpus vector with vec_id = 0. */
   private def probe(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Float] =
@@ -41,7 +54,12 @@ object SimilarityQueries {
           .bruteForceTopK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10)
           .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
-      None,
+      Some(s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+               scored AS (
+                 SELECT vec_id, ${cosineSql("e.embedding", "p.pe")} AS c
+                 FROM embeddings e, p)
+               SELECT vec_id, round(c, 4) AS cosine
+               FROM scored ORDER BY c DESC, vec_id LIMIT 10"""),
       bench = true),
     Q(
       "qs03_topk_ann",
@@ -73,6 +91,16 @@ object SimilarityQueries {
             probes, col("embedding"), col("vec_id"), k = 5)
           .select(col("probe_id"), col("corpus_id"), col("rank"))
       },
-      None)
+      Some(s"""WITH scored AS (
+                 SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                        ${cosineSql("c.embedding", "p.embedding")} AS cosine
+                 FROM embeddings c,
+                      (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) p)
+               SELECT probe_id, corpus_id, rank FROM (
+                 SELECT probe_id, corpus_id,
+                        row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cosine DESC, corpus_id) AS rank
+                 FROM scored) z
+               WHERE rank <= 5"""))
   )
 }
