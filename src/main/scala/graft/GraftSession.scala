@@ -18,6 +18,8 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // register graft's custom expressions as SQL functions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

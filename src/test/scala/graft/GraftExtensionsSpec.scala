@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the custom expressions (SparkSessionExtensions
+  * injection): spark.sql results must equal the Column API results. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 is callable from SQL and matches the Column API") {
+    val df = Seq("the quick brown fox", "jumps over the lazy dog").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark
+      .sql("SELECT simhash64(split(text, ' ')) AS h FROM ext_docs")
+      .as[Long].collect().toSeq
+    val viaCol = df
+      .select(graft.functions.functions.simhash64(split(col("text"), " ")).as("h"))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("minhash_signature is callable from SQL and matches the Column API") {
+    val df = Seq("some document text for hashing").toDF("text")
+    df.createOrReplaceTempView("ext_docs2")
+    val viaSql = spark
+      .sql("SELECT minhash_signature(text, 16, 5) AS sig FROM ext_docs2")
+      .as[Seq[Long]].head()
+    val viaCol = df
+      .select(graft.functions.MinHashSignature(col("text"), 16, 5).as("sig"))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.size == 16)
+  }
+
+  test("rolling_min_hash is callable from SQL and matches the Column API") {
+    val df = Seq("rolling hash fingerprint input").toDF("text")
+    df.createOrReplaceTempView("ext_docs3")
+    val viaSql = spark
+      .sql("SELECT rolling_min_hash(text, 8) AS fp FROM ext_docs3")
+      .as[Long].head()
+    val viaCol = df
+      .select(graft.functions.RollingMinHash(col("text"), 8).as("fp"))
+      .as[Long].head()
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal k is rejected with a clear message") {
+    val df = Seq(("t", 3)).toDF("text", "k")
+    df.createOrReplaceTempView("ext_docs4")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(text, k, 5) FROM ext_docs4").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
