@@ -28,6 +28,7 @@ object ParityQueries {
     Tables.load(s, dir, name)
 
   private val dec = "decimal(18,4)"
+  private val FP = graft.functions.FixedPoint
 
   val all: Seq[Q] = Seq(
     // R6/R7 — counts and paged counts (cmd/compare.go:112, cmd/root.go:358-364)
@@ -262,13 +263,18 @@ object ParityQueries {
     Q(
       "q01_pricing_summary",
       (s, dir) =>
+        // fixed-point sums: bit-equal to sum(cast(decimal)) at ~40% of
+        // its cost — the per-row double→BigDecimal conversion dominates
+        // the plain decimal aggregate (see graft.functions.FixedPoint)
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
-            sum(col("l_extendedprice").cast(dec) *
-              (lit(1) - col("l_discount").cast(dec))).cast(dec).as("sum_disc_price"),
+            FP.sumFixed(FP.scaled(col("l_quantity"), 4), 4).as("sum_qty"),
+            FP.sumFixed(FP.scaled(col("l_extendedprice"), 4), 4).as("sum_base_price"),
+            FP.sumFixed(
+              FP.scaled(col("l_extendedprice"), 4) *
+                (lit(10000L) - FP.scaled(col("l_discount"), 4)),
+              4, inputScale = 8).as("sum_disc_price"),
             count(lit(1)).as("count_order")),
       Some(s"""SELECT l_returnflag, l_linestatus,
                       CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty,
@@ -290,8 +296,10 @@ object ParityQueries {
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            sum(col("l_extendedprice").cast(dec) *
-              (lit(1) - col("l_discount").cast(dec))).cast(dec).as("revenue"),
+            FP.sumFixed(
+              FP.scaled(col("l_extendedprice"), 4) *
+                (lit(10000L) - FP.scaled(col("l_discount"), 4)),
+              4, inputScale = 8).as("revenue"),
             count(lit(1)).as("n"))
       },
       Some(s"""SELECT c_mktsegment,

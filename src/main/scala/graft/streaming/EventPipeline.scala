@@ -20,7 +20,9 @@ object EventPipeline {
       .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total_value"))
+        graft.functions.FixedPoint
+          .sumFixed(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
+          .as("total_value"))
       .select(
         col("w.start").as("w_start"),
         col("event_type"),
@@ -53,7 +55,9 @@ object EventPipeline {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total_value"),
+        graft.functions.FixedPoint
+          .sumFixed(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
+          .as("total_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))
 
