@@ -1,0 +1,50 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: reproducible
+  * dataset splits and token-budget sequence packing. Both are pure
+  * column expressions / windows — no collects, no nondeterminism — and
+  * both are SQL-expressible, so they carry full DuckDB oracles.
+  */
+object CorpusOps {
+
+  /** Deterministic 0..99 bucket from a record id: first 8 hex chars of
+    * md5, mod 100. Hash-based (not rand(seed)) so the split is stable
+    * across engines, runs, partitionings, and re-shards — the property
+    * a train/test split must have in a pipeline that reprocesses data.
+    */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+
+  /** train/validation/test label by cumulative bucket weights
+    * (default 80/10/10). */
+  def splitAssign(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      "invalid split percentages")
+    val b = splitBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "validation")
+      .otherwise("test")
+  }
+
+  /** Greedy sequential packing: within each `part` (shard), walking in
+    * `order`, a document's bin is where its token run begins —
+    * `floor((cumsum(tokens) - tokens) / budget)`. A document crossing
+    * the budget boundary overfills its bin rather than splitting (the
+    * usual pre-tokenization pack). The window is per-shard, so at scale
+    * the sort is bounded by shard size, not corpus size — pick `part`
+    * (source, date, ...) so shards fit a task. */
+  def packBins(
+      tokens: Column,
+      part: Column,
+      order: Column,
+      budgetTokens: Long): Column = {
+    val w = Window.partitionBy(part).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    floor((sum(tokens).over(w).cast("bigint") - tokens) / lit(budgetTokens))
+      .cast("bigint")
+  }
+}

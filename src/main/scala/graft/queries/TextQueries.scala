@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.RollingMinHash
 import graft.operators.TextOps
-import graft.operators.text.TextAnalysis
+import graft.operators.text.{CorpusOps, TextAnalysis}
 
 /** Text-analysis inventory over `documents`. These are all per-row
   * expressions, so (unlike aggregates over doubles) raw double outputs
@@ -113,6 +113,51 @@ object TextQueries {
                      CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
                      CAST(sum(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)) AS BIGINT) AS total_punct
               FROM documents GROUP BY lang"""),
-      bench = true)
+      bench = true),
+    Q(
+      "qt07_hash_split",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(CorpusOps.splitAssign(col("doc_id")).as("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .cast("bigint").as("total_tokens")),
+      Some("""SELECT CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'validation'
+                          ELSE 'test' END AS split,
+                     count(*) AS n_docs,
+                     CAST(sum(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens
+              FROM (SELECT text,
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                    FROM documents) x
+              GROUP BY 1""")),
+    Q(
+      "qt08_token_binpack",
+      (s, dir) => {
+        val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+          .withColumn("bin",
+            CorpusOps.packBins(col("n_tokens"), col("source"), col("doc_id"), 2048L))
+          .groupBy("source", "bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("bin_tokens"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                       CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+              ), b AS (
+                SELECT source, n_tokens,
+                       CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                                  / 2048) AS BIGINT) AS bin
+                FROM t
+              )
+              SELECT source, bin, count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+              FROM b GROUP BY source, bin"""))
   )
 }
