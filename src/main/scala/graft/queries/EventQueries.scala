@@ -51,6 +51,32 @@ object EventQueries {
                      min(event_id) AS first_event, max(event_id) AS last_event
               FROM s GROUP BY user_id, session_id""")),
     Q(
+      "qe06_stateful_sessionize",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        graft.streaming.StatefulSessions
+          .sessionize(Tables.load(s, dir, "events")).toDF()
+      },
+      // custom-state (flatMapGroupsWithState) implementation must land
+      // on the identical session set as the window formulation (qe03)
+      Some("""WITH g AS (
+                SELECT user_id, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+              ), s AS (
+                SELECT user_id, event_id,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS session_id
+                FROM g
+              )
+              SELECT user_id, session_id, count(*) AS n_events,
+                     min(event_id) AS first_event, max(event_id) AS last_event
+              FROM s GROUP BY user_id, session_id""")),
+    Q(
       "qe04_type_stats",
       (s, dir) => EventPipeline.typeStats(Tables.load(s, dir, "events")),
       Some("""SELECT event_type, count(*) AS n,

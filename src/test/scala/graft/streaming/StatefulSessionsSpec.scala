@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class StatefulSessionsSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState sessions equal the window implementation") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val events = Tables.load(spark, sf0001, "events")
+    val stateful = StatefulSessions.sessionize(events).toDF()
+    val windowed = EventPipeline.sessionize(events)
+      .select("user_id", "session_id", "n_events", "first_event", "last_event")
+    assert(stateful.count() == windowed.count())
+    assert(
+      stateful.exceptAll(windowed).isEmpty && windowed.exceptAll(stateful).isEmpty,
+      "stateful and windowed sessionization disagree")
+  }
+
+  test("gap boundary: exactly-gap events stay in one session") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    val df = Seq(
+      (1L, 10L, base),
+      (1L, 11L, base + 1800L * 1000000L), // exactly gap -> same session
+      (1L, 12L, base + 1800L * 1000000L * 2 + 1000000L) // over gap -> new
+    ).toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = StatefulSessions.sessionize(df)
+      .collect().sortBy(r => (r.user_id, r.session_id))
+    assert(out.length == 2)
+    assert(out(0).n_events == 2 && out(0).first_event == 10L && out(0).last_event == 11L)
+    assert(out(1).n_events == 1 && out(1).first_event == 12L)
+  }
+}
