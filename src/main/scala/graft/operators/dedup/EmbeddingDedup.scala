@@ -36,12 +36,19 @@ object EmbeddingDedup {
         VectorOps.hyperplaneBucket(col("v"), dim, nbits, seed = 42L + t)): _*))
         .as(Seq("tab", "bucket")))
       .localCheckpoint(true)
-    val a = tabled.select(col("tab"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = tabled.select(col("tab"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("tab", "bucket"))
+    // bucket self-join on ids only; vectors re-attached after pair
+    // dedup so each embedding crosses the wire once per vector, not
+    // once per probe-table replica (see MinHashLSH.candidatePairs)
+    val a = tabled.select(col("tab"), col("bucket"), col("id").as("id_a"))
+    val b = tabled.select(col("tab"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("tab", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val byVec = tabled.select(col("id"), col("v")).dropDuplicates("id")
+    pairs
+      .join(byVec.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(byVec.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

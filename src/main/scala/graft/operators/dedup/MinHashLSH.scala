@@ -77,8 +77,13 @@ object MinHashLSH {
     val sigs = signatures(df, text, id, p)
       .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
       .localCheckpoint(true)
+    // the band self-join moves ONLY (band, bh, id) — signatures are
+    // re-attached per side after pair dedup, so each signature crosses
+    // the wire once per document instead of once per band replica
+    // (k-long arrays are the bulk of the row; this divides the big
+    // shuffle's volume by the band count)
     val buckets = sigs
-      .select(col("id"), col("sig"), posexplode(col("bks")).as(Seq("band", "bh")))
+      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bh")))
     // cap pathological buckets before the quadratic pair expansion:
     // the overflow key list is tiny (near-identical floods), so it
     // broadcasts — cheaper than a count() window over every bucket
@@ -88,12 +93,16 @@ object MinHashLSH {
       .filter(col("count") > p.maxBucket)
       .select("band", "bh")
     val capped = buckets.join(broadcast(big), Seq("band", "bh"), "left_anti")
-    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val bySig = sigs.select(col("id"), col("sig"))
+    pairs
+      .join(bySig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(bySig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), p.numHashes))
       .filter(col("est_jaccard") >= p.threshold)
       .select("id_a", "id_b", "est_jaccard")
