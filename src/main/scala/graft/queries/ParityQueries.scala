@@ -476,6 +476,45 @@ object ParityQueries {
       Some("""SELECT o_orderkey,
                      ntile(4) OVER (ORDER BY o_orderkey) AS quartile,
                      row_number() OVER (ORDER BY o_orderkey) AS rn
-              FROM orders"""))
+              FROM orders""")),
+
+    // exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation formula, so the
+    // doubles are bit-identical on the same input set
+    Q(
+      "q35_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("med_qty"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price")),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS med_qty,
+                     quantile_cont(l_extendedprice, 0.9) AS p90_price
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q(
+      "q36_union_all",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        n.filter(col("n_regionkey") <= 2).select(col("n_name"))
+          .unionAll(n.filter(col("n_regionkey") >= 2).select(col("n_name")))
+      },
+      Some("""SELECT n_name FROM nation WHERE n_regionkey <= 2
+              UNION ALL
+              SELECT n_name FROM nation WHERE n_regionkey >= 2""")),
+
+    Q(
+      "q37_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                 FROM gs_lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
   )
 }
