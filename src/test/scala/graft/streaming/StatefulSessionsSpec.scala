@@ -18,6 +18,27 @@ class StatefulSessionsSpec extends SparkSpec {
       "stateful and windowed sessionization disagree")
   }
 
+  test("runs under the streaming engine and matches the batch result") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val events = Tables.load(spark, sf0001, "events")
+    // streaming parquet source rejects TIMESTAMP(NANOS); stage through
+    // a batch rewrite (same as EventPipelineSpec)
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(staged.schema).parquet(dir)
+    val q = StatefulSessions.sessionize(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stateful_sessions_out")
+    val batch = StatefulSessions.sessionize(staged).toDF()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("gap boundary: exactly-gap events stay in one session") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
