@@ -106,6 +106,42 @@ final class IvfIndex private (
     greatest(scored: _*).getField("idx")
   }
 
+  /** Write the corpus as an on-disk IVF index: parquet partitioned by
+    * cell id, so probe-time reads prune at the FILE level — the layout
+    * that makes ANN work at 100 TB (a probe touches nprobe/numCells of
+    * the data; everything else is never opened). */
+  def writeIndex(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      dir: String): Unit =
+    df.select(id.as("id"), vec.as("v"))
+      .withColumn("cell", cell(col("v")))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(dir)
+
+  /** Top-k over a written index: the cell filter is a partition filter,
+    * so only the probed cells' files are scanned. */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probe: Seq[Float],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probeD = probe.map(_.toDouble).toArray
+    val best = centroids.indices
+      .sortBy(i => -IvfIndex.cosine(probeD, centroids(i)))
+      .take(nprobe)
+    val q = typedLit(probe)
+    spark.read.parquet(dir)
+      .filter(col("cell").isin(best: _*))
+      .select(col("id"), VectorOps.cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact cosine top-k restricted to the `nprobe` cells nearest the
     * probe vector. */
   def topK(

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.distinct().count() > 1, "kmeans must produce multiple cells")
   }
 
+  test("written IVF index: probes prune at the partition level, same results") {
+    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    index.writeIndex(emb, col("embedding"), col("vec_id"), dir)
+    val indexed = index.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+    val direct = index.topK(emb, col("embedding"), col("vec_id"), probe, 10, nprobe = 3)
+    assert(
+      indexed.select("id").as[Long].collect().toSeq ==
+        direct.select("id").as[Long].collect().toSeq,
+      "indexed and direct IVF rankings differ")
+    // the cell filter must reach the scan as a partition filter, so
+    // un-probed cells' files are never opened
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell filter did not become a partition filter:\n$plan")
+    val pruned = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pruned.contains("isin") || pruned.contains("IN") || pruned.contains("in("),
+      s"expected isin partition filter, got: $pruned")
+  }
+
   test("batch top-k returns k rows per probe, rank 1 is the probe itself") {
     val probes = emb.filter(col("vec_id") < 5)
     val got = SimilaritySearch
