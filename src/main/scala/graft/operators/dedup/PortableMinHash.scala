@@ -1,0 +1,111 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Cross-engine-verifiable MinHash-LSH: the same shingle → k-minhash →
+  * band → bucket-join → estimated-Jaccard pipeline as [[MinHashLSH]],
+  * built only from operations BOTH Spark and DuckDB evaluate
+  * bit-identically — md5 window hashes (first 40 bits), an xor-multiply
+  * hash family kept under 2^60 (no overflow on either engine, ANSI
+  * included), and md5-of-joined-decimal band keys. This variant exists
+  * so the LSH dedup path has a full value ORACLE (query qd10): the
+  * production path ([[MinHashLSH]], qd03) uses the faster native
+  * FNV/splitmix family, and DedupSpec ties the two together
+  * behaviorally.
+  *
+  * Single source of truth: [[oracleSql]] interpolates the same seed
+  * constants this object computes, so the two engines can never drift.
+  */
+object PortableMinHash {
+
+  val shingleSize = 5
+  val numHashes = 48
+  val bands = 12
+  val rowsPerBand = 4
+  /** 20-bit prime: (40-bit hash ^ 40-bit seed) * prime < 2^60. */
+  val prime = 1048573L
+
+  /** splitmix64 finalizer, masked to 40 bits — mirrored in python/SQL
+    * prototypes; stable by construction. */
+  private def splitmix40(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & ((1L << 40) - 1)
+  }
+
+  val seeds: Seq[Long] = (0L until numHashes.toLong).map(splitmix40)
+
+  /** k-element signature of the normalized text: element i =
+    * min over 5-char windows of (md5_40(window) ^ seed_i) * prime.
+    * Computed by the codegen'd [[graft.functions.PortableMinHashSig]]
+    * expression — same values as the interpreted higher-order-function
+    * formulation (md5 + long xor/multiply are engine-exact), ~100×
+    * faster. */
+  def signature(normText: Column): Column =
+    graft.functions.PortableMinHashSig(normText)
+
+  /** Near-dup pairs (doc_a < doc_b) with the signature-estimated
+    * Jaccard, filtered to >= threshold. Same join shape as
+    * MinHashLSH.candidatePairs (ids through the band join, signatures
+    * re-attached after dedup). */
+  def pairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
+    val sigs = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), signature(TextOps.normalized(text)).as("sig"))
+      .withColumn("bks", transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => md5(array_join(
+          transform(slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            x => x.cast("string")),
+          ","))))
+      .localCheckpoint(true)
+    val buckets = sigs.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
+    val a = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bk"), col("id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val bySig = sigs.select(col("id"), col("sig"))
+    cand
+      .join(bySig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(bySig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** The DuckDB rendition of the identical pipeline, interpolating the
+    * same seeds/prime — runnable by the driver's oracle over the same
+    * parquet `documents` table. */
+  def oracleSql(threshold: Double): String = {
+    val seedList = seeds.mkString("[", ",", "]")
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents),
+       |h AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(length(nt) - ${shingleSize - 1}, 1) + 1),
+       |          i -> CAST(('0x' || substring(md5(substring(nt, i, $shingleSize)), 1, 10)) AS BIGINT)) AS hs
+       |      FROM n),
+       |sig AS (SELECT doc_id,
+       |          list_transform($seedList,
+       |            c -> list_min(list_transform(hs, x -> xor(x, c) * $prime))) AS sig
+       |        FROM h),
+       |bands AS (SELECT doc_id, sig, j,
+       |            md5(list_aggregate(list_transform(
+       |                  list_slice(sig, j*$rowsPerBand + 1, j*$rowsPerBand + $rowsPerBand),
+       |                  x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bk
+       |          FROM sig, (SELECT unnest(range(0, $bands)) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |est AS (SELECT doc_a, doc_b,
+       |          CAST(length(list_filter(range(1, ${numHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+       |            / $numHashes.0 AS est_jaccard
+       |        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+       |                  JOIN sig sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+  }
+}

@@ -124,6 +124,15 @@ object DedupQueries {
       },
       None),
     Q(
+      "qd10_minhash_portable_pairs",
+      (s, dir) =>
+        PortableMinHash.pairs(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          threshold = 0.3),
+      // full value oracle: DuckDB runs the IDENTICAL pipeline (same
+      // seeds, same hash family, same banding) — see PortableMinHash
+      Some(PortableMinHash.oracleSql(0.3))),
+    Q(
       "qd08_embedding_dup_pairs",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
