@@ -133,6 +133,19 @@ object DedupQueries {
       // seeds, same hash family, same banding) — see PortableMinHash
       Some(PortableMinHash.oracleSql(0.3))),
     Q(
+      "qd11_simhash_portable",
+      (s, dir) =>
+        PortableSimHash.fingerprints(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
+      Some(PortableSimHash.oracleFingerprintSql)),
+    Q(
+      "qd12_simhash_portable_pairs",
+      (s, dir) =>
+        PortableSimHash.pairsWithinBlock(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          col("source"), maxHamming = 16),
+      Some(PortableSimHash.oraclePairsSql(16))),
+    Q(
       "qd08_embedding_dup_pairs",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
