@@ -29,13 +29,17 @@ object Multimodal {
       checksum: Long)
   final case class Frame(id: Long, frameIndex: Int, offset: Long, frameChecksum: Long)
 
-  private def fnv(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = from
-    while (i < until && i < bytes.length) {
-      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
-    }
-    h
+  /** 60-bit payload checksum: first 15 hex chars of md5 — the same
+    * value `CAST('0x'||substring(md5(payload),1,15) AS BIGINT)` yields
+    * in DuckDB, so stub outputs are value-oracle-able (qm02, qm03). */
+  private[multimodal] def md5_60(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hi = math.min(until, bytes.length)
+    if (from < hi) md.update(bytes, from, hi - from)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
   /** Fixture adapter: treat a text column's UTF-8 bytes as the opaque
@@ -56,10 +60,11 @@ object Multimodal {
     media.select("id", "media_type", "content").as[(Long, String, Array[Byte])]
       .mapPartitions { iter =>
         iter.map { case (id, mt, bytes) =>
-          val ck = fnv(bytes, 0, bytes.length)
+          val ck = md5_60(bytes, 0, bytes.length)
           // ??? real codec goes here; fake dims are checksum-derived
-          val w = 64 + (math.abs(ck) % 1024).toInt
-          val h = 64 + (math.abs(ck >> 10) % 1024).toInt
+          // (ck is non-negative by construction, < 2^60)
+          val w = 64 + (ck % 1024).toInt
+          val h = 64 + ((ck >> 10) % 1024).toInt
           MediaMeta(id, mt, bytes.length, w, h, ck)
         }
       }
@@ -89,7 +94,7 @@ object Multimodal {
         val nFrames = math.max(1, bytes.length / frameBytes)
         (0 until nFrames by stride).map { f =>
           val off = f.toLong * frameBytes
-          Frame(id, f, off, fnv(bytes, off.toInt, off.toInt + frameBytes))
+          Frame(id, f, off, md5_60(bytes, off.toInt, off.toInt + frameBytes))
         }
       }
   }

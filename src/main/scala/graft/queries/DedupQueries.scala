@@ -6,12 +6,25 @@ import graft.Tables
 import graft.operators.dedup._
 
 /** Deduplication operator inventory over the `documents` /
-  * `embeddings` corpora. Exact variants are DuckDB-oracled; the
-  * sketch-based ones (MinHash, SimHash, hyperplane LSH) are not
-  * SQL-expressible and get the rows-only check, with value-level
-  * assertions living in DedupSpec.
+  * `embeddings` corpora. Exact variants are DuckDB-oracled, as are the
+  * portable sketch pipelines (qd10-qd14: md5-family MinHash/SimHash,
+  * blocked cosine, merged signatures). The production FNV/seeded-LSH
+  * paths (qd03-qd06, qd08-qd09) keep rows-only checks — their hash
+  * families are faster but not SQL-reproducible — with value-level
+  * assertions in DedupSpec and algorithm-level oracles via their
+  * portable twins.
   */
 object DedupQueries {
+
+  /** DuckDB sequential double dot product over 64-dim embeddings —
+    * operation-ordered to match VectorOps.dot exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = s"sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})"
+    s"CASE WHEN $d = 0 THEN 0.0 ELSE ${dotSql(a, b)} / ($d) END"
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -145,6 +158,65 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           col("source"), maxHamming = 16),
       Some(PortableSimHash.oraclePairsSql(16))),
+    Q(
+      "qd13_embedding_blocked_pairs",
+      (s, dir) => {
+        // exact cosine within label blocks — the verification stage for
+        // the LSH-bucketed qd08, and fully oracle-able (bit-identical
+        // sequential double fold, see SimilarityQueries)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("e_a"))
+        val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("e_b"))
+        a.join(b, Seq("label"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine",
+            graft.operators.similarity.VectorOps.cosine(col("e_a"), col("e_b")))
+          .filter(col("cosine") >= 0.2)
+          .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+              |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.2""".stripMargin)),
+    Q(
+      "qd14_source_signature_portable",
+      (s, dir) => {
+        // corpus-level sketch with a full oracle: element-wise-min merge
+        // of PORTABLE MinHash signatures per source via the typed
+        // Aggregator (partial+final merge), exploded for comparison
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = graft.operators.Parallelism.ensureMin(docs)
+          .select(col("doc_id").as("id"), col("source"),
+            PortableMinHash.signature(
+              graft.operators.TextOps.normalized(col("text"))).as("sig"))
+        val merge = org.apache.spark.sql.functions.udaf(
+          new graft.functions.MinHashMerge(PortableMinHash.numHashes),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        sigs.groupBy("source")
+          .agg(merge(col("sig")).as("gsig"))
+          .select(col("source"), posexplode(col("gsig")).as(Seq("pos", "sig_val")))
+      },
+      Some {
+        val seedList = PortableMinHash.seeds.mkString("[", ",", "]")
+        s"""WITH n AS (SELECT doc_id, source,
+           |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+           |           FROM documents),
+           |h AS (SELECT doc_id, source,
+           |        list_transform(range(1, greatest(length(nt) - 4, 1) + 1),
+           |          i -> CAST(('0x' || substring(md5(substring(nt, i, 5)), 1, 10)) AS BIGINT)) AS hs
+           |      FROM n),
+           |sig AS (SELECT doc_id, source,
+           |          list_transform($seedList,
+           |            c -> list_min(list_transform(hs, x -> xor(x, c) * ${PortableMinHash.prime}))) AS sig
+           |        FROM h)
+           |SELECT source, CAST(i - 1 AS INT) AS pos, CAST(min(sig[i]) AS BIGINT) AS sig_val
+           |FROM sig, (SELECT unnest(range(1, ${PortableMinHash.numHashes + 1})) AS i)
+           |GROUP BY source, i""".stripMargin
+      }),
     Q(
       "qd08_embedding_dup_pairs",
       (s, dir) => {

@@ -111,7 +111,15 @@ object EventQueries {
           .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
             col("width"), col("height"), col("checksum"))
       },
-      None),
+      // the stub checksum is an md5 prefix, so the decode metadata is
+      // fully value-oracle-able (fixture payloads are the text bytes)
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                     CAST(64 + ck % 1024 AS INT) AS width,
+                     CAST(64 + (ck >> 10) % 1024 AS INT) AS height,
+                     ck AS checksum
+              FROM (SELECT doc_id, text,
+                           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS ck
+                    FROM documents) x""")),
     Q(
       "qm03_frame_sample",
       (s, dir) => {
@@ -122,6 +130,15 @@ object EventQueries {
           .select(col("id").as("doc_id"), col("frameIndex").as("frame_index"),
             col("offset"), col("frameChecksum").as("frame_checksum"))
       },
-      None)
+      // frame slices are byte ranges; the fixture text is pure ASCII so
+      // DuckDB's character substring addresses the same bytes
+      Some("""SELECT doc_id,
+                     CAST(f AS INT) AS frame_index,
+                     f * 64 AS "offset",
+                     CAST(('0x' || substring(md5(substring(text, CAST(f * 64 + 1 AS INT), 64)), 1, 15)) AS BIGINT)
+                       AS frame_checksum
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, greatest(length(text) // 64, 1), 2)) AS f
+                    FROM documents) x"""))
   )
 }
