@@ -79,10 +79,31 @@ object PortableMinHash {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Near-dup survivors with the keep-first policy of
+    * [[MinHashLSH.dedupKeepFirst]], over the portable pairs — so the
+    * survivor semantics also carry a full oracle (qd15). */
+  def dedupKeepFirst(df: DataFrame, text: Column, idCol: String, threshold: Double): DataFrame = {
+    val losers = pairs(df, text, col(idCol), threshold)
+      .select(col("doc_b").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle for [[dedupKeepFirst]]: every doc id that never appears as
+    * the larger side of a surviving pair. */
+  def oracleDedupSql(threshold: Double): String =
+    s"""${pipelineCtes}
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM est WHERE est_jaccard >= $threshold)""".stripMargin
+
   /** The DuckDB rendition of the identical pipeline, interpolating the
     * same seeds/prime — runnable by the driver's oracle over the same
     * parquet `documents` table. */
-  def oracleSql(threshold: Double): String = {
+  def oracleSql(threshold: Double): String =
+    s"""${pipelineCtes}
+       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+
+  private def pipelineCtes: String = {
     val seedList = seeds.mkString("[", ",", "]")
     val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents),
@@ -105,7 +126,6 @@ object PortableMinHash {
        |          CAST(length(list_filter(range(1, ${numHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
        |            / $numHashes.0 AS est_jaccard
        |        FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
-       |                  JOIN sig sb ON cand.doc_b = sb.doc_id)
-       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+       |                  JOIN sig sb ON cand.doc_b = sb.doc_id)""".stripMargin
   }
 }

@@ -146,6 +146,13 @@ object DedupQueries {
       // seeds, same hash family, same banding) — see PortableMinHash
       Some(PortableMinHash.oracleSql(0.3))),
     Q(
+      "qd15_minhash_portable_dedup",
+      (s, dir) =>
+        PortableMinHash.dedupKeepFirst(
+          Tables.load(s, dir, "documents"), col("text"), "doc_id", 0.3)
+          .select("doc_id"),
+      Some(PortableMinHash.oracleDedupSql(0.3))),
+    Q(
       "qd11_simhash_portable",
       (s, dir) =>
         PortableSimHash.fingerprints(
