@@ -5,8 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One verifiable query: a Spark implementation plus (when the semantics
   * are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
   * tables. Queries without an oracle get the driver's weaker rows-only
-  * check — reserved for ops SQL can't express (MinHash-LSH, ANN, custom
-  * expressions).
+  * check — reserved for ops whose hash family or seeds SQL can't
+  * reproduce (FNV MinHash/SimHash, seeded hyperplane LSH, k-means IVF).
+  * Each of those has a PORTABLE twin (qd10-qd15) running the same
+  * pipeline on md5-based primitives both engines compute bit-identically,
+  * so every algorithm is value-verified even where the production
+  * variant is not.
   *
   * Determinism rules every entry follows (the driver hash-compares
   * values after sorting columns by name):
