@@ -82,6 +82,15 @@ object SimilarityQueries {
       },
       None),
     Q(
+      "qs06_topk_ann_portable",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.similarity.PortableAnn
+          .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10)
+          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some(graft.operators.similarity.PortableAnn.oracleSql(10))),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

@@ -86,6 +86,15 @@ class SimilaritySpec extends SparkSpec {
       s"expected isin partition filter, got: $pruned")
   }
 
+  test("portable ANN finds the probe and recalls reasonably vs exact") {
+    val got = graft.operators.similarity.PortableAnn
+      .topK(emb, col("embedding"), col("vec_id"), probe, 10)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(0L), "probe shares all its own buckets")
+    val recall = exactTop.take(10).map(_._1).count(got.contains) / 10.0
+    assert(recall >= 0.2, s"portable ANN recall $recall too low; got=$got")
+  }
+
   test("batch top-k returns k rows per probe, rank 1 is the probe itself") {
     val probes = emb.filter(col("vec_id") < 5)
     val got = SimilaritySearch
