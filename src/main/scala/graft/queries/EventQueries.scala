@@ -89,6 +89,27 @@ object EventQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events""")),
     Q(
+      "qe07_type_transitions",
+      (s, dir) => {
+        // behavioral bigrams: per-user (prev event type -> type) counts,
+        // the classic session-analysis transition matrix
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            lag("event_type", 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT prev_type, event_type AS next_type, count(*) AS n
+              FROM (SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY event_id) AS prev_type
+                    FROM events) x
+              WHERE prev_type IS NOT NULL
+              GROUP BY prev_type, event_type""")),
+    Q(
       "qm01_media_bytes",
       (s, dir) => {
         val media = Multimodal.asMedia(
