@@ -515,6 +515,21 @@ object ParityQueries {
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
               FROM lineitem
-              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
+    // the distributed content-compare the reference can't do: one
+    // aggregation pass, order-independent per-column md5 checksums
+    // (int/string columns only — float stringification differs across
+    // engines; floats go through the DECIMAL or exceptAll paths)
+    Q(
+      "q38_content_checksum",
+      (s, dir) =>
+        Compare.contentChecksum(
+          t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_mktsegment")),
+      Some {
+        def ck(c: String) =
+          s"CAST(sum(CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS ck_$c"
+        s"SELECT ${ck("c_custkey")}, ${ck("c_name")}, ${ck("c_mktsegment")} FROM customer"
+      })
   )
 }

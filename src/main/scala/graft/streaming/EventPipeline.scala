@@ -78,6 +78,19 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: duplicates of the key arriving within the
+    * watermark horizon are dropped; state expires with the watermark,
+    * so the store is bounded by horizon × arrival rate, not by history
+    * — the streaming analog of ExactDedup for at-least-once sources. */
+  def streamingDedup(
+      stream: DataFrame,
+      keys: Seq[String],
+      eventTime: String = "ts",
+      horizon: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(eventTime, horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming sessionization via session_window (gap-based). */
   def streamingSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
     stream

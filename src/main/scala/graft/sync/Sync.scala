@@ -175,6 +175,22 @@ object Compare {
         if (dest.contains(srcCnt)) "YES" else "NO")
     }
 
+  /** Order-independent per-column content checksum: sum of a 60-bit
+    * md5 prefix of each column's string form, as DECIMAL(38,0) so the
+    * sum never overflows at any row count. One aggregation pass, bytes
+    * per column cross the wire — the cheap way to compare a 100 TB
+    * table's content across systems when two exceptAll scans are too
+    * expensive, and reproducible by any engine with md5 (the DuckDB
+    * oracle runs the same formula — query q38). */
+  def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sums = cols.map { c =>
+      sum(conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")).cast("decimal(38,0)").as(s"ck_$c")
+    }
+    df.agg(sums.head, sums.tail: _*)
+  }
+
   /** Content equality: both directions of exceptAll are empty. Stronger
     * than the reference's count check; distributed (no collect of data,
     * only of the two difference counts). */

@@ -60,6 +60,24 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("structured streaming: watermarked dedup drops re-delivered events") {
+    // simulate at-least-once delivery: the staged directory written twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup_stream").toString
+    events.write.mode("overwrite").parquet(s"$dupDir/a")
+    events.write.mode("overwrite").parquet(s"$dupDir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("recursiveFileLookup", "true").parquet(dupDir)
+    val q = EventPipeline.streamingDedup(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_out")
+    assert(out.count() == events.count(),
+      s"expected ${events.count()} unique events, got ${out.count()}")
+  }
+
   test("structured streaming: session_window emits per-user sessions") {
     val stream = spark.readStream.schema(events.schema).parquet(streamDir)
     val q = EventPipeline.streamingSessions(stream)
