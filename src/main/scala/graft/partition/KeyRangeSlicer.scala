@@ -81,6 +81,66 @@ object KeyRangeSlicer {
     cuts.distinct.sorted.toSeq
   }
 
+  /** Equal-count cuts from adaptively refined pushed-down histograms.
+    * One equal-width histogram can't split a hot bucket (a bucket
+    * holding several targets' worth of rows — heavy key clustering);
+    * this walks the histogram and recurses a SUB-histogram into any
+    * bucket crossing more than one target, up to `maxDepth` levels.
+    * Each level is one more aggregate the source database computes —
+    * bounded by (buckets-with-multiple-targets × depth) extra round
+    * trips, never a row transfer. `fetchHist(lo, hi, n)` returns the
+    * (bucketIdx, count) histogram of keys in [lo, hi] with n
+    * equal-width buckets — the FLOOR((v-lo)*n/span) mapping of
+    * `sync.PartitionedReader`'s pushed-down SQL. */
+  def adaptiveCuts(
+      fetchHist: (Long, Long, Int) => Seq[(Int, Long)],
+      lo: Long,
+      hi: Long,
+      numSlices: Int,
+      nBuckets: Int = 64,
+      maxDepth: Int = 8): Seq[Long] = {
+    if (numSlices <= 1 || hi <= lo) return Seq.empty
+    val span = BigInt(hi) - BigInt(lo) + 1
+    val nB = if (span < nBuckets) span.toInt else nBuckets
+    val counts = Array.fill(nB)(0L)
+    fetchHist(lo, hi, nB).foreach { case (b, c) =>
+      counts(math.min(math.max(b, 0), nB - 1)) += c
+    }
+    val total = counts.sum
+    if (total == 0) return Seq.empty
+    // inclusive bucket bounds under the SQL FLOOR mapping
+    def bLo(i: Int): Long = (BigInt(lo) + (BigInt(i) * span + nB - 1) / nB).toLong
+    def bHi(i: Int): Long = (BigInt(lo) + (BigInt(i + 1) * span + nB - 1) / nB - 1).toLong
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var cum = 0L
+    var k = 1
+    var i = 0
+    while (i < nB && k < numSlices) {
+      val c = counts(i)
+      if (c > 0) {
+        cum += c
+        var t = 0
+        while (k < numSlices && cum * numSlices >= k.toLong * total) {
+          t += 1; k += 1
+        }
+        if (t > 0) {
+          val blo = bLo(i)
+          val bhi = bHi(i)
+          val boundary = math.min(bhi + 1, hi)
+          if (t == 1 || bhi <= blo || maxDepth <= 0) out += boundary
+          else {
+            val sub = adaptiveCuts(fetchHist, blo, bhi, t + 1, nBuckets, maxDepth - 1)
+            out ++= sub
+            // close the bucket if refinement under-delivered
+            if (sub.size < t) out += boundary
+          }
+        }
+      }
+      i += 1
+    }
+    out.distinct.sorted.filter(c => c > lo && c <= hi).toSeq
+  }
+
   /** Quantile-derived predicates for a DataFrame already at hand (file
     * sources; for JDBC prefer the pushed-down histogram path). */
   def slicePredicates(df: DataFrame, pkCols: Seq[String], numSlices: Int): Array[String] = {

@@ -58,16 +58,22 @@ object PartitionedReader {
         if (n <= 1 || mxL <= mnL) return fullScan
 
         val nBuckets = math.max(64, n * 8)
-        val span = BigInt(mxL) - BigInt(mnL) + 1
-        // 1E0 forces DOUBLE arithmetic on every dialect (Derby included)
-        val histSql =
-          s"""SELECT b, COUNT(*) FROM (
-             |  SELECT FLOOR(($lead - $mnL) * 1E0 * $nBuckets / $span) AS b
-             |  FROM $table WHERE $lead IS NOT NULL) x GROUP BY b""".stripMargin
-        val hist = queryRows(endpoint, histSql).collect {
-          case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
+        // pushed-down histogram of [lo, hi]; the adaptive planner calls
+        // this again on any bucket too hot to split in one pass
+        def fetchHist(lo: Long, hi: Long, buckets: Int): Seq[(Int, Long)] = {
+          val span = BigInt(hi) - BigInt(lo) + 1
+          // 1E0 forces DOUBLE arithmetic on every dialect (Derby included)
+          val histSql =
+            s"""SELECT b, COUNT(*) FROM (
+               |  SELECT FLOOR(($lead - $lo) * 1E0 * $buckets / $span) AS b
+               |  FROM $table
+               |  WHERE $lead IS NOT NULL AND $lead >= $lo AND $lead <= $hi) x
+               |GROUP BY b""".stripMargin
+          queryRows(endpoint, histSql).collect {
+            case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
+          }
         }
-        val cuts = KeyRangeSlicer.histogramCuts(hist, mnL, mxL, nBuckets, n)
+        val cuts = KeyRangeSlicer.adaptiveCuts(fetchHist, mnL, mxL, n, nBuckets)
         if (cuts.isEmpty) fullScan
         else
           Normalize.lowercaseColumns(

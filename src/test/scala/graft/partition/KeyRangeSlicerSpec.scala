@@ -74,6 +74,27 @@ class KeyRangeSlicerSpec extends SparkSpec {
     assert(KeyRangeSlicer.histogramCuts(Seq((0, 5L)), 0, 100, 64, 1).isEmpty)
   }
 
+  test("adaptive cuts split a hyper-clustered keyspace with bounded round trips") {
+    // 10k keys: 9000 clustered in [0, 1000), 1000 spread to 1e12
+    val keys = (0L until 1000L).flatMap(k => Seq.fill(9)(k)) ++
+      (1L to 1000L).map(_ * 1000000000L)
+    var calls = 0
+    def fetchHist(lo: Long, hi: Long, n: Int): Seq[(Int, Long)] = {
+      calls += 1
+      val span = BigInt(hi) - BigInt(lo) + 1
+      keys.filter(k => k >= lo && k <= hi)
+        .groupBy(k => ((BigInt(k) - lo) * n / span).toInt)
+        .view.mapValues(_.size.toLong).toSeq
+    }
+    val cuts = KeyRangeSlicer.adaptiveCuts(fetchHist, 0L, 1000000000000L, 8)
+    val preds = KeyRangeSlicer.predicatesFromCuts("k", cuts)
+    val df = keys.toDF("k")
+    val sizes = preds.map(p => df.filter(expr(p)).count())
+    assert(sizes.sum == keys.size, "exact partition")
+    assert(sizes.max <= keys.size / 2, s"hot slice not split: ${sizes.toSeq}")
+    assert(calls <= 12, s"too many histogram round trips: $calls")
+  }
+
   test("numSlices mirrors ceil(count/pageSize) with a cap") {
     assert(KeyRangeSlicer.numSlices(0, 100000) == 1)
     assert(KeyRangeSlicer.numSlices(100000, 100000) == 1)

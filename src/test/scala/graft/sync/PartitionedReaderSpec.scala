@@ -33,6 +33,30 @@ class PartitionedReaderSpec extends SparkSpec {
     assert(sizes.forall(_ > 0), s"empty slice in ${sizes.toSeq}")
   }
 
+  test("skewed PK distribution still yields balanced slices (histogram cuts)") {
+    val target = new JdbcCatalog(endpoint)
+    DdlReplay.replay(target, Seq(
+      "CREATE TABLE skew_t (k BIGINT NOT NULL PRIMARY KEY, v INT)"))
+    // 90% of keys clustered in [0, 1000), a sparse tail out to 1e9:
+    // equal-width min/max slicing would put ~all rows in slice one
+    val keys = (0L until 900L) ++ (1L to 100L).map(_ * 10000000L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(k => org.apache.spark.sql.Row(k, 1)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType, nullable = true))))
+    JdbcSink(endpoint).overwrite(df, "skew_t")
+    val got = PartitionedReader.read(spark, endpoint, "skew_t", pageSize = 250)
+    assert(got.count() == 1000)
+    assert(got.rdd.getNumPartitions == 4)
+    val sizes = got.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    // balanced to histogram-bucket granularity: no slice hogs the table
+    assert(sizes.max <= 600, s"skewed slice sizes: ${sizes.toSeq}")
+    assert(sizes.forall(_ > 0), s"empty slice in ${sizes.toSeq}")
+  }
+
   test("no-PK table falls back to a single full scan") {
     val target = new JdbcCatalog(endpoint)
     DdlReplay.replay(target, Seq("CREATE TABLE nopk_t (a INT, b VARCHAR(16))"))
