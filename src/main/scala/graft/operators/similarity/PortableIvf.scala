@@ -1,0 +1,108 @@
+package graft.operators.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-verifiable IVF (the portable twin of [[IvfIndex]]):
+  * coarse centroids are md5-derived constants instead of k-means-fitted
+  * — the externally-supplied-codebook mode every production IVF runs in
+  * (train offline, apply online) — so cell assignment (argmax cosine
+  * over the codebook), probe selection, and the in-cell exact top-k are
+  * all reproducible in SQL and value-oracled (query qs07). The fitted
+  * variant ([[IvfIndex]], qs04) keeps data-adapted centroids and is
+  * cross-checked against brute force in SimilaritySpec.
+  */
+object PortableIvf {
+
+  val dim = 64
+  val numCells = 8
+
+  private def md5_40(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+
+  /** centroidInts(c)(j): integer seeds shared with the oracle SQL;
+    * component value = int/2^39 - 1 (exact double both engines). */
+  val centroidInts: IndexedSeq[IndexedSeq[Long]] =
+    (0 until numCells).map(c => (0 until dim).map(j => md5_40(s"ivf_${c}_$j")))
+
+  private val half = (1L << 39).toDouble
+
+  private def centroidVals(c: Int): Seq[Double] =
+    centroidInts(c).map(v => v.toDouble / half - 1.0)
+
+  /** Cell id: argmax of cosine against the codebook (ties to the larger
+    * index — vanishing probability on real data). */
+  def cell(v: Column): Column = {
+    val scored = (0 until numCells).map { c =>
+      struct(
+        VectorOps.cosine(v, typedLit(centroidVals(c))).as("sim"),
+        lit(c).as("idx"))
+    }
+    greatest(scored: _*).getField("idx")
+  }
+
+  /** Exact top-k restricted to the `nprobe` codebook cells nearest the
+    * probe. */
+  def topK(df: DataFrame, vec: Column, id: Column, probe: Seq[Float],
+      k: Int, nprobe: Int): DataFrame = {
+    val probeD = probe.map(_.toDouble).toArray
+    val best = (0 until numCells)
+      .sortBy(c => -IvfIndex.cosine(probeD, centroidVals(c).toArray))
+      .take(nprobe)
+    val q = typedLit(probe)
+    df.select(id.as("id"), vec.as("v"))
+      .filter(cell(col("v")).isin(best: _*))
+      .select(col("id"), VectorOps.cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** DuckDB rendition: same codebook integers, same fold order, same
+    * argmax-by-(sim, idx) tie-break, same restriction and ranking. */
+  def oracleSql(k: Int, nprobe: Int): String = {
+    def centroidList(c: Int): String = centroidInts(c).mkString("[", ",", "]")
+    def dotC(vec: String, c: Int): String =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |  j -> $vec[j]::DOUBLE * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y)""".stripMargin
+    def normC(c: Int): String =
+      s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+         |  j -> ((${centroidList(c)})[j] / 549755813888.0 - 1.0) * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y))""".stripMargin
+    def normV(vec: String): String =
+      s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+         |  j -> $vec[j]::DOUBLE * $vec[j]::DOUBLE), (x, y) -> x + y))""".stripMargin
+    def cosC(vec: String, c: Int): String = {
+      val d = s"${normV(vec)} * ${normC(c)}"
+      s"CASE WHEN $d = 0 THEN 0.0 ELSE (${dotC(vec, c)}) / ($d) END"
+    }
+    // argmax by (sim, idx): lexicographic max over [sim, idx] pairs —
+    // the same tie-break as Spark's greatest(struct(sim, idx))
+    def scoredList(vec: String): String =
+      (0 until numCells)
+        .map(c => s"[${cosC(vec, c)}, $c.0]")
+        .mkString("[", ", ", "]")
+    def cellSql(vec: String): String =
+      s"CAST((list_max(${scoredList(vec)}))[2] AS INT)"
+    val dot = s"""list_reduce(list_transform(range(1, ${dim + 1}),
+                 |  j -> e.embedding[j]::DOUBLE * p.pe[j]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |probed AS (SELECT unnest(list_transform(
+       |             list_slice(list_reverse_sort(${scoredList("p.pe")}), 1, $nprobe),
+       |             x -> CAST(x[2] AS INT))) AS cell
+       |           FROM p),
+       |scored AS (
+       |  SELECT vec_id,
+       |         CASE WHEN ${normV("e.embedding")} * ${normV("p.pe")} = 0 THEN 0.0
+       |              ELSE ($dot) / (${normV("e.embedding")} * ${normV("p.pe")}) END AS c
+       |  FROM embeddings e, p
+       |  WHERE ${cellSql("e.embedding")} IN (SELECT cell FROM probed))
+       |SELECT vec_id, round(c, 4) AS cosine
+       |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
+  }
+}

@@ -91,6 +91,15 @@ object SimilarityQueries {
       },
       Some(graft.operators.similarity.PortableAnn.oracleSql(10))),
     Q(
+      "qs07_topk_ivf_portable",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.similarity.PortableIvf
+          .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10, nprobe = 3)
+          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some(graft.operators.similarity.PortableIvf.oracleSql(10, 3))),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

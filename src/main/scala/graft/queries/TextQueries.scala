@@ -101,6 +101,30 @@ object TextQueries {
           RollingMinHash(TextOps.normalized(col("text")), 32).as("fp_rolling")),
       None),
     Q(
+      "qt09_rolling_portable",
+      (s, dir) => {
+        // portable rolling fingerprint: min 5-char-window md5 hash —
+        // the winnowing-style document fingerprint, value-oracled
+        // (unlike qt05's wraparound polynomial hash, which SQL can't
+        // reproduce)
+        val norm = TextOps.normalized(col("text"))
+        val windows = transform(
+          sequence(lit(1), greatest(length(norm) - lit(4), lit(1))),
+          i => norm.substr(i, lit(5)))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          array_min(transform(windows, w =>
+            conv(substring(md5(w), 1, 10), 16, 10).cast("long"))).as("fp_rolling"))
+      },
+      Some("""SELECT doc_id,
+                     CAST(list_min(list_transform(
+                       range(1, greatest(length(nt) - 4, 1) + 1),
+                       i -> CAST(('0x' || substring(md5(substring(nt, i, 5)), 1, 10)) AS BIGINT)))
+                       AS BIGINT) AS fp_rolling
+              FROM (SELECT doc_id,
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+                    FROM documents) x""")),
+    Q(
       "qt06_lang_quality_agg",
       (s, dir) =>
         Tables.load(s, dir, "documents")
