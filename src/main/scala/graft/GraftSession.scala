@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // respect the advisory partition size when coalescing instead of
+      // keeping one post-shuffle partition per core: small shuffles
+      // collapse to few tasks (less scheduling overhead), large
+      // shuffles still split by size — the setting Spark's own docs
+      // recommend for production
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
