@@ -25,7 +25,11 @@ final case class SyncConfig(
     maxParallel: Int = 30,
     batchRowSize: Int = 1000,
     tables: Map[String, Seq[String]] = Map.empty,
-    exclude: Seq[String] = Seq.empty) {
+    exclude: Seq[String] = Seq.empty,
+    /** table -> monotonic watermark column: these tables sync
+      * incrementally (append rows beyond the target's MAX) instead of
+      * truncate-reloading. */
+    watermarks: Map[String, String] = Map.empty) {
   require(pageSize > 0, "pageSize must be positive")
   require(maxParallel > 0, "maxParallel must be positive")
   require(batchRowSize > 0, "batchRowSize must be positive")
@@ -94,7 +98,11 @@ object SyncConfig {
       exclude = scalars
         .get("exclude")
         .map(_.split("\\s+").filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      watermarks = scalars.collect {
+        case (k, v) if k.startsWith("watermarks.") =>
+          k.stripPrefix("watermarks.") -> v
+      }.toMap)
   }
 
   /** YAML comment rule: '#' starts a comment only at start-of-line or

@@ -196,8 +196,14 @@ object Sync {
       import scala.collection.parallel.CollectionConverters._
       val par = tables.par
       par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map(t =>
-        syncTable(spark, catalog, sink, t, config.pageSize.toLong)).seq.toSeq
+      par.map { t =>
+        config.watermarks.get(t) match {
+          case Some(wmCol) =>
+            syncIncremental(spark, catalog, sink, t, wmCol, config.pageSize.toLong)
+          case None =>
+            syncTable(spark, catalog, sink, t, config.pageSize.toLong)
+        }
+      }.seq.toSeq
     } finally pool.shutdown()
   }
 }

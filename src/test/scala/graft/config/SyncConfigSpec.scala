@@ -64,6 +64,19 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(c.tables("t1") == Seq("select '#' AS h, c from t1"))
   }
 
+  test("watermarks section maps tables to incremental columns") {
+    val c = SyncConfig.fromYaml(
+      """src:
+        |  host: a
+        |dest:
+        |  host: b
+        |watermarks:
+        |  orders: o_orderkey
+        |  events: ts
+        |""".stripMargin)
+    assert(c.watermarks == Map("orders" -> "o_orderkey", "events" -> "ts"))
+  }
+
   test("rejects nonsense knobs") {
     intercept[IllegalArgumentException] {
       SyncConfig(graft.config.Endpoint("x"), Endpoint("y"), pageSize = 0)
