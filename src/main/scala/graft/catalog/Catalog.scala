@@ -31,6 +31,12 @@ trait Catalog {
 
   def read(spark: SparkSession, table: String): DataFrame
 
+  /** Source row count. Parquet counts from footer metadata (cheap);
+    * JDBC pushes `SELECT COUNT(*)` down so one aggregate row crosses
+    * the wire instead of the whole table. */
+  def rowCount(spark: SparkSession, table: String): Long =
+    read(spark, table).count()
+
   /** Partition-aware read: `pageSize` rows per slice, at most
     * `maxSlices` concurrent slices (= source connections for JDBC).
     * File sources are already split by the data source, so the default
@@ -124,6 +130,16 @@ final class JdbcCatalog(endpoint: Endpoint, schema: Option[String] = None)
     val props = new Properties()
     endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
     spark.read.jdbc(endpoint.url, table, props)
+  }
+
+  override def rowCount(spark: SparkSession, table: String): Long = {
+    val props = new Properties()
+    endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    spark.read.jdbc(endpoint.url, s"(SELECT COUNT(*) AS c FROM $table) ct", props)
+      .head().get(0) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalStateException(s"unexpected count: $other")
+    }
   }
 
   /** JDBC reads route through the PK-range partitioned extract, so a

@@ -45,7 +45,8 @@ object EmbeddingDedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val byVec = tabled.select(col("id"), col("v")).dropDuplicates("id")
+    // base already holds one (id, v) row per vector — no dedup shuffle
+    val byVec = base
     pairs
       .join(byVec.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(byVec.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

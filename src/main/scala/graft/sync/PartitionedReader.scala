@@ -49,56 +49,56 @@ object PartitionedReader {
     if (pk.isEmpty) return fullScan // reference S6: no split key
     val lead = pk.head
 
-    queryRows(endpoint, s"SELECT COUNT(*), MIN($lead), MAX($lead) FROM $table")
-      .headOption match {
-      case Some(Seq(cnt: Number, mn: Number, mx: Number)) =>
-        val rowCount = cnt.longValue()
-        val n = KeyRangeSlicer.numSlices(rowCount, pageSize, maxSlices)
-        val (mnL, mxL) = (mn.longValue(), mx.longValue())
-        if (n <= 1 || mxL <= mnL) return fullScan
-
-        val nBuckets = math.max(64, n * 8)
-        // pushed-down histogram of [lo, hi]; the adaptive planner calls
-        // this again on any bucket too hot to split in one pass
-        def fetchHist(lo: Long, hi: Long, buckets: Int): Seq[(Int, Long)] = {
-          val span = BigInt(hi) - BigInt(lo) + 1
-          // 1E0 forces DOUBLE arithmetic on every dialect (Derby included)
-          val histSql =
-            s"""SELECT b, COUNT(*) FROM (
-               |  SELECT FLOOR(($lead - $lo) * 1E0 * $buckets / $span) AS b
-               |  FROM $table
-               |  WHERE $lead IS NOT NULL AND $lead >= $lo AND $lead <= $hi) x
-               |GROUP BY b""".stripMargin
-          queryRows(endpoint, histSql).collect {
-            case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
-          }
-        }
-        val cuts = KeyRangeSlicer.adaptiveCuts(fetchHist, mnL, mxL, n, nBuckets)
-        if (cuts.isEmpty) fullScan
-        else
-          Normalize.lowercaseColumns(
-            spark.read.jdbc(
-              endpoint.url, table, KeyRangeSlicer.predicatesFromCuts(lead, cuts), props))
-      case _ => fullScan // empty table or non-numeric PK
-    }
-  }
-
-  /** Driver-side pushed-down query: the database computes, one result
-    * set of aggregates comes back. */
-  private def queryRows(endpoint: Endpoint, sql: String): Seq[Seq[Any]] = {
-    val props = new Properties()
-    endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    // one planning connection for all pushed-down statistics (bounds +
+    // histograms, including adaptive refinement rounds)
     val conn = DriverManager.getConnection(endpoint.url, props)
     try {
-      val st = conn.createStatement()
-      try {
-        val rs = st.executeQuery(Jobs.tagSql(sql))
-        val width = rs.getMetaData.getColumnCount
-        val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
-        while (rs.next()) buf += (1 to width).map(rs.getObject)
-        rs.close()
-        buf.toSeq
-      } finally st.close()
+      queryRows(conn, s"SELECT COUNT(*), MIN($lead), MAX($lead) FROM $table")
+        .headOption match {
+        case Some(Seq(cnt: Number, mn: Number, mx: Number)) =>
+          val rowCount = cnt.longValue()
+          val n = KeyRangeSlicer.numSlices(rowCount, pageSize, maxSlices)
+          val (mnL, mxL) = (mn.longValue(), mx.longValue())
+          if (n <= 1 || mxL <= mnL) return fullScan
+
+          val nBuckets = math.max(64, n * 8)
+          // pushed-down histogram of [lo, hi]; the adaptive planner
+          // calls this again on any bucket too hot to split in one pass
+          def fetchHist(lo: Long, hi: Long, buckets: Int): Seq[(Int, Long)] = {
+            val span = BigInt(hi) - BigInt(lo) + 1
+            // 1E0 forces DOUBLE arithmetic on every dialect (Derby incl.)
+            val histSql =
+              s"""SELECT b, COUNT(*) FROM (
+                 |  SELECT FLOOR(($lead - $lo) * 1E0 * $buckets / $span) AS b
+                 |  FROM $table
+                 |  WHERE $lead IS NOT NULL AND $lead >= $lo AND $lead <= $hi) x
+                 |GROUP BY b""".stripMargin
+            queryRows(conn, histSql).collect {
+              case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
+            }
+          }
+          val cuts = KeyRangeSlicer.adaptiveCuts(fetchHist, mnL, mxL, n, nBuckets)
+          if (cuts.isEmpty) fullScan
+          else
+            Normalize.lowercaseColumns(
+              spark.read.jdbc(
+                endpoint.url, table, KeyRangeSlicer.predicatesFromCuts(lead, cuts), props))
+        case _ => fullScan // empty table or non-numeric PK
+      }
     } finally conn.close()
+  }
+
+  /** Pushed-down planning query on the shared connection: the database
+    * computes, one result set of aggregates comes back. */
+  private def queryRows(conn: java.sql.Connection, sql: String): Seq[Seq[Any]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(Jobs.tagSql(sql))
+      val width = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (rs.next()) buf += (1 to width).map(rs.getObject)
+      rs.close()
+      buf.toSeq
+    } finally st.close()
   }
 }

@@ -34,6 +34,13 @@ sealed trait Sink {
         .agg(org.apache.spark.sql.functions.max(column)).head()
       if (r.isNullAt(0)) None else Some(r.get(0))
     } catch { case _: Exception => None }
+  /** Target row count, or None if the table is missing. Overridden with
+    * a pushed-down COUNT where the sink can compute it itself —
+    * Spark's V1 JDBC source would otherwise fetch every row to count
+    * (the reference pushes `select count(*)`, cmd/compare.go:112). */
+  def rowCount(spark: SparkSession, table: String): Option[Long] =
+    try Some(readBack(spark, table).count())
+    catch { case _: Exception => None }
 }
 
 final case class ParquetSink(dir: String) extends Sink {
@@ -79,6 +86,15 @@ final case class JdbcSink(
       val r = spark.read.jdbc(endpoint.url, q, props).head()
       if (r.isNullAt(0)) None else Some(r.get(0))
     } catch { case _: Exception => None }
+  /** Pushed-down count: one aggregate row crosses the wire. */
+  override def rowCount(spark: SparkSession, table: String): Option[Long] =
+    try {
+      val q = s"(SELECT COUNT(*) AS c FROM $table) ct"
+      spark.read.jdbc(endpoint.url, q, props).head().get(0) match {
+        case n: Number => Some(n.longValue())
+        case _         => None
+      }
+    } catch { case _: Exception => None }
 }
 
 final case class TableReport(
@@ -109,7 +125,7 @@ object Sync {
       val df = Normalize.lowercaseColumns(
         catalog.readPartitioned(spark, table, pageSize, maxSlices))
       sink.overwrite(df, table)
-      val rows = sink.readBack(spark, table).count()
+      val rows = sink.rowCount(spark, table).getOrElse(-1L)
       TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
     } catch {
       case e: Exception =>
@@ -145,7 +161,7 @@ object Sync {
         case None     => src // empty or missing target: full load
       }
       sink.append(delta, table)
-      val rows = sink.readBack(spark, table).count()
+      val rows = sink.rowCount(spark, table).getOrElse(-1L)
       TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
     } catch {
       case e: Exception =>
@@ -176,7 +192,7 @@ object Sync {
         }
         val df = dfs.reduce(_.unionAll(_))
         sink.overwrite(df, table)
-        val rows = sink.readBack(spark, table).count()
+        val rows = sink.rowCount(spark, table).getOrElse(-1L)
         TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
       } catch {
         case e: Exception =>
@@ -226,10 +242,10 @@ object Compare {
       sink: Sink,
       tables: Seq[String]): Seq[CompareRow] =
     tables.map { t =>
-      val srcCnt = src.read(spark, t).count()
-      val dest =
-        try Some(sink.readBack(spark, t).count())
-        catch { case _: Exception => None }
+      // both counts are pushed-down aggregates (reference R6: the
+      // `select count(*)` runs on each database, cmd/compare.go:112)
+      val srcCnt = src.rowCount(spark, t)
+      val dest = sink.rowCount(spark, t)
       CompareRow(
         t,
         srcCnt,
