@@ -29,11 +29,17 @@ object Multimodal {
       checksum: Long)
   final case class Frame(id: Long, frameIndex: Int, offset: Long, frameChecksum: Long)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 60-bit payload checksum: first 15 hex chars of md5 — the same
     * value `CAST('0x'||substring(md5(payload),1,15) AS BIGINT)` yields
     * in DuckDB, so stub outputs are value-oracle-able (qm02, qm03). */
   private[multimodal] def md5_60(bytes: Array[Byte], from: Int, until: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val hi = math.min(until, bytes.length)
     if (from < hi) md.update(bytes, from, hi - from)
     val d = md.digest()
