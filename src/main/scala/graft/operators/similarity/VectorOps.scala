@@ -3,24 +3,21 @@ package graft.operators.similarity
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector primitives over `array<float>` columns using codegen'd
-  * higher-order functions (`zip_with` + `aggregate`) — no UDF, no MLlib
-  * Vector boxing; arithmetic is promoted to double for stable sums.
+/** Dense-vector primitives over `array<float|double>` columns, backed
+  * by the native codegen expressions in [[graft.functions.VectorExprs]]
+  * — single tight loops inside whole-stage codegen (higher-order
+  * functions run interpreted, ~3 boxed evaluations per element), with
+  * bit-identical sequential double sums so oracle parity is unchanged.
   */
 object VectorOps {
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
 
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
