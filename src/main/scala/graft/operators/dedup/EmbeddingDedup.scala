@@ -41,10 +41,11 @@ object EmbeddingDedup {
     // once per probe-table replica (see MinHashLSH.candidatePairs)
     val a = tabled.select(col("tab"), col("bucket"), col("id").as("id_a"))
     val b = tabled.select(col("tab"), col("bucket"), col("id").as("id_b"))
+    // multi-table collision duplicates survive until after the cosine
+    // filter (identical values per pair) — one less full-width shuffle
     val pairs = a.join(b, Seq("tab", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     // base already holds one (id, v) row per vector — no dedup shuffle
     val byVec = base
     pairs
@@ -53,5 +54,6 @@ object EmbeddingDedup {
       .withColumn("cosine", VectorOps.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -95,10 +95,13 @@ object MinHashLSH {
     val capped = buckets.join(broadcast(big), Seq("band", "bh"), "left_anti")
     val a = capped.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bh"), col("id").as("id_b"))
+    // candidate pairs keep band-collision duplicates until AFTER the
+    // similarity filter: a duplicate pair yields the identical estimate
+    // (deterministic), so deduping the small filtered set is equivalent
+    // to deduping the big candidate set and saves a full-width shuffle
     val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
     val bySig = sigs.select(col("id"), col("sig"))
     pairs
       .join(bySig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -106,6 +109,7 @@ object MinHashLSH {
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), p.numHashes))
       .filter(col("est_jaccard") >= p.threshold)
       .select("id_a", "id_b", "est_jaccard")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-dup survivors: drop any id that appears as the larger side of

@@ -65,10 +65,12 @@ object PortableMinHash {
     val buckets = sigs.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
     val a = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
     val b = buckets.select(col("band"), col("bk"), col("id").as("doc_b"))
+    // band-collision duplicates survive until after the similarity
+    // filter (identical estimates per pair), saving a full-width
+    // shuffle — see MinHashLSH.candidatePairs
     val cand = a.join(b, Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
     val bySig = sigs.select(col("id"), col("sig"))
     cand
       .join(bySig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -77,6 +79,7 @@ object PortableMinHash {
         MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Near-dup survivors with the keep-first policy of
