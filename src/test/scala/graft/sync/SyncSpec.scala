@@ -26,6 +26,24 @@ class SyncSpec extends SparkSpec {
     assert(reports.forall(_.ok))
   }
 
+  test("syncAll routes watermarked tables through incremental append") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wm_t").toString
+    val catalog = new ParquetCatalog(sf0001)
+    val sink = ParquetSink(out)
+    val cfg = SyncConfig(Endpoint("src"), Endpoint("dest"), maxParallel = 2,
+      exclude = Tables.all.filterNot(Set("region", "nation")),
+      watermarks = Map("nation" -> "n_nationkey"))
+    val r1 = Sync.syncAll(spark, catalog, sink, cfg)
+    assert(r1.forall(_.ok), r1.toString)
+    // second run: truncate-load table rewrites; watermarked table
+    // appends nothing (idempotent) — row counts stay put
+    val r2 = Sync.syncAll(spark, catalog, sink, cfg)
+    assert(r2.forall(_.ok), r2.toString)
+    assert(sink.readBack(spark, "nation").count() == 25)
+    assert(Compare.contentEqual(
+      Tables.load(spark, sf0001, "nation"), sink.readBack(spark, "nation")))
+  }
+
   test("count compare flags a missing destination table (NO/NO)") {
     val out = java.nio.file.Files.createTempDirectory("graft_cmp_t").toString
     val catalog = new ParquetCatalog(sf0001)
