@@ -40,12 +40,11 @@ object MinHashLSH {
       j => xxhash64(j, slice(sig, j * lit(r) + lit(1), lit(r))))
 
   /** Fraction of equal signature components — the unbiased MinHash
-    * estimate of Jaccard similarity. */
+    * estimate of Jaccard similarity. Native codegen (the interpreted
+    * fold was the per-candidate-pair hot loop); `k` is implied by the
+    * signature length. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    aggregate(
-      zip_with(sigA, sigB, (a, b) => (a === b).cast("int")),
-      lit(0),
-      (acc, x) => acc + x).cast("double") / lit(k)
+    graft.functions.SigMatchFraction(sigA, sigB)
 
   final case class Params(
       shingleSize: Int = 5,
