@@ -49,20 +49,40 @@ trait Catalog {
       maxSlices: Int): DataFrame = read(spark, table)
 }
 
-/** Parquet-directory catalog for the fixture corpus: each `t.parquet`
-  * under `dir` is a table. PKs come from a naming convention the
-  * fixtures follow (<prefix>_<table>key), with the known composite case
-  * for lineitem; no metadata store exists in a bare parquet dir.
+/** File-directory catalog: each `t.<ext>` under `dir` is a table, in
+  * any Spark file format (`parquet` default; `csv` and `json` read
+  * with header/schema inference — at scale supply explicit schemas via
+  * `readerOptions` instead of paying an inference scan). PKs come from
+  * a naming convention the fixtures follow (<prefix>_<table>key), with
+  * the known composite case for lineitem; no metadata store exists in
+  * a bare file dir.
   */
-final class ParquetCatalog(dir: String) extends Catalog {
+class FileCatalog(
+    dir: String,
+    format: String = "parquet",
+    readerOptions: Map[String, String] = Map.empty) extends Catalog {
+
+  private def ext = s".$format"
+
   override protected def allTables: Seq[String] = {
     val d = new java.io.File(dir)
     Option(d.list())
       .getOrElse(Array.empty)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet"))
+      .filter(_.endsWith(ext))
+      .map(_.stripSuffix(ext))
       .sorted
       .toSeq
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val defaults = format match {
+      case "csv"  => Map("header" -> "true", "inferSchema" -> "true")
+      case "json" => Map.empty[String, String]
+      case _      => Map.empty[String, String]
+    }
+    spark.read.format(format)
+      .options(defaults ++ readerOptions)
+      .load(s"$dir/$table$ext")
   }
 
   override def primaryKey(table: String): Seq[String] = table match {
@@ -78,10 +98,10 @@ final class ParquetCatalog(dir: String) extends Catalog {
     case "embeddings" => Seq("vec_id")
     case _            => Seq.empty
   }
-
-  override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
 }
+
+/** The fixture-corpus catalog (parquet files). */
+final class ParquetCatalog(dir: String) extends FileCatalog(dir, "parquet")
 
 /** JDBC catalog over standard DatabaseMetaData — works for MySQL-wire
   * targets and any other JDBC database (tested against embedded Derby).

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression net: locks in the plan properties the
+  * operators were designed around (pruned scans, broadcast placement,
+  * pushdown, top-k without global sort), so a refactor that silently
+  * degrades the plan fails fast. Complements Explain (ad-hoc review)
+  * and the bench (end numbers). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: scan prunes to the five needed lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"), p)
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_shipdate"),
+      s"scan reads more than needed: $schema")
+    assert(p.contains("HashAggregate"), "partial+final aggregate expected")
+  }
+
+  test("q23: dimension joins broadcast; fact side never pre-shuffles") {
+    val p = plan("q23_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "small-dim join regressed to a sort-merge join")
+  }
+
+  test("q25: the date filter reaches the parquet scan") {
+    val p = plan("q25_date_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate"), s"filter not pushed: $pushed")
+  }
+
+  test("qs02: top-k is TakeOrdered, not a global sort") {
+    val p = plan("qs02_topk_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), "unexpected global sort for top-k")
+  }
+
+  test("qs02: cosine runs as the native codegen kernel") {
+    val p = plan("qs02_topk_bruteforce")
+    assert(p.contains("vec_cosine") || p.contains("VectorExprsImpl") ||
+      p.contains("CosineSim") || p.toLowerCase.contains("cosine"),
+      "native cosine expression missing from plan")
+    assert(!p.contains("zip_with"), "interpreted HOF cosine crept back in")
+  }
+
+  test("qt01: pure projection — no exchange at all") {
+    val p = plan("qt01_token_stats")
+    assert(!p.contains("Exchange"), s"per-row text stats should not shuffle:\n$p")
+  }
+}
