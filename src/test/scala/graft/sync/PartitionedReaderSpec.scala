@@ -68,6 +68,18 @@ class PartitionedReaderSpec extends SparkSpec {
     assert(got.rdd.getNumPartitions == 1)
   }
 
+  test("non-numeric PK falls back to a single full scan") {
+    val target = new JdbcCatalog(endpoint)
+    DdlReplay.replay(target, Seq(
+      "CREATE TABLE strpk_t (code VARCHAR(8) NOT NULL PRIMARY KEY, v INT)"))
+    val df = spark.range(50).select(
+      concat(lit("k"), col("id")).as("code"), col("id").cast("int").as("v"))
+    JdbcSink(endpoint).overwrite(df, "strpk_t")
+    val got = PartitionedReader.read(spark, endpoint, "strpk_t", pageSize = 10)
+    assert(got.count() == 50)
+    assert(got.rdd.getNumPartitions == 1)
+  }
+
   test("tiny table stays a single slice regardless of pageSize") {
     val target = new JdbcCatalog(endpoint)
     DdlReplay.replay(target, Seq(
