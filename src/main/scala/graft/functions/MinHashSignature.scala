@@ -79,6 +79,9 @@ case class MinHashSignature(child: Expression, k: Int, shingle: Int)
     extends UnaryExpression {
   require(k > 0 && shingle > 0, "k and shingle must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // pure + deterministic: literal-only calls constant-fold (e.g. a
+  // probe's own bucket/norm), instead of re-evaluating per row
+  override def foldable: Boolean = children.forall(_.foldable)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -60,6 +60,9 @@ object PortableSimHashSigImpl {
 
 case class PortableSimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // pure + deterministic: literal-only calls constant-fold (e.g. a
+  // probe's own bucket/norm), instead of re-evaluating per row
+  override def foldable: Boolean = children.forall(_.foldable)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -40,6 +40,9 @@ object RollingMinHashImpl {
 
 case class RollingMinHash(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  // pure + deterministic: literal-only calls constant-fold (e.g. a
+  // probe's own bucket/norm), instead of re-evaluating per row
+  override def foldable: Boolean = children.forall(_.foldable)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType && window > 0)

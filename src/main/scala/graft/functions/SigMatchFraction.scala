@@ -31,6 +31,9 @@ object SigMatchFractionImpl {
 case class SigMatchFraction(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // pure + deterministic: literal-only calls constant-fold (e.g. a
+  // probe's own bucket/norm), instead of re-evaluating per row
+  override def foldable: Boolean = children.forall(_.foldable)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {

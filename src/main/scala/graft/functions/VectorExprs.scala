@@ -53,6 +53,9 @@ object VectorExprsImpl {
 
 sealed abstract class VectorBinaryExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // pure + deterministic: literal-only calls constant-fold (e.g. a
+  // probe's own bucket/norm), instead of re-evaluating per row
+  override def foldable: Boolean = children.forall(_.foldable)
 
   protected def isFloatArr(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
