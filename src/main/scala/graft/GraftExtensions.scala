@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{MinHashSignature, RollingMinHash, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHashSig, PortableSimHashSig, RollingMinHash, SigMatchFraction, SimHash64}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions, so the engine's sketching primitives
@@ -18,6 +18,11 @@ import graft.functions.{MinHashSignature, RollingMinHash, SimHash64}
   *   - simhash64(tokens array<string>) -> bigint
   *   - minhash_signature(text string, k int, shingle int) -> array<bigint>
   *   - rolling_min_hash(text string, window int) -> bigint
+  *   - vec_dot(a, b array<float|double>) -> double
+  *   - vec_cosine(a, b array<float|double>) -> double
+  *   - sig_match_fraction(a, b array<bigint>) -> double
+  *   - portable_minhash_sig(text string) -> array<bigint>
+  *   - portable_simhash(text string) -> bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -46,6 +51,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "minhash_signature", "k"),
           intLit(children(2), "minhash_signature", "shingle"))
       }))
+    def inject2(name: String, clazz: Class[_], make: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, s"$name(a, b)")
+          make(children.head, children(1))
+        }))
+    def inject1(name: String, clazz: Class[_], make: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name(text)")
+          make(children.head)
+        }))
+    inject2("vec_dot", classOf[DotProduct], DotProduct(_, _))
+    inject2("vec_cosine", classOf[CosineSim], CosineSim(_, _))
+    inject2("sig_match_fraction", classOf[SigMatchFraction], SigMatchFraction(_, _))
+    inject1("portable_minhash_sig", classOf[PortableMinHashSig], PortableMinHashSig(_))
+    inject1("portable_simhash", classOf[PortableSimHashSig], PortableSimHashSig(_))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),

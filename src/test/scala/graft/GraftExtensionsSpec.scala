@@ -43,6 +43,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("vector and sketch kernels are callable from SQL") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(2f, 1f, 0f), "abc def ghi")).toDF("a", "b", "text")
+    df.createOrReplaceTempView("ext_vecs")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS c,
+        |       sig_match_fraction(minhash_signature(text, 8, 3),
+        |                          minhash_signature(text, 8, 3)) AS m,
+        |       portable_simhash(text) AS ps,
+        |       size(portable_minhash_sig(text)) AS pk
+        |FROM ext_vecs""".stripMargin).head()
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getLong(3) != 0L)
+    assert(r.getInt(4) == 48)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val df = Seq(("t", 3)).toDF("text", "k")
     df.createOrReplaceTempView("ext_docs4")
