@@ -98,8 +98,12 @@ object Main {
         }
         println(f"Table create finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
         0
+      case "version" =>
+        // reference parity: cmd/version.go prints the build version
+        println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
+        0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync|compare|create-table> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync|compare|create-table|version> --config cfg.yml")
         2
     }
   }

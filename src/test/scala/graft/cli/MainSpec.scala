@@ -61,4 +61,8 @@ class MainSpec extends SparkSpec {
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
+
+  test("version exits 0 (reference cmd/version.go parity)") {
+    assert(Main.run(Array("version"), spark) == 0)
+  }
 }
