@@ -6,7 +6,13 @@ import graft.queries.Registry
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully
   * materialized through the noop sink (count() would let Catalyst prune
   * the work away); one untimed warmup primes parquet footers and
-  * codegen so the numbers measure the operators, not JVM startup.
+  * codegen so the numbers measure the operators, not JVM startup; each
+  * query is then timed over three runs and reports the minimum — the
+  * queries are deterministic, so min is the operator cost with
+  * transient machine load (a co-scheduled job, page-cache churn from a
+  * previous harness step) filtered out. Round-2 driver numbers showed
+  * exactly that artifact: the first three queries timed 3-7x their
+  * steady-state cost, in run order, while later queries matched.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,13 +31,17 @@ object Bench {
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = benchQs.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -107,16 +107,23 @@ object SyncConfig {
 
   /** YAML comment rule: '#' starts a comment only at start-of-line or
     * after whitespace, and never inside a quoted scalar — so passwords,
-    * URLs with fragments, and custom SQL containing '#' survive. */
+    * URLs with fragments, and custom SQL containing '#' survive. A
+    * quote only OPENS a scalar when it is the scalar's first character
+    * (right after ':', '-', or line start); mid-scalar apostrophes
+    * (`password: don't`) are literal, per YAML. */
   private def stripComment(line: String): String = {
     var quote: Char = 0
+    var prevNonSpace: Char = 0
     var i = 0
     while (i < line.length) {
       val c = line(i)
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
+      else if ((c == '"' || c == '\'') &&
+               (prevNonSpace == 0 || prevNonSpace == ':' || prevNonSpace == '-'))
+        quote = c
       else if (c == '#' && (i == 0 || line(i - 1).isWhitespace))
         return line.substring(0, i)
+      if (!c.isWhitespace) prevNonSpace = c
       i += 1
     }
     line

@@ -37,11 +37,40 @@ object FixedPoint {
     * `CAST(sum(CAST(x AS DECIMAL(18,scale))) AS DECIMAL(18,scale))`.
     * `inputScale` defaults to `scale` but differs after products of
     * scaled values (scale a × scale b → inputScale a+b), in which case
-    * the division also performs the half-up scale reduction the
-    * equivalent decimal cast would. */
+    * the scale reduction is ONE half-up (away-from-zero) rounding done
+    * in integer arithmetic — `floor((|S| + d/2) / d)` on the scaled sum
+    * — exactly what `CAST(sum(...) AS DECIMAL(18,scale))` does. A naive
+    * `sum / 10^inputScale` would first materialize the quotient at
+    * Spark's precision-loss scale 6 (an extra 8→6 rounding) and diverge
+    * whenever fraction digits 5..8 fall in [500000, 1000000) of a half
+    * step. */
   def sumFixed(scaledCol: Column, scale: Int, inputScale: Int = -1): Column = {
     val in = if (inputScale < 0) scale else inputScale
-    (sum(scaledCol.cast("decimal(38,0)")) / pow10(in))
-      .cast(s"decimal(18,$scale)")
+    require(in >= scale, s"inputScale $in must be >= scale $scale")
+    // the floor-div below is exact only while the true quotient's
+    // fractional digits fit Spark's minimum division scale of 6
+    require(in - scale <= 6, s"scale reduction ${in - scale} too wide")
+    val s = sum(scaledCol.cast("decimal(38,0)"))
+    val atScale =
+      if (in == scale) s
+      else {
+        val d = pow10(in - scale)
+        val half = d / 2
+        // half-up away from zero, in integers: the (s±half)/d quotient
+        // has <= (in-scale) <= 6 fractional digits, so Spark's scale-6
+        // division result is exact and floor() sees the true quotient
+        when(s >= 0, floor((s + half) / d))
+          .otherwise(-floor((lit(half) - s) / d))
+      }
+    (atScale.cast("decimal(38,0)") / pow10(scale)).cast(s"decimal(18,$scale)")
   }
+
+  /** [[sumFixed]] rendered as DOUBLE for result surfaces: the decimal
+    * sum is exact, and decimal→double is one correctly-rounded
+    * conversion in both Spark (BigDecimal.doubleValue) and DuckDB, so
+    * the bits agree across engines while the value stays
+    * order-independent. Result schemas avoid DECIMAL because engines
+    * disagree on its textual/width rendering (driver hash rule). */
+  def sumFixedDouble(scaledCol: Column, scale: Int, inputScale: Int = -1): Column =
+    sumFixed(scaledCol, scale, inputScale).cast("double")
 }

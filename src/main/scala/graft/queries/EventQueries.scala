@@ -19,7 +19,7 @@ object EventQueries {
         EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 hour"),
       Some("""SELECT date_trunc('hour', ts) AS w_start, event_type,
                      count(*) AS n,
-                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
               FROM events GROUP BY 1, 2"""),
       bench = true),
     Q(
@@ -28,7 +28,7 @@ object EventQueries {
         EventPipeline.windowedAgg(Tables.load(s, dir, "events"), "1 day"),
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
                      count(*) AS n,
-                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
               FROM events GROUP BY 1, 2""")),
     Q(
       "qe03_sessionize",
@@ -80,7 +80,7 @@ object EventQueries {
       "qe04_type_stats",
       (s, dir) => EventPipeline.typeStats(Tables.load(s, dir, "events")),
       Some("""SELECT event_type, count(*) AS n,
-                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+                     CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total_value,
                      min(ts) AS first_ts, max(ts) AS last_ts
               FROM events GROUP BY event_type""")),
     Q(

@@ -20,7 +20,12 @@ import graft.sync.{Compare, ParquetSink, Sync}
   * Floating-point discipline: aggregates go through DECIMAL casts so
   * results are order-independent and bit-identical to the DuckDB
   * oracle; raw double columns pass through untouched (bit-exact from
-  * parquet on both engines).
+  * parquet on both engines). Result schemas never EMIT DecimalType:
+  * the exact decimal is cast to DOUBLE (one correctly-rounded
+  * conversion, identical in both engines) or VARCHAR as the last step,
+  * because the driver's value hash renders DECIMAL differently per
+  * engine (round-2 finding: every DECIMAL-output query hash-mismatched
+  * while its values compared equal).
   */
 object ParityQueries {
 
@@ -229,9 +234,10 @@ object ParityQueries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty")),
+          .agg(sum(col("l_quantity").cast(dec)).cast(dec)
+            .cast("double").as("sum_qty")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty
+                      CAST(CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS DOUBLE) AS sum_qty
                FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
     Q(
       "q21_window_topk",
@@ -269,18 +275,18 @@ object ParityQueries {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            FP.sumFixed(FP.scaled(col("l_quantity"), 4), 4).as("sum_qty"),
-            FP.sumFixed(FP.scaled(col("l_extendedprice"), 4), 4).as("sum_base_price"),
-            FP.sumFixed(
+            FP.sumFixedDouble(FP.scaled(col("l_quantity"), 4), 4).as("sum_qty"),
+            FP.sumFixedDouble(FP.scaled(col("l_extendedprice"), 4), 4).as("sum_base_price"),
+            FP.sumFixedDouble(
               FP.scaled(col("l_extendedprice"), 4) *
                 (lit(10000L) - FP.scaled(col("l_discount"), 4)),
               4, inputScale = 8).as("sum_disc_price"),
             count(lit(1)).as("count_order")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty,
-                      CAST(sum(CAST(l_extendedprice AS $dec)) AS $dec) AS sum_base_price,
-                      CAST(sum(CAST(l_extendedprice AS $dec) *
-                          (1 - CAST(l_discount AS $dec))) AS $dec) AS sum_disc_price,
+                      CAST(CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS DOUBLE) AS sum_qty,
+                      CAST(CAST(sum(CAST(l_extendedprice AS $dec)) AS $dec) AS DOUBLE) AS sum_base_price,
+                      CAST(CAST(sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS $dec) AS DOUBLE) AS sum_disc_price,
                       count(*) AS count_order
                FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
       bench = true),
@@ -296,15 +302,15 @@ object ParityQueries {
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            FP.sumFixed(
+            FP.sumFixedDouble(
               FP.scaled(col("l_extendedprice"), 4) *
                 (lit(10000L) - FP.scaled(col("l_discount"), 4)),
               4, inputScale = 8).as("revenue"),
             count(lit(1)).as("n"))
       },
       Some(s"""SELECT c_mktsegment,
-                      CAST(sum(CAST(l_extendedprice AS $dec) *
-                          (1 - CAST(l_discount AS $dec))) AS $dec) AS revenue,
+                      CAST(CAST(sum(CAST(l_extendedprice AS $dec) *
+                          (1 - CAST(l_discount AS $dec))) AS $dec) AS DOUBLE) AS revenue,
                       count(*) AS n
                FROM lineitem
                JOIN orders ON l_orderkey = o_orderkey
@@ -327,9 +333,10 @@ object ParityQueries {
             lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty")),
+            sum(col("l_quantity").cast(dec)).cast(dec)
+              .cast("double").as("sum_qty")),
       Some(s"""SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS sum_qty
+                      CAST(CAST(sum(CAST(l_quantity AS $dec)) AS $dec) AS DOUBLE) AS sum_qty
                FROM lineitem
                WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
                GROUP BY l_returnflag""")),
@@ -420,12 +427,13 @@ object ParityQueries {
         val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("running_total"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(dec)
+            .cast("double").as("running_total"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      CAST(sum(CAST(o_totalprice AS $dec))
+                      CAST(CAST(sum(CAST(o_totalprice AS $dec))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
-                        AS $dec) AS running_total
+                        AS $dec) AS DOUBLE) AS running_total
                FROM orders""")),
 
     Q(
@@ -435,13 +443,14 @@ object ParityQueries {
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
           (col("o_totalprice").cast(dec) -
-            lag(col("o_totalprice").cast(dec), 1).over(w)).cast(dec).as("delta"))
+            lag(col("o_totalprice").cast(dec), 1).over(w)).cast(dec)
+            .cast("double").as("delta"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      CAST(CAST(o_totalprice AS $dec) -
+                      CAST(CAST(CAST(o_totalprice AS $dec) -
                         lag(CAST(o_totalprice AS $dec), 1)
                           OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
-                        AS $dec) AS delta
+                        AS $dec) AS DOUBLE) AS delta
                FROM orders""")),
 
     Q(
@@ -451,13 +460,14 @@ object ParityQueries {
           .rowsBetween(-2, 0)
         t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec)).over(w).cast(dec).as("moving_sum"))
+          sum(col("o_totalprice").cast(dec)).over(w).cast(dec)
+            .cast("double").as("moving_sum"))
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-                      CAST(sum(CAST(o_totalprice AS $dec))
+                      CAST(CAST(sum(CAST(o_totalprice AS $dec))
                         OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                        AS $dec) AS moving_sum
+                        AS $dec) AS DOUBLE) AS moving_sum
                FROM orders""")),
 
     // NOTE: a global (unpartitioned) window serializes onto one task —
@@ -527,8 +537,10 @@ object ParityQueries {
         Compare.contentChecksum(
           t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_mktsegment")),
       Some {
+        // VARCHAR output: a 38-digit integer is exact as a string in
+        // both engines, while DECIMAL and DOUBLE renderings are not
         def ck(c: String) =
-          s"CAST(sum(CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS ck_$c"
+          s"CAST(CAST(sum(CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS ck_$c"
         s"SELECT ${ck("c_custkey")}, ${ck("c_name")}, ${ck("c_mktsegment")} FROM customer"
       })
   )

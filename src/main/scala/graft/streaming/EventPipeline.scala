@@ -21,7 +21,7 @@ object EventPipeline {
       .agg(
         count(lit(1)).as("n"),
         graft.functions.FixedPoint
-          .sumFixed(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
+          .sumFixedDouble(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
           .as("total_value"))
       .select(
         col("w.start").as("w_start"),
@@ -56,7 +56,7 @@ object EventPipeline {
       .agg(
         count(lit(1)).as("n"),
         graft.functions.FixedPoint
-          .sumFixed(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
+          .sumFixedDouble(graft.functions.FixedPoint.scaled(col("value"), 4), 4)
           .as("total_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"))

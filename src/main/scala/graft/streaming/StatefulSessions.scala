@@ -20,7 +20,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulSessions {
 
-  final case class EventKeyed(user_id: Long, event_id: Long, tsSecs: Long)
+  /** `ts` rides along untouched so the watermark metadata on the
+    * event-time column survives the projection — the streaming planner
+    * requires it in the FlatMapGroupsWithState child for
+    * EventTimeTimeout; the walk itself uses only `tsSecs`. */
+  final case class EventKeyed(
+      user_id: Long,
+      event_id: Long,
+      tsSecs: Long,
+      ts: java.sql.Timestamp)
   final case class SessionRow(
       user_id: Long,
       session_id: Long,
@@ -36,14 +44,27 @@ object StatefulSessions {
       last: Long)
 
   /** Walk a user's events in event_id order, cutting a new session when
-    * the inter-event gap exceeds `gapSeconds`; emits every completed
-    * session plus the final open one (batch semantics — in streaming
-    * the open session stays in state until timeout). */
+    * the inter-event gap exceeds `gapSeconds`. Emits every completed
+    * session. The final OPEN session is emitted only in batch mode
+    * (each key is seen exactly once, so "end of input" closes it); in
+    * streaming it stays in state — re-emitting it per micro-batch would
+    * produce duplicate/overlapping rows in Append mode — and is flushed
+    * by the event-time timeout once the watermark passes lastTs+gap. */
   private def walk(
       uid: Long,
       events: Iterator[EventKeyed],
       state: GroupState[SessState],
-      gapSecs: Long): Iterator[SessionRow] = {
+      gapSecs: Long,
+      streaming: Boolean): Iterator[SessionRow] = {
+    if (streaming && state.hasTimedOut) {
+      // watermark passed lastTs+gap: the open session can never extend
+      val closed = state.getOption.collect {
+        case st if st.n > 0L =>
+          SessionRow(uid, st.sessionId, st.n, st.first, st.last)
+      }
+      state.remove()
+      return closed.iterator
+    }
     val sorted = events.toArray.sortBy(_.event_id)
     if (sorted.isEmpty) return Iterator.empty
     val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
@@ -62,31 +83,49 @@ object StatefulSessions {
           last = math.max(st.last, e.event_id))
       }
     }
-    if (st.n > 0L) out += SessionRow(uid, st.sessionId, st.n, st.first, st.last)
     state.update(st)
+    if (streaming) {
+      // flush the open session when event time passes its gap horizon;
+      // clamp to the watermark: a key fed only late data would otherwise
+      // compute a horizon in the past, which setTimeoutTimestamp rejects
+      val horizon = (st.lastTsSecs + gapSecs) * 1000L + 1L
+      state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1L))
+    } else if (st.n > 0L) {
+      out += SessionRow(uid, st.sessionId, st.n, st.first, st.last)
+    }
     out.iterator
   }
 
   /** Batch or streaming entry: events must carry (user_id, event_id,
     * ts). Output schema matches qe03 (user_id, session_id, n_events,
-    * first_event, last_event). */
+    * first_event, last_event). In streaming a watermark on `ts`
+    * (delay `watermarkDelay`) is applied here and EventTimeTimeout
+    * flushes each open session once the watermark passes lastTs+gap;
+    * sessions still open when the stream ends stay in state (they are
+    * not final). Batch closes the final open session at end of input. */
   def sessionize(
       events: DataFrame,
-      gapSeconds: Long = 1800)(implicit spark: SparkSession): Dataset[SessionRow] = {
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[SessionRow] = {
     import spark.implicits._
-    
-    events
+    val streaming = events.isStreaming
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src
       .select(
         col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         // truncated-seconds gap arithmetic, identical to the window
         // implementation (unix_timestamp) and the oracle (date_diff)
-        floor(unix_micros(col("ts")) / 1000000L).cast("long").as("tsSecs"))
+        floor(unix_micros(col("ts")) / 1000000L).cast("long").as("tsSecs"),
+        col("ts"))
       .as[EventKeyed]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid, it, state) => walk(uid, it, state, gapSeconds)
+      .flatMapGroupsWithState[SessState, SessionRow](OutputMode.Append, timeout) {
+        (uid, it, state) => walk(uid, it, state, gapSeconds, streaming)
       }
   }
 }

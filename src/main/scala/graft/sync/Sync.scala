@@ -25,15 +25,22 @@ sealed trait Sink {
   /** Append without truncation (incremental loads). */
   def append(df: DataFrame, table: String): Unit
   def readBack(spark: SparkSession, table: String): DataFrame
+  /** Verified target-table existence. Kept distinct from read errors on
+    * purpose: the reference conflates "truncate failed" with "table
+    * missing" (cmd/root.go:283-287), and an incremental sync that takes
+    * a transient probe error for a missing table silently re-appends
+    * the whole source. Only this check may route to a full load. */
+  def exists(spark: SparkSession, table: String): Boolean
   /** Max value of a column in the target, or None if the table is
-    * missing/empty — the incremental-sync watermark. Overridden with a
-    * pushed-down aggregate where the sink can compute it itself. */
-  def maxValue(spark: SparkSession, table: String, column: String): Option[Any] =
-    try {
-      val r = readBack(spark, table)
-        .agg(org.apache.spark.sql.functions.max(column)).head()
-      if (r.isNullAt(0)) None else Some(r.get(0))
-    } catch { case _: Exception => None }
+    * empty — the incremental-sync watermark. Call only after
+    * [[exists]]; errors propagate (they mean the probe failed, not that
+    * the table is absent). Overridden with a pushed-down aggregate
+    * where the sink can compute it itself. */
+  def maxValue(spark: SparkSession, table: String, column: String): Option[Any] = {
+    val r = readBack(spark, table)
+      .agg(org.apache.spark.sql.functions.max(column)).head()
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
   /** Target row count, or None if the table is missing. Overridden with
     * a pushed-down COUNT where the sink can compute it itself —
     * Spark's V1 JDBC source would otherwise fetch every row to count
@@ -50,6 +57,10 @@ final case class ParquetSink(dir: String) extends Sink {
     df.write.mode(SaveMode.Append).parquet(s"$dir/$table.parquet")
   override def readBack(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 }
 
 /** JDBC sink: truncate-overwrite with batched writes. `numPartitions`
@@ -79,13 +90,29 @@ final case class JdbcSink(
     capped(df).write.mode(SaveMode.Append).jdbc(endpoint.url, table, props)
   override def readBack(spark: SparkSession, table: String): DataFrame =
     Normalize.lowercaseColumns(spark.read.jdbc(endpoint.url, table, props))
-  /** Pushed-down watermark: the target database computes MAX itself. */
-  override def maxValue(spark: SparkSession, table: String, column: String): Option[Any] =
+  /** Catalog-level existence via JDBC metadata (never error-driven). */
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    endpoint.props.get("driver").foreach(Class.forName)
+    val p = new Properties()
+    endpoint.props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(endpoint.url, p)
     try {
-      val q = s"(SELECT MAX($column) AS mx FROM $table) wm"
-      val r = spark.read.jdbc(endpoint.url, q, props).head()
-      if (r.isNullAt(0)) None else Some(r.get(0))
-    } catch { case _: Exception => None }
+      val md = conn.getMetaData
+      def has(n: String): Boolean = {
+        val rs = md.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      has(table) || has(table.toUpperCase) || has(table.toLowerCase)
+    } finally conn.close()
+  }
+  /** Pushed-down watermark: the target database computes MAX itself.
+    * Errors propagate — a failed probe must not look like an empty
+    * table (see [[Sink.exists]]). */
+  override def maxValue(spark: SparkSession, table: String, column: String): Option[Any] = {
+    val q = s"(SELECT MAX($column) AS mx FROM $table) wm"
+    val r = spark.read.jdbc(endpoint.url, q, props).head()
+    if (r.isNullAt(0)) None else Some(r.get(0))
+  }
   /** Pushed-down count: one aggregate row crosses the wire. */
   override def rowCount(spark: SparkSession, table: String): Option[Long] =
     try {
@@ -156,10 +183,15 @@ object Sync {
       import org.apache.spark.sql.functions.{col, lit}
       val src = Normalize.lowercaseColumns(
         catalog.readPartitioned(spark, table, pageSize, maxSlices))
-      val delta = sink.maxValue(spark, table, watermarkCol) match {
-        case Some(wm) => src.filter(col(watermarkCol) > lit(wm))
-        case None     => src // empty or missing target: full load
-      }
+      // full-load only on VERIFIED absence/emptiness; a transient probe
+      // error propagates to the report (ok=false) instead of silently
+      // re-appending every existing row
+      val delta =
+        if (!sink.exists(spark, table)) src // verified missing: full load
+        else sink.maxValue(spark, table, watermarkCol) match {
+          case Some(wm) => src.filter(col(watermarkCol) > lit(wm))
+          case None     => src // exists but empty: full load
+        }
       sink.append(delta, table)
       val rows = sink.rowCount(spark, table).getOrElse(-1L)
       TableReport(table, rows, (System.nanoTime() - t0) / 1000000, ok = true)
@@ -255,17 +287,20 @@ object Compare {
     }
 
   /** Order-independent per-column content checksum: sum of a 60-bit
-    * md5 prefix of each column's string form, as DECIMAL(38,0) so the
-    * sum never overflows at any row count. One aggregation pass, bytes
-    * per column cross the wire — the cheap way to compare a 100 TB
-    * table's content across systems when two exceptAll scans are too
-    * expensive, and reproducible by any engine with md5 (the DuckDB
+    * md5 prefix of each column's string form, accumulated as
+    * DECIMAL(38,0) so the sum never overflows at any row count, then
+    * rendered as a STRING — a 38-digit integer is exact as text in any
+    * engine, whereas DECIMAL/DOUBLE renderings differ. One aggregation
+    * pass, bytes per column cross the wire — the cheap way to compare a
+    * 100 TB table's content across systems when two exceptAll scans are
+    * too expensive, and reproducible by any engine with md5 (the DuckDB
     * oracle runs the same formula — query q38). */
   def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val sums = cols.map { c =>
       sum(conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
-        .cast("decimal(38,0)")).cast("decimal(38,0)").as(s"ck_$c")
+        .cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string").as(s"ck_$c")
     }
     df.agg(sums.head, sums.tail: _*)
   }

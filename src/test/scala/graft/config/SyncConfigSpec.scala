@@ -64,6 +64,21 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(c.tables("t1") == Seq("select '#' AS h, c from t1"))
   }
 
+  test("mid-scalar apostrophes are literal, not quote openers") {
+    val c = SyncConfig.fromYaml(
+      """src:
+        |  host: a
+        |  password: don't  # comment must still strip
+        |dest:
+        |  host: b
+        |tables:
+        |  t1:
+        |    - select c from t where s = 'it''s'  # strip me
+        |""".stripMargin)
+    assert(c.src.props("password") == "don't")
+    assert(c.tables("t1") == Seq("select c from t where s = 'it''s'"))
+  }
+
   test("watermarks section maps tables to incremental columns") {
     val c = SyncConfig.fromYaml(
       """src:

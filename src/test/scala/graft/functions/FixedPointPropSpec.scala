@@ -22,6 +22,39 @@ class FixedPointPropSpec extends SparkSpec {
     }
   }
 
+  test("full 4-decimal x 4-decimal products: single 8->4 rounding, incl. [4950,5000) boundary") {
+    // boundary construction: p = 0.0001 (scaled 1), d in (0.5000, 0.5050)
+    // makes the scale-8 product's fraction digits 5..8 land in
+    // [4951, 4999] — exactly where an intermediate 8->6 rounding bumps
+    // the value up and a single 8->4 rounding must not
+    val boundary = (5001 to 5049).map(d4 => (0.0001, d4 / 10000.0))
+    // plus dense random full-4-decimal operands
+    val rnd = new scala.util.Random(7)
+    val random = List.fill(400)((
+      (math.abs(rnd.nextLong()) % 99999999L + 1L) / 10000.0, // price, 4 dec
+      (math.abs(rnd.nextLong()) % 10000L) / 10000.0)) // rate, 4 dec
+    Seq(boundary.toList, random, boundary.toList ++ random).foreach { xs =>
+      val df = xs.toDF("p", "d")
+      val a = df.agg(FixedPoint.sumFixed(
+        FixedPoint.scaled(col("p"), 4) * (lit(10000L) - FixedPoint.scaled(col("d"), 4)),
+        4, inputScale = 8).as("s"))
+      // reference semantics: exact scale-8 decimal sum, ONE half-up cast
+      val b = df.agg(
+        sum(col("p").cast("decimal(18,4)") * (lit(1) - col("d").cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("s"))
+      assert(a.collect().toSeq == b.collect().toSeq)
+    }
+    // per-row divergence check (sums can mask a +1/-1 ulp pair): every
+    // boundary row individually must round DOWN at the 4th decimal
+    val perRow = boundary.toList.toDF("p", "d")
+      .groupBy("d")
+      .agg(FixedPoint.sumFixed(
+        FixedPoint.scaled(col("p"), 4) * (lit(10000L) - FixedPoint.scaled(col("d"), 4)),
+        4, inputScale = 8).as("s"))
+      .where(col("s") =!= lit(BigDecimal(0)))
+    assert(perRow.isEmpty, "a [4950,5000)-boundary product rounded up (double rounding)")
+  }
+
   test("scaled product reduction equals decimal product for random price/rate pairs") {
     (1 to 6).foreach { seed =>
       val rnd = new scala.util.Random(seed)

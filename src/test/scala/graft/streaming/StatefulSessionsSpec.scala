@@ -18,7 +18,7 @@ class StatefulSessionsSpec extends SparkSpec {
       "stateful and windowed sessionization disagree")
   }
 
-  test("runs under the streaming engine and matches the batch result") {
+  test("runs under the streaming engine with Append-mode session semantics") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val events = Tables.load(spark, sf0001, "events")
     // streaming parquet source rejects TIMESTAMP(NANOS); stage through
@@ -35,8 +35,23 @@ class StatefulSessionsSpec extends SparkSpec {
     q.awaitTermination(60000)
     val streamed = spark.table("stateful_sessions_out")
     val batch = StatefulSessions.sessionize(staged).toDF()
-    assert(streamed.count() == batch.count())
-    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // Append semantics: each emitted session is final and emitted once —
+    // nothing outside the batch result, no duplicates
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streaming emitted a session the batch run does not contain (dup or overlap)")
+    // every session CLOSED by data (everything but each user's last
+    // session) must be present; only a user's final still-open session
+    // may legitimately be absent (it stays in state past end-of-stream)
+    val lastPerUser = batch
+      .groupBy("user_id").agg(max("session_id").as("session_id"))
+    val closedByData = batch.join(lastPerUser, Seq("user_id", "session_id"),
+      "left_anti")
+    assert(closedByData.exceptAll(streamed).isEmpty,
+      "a data-closed session was not emitted by the streaming run")
+    val missing = batch.exceptAll(streamed)
+    assert(missing.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .isEmpty,
+      "a missing session is not a per-user final open session")
   }
 
   test("gap boundary: exactly-gap events stay in one session") {

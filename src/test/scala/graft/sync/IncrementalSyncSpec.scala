@@ -44,5 +44,31 @@ class IncrementalSyncSpec extends SparkSpec {
     // content equality end-to-end
     assert(Compare.contentEqual(
       srcCat.read(spark, "inc_t"), sink.readBack(spark, "inc_t")))
+
+    // a failed watermark probe must NOT fall back to a full re-append:
+    // probing a nonexistent column errors while the table exists, so the
+    // run reports ok=false and the target keeps exactly its 120 rows
+    val bad = Sync.syncIncremental(spark, srcCat, sink, "inc_t", "no_such_col",
+      pageSize = 30)
+    assert(!bad.ok, "probe error was swallowed as a full load")
+    assert(sink.rowCount(spark, "inc_t").contains(120L),
+      "failed probe duplicated rows into the target")
+  }
+
+  test("verified-missing target routes to a full load (parquet sink)") {
+    val srcCat = new JdbcCatalog(srcEp)
+    DdlReplay.replay(srcCat, Seq(
+      "CREATE TABLE inc_p (id BIGINT NOT NULL PRIMARY KEY, payload VARCHAR(16))"))
+    JdbcSink(srcEp).append(
+      (1L to 40L).map(i => (i, s"p_$i")).toDF("id", "payload"), "inc_p")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_parquet").toString
+    val psink = ParquetSink(dir)
+    assert(!psink.exists(spark, "inc_p"))
+    val r = Sync.syncIncremental(spark, srcCat, psink, "inc_p", "id", pageSize = 30)
+    assert(r.ok && r.rows == 40, r.toString)
+    assert(psink.exists(spark, "inc_p"))
+    // second run: exists, watermark probe finds 40 -> empty delta
+    val r2 = Sync.syncIncremental(spark, srcCat, psink, "inc_p", "id", pageSize = 30)
+    assert(r2.ok && r2.rows == 40, r2.toString)
   }
 }
