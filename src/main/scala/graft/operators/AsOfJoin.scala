@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, the single right row with the
+  * largest ordering value not exceeding (strict: strictly below) the
+  * left row's — "the most recent quote before this trade", "the user's
+  * last event before this one". Spark has no ASOF JOIN operator
+  * (DuckDB/Pandas do), but the semantics decompose onto existing
+  * operators with ONE shuffle and no join at all:
+  *
+  *   union(tag sides) -> Window.partitionBy(keys).orderBy(ord, side)
+  *     last(rightPayload, ignoreNulls) rows unbounded-preceding..current
+  *   -> filter left rows, unpack payload
+  *
+  * The union sorts both sides together, so each left row picks up the
+  * running "latest right payload seen" — exactly the as-of match. A
+  * naive range join (l.ord >= r.ord) explodes to O(|L|·|R|) per key
+  * before a per-l argmax re-aggregation; this stays O((|L|+|R|) log) in
+  * the partition sort the window pays anyway.
+  *
+  * Scale shape: one hash shuffle on `keys` (both inputs co-partitioned),
+  * whole rows never replicated. Key skew concentrates a hot key's rows
+  * into one task like any window does — pre-filter the right side or
+  * bucket hot keys if a key exceeds a task's memory. The strictness
+  * tie-break is encoded in the sort (left-before-right at equal `ord`
+  * for strict, right-before-left for inclusive) — no ambiguity when the
+  * same ordering value appears on both sides.
+  *
+  * Reference has no joins beyond the pagination self-join
+  * (cmd/root.go:347-357); this is an extension operator for the
+  * training-data pipeline surface (sessionized attribution, feature
+  * as-of lookup).
+  */
+object AsOfJoin {
+
+  /** Left as-of join of `left` to `right` on equal `keys` and the
+    * backward match on `ord` (present in both sides). Right columns are
+    * emitted with prefix `rightPrefix`; unmatched left rows keep nulls.
+    *
+    * @param strict if true, match requires r.ord < l.ord (the row
+    *               itself / simultaneous right rows don't match);
+    *               if false, r.ord <= l.ord.
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      rightPrefix: String = "r_",
+      strict: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one equality key")
+    val rightPayloadCols = right.columns.filterNot(keys.contains)
+    val leftCols = left.columns
+
+    // right rows carry their payload in one struct; left rows carry null
+    val payload = struct(rightPayloadCols.map(right(_)): _*)
+    // sort position of a right row relative to a left row with EQUAL ord:
+    // strict   -> right sorts after  (excluded from "preceding")
+    // inclusive-> right sorts before (included)
+    val rightSideRank = if (strict) 1 else -1
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(rightSideRank).as("__side"),
+        payload.as("__payload")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(0).as("__side"),
+        lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = taggedLeft
+      .unionByName(taggedRight)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+
+    val leftOut: Seq[Column] = leftCols.map { c =>
+      if (keys.contains(c)) col(c) else col(s"__l_$c").as(c)
+    }
+    val rightOut: Seq[Column] =
+      rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c"))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+}

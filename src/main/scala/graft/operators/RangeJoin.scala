@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Band (interval/range) join: pairs (l, r) with equal `keys` and
+  * `r.ord - l.ord` in [lower, upper]. Written naively
+  * (`l.join(r, keyEq && rangePred)`) Spark plans the range predicate as
+  * a post-join filter on the equi-join, which is correct but degrades
+  * to O(|L|·|R|) work per key when keys are few or hot — and with NO
+  * equality key at all it becomes a broadcast-nested-loop/cartesian.
+  *
+  * The scale path buckets the ordering value at width w = upper - lower:
+  * any qualifying pair's right ordinate lands in one of TWO consecutive
+  * buckets relative to the left's shifted ordinate, so the join becomes
+  *
+  *   explode(left, 2 candidate buckets) equi-join (keys :+ bucket) right
+  *     -> exact range filter
+  *
+  * a pure hash equi-join with left-side replication factor 2,
+  * partition-pruned by (key, bucket) — each task sees only the rows of
+  * one band window, never a key's whole history. This is the standard
+  * bucketed interval-join decomposition (cf. Flink's interval join and
+  * Spark RAPIDS' range-join docs).
+  *
+  * `ord` values must be non-negative after adding `lower` (epoch
+  * times/ids are) — integer `div` truncates toward zero, which equals
+  * floor only for non-negative operands.
+  */
+object RangeJoin {
+
+  /** Inner band join; right columns emitted with `rightPrefix`.
+    *
+    * @param leftOrd/rightOrd integral ordering columns (cast times with
+    *   unix_micros first); match when
+    *   leftOrd + lower <= rightOrd <= leftOrd + upper.
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftOrd: String,
+      rightOrd: String,
+      lower: Long,
+      upper: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(upper > lower, s"empty band: [$lower, $upper]")
+    require(keys.nonEmpty,
+      "bandJoin needs at least one equality key (keyless bands need a " +
+        "global range partitioner, not a hash join)")
+    val w = upper - lower
+
+    // candidate buckets of the SHIFTED left ordinate: an interval of
+    // length w starting at l+lower spans at most two width-w buckets
+    val lo = col(leftOrd) + lit(lower)
+    val lb = expr(s"($leftOrd + $lower) div $w")
+    val taggedLeft = left
+      .withColumn("__bucket", explode(array(lb, lb + lit(1L))))
+    val taggedRight = right
+      .withColumn("__bucket", expr(s"$rightOrd div $w"))
+
+    val rightCols = right.columns.filterNot(keys.contains)
+    val joined = taggedLeft.join(
+      taggedRight
+        .select(keys.map(col) ++ Seq(col("__bucket")) ++
+          rightCols.map(c => taggedRight(c).as(s"$rightPrefix$c")): _*),
+      keys :+ "__bucket")
+    joined
+      .where(col(s"$rightPrefix$rightOrd").between(lo, col(leftOrd) + lit(upper)))
+      .drop("__bucket")
+  }
+}

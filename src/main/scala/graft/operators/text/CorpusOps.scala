@@ -30,6 +30,31 @@ object CorpusOps {
       .otherwise("test")
   }
 
+  /** 40-bit uniform hash key for deterministic sampling: first 10 hex
+    * chars of md5 as a bigint in [0, 2^40). Engine-portable (DuckDB:
+    * `CAST('0x'||substring(md5(x),1,10) AS BIGINT)`). */
+  def hashKey40(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 10), 16, 10).cast("bigint")
+
+  /** Deterministic Bernoulli sample: keep iff hashKey40(id) < threshold,
+    * threshold = (fraction · 2^40) computed ONCE driver-side (see
+    * [[sampleThreshold]]) and interpolated into both engines' queries as
+    * the same integer — never compare against a float in-query, engines
+    * round double→int differently. Unlike `df.sample`, membership is a
+    * pure function of the id: stable across runs, partitionings, engines
+    * and re-shards, and composable (a 10% sample is a subset of the 20%
+    * sample). Per-stratum rates = CASE over strata picking thresholds. */
+  def hashSample(id: Column, threshold: Long): Column = {
+    require(threshold >= 0L && threshold <= (1L << 40), "threshold out of [0,2^40]")
+    hashKey40(id) < lit(threshold)
+  }
+
+  /** fraction in [0,1] → integer keep-threshold on the 40-bit key. */
+  def sampleThreshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    (BigDecimal(fraction) * BigDecimal(1L << 40)).toLong
+  }
+
   /** Greedy sequential packing: within each `part` (shard), walking in
     * `order`, a document's bin is where its token run begins —
     * `floor((cumsum(tokens) - tokens) / budget)`. A document crossing

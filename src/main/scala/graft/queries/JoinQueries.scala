@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal-join inventory over `events`: backward as-of attribution and
+  * bucketed band joins — the two join shapes the reference's pure
+  * equi-join surface lacks entirely and a training-data pipeline needs
+  * (feature as-of lookup, within-window interaction pairs).
+  *
+  * Oracles: DuckDB executes ASOF JOIN natively (an INDEPENDENT
+  * implementation of the semantics — not a re-statement of our window
+  * decomposition), and the band join oracles against the naive
+  * inequality join the bucketed plan must be row-equal to. Ordering is
+  * on `event_id`/integer microseconds, both unique per user, so the
+  * match is deterministic; `value` passes through raw (per-row double,
+  * bit-exact from parquet in both engines).
+  */
+object JoinQueries {
+
+  private val bandLower = 1L // strictly after, in µs
+  private val bandUpper = 4L * 3600L * 1000000L // 4 hours
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "qj01_asof_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts", "value")
+        AsOfJoin.asofBackward(
+          purchases, views, Seq("user_id"), "event_id",
+          rightPrefix = "prev_", strict = true)
+      },
+      Some("""SELECT l.user_id, l.event_id, l.ts,
+                     r.event_id AS prev_event_id, r.ts AS prev_ts,
+                     r.value AS prev_value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+                ON l.user_id = r.user_id AND r.event_id < l.event_id""")),
+    Q(
+      "qj02_band_pairs",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        RangeJoin.bandJoin(
+          views, purchases, Seq("user_id"), "tus", "tus",
+          bandLower, bandUpper, rightPrefix = "p_")
+          .select(
+            col("user_id"),
+            col("event_id").as("view_id"),
+            col("p_event_id").as("purchase_id"),
+            (col("p_tus") - col("tus")).as("gap_us"))
+      },
+      Some(s"""SELECT l.user_id, l.event_id AS view_id,
+                      r.event_id AS purchase_id,
+                      epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+               FROM (SELECT * FROM events WHERE event_type = 'view') l
+               JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+                 ON l.user_id = r.user_id
+                AND epoch_us(r.ts) - epoch_us(l.ts)
+                      BETWEEN $bandLower AND $bandUpper"""))
+  )
+}

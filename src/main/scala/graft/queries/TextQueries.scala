@@ -182,6 +182,32 @@ object TextQueries {
               )
               SELECT source, bin, count(*) AS n_docs,
                      CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-              FROM b GROUP BY source, bin"""))
+              FROM b GROUP BY source, bin""")),
+    Q(
+      "qt10_stratified_sample", {
+        // thresholds computed ONCE here and interpolated into both
+        // engines' queries — single source of truth (portable-twin rule)
+        (s, dir) => {
+          val overThr = CorpusOps.sampleThreshold(1.0)
+          val underThr = CorpusOps.sampleThreshold(0.05)
+          val defThr = CorpusOps.sampleThreshold(0.3)
+          val thr = when(col("source") === "src0", lit(overThr))
+            .when(col("source") === "src1", lit(underThr))
+            .otherwise(lit(defThr))
+          Tables.load(s, dir, "documents")
+            .where(CorpusOps.hashKey40(col("doc_id")) < thr)
+            .select("doc_id", "source", "lang")
+        }
+      },
+      Some {
+        val overThr = CorpusOps.sampleThreshold(1.0)
+        val underThr = CorpusOps.sampleThreshold(0.05)
+        val defThr = CorpusOps.sampleThreshold(0.3)
+        s"""SELECT doc_id, source, lang FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+                  < CASE source WHEN 'src0' THEN $overThr
+                                WHEN 'src1' THEN $underThr
+                                ELSE $defThr END"""
+      })
   )
 }

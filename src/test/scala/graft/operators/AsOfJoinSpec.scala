@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strict/inclusive tie-break on handcrafted simultaneous rows") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2")).toDF("k", "ord", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "ord", "rv")
+
+    val strict = AsOfJoin
+      .asofBackward(left, right, Seq("k"), "ord", strict = true)
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    // l1 at ord=10: the simultaneous r10 must NOT match strictly
+    assert(strict("l1").isEmpty)
+    assert(strict("l2").contains("r15"))
+
+    val incl = AsOfJoin
+      .asofBackward(left, right, Seq("k"), "ord", strict = false)
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    assert(incl("l1").contains("r10"))
+    assert(incl("l2").contains("r15"))
+  }
+
+  test("unmatched left rows survive with null right payload") {
+    val left = Seq((1L, 5L, "early"), (2L, 9L, "lonely_key")).toDF("k", "ord", "lv")
+    val right = Seq((1L, 7L, "late")).toDF("k", "ord", "rv")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "ord")
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    assert(out("early").isEmpty && out("lonely_key").isEmpty)
+  }
+
+  test("matches the naive join+argmax formulation on fixture events") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val r = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts", "value")
+
+    val ours = AsOfJoin
+      .asofBackward(l, r, Seq("user_id"), "event_id",
+        rightPrefix = "prev_", strict = true)
+
+    // naive reference: inequality join, then keep the max prior event_id
+    val w = Window.partitionBy(col("l_eid")).orderBy(col("r_eid").desc)
+    val naive = l.toDF("user_id", "l_eid", "l_ts")
+      .join(
+        r.toDF("user_id", "r_eid", "r_ts", "r_value"),
+        Seq("user_id"), "left")
+      .where(col("r_eid").isNull || col("r_eid") < col("l_eid"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("user_id"), col("l_eid").as("event_id"), col("l_ts").as("ts"),
+        col("r_eid").as("prev_event_id"), col("r_ts").as("prev_ts"),
+        col("r_value").as("prev_value"))
+    // the naive left join drops left rows whose ONLY matches are
+    // non-prior (filtered post-join) — re-add them as unmatched
+    val naiveFull = naive.unionByName(
+      l.select(col("user_id"), col("event_id"), col("ts"))
+        .join(naive.select("event_id"), Seq("event_id"), "left_anti")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lit(null).cast("long").as("prev_event_id"),
+          lit(null).cast("timestamp").as("prev_ts"),
+          lit(null).cast("double").as("prev_value")))
+
+    assert(ours.count() == l.count())
+    assert(ours.exceptAll(naiveFull).isEmpty && naiveFull.exceptAll(ours).isEmpty,
+      "asof window decomposition disagrees with naive join+argmax")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveBand(
+      l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      lower: Long,
+      upper: Long) =
+    l.join(r.toDF("user_id", "p_event_id", "p_tus"), Seq("user_id"))
+      .where(col("p_tus").between(col("tus") + lower, col("tus") + upper))
+
+  test("bucketed band join equals the naive inequality join, duplicate-free") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val lower = 1L
+    val upper = 4L * 3600L * 1000000L
+
+    val ours = RangeJoin
+      .bandJoin(l, r, Seq("user_id"), "tus", "tus", lower, upper, "p_")
+      .select("user_id", "event_id", "p_event_id")
+    val naive = naiveBand(l, r, lower, upper)
+      .select(col("user_id"), col("event_id"), col("p_event_id"))
+
+    assert(ours.count() > 0, "band should be non-empty at sf0.001")
+    assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty,
+      "bucketed band join disagrees with naive inequality join")
+  }
+
+  test("boundary rows: both band edges are inclusive, outside excluded") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq(
+      (1L, 109L), // below lower edge (t+10)
+      (1L, 110L), // ON lower edge
+      (1L, 150L), // inside
+      (1L, 200L), // ON upper edge
+      (1L, 201L) // above
+    ).toDF("k", "t")
+    val out = RangeJoin
+      .bandJoin(l, r, Seq("k"), "t", "t", 10L, 100L, "r_")
+      .select("r_t").as[Long].collect().sorted
+    assert(out.toSeq == Seq(110L, 150L, 200L))
+  }
+
+  test("plans as an equi-join on (key, bucket), never nested-loop") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val l = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val r = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val plan = RangeJoin
+      .bandJoin(l, r, Seq("user_id"), "tus", "tus", 0L, 60000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+  }
+}
