@@ -542,6 +542,41 @@ object ParityQueries {
         def ck(c: String) =
           s"CAST(CAST(sum(CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS ck_$c"
         s"SELECT ${ck("c_custkey")}, ${ck("c_name")}, ${ck("c_mktsegment")} FROM customer"
-      })
+      }),
+
+    Q(
+      "q39_pivot",
+      (s, dir) => {
+        // explicit value list: no extra distinct-scan job, and the
+        // output schema is static (the scale-sane way to pivot)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+      },
+      Some("""SELECT user_id,
+                     count(*) FILTER (WHERE event_type = 'click') AS click,
+                     count(*) FILTER (WHERE event_type = 'error') AS error,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                     count(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY user_id""")),
+
+    Q(
+      "q40_collect_sorted",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            sort_array(collect_set(col("event_type"))).as("types_seen"),
+            countDistinct(col("event_type")).as("n_types")),
+      // sort_array makes the set aggregation order-independent — a bare
+      // collect_list/list() would be partition-order nondeterministic
+      Some("""SELECT user_id,
+                     list_sort(list(DISTINCT event_type)) AS types_seen,
+                     count(DISTINCT event_type) AS n_types
+              FROM events GROUP BY user_id"""))
   )
 }

@@ -91,6 +91,26 @@ object EventPipeline {
       .withWatermark(eventTime, horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch hash-joins against
+    * the static dimension with an explicit broadcast — the dimension
+    * ships once per executor, no shuffle ever touches the stream side
+    * (a shuffled join would re-partition every micro-batch). At scale
+    * the dimension must fit the broadcast budget; bigger dims want a
+    * pre-bucketed layout instead (sync.Bucketing). The static side is
+    * re-read per batch only if its plan is uncacheable — cache() it for
+    * slowly-changing dims refreshed out of band. */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      dimCols: Seq[String]): DataFrame =
+    stream.join(
+      broadcast(dim.select((dimKey +: dimCols).distinct.map(col): _*)),
+      stream(streamKey) === dim(dimKey),
+      "left")
+      .drop(dim(dimKey))
+
   /** Streaming sessionization via session_window (gap-based). */
   def streamingSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
     stream

@@ -41,6 +41,26 @@ class CorpusOpsSpec extends SparkSpec {
       ("b", 1L, 0L), ("b", 2L, 1L)))
   }
 
+  test("hashSample: deterministic, proportional, and nested across rates") {
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id")
+    val n = docs.count()
+    val t30 = CorpusOps.sampleThreshold(0.3)
+    val t60 = CorpusOps.sampleThreshold(0.6)
+    val s30 = docs.where(CorpusOps.hashSample(col("doc_id"), t30))
+    val s60 = docs.where(CorpusOps.hashSample(col("doc_id"), t60))
+    val (n30, n60) = (s30.count(), s60.count())
+    // proportional within generous tolerance at n=500
+    assert(math.abs(n30 - 0.3 * n) < 0.1 * n, s"$n30 of $n at 30%")
+    assert(math.abs(n60 - 0.6 * n) < 0.1 * n, s"$n60 of $n at 60%")
+    // nested: the 30% sample is a subset of the 60% sample
+    assert(s30.exceptAll(s60).isEmpty)
+    // edge thresholds: 0 keeps nothing, 2^40 keeps everything
+    assert(docs.where(CorpusOps.hashSample(col("doc_id"),
+      CorpusOps.sampleThreshold(0.0))).isEmpty)
+    assert(docs.where(CorpusOps.hashSample(col("doc_id"),
+      CorpusOps.sampleThreshold(1.0))).count() == n)
+  }
+
   test("split percentages validate") {
     intercept[IllegalArgumentException] {
       CorpusOps.splitAssign(col("x"), trainPct = 90, validPct = 20)

@@ -90,4 +90,24 @@ class EventPipelineSpec extends SparkSpec {
     assert(out.agg(sum("n_events")).as[Long].head() == events.count())
     assert(out.filter(col("s_end") <= col("s_start")).count() == 0)
   }
+
+  test("structured streaming: broadcast stream-static enrichment matches batch join") {
+    val dim = Tables.load(spark, sf0001, "customer")
+    val stream = spark.readStream.schema(events.schema).parquet(streamDir)
+    val q = EventPipeline
+      .enrich(stream, dim, "user_id", "c_custkey", Seq("c_name", "c_mktsegment"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("enrich_out")
+      .select("event_id", "user_id", "c_name", "c_mktsegment")
+    val batch = events
+      .join(dim, events("user_id") === dim("c_custkey"), "left")
+      .select("event_id", "user_id", "c_name", "c_mktsegment")
+    assert(streamed.count() == events.count(),
+      "left enrichment must preserve every stream row exactly once")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
