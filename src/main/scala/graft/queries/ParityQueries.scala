@@ -577,6 +577,33 @@ object ParityQueries {
       Some("""SELECT user_id,
                      list_sort(list(DISTINCT event_type)) AS types_seen,
                      count(DISTINCT event_type) AS n_types
-              FROM events GROUP BY user_id"""))
+              FROM events GROUP BY user_id""")),
+
+    Q(
+      "q41_unpivot",
+      (s, dir) => {
+        // round-trip of q39: wide per-type counts melted back to rows —
+        // Dataset.unpivot is a projection+generate, no shuffle beyond
+        // the pivot's own aggregation
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+          .unpivot(
+            Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      },
+      Some("""WITH p AS (
+                SELECT user_id,
+                       count(*) FILTER (WHERE event_type = 'click') AS click,
+                       count(*) FILTER (WHERE event_type = 'error') AS error,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                       count(*) FILTER (WHERE event_type = 'view') AS view
+                FROM events GROUP BY user_id)
+              SELECT user_id, event_type, n
+              FROM p UNPIVOT (n FOR event_type IN
+                (click, error, purchase, signup, view))"""))
   )
 }

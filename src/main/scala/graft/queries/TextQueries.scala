@@ -208,6 +208,21 @@ object TextQueries {
                   < CASE source WHEN 'src0' THEN $overThr
                                 WHEN 'src1' THEN $underThr
                                 ELSE $defThr END"""
-      })
+      }),
+    Q(
+      "qt11_term_freq",
+      // the canonical corpus word count: explode -> count -> top-k.
+      // ORDER BY (n DESC, term) makes the limit deterministic under ties
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc)
+          .limit(20),
+      Some("""SELECT term, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                    FROM documents) t
+              GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"""))
   )
 }
