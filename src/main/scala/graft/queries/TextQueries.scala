@@ -223,6 +223,48 @@ object TextQueries {
       Some("""SELECT term, count(*) AS n
               FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
                     FROM documents) t
-              GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"""))
+              GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""")),
+    Q(
+      "qt12_repetition_ratio",
+      // Gopher-style repetition quality signal: the most frequent
+      // token's share of the document. Tie-break (n desc, term desc) is
+      // a total order per doc, so the argmax row is deterministic; the
+      // ratio is one int/int double division — bit-identical per row.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(
+          col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("n").desc, col("term").desc)
+        toks
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .join(
+            docs.select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+            Seq("doc_id"))
+          .select(
+            col("doc_id"), col("term").as("top_term"), col("n").as("top_n"),
+            col("n_tokens"),
+            (col("n").cast("double") / col("n_tokens").cast("double"))
+              .as("rep_ratio"))
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                FROM documents),
+              c AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+              r AS (SELECT doc_id, term, n,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY n DESC, term DESC) AS rn
+                    FROM c),
+              l AS (SELECT doc_id,
+                           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents)
+              SELECT r.doc_id, term AS top_term, n AS top_n, n_tokens,
+                     CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rep_ratio
+              FROM r JOIN l ON r.doc_id = l.doc_id WHERE rn = 1"""))
   )
 }

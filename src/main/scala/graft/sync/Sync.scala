@@ -202,6 +202,34 @@ object Sync {
     }
   }
 
+  /** Continuous replication: a Structured Streaming source appended
+    * into any [[Sink]] per micro-batch — the streaming extension of the
+    * reference's batch-only copy loop (cmd/root.go:133-147). Each
+    * micro-batch rides the sink's batched-transaction append path; the
+    * checkpoint gives exactly-once SOURCE progress, while the sink side
+    * is at-least-once on task retry (JDBC writes are not idempotent) —
+    * pair with a keyed target + upsert/dedup, or the watermarked
+    * streaming dedup (EventPipeline.streamingDedup), when the target
+    * must be exactly-once. Scale shape: state-free pass-through; the
+    * stream side is never shuffled, and sink parallelism is capped by
+    * the sink's own numPartitions clamp. */
+  def streamingSync(
+      stream: DataFrame,
+      sink: Sink,
+      table: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.append(Normalize.lowercaseColumns(batch), table)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Custom-SQL mode (reference `-s`, cmd/root.go:95-96 + example.yml
     * `tables:`): each configured table is loaded from its list of
     * arbitrary SELECTs, each pushed verbatim to the source database via
