@@ -106,6 +106,25 @@ object PortableMinHash {
     s"""${pipelineCtes}
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
 
+  /** Oracle for qd16: connected components over the surviving pair
+    * graph via a recursive transitive-closure CTE (an INDEPENDENT
+    * formulation — set-recursion, not our iterative label
+    * propagation), labeling each doc with the least reachable id. */
+  def oracleComponentsSql(threshold: Double): String =
+    s"""${pipelineCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= $threshold),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |reach AS (
+       |  SELECT a AS node, b AS other FROM sym
+       |  UNION
+       |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a
+       |)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |FROM documents d
+       |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |  ON d.doc_id = m.node""".stripMargin
+
   private def pipelineCtes: String = {
     val seedList = seeds.mkString("[", ",", "]")
     val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"

@@ -153,6 +153,18 @@ object DedupQueries {
           .select("doc_id"),
       Some(PortableMinHash.oracleDedupSql(0.3))),
     Q(
+      "qd16_dup_components",
+      (s, dir) => {
+        // pair mining -> duplicate clusters: every doc labeled with the
+        // least id reachable through the >=0.3 portable-minhash pair
+        // graph (singletons label themselves)
+        val docs = Tables.load(s, dir, "documents")
+        val edges = PortableMinHash.pairs(docs, col("text"), col("doc_id"), 0.3)
+        ConnectedComponents.components(
+          edges, "doc_a", "doc_b", docs, "doc_id")(s)
+      },
+      Some(PortableMinHash.oracleComponentsSql(0.3))),
+    Q(
       "qd11_simhash_portable",
       (s, dir) =>
         PortableSimHash.fingerprints(

@@ -55,6 +55,19 @@ class FixedPointPropSpec extends SparkSpec {
     assert(perRow.isEmpty, "a [4950,5000)-boundary product rounded up (double rounding)")
   }
 
+  test("beyond the per-group bound the sum faults loudly instead of wrapping") {
+    // 3M rows of Long.MaxValue overflow the hi-half long sum; ANSI mode
+    // (Spark 4 default) must raise, never silently wrap
+    val df = spark.range(3000000L).select(lit(Long.MaxValue).as("x"))
+    val e = intercept[Exception] {
+      df.agg(FixedPoint.sumFixed(col("x"), 4).as("s")).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ").toLowerCase
+    assert(chain.contains("overflow"), chain)
+  }
+
   test("scaled product reduction equals decimal product for random price/rate pairs") {
     (1 to 6).foreach { seed =>
       val rnd = new scala.util.Random(seed)
