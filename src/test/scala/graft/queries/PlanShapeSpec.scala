@@ -52,4 +52,23 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("qt01_token_stats")
     assert(!p.contains("Exchange"), s"per-row text stats should not shuffle:\n$p")
   }
+
+  test("qj01: as-of join is one shuffle + one window, never a join") {
+    val p = plan("qj01_asof_attribution")
+    assert(!p.contains("Join"), s"asof decomposition must not plan a join:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+    // both side filters reach the parquet scans
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,view)"), p)
+  }
+
+  test("qj02: band join stays a hash equi-join with pushed filters") {
+    val p = plan("qj02_band_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degraded to nested loop:\n$p")
+    assert(p.contains("EqualTo(event_type,view)") &&
+      p.contains("EqualTo(event_type,purchase)"), p)
+  }
 }
