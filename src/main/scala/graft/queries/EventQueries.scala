@@ -160,6 +160,42 @@ object EventQueries {
                        AS frame_checksum
               FROM (SELECT doc_id, text,
                            unnest(range(0, greatest(length(text) // 64, 1), 2)) AS f
-                    FROM documents) x"""))
+                    FROM documents) x""")),
+    Q(
+      "qe08_value_outliers",
+      // robust per-type outlier profile: exact quartiles + Tukey-fence
+      // count. Quantile interpolation and the fence arithmetic keep
+      // identical operation order on both engines (bit-exact doubles);
+      // zero-outlier groups survive via the left join
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val stats = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.5D)").as("med"),
+          expr("percentile(value, 0.25D)").as("p25"),
+          expr("percentile(value, 0.75D)").as("p75"))
+        val outliers = ev
+          .join(broadcast(stats), "event_type")
+          .where(abs(col("value") - col("med")) >
+            (col("p75") - col("p25")) * lit(1.5))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers"))
+        stats.join(outliers, Seq("event_type"), "left")
+          .select(col("event_type"), col("med"), col("p25"), col("p75"),
+            coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      },
+      Some("""WITH s AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS med,
+                       quantile_cont(value, 0.25) AS p25,
+                       quantile_cont(value, 0.75) AS p75
+                FROM events GROUP BY event_type),
+              o AS (
+                SELECT e.event_type, count(*) AS n_outliers
+                FROM events e JOIN s ON e.event_type = s.event_type
+                WHERE abs(e.value - s.med) > (s.p75 - s.p25) * 1.5
+                GROUP BY e.event_type)
+              SELECT s.event_type, med, p25, p75,
+                     coalesce(n_outliers, 0) AS n_outliers
+              FROM s LEFT JOIN o ON s.event_type = o.event_type"""))
   )
 }
