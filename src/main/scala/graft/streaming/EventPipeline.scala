@@ -111,6 +111,34 @@ object EventPipeline {
       "left")
       .drop(dim(dimKey))
 
+  /** Stream-stream interval join — the streaming counterpart of
+    * RangeJoin.bandJoin: match each left event to right events of the
+    * same key landing in (l.ts, l.ts + window]. Both sides carry
+    * watermarks, and the time-range condition bounds how long either
+    * side's rows wait in state (Spark derives the state watermark from
+    * the range), so the join state is horizon x arrival rate — never
+    * unbounded. Inner join in Append mode: a match emits exactly once,
+    * when both sides have arrived. */
+  def streamingBandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      window: String = "4 hours",
+      horizon: String = "4 hours"): DataFrame = {
+    val l = left.withWatermark("ts", horizon)
+      .select(col(key).as("l_key"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", horizon)
+      .select(col(key).as("r_key"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("l_key").as(key), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming sessionization via session_window (gap-based). */
   def streamingSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
     stream

@@ -91,6 +91,32 @@ class EventPipelineSpec extends SparkSpec {
     assert(out.filter(col("s_end") <= col("s_start")).count() == 0)
   }
 
+  test("structured streaming: stream-stream interval join matches the batch band join") {
+    val mk = () => spark.readStream.schema(events.schema).parquet(streamDir)
+    val q = EventPipeline
+      .streamingBandJoin(
+        mk().filter(col("event_type") === "view"),
+        mk().filter(col("event_type") === "purchase"),
+        "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("band_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("band_out").select("user_id", "l_id", "r_id")
+    val batch = graft.operators.RangeJoin.bandJoin(
+      events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      Seq("user_id"), "tus", "tus", 1L, 4L * 3600L * 1000000L, "p_")
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("p_event_id").as("r_id"))
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("structured streaming: broadcast stream-static enrichment matches batch join") {
     val dim = Tables.load(spark, sf0001, "customer")
     val stream = spark.readStream.schema(events.schema).parquet(streamDir)
