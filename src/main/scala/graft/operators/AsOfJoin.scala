@@ -40,6 +40,13 @@ object AsOfJoin {
     * backward match on `ord` (present in both sides). Right columns are
     * emitted with prefix `rightPrefix`; unmatched left rows keep nulls.
     *
+    * Determinism: when several RIGHT rows share one (keys, ord) value,
+    * whichever sorts last within that tie wins — partition-order
+    * nondeterministic, as in any engine's as-of tie. Use an ordering
+    * column that is unique per key (event ids, sequence numbers) when
+    * the match must be reproducible; qj01 orders on the globally-unique
+    * event_id for exactly this reason.
+    *
     * @param strict if true, match requires r.ord < l.ord (the row
     *               itself / simultaneous right rows don't match);
     *               if false, r.ord <= l.ord.

@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   * bucketed interval-join decomposition (cf. Flink's interval join and
   * Spark RAPIDS' range-join docs).
   *
-  * `ord` values must be non-negative after adding `lower` (epoch
-  * times/ids are) — integer `div` truncates toward zero, which equals
-  * floor only for non-negative operands.
+  * Bucketing uses an exact integer floor division (truncating `div`
+  * corrected for negative remainders), so ordinates and band bounds may
+  * be negative — pre-epoch times, signed offsets, backward bands all
+  * bucket correctly.
   */
 object RangeJoin {
+
+  /** Exact floor(e / w) for longs of either sign (w > 0): `div`
+    * truncates toward zero; subtract 1 when the remainder is negative. */
+  private def floorDiv(e: String, w: Long): String =
+    s"((($e) div $w) - (CASE WHEN ($e) % $w < 0 THEN 1 ELSE 0 END))"
 
   /** Inner band join; right columns emitted with `rightPrefix`.
     *
@@ -53,11 +59,11 @@ object RangeJoin {
     // candidate buckets of the SHIFTED left ordinate: an interval of
     // length w starting at l+lower spans at most two width-w buckets
     val lo = col(leftOrd) + lit(lower)
-    val lb = expr(s"($leftOrd + $lower) div $w")
+    val lb = expr(floorDiv(s"$leftOrd + $lower", w))
     val taggedLeft = left
       .withColumn("__bucket", explode(array(lb, lb + lit(1L))))
     val taggedRight = right
-      .withColumn("__bucket", expr(s"$rightOrd div $w"))
+      .withColumn("__bucket", expr(floorDiv(rightOrd, w)))
 
     val rightCols = right.columns.filterNot(keys.contains)
     val joined = taggedLeft.join(

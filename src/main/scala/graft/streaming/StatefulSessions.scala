@@ -57,7 +57,12 @@ object StatefulSessions {
       gapSecs: Long,
       streaming: Boolean): Iterator[SessionRow] = {
     if (streaming && state.hasTimedOut) {
-      // watermark passed lastTs+gap: the open session can never extend
+      // watermark passed lastTs+gap: the open session can never extend.
+      // Removing state also drops the per-user session counter, so a
+      // user who returns AFTER a timeout flush restarts at session_id 1
+      // — session_id is unique per (user, state lifetime), not per user
+      // forever. Downstream keys that must be globally unique should
+      // combine it with first_event (stable and globally unique).
       val closed = state.getOption.collect {
         case st if st.n > 0L =>
           SessionRow(uid, st.sessionId, st.n, st.first, st.last)

@@ -50,6 +50,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(110L, 150L, 200L))
   }
 
+  test("negative ordinates and negative lower bound bucket correctly") {
+    val l = Seq((1L, -100L), (1L, 5L)).toDF("k", "t")
+    val r = Seq((1L, -150L), (1L, -95L), (1L, -40L), (1L, 0L), (1L, 60L))
+      .toDF("k", "t")
+    // band [-50, 70]: for t=-100 matches [-150, -30] -> -150, -95, -40;
+    // for t=5 matches [-45, 75] -> -40, 0, 60
+    val got = RangeJoin
+      .bandJoin(l, r, Seq("k"), "t", "t", -50L, 70L, "r_")
+      .select("t", "r_t").as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (-100L, -150L), (-100L, -95L), (-100L, -40L),
+      (5L, -40L), (5L, 0L), (5L, 60L)))
+  }
+
   test("plans as an equi-join on (key, bucket), never nested-loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val l = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"))
