@@ -59,8 +59,8 @@ object AsOfJoin {
       rightPrefix: String = "r_",
       strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one equality key")
-    val rightPayloadCols = right.columns.filterNot(keys.contains)
-    val leftCols = left.columns
+    val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
 
     // right rows carry their payload in one struct; left rows carry null
     val payload = struct(rightPayloadCols.map(right(_)): _*)
