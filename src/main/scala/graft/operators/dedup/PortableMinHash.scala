@@ -95,7 +95,7 @@ object PortableMinHash {
   /** Oracle for [[dedupKeepFirst]]: every doc id that never appears as
     * the larger side of a surviving pair. */
   def oracleDedupSql(threshold: Double): String =
-    s"""${pipelineCtes}
+    s"""${pipelineCtes()}
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT doc_b FROM est WHERE est_jaccard >= $threshold)""".stripMargin
 
@@ -103,7 +103,7 @@ object PortableMinHash {
     * same seeds/prime — runnable by the driver's oracle over the same
     * parquet `documents` table. */
   def oracleSql(threshold: Double): String =
-    s"""${pipelineCtes}
+    s"""${pipelineCtes()}
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
 
   /** Oracle for qd16: connected components over the surviving pair
@@ -111,7 +111,7 @@ object PortableMinHash {
     * formulation — set-recursion, not our iterative label
     * propagation), labeling each doc with the least reachable id. */
   def oracleComponentsSql(threshold: Double): String =
-    s"""${pipelineCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+    s"""${pipelineCtes().replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= $threshold),
        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
        |reach AS (
@@ -125,10 +125,14 @@ object PortableMinHash {
        |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
        |  ON d.doc_id = m.node""".stripMargin
 
-  private def pipelineCtes: String = {
+  /** The shared CTE chain (normalize -> shingle-hash -> signature ->
+    * bands -> candidates -> estimates) over `from` — parametrized so
+    * composite pipelines (CorpusPipeline) can run it on an intermediate
+    * relation instead of the raw table. */
+  private[graft] def pipelineCtes(from: String = "documents"): String = {
     val seedList = seeds.mkString("[", ",", "]")
     val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents),
+    s"""WITH n AS (SELECT doc_id, $norm AS nt FROM $from),
        |h AS (SELECT doc_id,
        |        list_transform(range(1, greatest(length(nt) - ${shingleSize - 1}, 1) + 1),
        |          i -> CAST(('0x' || substring(md5(substring(nt, i, $shingleSize)), 1, 10)) AS BIGINT)) AS hs

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.operators.dedup.PortableMinHash
+import graft.operators.text.{CorpusOps, TextAnalysis}
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * library's own operators in the order a real corpus run uses them:
+  *
+  *   1. exact dedup   — keep the smallest doc_id per normalized text
+  *   2. near-dup dedup — portable MinHash-LSH keep-first survivors
+  *   3. quality filter — minimum token count
+  *   4. split + stats  — deterministic hash split, per-split totals
+  *
+  * Scale shape is the sum of its parts (each stage documented at its
+  * operator): one hash shuffle for stage 1, the LSH band-join pipeline
+  * for stage 2, a pure filter for stage 3, one aggregation for stage 4
+  * — nothing quadratic, nothing driver-side. Every stage is built from
+  * engine-portable primitives, so the WHOLE composite carries a single
+  * DuckDB value oracle ([[oracleSql]], query qp01) — the strongest
+  * end-to-end correctness statement the library makes: four chained
+  * operators, one bag-equal result across engines.
+  */
+object CorpusPipeline {
+
+  /** Per-split (train/validation/test) doc and token counts of the
+    * curated corpus. */
+  def curateStats(
+      docs: DataFrame,
+      minTokens: Int = 20,
+      simThreshold: Double = 0.3): DataFrame = {
+    val survivors = curate(docs, minTokens, simThreshold)
+    survivors
+      .groupBy(CorpusOps.splitAssign(col("doc_id")).as("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .cast("bigint").as("total_tokens"))
+  }
+
+  /** The curated document set (all input columns preserved). */
+  def curate(
+      docs: DataFrame,
+      minTokens: Int = 20,
+      simThreshold: Double = 0.3): DataFrame = {
+    // 1. exact dedup: min doc_id per normalized text (deterministic
+    // canonical choice; one shuffle of (hash(nt), id))
+    val keepExact = docs
+      .groupBy(TextOps.normalized(col("text")).as("nt"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d1 = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    // 2. near-dup dedup (keep-first over the portable pair graph)
+    val d2 = PortableMinHash.dedupKeepFirst(d1, col("text"), "doc_id", simThreshold)
+    // 3. quality gate
+    d2.filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+  }
+
+  /** The DuckDB rendition of the whole pipeline — stage CTEs spliced
+    * around the portable-minhash chain, same constants, same policies. */
+  def oracleSql(minTokens: Int = 20, simThreshold: Double = 0.3): String = {
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
+    // the minhash CTE chain re-rooted on the exact-dedup survivors d1
+    val lsh = PortableMinHash.pipelineCtes("d1").replaceFirst("^WITH ", "")
+    s"""WITH keep1 AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, $norm AS nt0 FROM documents) z
+       |  GROUP BY nt0),
+       |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+       |$lsh,
+       |losers AS (SELECT DISTINCT doc_b FROM est WHERE est_jaccard >= $simThreshold),
+       |d3 AS (
+       |  SELECT * FROM d1
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+       |    AND $toks >= $minTokens)
+       |SELECT CASE WHEN b < 80 THEN 'train'
+       |            WHEN b < 90 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
+       |FROM (SELECT *,
+       |             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+       |      FROM d3) x
+       |GROUP BY 1""".stripMargin
+  }
+}

@@ -29,7 +29,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     ParityQueries.all ++ DedupQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all ++ JoinQueries.all
+      SimilarityQueries.all ++ EventQueries.all ++ JoinQueries.all ++
+      PipelineQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap
