@@ -31,7 +31,7 @@ object Bench {
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = benchQs.map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

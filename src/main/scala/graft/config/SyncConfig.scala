@@ -107,18 +107,28 @@ object SyncConfig {
 
   /** YAML comment rule: '#' starts a comment only at start-of-line or
     * after whitespace, and never inside a quoted scalar — so passwords,
-    * URLs with fragments, and custom SQL containing '#' survive. A
-    * quote only OPENS a scalar when it is the scalar's first character
+    * URLs with fragments, and quoted custom SQL containing '#' survive.
+    * A quote only OPENS a scalar when it is the scalar's first character
     * (right after ':', '-', or line start); mid-scalar apostrophes
-    * (`password: don't`) are literal, per YAML. */
+    * (`password: don't`) are literal, per YAML — which also means a
+    * whitespace-then-'#' inside a PLAIN (unquoted) scalar truncates it,
+    * exactly as real YAML does: quote the whole scalar to keep ' #'.
+    * Inside a single-quoted scalar, a doubled '' is YAML's escaped
+    * quote and does NOT close the scalar. */
   private def stripComment(line: String): String = {
     var quote: Char = 0
     var prevNonSpace: Char = 0
     var i = 0
     while (i < line.length) {
       val c = line(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else if ((c == '"' || c == '\'') &&
+      if (quote != 0) {
+        if (c == quote) {
+          // '' inside a single-quoted scalar is an escaped quote: the
+          // scalar stays open and both characters are consumed
+          if (quote == '\'' && i + 1 < line.length && line(i + 1) == '\'') i += 1
+          else quote = 0
+        }
+      } else if ((c == '"' || c == '\'') &&
                (prevNonSpace == 0 || prevNonSpace == ':' || prevNonSpace == '-'))
         quote = c
       else if (c == '#' && (i == 0 || line(i - 1).isWhitespace))
@@ -130,7 +140,10 @@ object SyncConfig {
   }
 
   private def stripQuotes(s: String): String =
-    if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      // single-quoted YAML scalar: '' is the escaped quote
+      s.substring(1, s.length - 1).replace("''", "'")
+    else if (s.length >= 2 && s.head == '"' && s.last == '"')
       s.substring(1, s.length - 1)
     else s
 }

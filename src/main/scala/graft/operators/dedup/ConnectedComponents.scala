@@ -62,9 +62,14 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") =!= col("prev"))
         .isEmpty
+      // `next` is already materialized (eager checkpoint) and the
+      // convergence check consumed the old labels — release the stale
+      // round's blocks now instead of leaking one cached copy per round
+      labels.unpersist(false)
       labels = next
       it += 1
     }
+    sym.unpersist(false)
     require(converged,
       s"components did not converge in $maxIter rounds — graph diameter " +
         "exceeds the dedup-clump assumption; raise maxIter or use " +

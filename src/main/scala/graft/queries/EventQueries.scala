@@ -169,10 +169,15 @@ object EventQueries {
       // zero-outlier groups survive via the left join
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
+        // tiny (one row per type) but referenced twice below — pin it so
+        // the exact-percentile aggregation over events runs once, not
+        // once per reference (broadcast exchanges don't dedupe against
+        // plain aggregates)
         val stats = ev.groupBy("event_type").agg(
           expr("percentile(value, 0.5D)").as("med"),
           expr("percentile(value, 0.25D)").as("p25"),
           expr("percentile(value, 0.75D)").as("p75"))
+          .localCheckpoint(true)
         val outliers = ev
           .join(broadcast(stats), "event_type")
           .where(abs(col("value") - col("med")) >

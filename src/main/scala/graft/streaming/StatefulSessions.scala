@@ -90,10 +90,15 @@ object StatefulSessions {
     }
     state.update(st)
     if (streaming) {
-      // flush the open session when event time passes its gap horizon;
-      // clamp to the watermark: a key fed only late data would otherwise
-      // compute a horizon in the past, which setTimeoutTimestamp rejects
-      val horizon = (st.lastTsSecs + gapSecs) * 1000L + 1L
+      // flush the open session when event time passes its gap horizon.
+      // lastTsSecs is TRUNCATED seconds, so the true last event time can
+      // be up to 999 ms later — the +1s covers the whole truncated
+      // second, otherwise a still-on-time extending event (gap measured
+      // in whole seconds) could arrive after the timeout already split
+      // the session. Clamp to the watermark: a key fed only late data
+      // would otherwise compute a horizon in the past, which
+      // setTimeoutTimestamp rejects.
+      val horizon = (st.lastTsSecs + gapSecs + 1L) * 1000L
       state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1L))
     } else if (st.n > 0L) {
       out += SessionRow(uid, st.sessionId, st.n, st.first, st.last)

@@ -98,8 +98,14 @@ final case class JdbcSink(
     val conn = java.sql.DriverManager.getConnection(endpoint.url, p)
     try {
       val md = conn.getMetaData
+      // getTables takes a PATTERN: escape '_'/'%' or `inc_t` would
+      // match `incat` in any schema and a missing table could report
+      // present (skipping the verified-missing full-load path)
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escaped(n: String): String =
+        n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       def has(n: String): Boolean = {
-        val rs = md.getTables(null, null, n, null)
+        val rs = md.getTables(null, null, escaped(n), null)
         try rs.next() finally rs.close()
       }
       has(table) || has(table.toUpperCase) || has(table.toLowerCase)

@@ -79,6 +79,18 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(c.tables("t1") == Seq("select c from t where s = 'it''s'"))
   }
 
+  test("doubled-quote escape inside a quoted scalar does not end it") {
+    val c = SyncConfig.fromYaml(
+      """src:
+        |  host: a
+        |  password: 'ab''c # d'   # this one strips
+        |dest:
+        |  host: b
+        |""".stripMargin)
+    assert(c.src.props("password") == "ab'c # d",
+      c.src.props("password"))
+  }
+
   test("watermarks section maps tables to incremental columns") {
     val c = SyncConfig.fromYaml(
       """src:

@@ -54,6 +54,41 @@ class StatefulSessionsSpec extends SparkSpec {
       "a missing session is not a per-user final open session")
   }
 
+  test("gap-boundary event arriving after the watermark does not split the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val df = mem.toDF().toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val q = StatefulSessions.sessionize(df, gapSeconds = 30).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("boundary_out").start()
+    try {
+      // batch 1: user 1 at 10.9s (tsSecs=10); user 2 at 40.5s drives the
+      // watermark BETWEEN the naive truncated-second horizon (40.001s)
+      // and the true boundary (41s)
+      mem.addData((1L, 10L, 10900000L), (2L, 90L, 40500000L))
+      q.processAllAvailable()
+      // batch 2: user 1 extends at 40.8s — tsSecs=40, gap exactly 30
+      // seconds in truncated arithmetic -> SAME session; a horizon that
+      // ignored the truncated sub-second would have flushed already
+      mem.addData((1L, 11L, 40800000L))
+      q.processAllAvailable()
+      // advance the watermark far past every horizon to flush all state
+      mem.addData((3L, 98L, 200000000L))
+      q.processAllAvailable()
+      mem.addData((3L, 99L, 300000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("boundary_out")
+      .filter(col("user_id") === 1L).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_events") == 2L,
+      s"session split across the truncated-second boundary: ${rows.mkString(", ")}")
+  }
+
   test("gap boundary: exactly-gap events stay in one session") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
