@@ -102,20 +102,16 @@ object TextQueries {
       None),
     Q(
       "qt09_rolling_portable",
-      (s, dir) => {
+      (s, dir) =>
         // portable rolling fingerprint: min 5-char-window md5 hash —
         // the winnowing-style document fingerprint, value-oracled
         // (unlike qt05's wraparound polynomial hash, which SQL can't
-        // reproduce)
-        val norm = TextOps.normalized(col("text"))
-        val windows = transform(
-          sequence(lit(1), greatest(length(norm) - lit(4), lit(1))),
-          i => norm.substr(i, lit(5)))
+        // reproduce). Native kernel: the interpreted HOF formulation
+        // cost ~40 ms/doc (19.7 s verify at sf0.1)
         Tables.load(s, dir, "documents").select(
           col("doc_id"),
-          array_min(transform(windows, w =>
-            conv(substring(md5(w), 1, 10), 16, 10).cast("long"))).as("fp_rolling"))
-      },
+          graft.functions.MinWindowMd5(TextOps.normalized(col("text")))
+            .as("fp_rolling")),
       Some("""SELECT doc_id,
                      CAST(list_min(list_transform(
                        range(1, greatest(length(nt) - 4, 1) + 1),
