@@ -32,23 +32,35 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = benchQs.map { q =>
-      val times = (1 to runs).map { _ =>
+    // min over SUCCESSFUL runs only: a fast failure (fail-fast analysis
+    // error, OOM on run 2 of 3) must not masquerade as the benchmark
+    // number. A query with zero successful runs reports null.
+    val results: Seq[(String, Option[Double])] = benchQs.map { q =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        try {
+          q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      q.name -> (if (times.isEmpty) None else Some(times.min))
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")
+      }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
+    val failed = results.filter(_._2.isEmpty).map(_._1)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,7 +69,15 @@ object AsOfJoin {
     // inclusive-> right sorts before (included)
     val rightSideRank = if (strict) 1 else -1
 
-    val taggedRight = right.select(
+    // NULL ordering values never participate in an as-of match (a
+    // comparison-based formulation — DuckDB ASOF, l.ord >= r.ord — is
+    // never true for NULL). Without this filter a null-ord right row
+    // would sort nulls-first and become the running "last payload" for
+    // every left row in its key. Left rows with a null ord likewise
+    // match nothing: they sort before all right rows, so the running
+    // payload is still null there — no filter needed on the left side.
+    val nonNullRight = right.where(col(ord).isNotNull)
+    val taggedRight = nonNullRight.select(
       keys.map(col) ++ Seq(
         col(ord).as("__ord"),
         lit(rightSideRank).as("__side"),

@@ -50,10 +50,24 @@ object RangeJoin {
       lower: Long,
       upper: Long,
       rightPrefix: String = "r_"): DataFrame = {
-    require(upper > lower, s"empty band: [$lower, $upper]")
+    require(upper >= lower, s"empty band: [$lower, $upper]")
     require(keys.nonEmpty,
       "bandJoin needs at least one equality key (keyless bands need a " +
         "global range partitioner, not a hash join)")
+    if (upper == lower) {
+      // point band (match at one exact offset): no bucketing needed —
+      // the shifted ordinate IS an equality key, so this is a plain
+      // hash equi-join on keys :+ ordinate with zero replication
+      val rightCols = right.columns.filterNot(keys.contains)
+      return left
+        .withColumn("__ord_match", col(leftOrd) + lit(lower))
+        .join(
+          right.select(keys.map(col) ++
+            Seq(col(rightOrd).as("__ord_match")) ++
+            rightCols.map(c => right(c).as(s"$rightPrefix$c")): _*),
+          keys :+ "__ord_match")
+        .drop("__ord_match")
+    }
     val w = upper - lower
 
     // candidate buckets of the SHIFTED left ordinate: an interval of

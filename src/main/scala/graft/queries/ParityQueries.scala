@@ -570,12 +570,17 @@ object ParityQueries {
         t(s, dir, "events")
           .groupBy("user_id")
           .agg(
-            sort_array(collect_set(col("event_type"))).as("types_seen"),
+            array_join(sort_array(collect_set(col("event_type"))), ",")
+              .as("types_seen"),
             countDistinct(col("event_type")).as("n_types")),
       // sort_array makes the set aggregation order-independent — a bare
-      // collect_list/list() would be partition-order nondeterministic
+      // collect_list/list() would be partition-order nondeterministic.
+      // The sorted set is emitted JOINED TO A STRING: the comparison
+      // harness hashes scalar cells, so an array<string> column (same
+      // information) can never hash-match.
       Some("""SELECT user_id,
-                     list_sort(list(DISTINCT event_type)) AS types_seen,
+                     list_aggregate(list_sort(list(DISTINCT event_type)),
+                                    'string_agg', ',') AS types_seen,
                      count(DISTINCT event_type) AS n_types
               FROM events GROUP BY user_id""")),
 
