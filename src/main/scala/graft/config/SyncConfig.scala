@@ -109,7 +109,8 @@ object SyncConfig {
     * after whitespace, and never inside a quoted scalar — so passwords,
     * URLs with fragments, and quoted custom SQL containing '#' survive.
     * A quote only OPENS a scalar when it is the scalar's first character
-    * (right after ':', '-', or line start); mid-scalar apostrophes
+    * (right after ':', '-', a flow-collection delimiter '[' '{' ',', or
+    * line start); mid-scalar apostrophes
     * (`password: don't`) are literal, per YAML — which also means a
     * whitespace-then-'#' inside a PLAIN (unquoted) scalar truncates it,
     * exactly as real YAML does: quote the whole scalar to keep ' #'.
@@ -129,7 +130,8 @@ object SyncConfig {
           else quote = 0
         }
       } else if ((c == '"' || c == '\'') &&
-               (prevNonSpace == 0 || prevNonSpace == ':' || prevNonSpace == '-'))
+               (prevNonSpace == 0 || prevNonSpace == ':' || prevNonSpace == '-' ||
+                prevNonSpace == '[' || prevNonSpace == '{' || prevNonSpace == ','))
         quote = c
       else if (c == '#' && (i == 0 || line(i - 1).isWhitespace))
         return line.substring(0, i)

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,11 +43,11 @@ object ConnectedComponents {
     val sym = edges
       .select(col(edgeA).as("a"), col(edgeB).as("b"))
       .unionByName(edges.select(col(edgeB).as("a"), col(edgeA).as("b")))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
 
     var labels = nodes
       .select(col(nodeId).as("node"), col(nodeId).as("label"))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -57,7 +58,7 @@ object ConnectedComponents {
         .unionByName(viaNeighbor)
         .groupBy("node")
         .agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .transform(Barrier.apply)
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") =!= col("prev"))

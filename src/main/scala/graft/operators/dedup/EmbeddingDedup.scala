@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object EmbeddingDedup {
       posexplode(array((0 until numTables).map(t =>
         VectorOps.hyperplaneBucket(col("v"), dim, nbits, seed = 42L + t)): _*))
         .as(Seq("tab", "bucket")))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     // bucket self-join on ids only; vectors re-attached after pair
     // dedup so each embedding crosses the wire once per vector, not
     // once per probe-table replica (see MinHashLSH.candidatePairs)

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,14 +69,14 @@ object MinHashLSH {
     // Materialize signatures BEFORE the self-join: without a barrier the
     // join lineage re-evaluates the full minhash computation for every
     // candidate pair (quadratic recompute — the difference between
-    // seconds and hours). Eager localCheckpoint both cuts that lineage
-    // and lets the ContextCleaner free the blocks once the result plan
-    // is dropped (an explicit persist with no unpersist would accumulate
-    // across invocations). On a multi-node cluster prefer a reliable
-    // checkpoint or an explicit sketch-table write.
+    // seconds and hours). Barrier picks the materialization: eager
+    // localCheckpoint by default (blocks freed by the ContextCleaner once
+    // the result plan is dropped), or a reliable checkpoint when
+    // spark.graft.checkpointDir is set — the multi-node path, where
+    // unreplicated local blocks die with a lost executor.
     val sigs = signatures(df, text, id, p)
       .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     // the band self-join moves ONLY (band, bh, id) — signatures are
     // re-attached per side after pair dedup, so each signature crosses
     // the wire once per document instead of once per band replica

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,7 +37,7 @@ object NGramJaccard {
       block.as("blk"),
       id.as("id"),
       TextOps.tokenShingles(text, n).as("grams"))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     val a = g.select(col("blk"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = g.select(col("blk"), col("id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("blk"))

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -61,7 +62,7 @@ object PortableMinHash {
           transform(slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
             x => x.cast("string")),
           ","))))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     val buckets = sigs.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
     val a = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
     val b = buckets.select(col("band"), col("bk"), col("id").as("doc_b"))

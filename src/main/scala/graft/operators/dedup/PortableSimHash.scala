@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +31,7 @@ object PortableSimHash {
     val f = graft.operators.Parallelism.ensureMin(df)
       .select(block.as("blk"), id.as("id"),
         PortableSimHashSig(TextOps.normalized(text)).as("sh"))
-      .localCheckpoint(true)
+      .transform(Barrier.apply)
     val a = f.select(col("blk"), col("id").as("doc_a"), col("sh").as("sh_a"))
     val b = f.select(col("blk"), col("id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

@@ -1,5 +1,6 @@
 package graft.operators.dedup
 
+import graft.operators.Barrier
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +32,7 @@ object SimHashDedup {
     // materialized before the self-join so the per-doc fingerprint is
     // computed once, not once per candidate pair; localCheckpoint so the
     // blocks are freed when the result is dropped (see MinHashLSH)
-    val fps = fingerprints(df, text, id).localCheckpoint(true)
+    val fps = fingerprints(df, text, id).transform(Barrier.apply)
     val banded = fps.select(
       col("id"),
       col("sh"),

@@ -177,7 +177,15 @@ object IvfIndex {
   /** Train on (a sample of) the corpus: k-means with fixed seed and
     * iteration count — deterministic. Sample collect is bounded by
     * `sampleSize`; at 100 TB you train on a few hundred thousand rows,
-    * never the full corpus. */
+    * never the full corpus.
+    *
+    * The sample is the `sampleSize` rows smallest under a total order on
+    * `(xxhash64(v), v)` — a deterministic uniform draw (the hash acts as
+    * the PRNG) that is invariant under partition count/ordering, unlike
+    * `limit()` which takes the physically-first rows and would train
+    * centroids on one shard's distribution when a 100 TB corpus is laid
+    * out by source or time. `orderBy + limit` plans as
+    * TakeOrderedAndProject (per-partition top-k, no full sort shuffle). */
   def fit(
       df: DataFrame,
       vec: Column,
@@ -188,7 +196,10 @@ object IvfIndex {
     import org.apache.spark.sql.Row
     val sample = df
       .select(vec.cast("array<double>").as("v"))
+      .withColumn("__h", xxhash64(col("v")))
+      .orderBy(col("__h"), col("v"))
       .limit(sampleSize)
+      .select("v")
       .collect()
       .map { case Row(v: scala.collection.Seq[_]) =>
         v.map(_.asInstanceOf[Double]).toArray

@@ -470,18 +470,22 @@ object ParityQueries {
                         AS $dec) AS DOUBLE) AS moving_sum
                FROM orders""")),
 
-    // NOTE: a global (unpartitioned) window serializes onto one task —
-    // acceptable only for demonstration/small outputs; at scale, rank
-    // within natural partitions (q21/q31-q33) or zipWithIndex-style
-    // monotonically_increasing_id + offset arithmetic instead.
+    // Global ntile/row_number WITHOUT the single-task global window:
+    // GlobalOrder range-partitions on the key, ranks per partition, and
+    // adds prefix-sum offsets — identical output to the
+    // `OVER (ORDER BY ...)` formulation the oracle runs, but the plan
+    // keeps N parallel window groups (asserted in PlanShapeSpec).
     Q(
       "q34_ntile_rownum",
       (s, dir) => {
-        val w = Window.orderBy("o_orderkey")
-        t(s, dir, "orders").select(
+        import graft.operators.GlobalOrder
+        val (numbered, total) = GlobalOrder.withRowNumberCounted(
+          t(s, dir, "orders").select("o_orderkey"),
+          col("o_orderkey"), rnName = "rn")
+        numbered.select(
           col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          row_number().over(w).as("rn"))
+          GlobalOrder.ntileFromRowNumber(col("rn"), total, 4).as("quartile"),
+          col("rn").cast("int").as("rn"))
       },
       Some("""SELECT o_orderkey,
                      ntile(4) OVER (ORDER BY o_orderkey) AS quartile,

@@ -100,6 +100,56 @@ object SimilarityQueries {
       },
       Some(graft.operators.similarity.PortableIvf.oracleSql(10, 3))),
     Q(
+      "qs08_ann_recall",
+      (s, dir) => {
+        // Driver-verifiable quality gate for the two seeded-randomness ANN
+        // paths (qs03 LSH, qs04 IVF) that SQL can't reproduce: compute the
+        // quality measures INSIDE Spark against the exact brute force and
+        // emit frozen-threshold booleans the constant oracle pins down.
+        //   self_found   — the probe's own vector must be retrieved (a
+        //                  probe-vs-corpus hashing asymmetry bug flips this)
+        //   missed_le_6  — set recall vs exact top-10; random candidate
+        //                  sets at these settings would miss ~7.5 (ann,
+        //                  25% of corpus bucketed) / ~6.3 (ivf, 3/8 cells)
+        //   mass_ge_085  — retrieved cosine mass >= 85% of the exact
+        //                  top-10's (observed 0.91-0.96; random ~0.3) —
+        //                  the measure that counts on near-orthogonal data,
+        //                  where missing a top-10 member but returning the
+        //                  rank-11 substitute is barely a loss
+        import org.apache.spark.sql.DataFrame
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = probe(s, dir)
+        val bf = SimilaritySearch
+          .bruteForceTopK(emb, col("embedding"), col("vec_id"), p, 10)
+        def eval(name: String, approx: DataFrame): DataFrame = {
+          val bfMass = bf.agg(sum("cosine").as("bf_mass"))
+          val stats = approx.agg(
+            sum("cosine").as("mass"),
+            max(when(col("id") === 0, 1).otherwise(0)).as("self"))
+          val missed = bf
+            .join(approx.select("id"), Seq("id"), "left_anti")
+            .agg(count(lit(1)).as("n_missed"))
+          // three 1-row aggregates; the cross joins are trivial
+          stats.crossJoin(bfMass).crossJoin(missed).select(
+            lit(name).as("method"),
+            lit(10).as("k"),
+            (col("self") === 1).as("self_found"),
+            (col("n_missed") <= 6).as("missed_le_6"),
+            (col("mass") >= col("bf_mass") * 0.85).as("mass_ge_085"))
+        }
+        val ann = SimilaritySearch
+          .annTopK(emb, col("embedding"), col("vec_id"), p, 10,
+            dim = 64, nbits = 4, numTables = 4)
+        val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+        val ivf = index
+          .topK(emb, col("embedding"), col("vec_id"), p, 10, nprobe = 3)
+        eval("ann", ann).unionAll(eval("ivf", ivf))
+      },
+      Some("""SELECT 'ann' AS method, 10 AS k,
+                     true AS self_found, true AS missed_le_6, true AS mass_ge_085
+              UNION ALL
+              SELECT 'ivf', 10, true, true, true""")),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

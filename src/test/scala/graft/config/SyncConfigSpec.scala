@@ -91,6 +91,21 @@ class SyncConfigSpec extends AnyFunSuite {
       c.src.props("password"))
   }
 
+  test("quoted scalars inside flow collections keep their ' #'") {
+    // prev non-space before the quote is '[' / ',' — the quote must
+    // still open, so the ' #' inside stays part of the scalar and the
+    // trailing comment is what strips
+    val c = SyncConfig.fromYaml(
+      """src:
+        |  host: a
+        |  password: ['a #b', 'c']  # strip me
+        |dest:
+        |  host: b
+        |""".stripMargin)
+    assert(c.src.props("password") == "['a #b', 'c']",
+      c.src.props("password"))
+  }
+
   test("watermarks section maps tables to incremental columns") {
     val c = SyncConfig.fromYaml(
       """src:

@@ -57,6 +57,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low; got=$got")
   }
 
+  test("ivf fit is invariant under input partition count and row order") {
+    val base = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    // same rows, different physical layout: re-sharded and re-ordered —
+    // a limit()-based sample would see different "first" rows here
+    val shuffled = emb.repartition(7, col("vec_id")).sortWithinPartitions(col("vec_id").desc)
+    val again = IvfIndex.fit(shuffled, col("embedding"), numCells = 8)
+    assert(base.centroids.length == again.centroids.length)
+    base.centroids.zip(again.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroids changed under partition reordering")
+    }
+  }
+
   test("ivf cell assignment partitions the corpus completely") {
     val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
     val cells = emb.select(index.cell(col("embedding")).as("c"))

@@ -64,6 +64,19 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("EqualTo(event_type,view)"), p)
   }
 
+  test("q34: global numbering has no unpartitioned window") {
+    val p = plan("q34_ntile_rownum")
+    // every Window node must carry a partition spec — a bare
+    // `Window [...ORDER BY...]` with no partitioning is the
+    // all-rows-on-one-task shape this query was rebuilt to avoid
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"expected a per-partition window:\n$p")
+    winLines.foreach { l =>
+      assert(l.contains("__pid"),
+        s"window not partitioned (global single-task window):\n$l")
+    }
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
