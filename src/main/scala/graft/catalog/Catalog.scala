@@ -109,7 +109,7 @@ final class ParquetCatalog(dir: String) extends FileCatalog(dir, "parquet")
   * portable: getTables(type=TABLE) ≈ its BASE TABLE filter,
   * getPrimaryKeys ≈ its key_column_usage scan (KEY_SEQ = ordinal).
   */
-final class JdbcCatalog(endpoint: Endpoint, schema: Option[String] = None)
+final class JdbcCatalog(val endpoint: Endpoint, schema: Option[String] = None)
     extends Catalog {
 
   private def withConn[A](f: Connection => A): A = {
@@ -178,5 +178,38 @@ final class JdbcCatalog(endpoint: Endpoint, schema: Option[String] = None)
     val st = conn.createStatement()
     try st.execute(sql)
     finally st.close()
+  }
+
+  /** All statements on one connection inside one transaction: commit
+    * on success, rollback + rethrow on any failure — the reference's
+    * per-table Begin/Commit/Rollback (cmd/tablemeta.go:56,93-95). */
+  def executeTxn(statements: Seq[String]): Unit = withConn { conn =>
+    conn.setAutoCommit(false)
+    try {
+      val st = conn.createStatement()
+      try statements.foreach(st.execute)
+      finally st.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback()
+        catch { case _: java.sql.SQLException => () }
+        throw e
+    }
+  }
+
+  /** Catalog-level existence via JDBC metadata, pattern-escaped (same
+    * rationale as JdbcSink.exists: never error-driven, `_`/`%` in the
+    * name must not wildcard). */
+  def tableExists(table: String): Boolean = withConn { conn =>
+    val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def escaped(n: String): String =
+      n.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    def has(n: String): Boolean = {
+      val rs = md.getTables(null, schema.orNull, escaped(n), null)
+      try rs.next() finally rs.close()
+    }
+    has(table) || has(table.toUpperCase) || has(table.toLowerCase)
   }
 }

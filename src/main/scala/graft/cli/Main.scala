@@ -48,10 +48,11 @@ object Main {
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))))
       .getOrElse(SyncConfig(Endpoint("parquet:/root/testdata/sf0.001"), Endpoint("parquet:/tmp/graft_out")))
 
-    // reference O4: cooperative cancel of in-flight work on shutdown
-    sys.addShutdownHook {
-      if (!spark.sparkContext.isStopped) spark.sparkContext.cancelAllJobs()
-    }
+    // reference O4: cooperative cancel of in-flight work on shutdown,
+    // plus server-side KILL QUERY of tagged statements still executing
+    // inside any MySQL-wire endpoint (cmd/app.go:161-191)
+    graft.sync.Jobs.armShutdownCancel(spark,
+      Seq(cfg.src, cfg.dest).filter(e => graft.sync.Jobs.isMySqlWire(e.url)))
 
     val t0 = System.nanoTime()
     cmd match {

@@ -360,4 +360,33 @@ object Compare {
 object DdlReplay {
   def replay(target: JdbcCatalog, ddl: Seq[String]): Unit =
     ddl.foreach(target.execute)
+
+  /** Per-table replay with the reference's full choreography
+    * (cmd/tablemeta.go:56-95), one transaction per table:
+    *
+    *   1. MySQL-wire targets: `SET FOREIGN_KEY_CHECKS=0` so create
+    *      order doesn't matter, then `drop table if exists ... cascade`;
+    *      other dialects: a metadata-probed plain `DROP TABLE` (Derby
+    *      and friends have neither IF EXISTS of that shape nor FK
+    *      toggles);
+    *   2. the CREATE statement;
+    *   3. commit — rollback and rethrow on any failure, so a botched
+    *      replay never leaves the target half-dropped.
+    */
+  def replayTable(target: JdbcCatalog, table: String, createSql: String): Unit =
+    target.executeTxn(
+      prologue(Jobs.isMySqlWire(target.endpoint.url), table,
+        target.tableExists(table)) :+ createSql)
+
+  /** The statements that precede the CREATE; split out so the dialect
+    * choreography is unit-testable without a MySQL server. `exists` is
+    * only consulted on the non-MySQL path (MySQL's IF EXISTS makes the
+    * probe redundant). */
+  def prologue(mysqlWire: Boolean, table: String, exists: => Boolean): Seq[String] =
+    if (mysqlWire)
+      Seq(
+        "SET FOREIGN_KEY_CHECKS=0",
+        s"drop table if exists `$table` cascade")
+    else if (exists) Seq(s"DROP TABLE $table")
+    else Seq.empty
 }

@@ -122,4 +122,32 @@ class JdbcDerbySpec extends SparkSpec {
     assert(!target.listTables(Seq("skipme")).contains("skipme"))
     assert(target.listTables().contains("skipme"))
   }
+
+  test("replayTable drops-and-recreates; a failed replay rolls back") {
+    val create = "CREATE TABLE replay_t (id INT, v VARCHAR(8))"
+    // fresh target: no drop needed, plain create
+    DdlReplay.replayTable(target, "replay_t", create)
+    target.execute("INSERT INTO replay_t VALUES (1, 'a')")
+    // existing target: metadata-probed drop + recreate in one txn —
+    // the old rows must be gone
+    DdlReplay.replayTable(target, "replay_t", create)
+    assert(target.rowCount(spark, "replay_t") == 0)
+    // failed create: the drop that preceded it must roll back, leaving
+    // the previous table (and its rows) intact
+    target.execute("INSERT INTO replay_t VALUES (2, 'b')")
+    intercept[java.sql.SQLException] {
+      DdlReplay.replayTable(target, "replay_t", "CREATE TABLE replay_t (broken")
+    }
+    assert(target.tableExists("replay_t"),
+      "failed replay must not leave the target dropped")
+    assert(target.rowCount(spark, "replay_t") == 1)
+  }
+
+  test("replay prologue: MySQL-wire gets FK-off + drop-if-exists, others probe") {
+    assert(DdlReplay.prologue(mysqlWire = true, "t1", exists = sys.error("not consulted")) ==
+      Seq("SET FOREIGN_KEY_CHECKS=0", "drop table if exists `t1` cascade"))
+    assert(DdlReplay.prologue(mysqlWire = false, "t1", exists = true) ==
+      Seq("DROP TABLE t1"))
+    assert(DdlReplay.prologue(mysqlWire = false, "t1", exists = false).isEmpty)
+  }
 }
