@@ -12,7 +12,8 @@ import graft.operators.dedup._
   * paths (qd03-qd06, qd08-qd09) keep rows-only checks — their hash
   * families are faster but not SQL-reproducible — with value-level
   * assertions in DedupSpec and algorithm-level oracles via their
-  * portable twins.
+  * portable twins — plus qd17, an in-Spark estimate-vs-exact quality
+  * gate on the FNV MinHash path pinned by a constant oracle.
   */
 object DedupQueries {
 
@@ -236,6 +237,41 @@ object DedupQueries {
            |FROM sig, (SELECT unnest(range(1, ${PortableMinHash.numHashes + 1})) AS i)
            |GROUP BY source, i""".stripMargin
       }),
+    Q(
+      "qd17_minhash_quality",
+      (s, dir) => {
+        // Driver-verifiable quality gate for the seeded FNV MinHash path
+        // (qd03/qd04), the same pattern as qs08 for ANN: for every LSH
+        // candidate pair, compare the 48-hash signature estimate to the
+        // exact char-shingle Jaccard computed in-Spark, and emit
+        // frozen-threshold booleans the constant oracle pins down.
+        // Observed: mae 0.015-0.026, max err 0.03-0.30 (the max is
+        // est>=threshold selection bias, not estimator spread; k=48 has
+        // per-pair sigma ~0.07 at J=0.5). Bounds frozen at ~3x margin.
+        val p = MinHashLSH.Params()
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = MinHashLSH.candidatePairs(docs, col("text"), col("doc_id"), p)
+        val sh = docs.select(col("doc_id"),
+          graft.operators.TextOps.charShingles(col("text"), p.shingleSize).as("sh"))
+        val joined = pairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("exact",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .withColumn("abs_err", abs(col("est_jaccard") - col("exact")))
+        joined
+          .agg(
+            count(lit(1)).as("n"),
+            avg("abs_err").as("mae"),
+            max("abs_err").as("maxe"))
+          .select(
+            (col("n") >= 1).as("found_pairs"),
+            (col("mae") <= 0.08).as("mae_le_008"),
+            (col("maxe") <= 0.40).as("maxe_le_040"))
+      },
+      Some("""SELECT true AS found_pairs, true AS mae_le_008,
+                     true AS maxe_le_040""")),
     Q(
       "qd08_embedding_dup_pairs",
       (s, dir) => {
