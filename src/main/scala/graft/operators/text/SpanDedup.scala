@@ -1,0 +1,103 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Barrier, TextOps}
+
+/** Exact duplicated-span detection — the substring-level complement of
+  * document-level dedup (reference has nothing like it; this is the
+  * "dedup training data at the span level" step of an LLM corpus
+  * pipeline, after whole-doc and near-dup passes).
+  *
+  * A span is a token n-gram. A span is DUPLICATED when it occurs in at
+  * least `minDocs` distinct documents; a document's `dup_ratio` is the
+  * fraction of its distinct spans that are duplicated. High-ratio
+  * documents are boilerplate/template copies that near-dup sketches can
+  * miss when the copied region is a small part of a long document.
+  *
+  * Scale shape: one explode to (doc, md5(span)) rows — narrow, the md5
+  * replaces the n-token text so span bytes never shuffle — then one
+  * hash aggregation for the shared-span set and one hash join back.
+  * Nothing quadratic; the span table is the same cardinality class as
+  * the token stream itself. The exploded table crosses a [[Barrier]]
+  * because both the aggregation and the join consume it.
+  *
+  * Portable by construction: spans hash with md5 over the same
+  * normalized text both engines see, so the whole profile is
+  * DuckDB-oracle-able (no seeded families anywhere).
+  */
+object SpanDedup {
+
+  /** md5 keys of the document's DISTINCT token n-gram spans. Documents
+    * shorter than `n` tokens contribute their whole token stream as one
+    * span (the `greatest(len-n+1, 1)` convention shared with
+    * [[TextOps.charShingles]]). */
+  def spanKeys(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Per-document span profile:
+    * (id, n_spans, shared_spans, dup_ratio rounded to 4). */
+  def spanProfile(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val exploded = Barrier(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), explode(spanKeys(text, n)).as("g")))
+    val shared = exploded
+      .groupBy("g")
+      .agg(countDistinct("id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("g"), lit(1).as("sh"))
+    exploded
+      .join(shared, Seq("g"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("sh")).as("shared_spans"))
+      .withColumn("dup_ratio",
+        round(col("shared_spans").cast("double") / col("n_spans"), 4))
+  }
+
+  /** Documents whose duplicated-span ratio stays at or below
+    * `maxRatio` — the keep-side filter for span-level cleaning. */
+  def dropSpanHeavy(
+      df: DataFrame,
+      text: Column,
+      idCol: String,
+      maxRatio: Double,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val heavy = spanProfile(df, text, col(idCol), n, minDocs)
+      .filter(col("dup_ratio") > maxRatio)
+      .select(col("id").as(idCol))
+    df.join(heavy, Seq(idCol), "left_anti")
+  }
+
+  /** The DuckDB formulation of [[spanProfile]] — same normalization,
+    * same md5 span keys, same greatest() short-doc convention. */
+  def oracleSql(n: Int = 8, minDocs: Int = 2): String =
+    s"""WITH nrm AS (SELECT doc_id,
+       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |             FROM documents),
+       |t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
+       |g AS (SELECT doc_id,
+       |        list_distinct(list_transform(
+       |          range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |          i -> md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))) AS gs
+       |      FROM t),
+       |e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+       |s AS (SELECT g FROM e GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs)
+       |SELECT e.doc_id AS id, count(*) AS n_spans, count(s.g) AS shared_spans,
+       |       round(count(s.g)::DOUBLE / count(*), 4) AS dup_ratio
+       |FROM e LEFT JOIN s ON e.g = s.g
+       |GROUP BY e.doc_id""".stripMargin
+}

@@ -261,6 +261,17 @@ object TextQueries {
                     FROM documents)
               SELECT r.doc_id, term AS top_term, n AS top_n, n_tokens,
                      CAST(n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rep_ratio
-              FROM r JOIN l ON r.doc_id = l.doc_id WHERE rn = 1"""))
+              FROM r JOIN l ON r.doc_id = l.doc_id WHERE rn = 1""")),
+
+    Q(
+      "qt13_dup_spans",
+      // span-level exact dedup signal (the substring complement of
+      // qd01/qd03): per document, the share of its distinct token
+      // 8-grams that occur in >= 2 documents — md5 span keys on both
+      // engines, fully value-oracled
+      (s, dir) =>
+        graft.operators.text.SpanDedup.spanProfile(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
+      Some(graft.operators.text.SpanDedup.oracleSql()))
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.text.SpanDedup
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 and 2 share their first 10 tokens (3 shared 8-gram spans);
+  // doc 3 is disjoint; doc 4 is shorter than a span
+  private val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+  private lazy val docs = Seq(
+    (1L, s"$shared alpha beta gamma"),
+    (2L, s"$shared delta epsilon zeta"),
+    (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+    (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("profile counts spans and flags only cross-document ones") {
+    val p = SpanDedup.spanProfile(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val byId = p.map(r => r._1 -> r).toMap
+    // 13 tokens -> 6 distinct 8-gram positions per long doc
+    assert(byId(1L)._2 == 6 && byId(2L)._2 == 6)
+    // spans fully inside the shared 10-token prefix: positions 1..3
+    assert(byId(1L)._3 == 3 && byId(2L)._3 == 3)
+    assert(byId(1L)._4 == 0.5)
+    // disjoint doc: 5 spans, none shared
+    assert(byId(3L) == ((3L, 5L, 0L, 0.0)))
+    // short doc: the whole stream is its single span
+    assert(byId(4L) == ((4L, 1L, 0L, 0.0)))
+  }
+
+  test("dropSpanHeavy removes only documents above the ratio") {
+    val kept = SpanDedup
+      .dropSpanHeavy(docs, col("text"), "doc_id", maxRatio = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(3L, 4L)))
+    val all = SpanDedup
+      .dropSpanHeavy(docs, col("text"), "doc_id", maxRatio = 0.5)
+      .count()
+    assert(all == 4, "ratio exactly at the bound is kept")
+  }
+
+  test("span keys are order-sensitive and duplicate-free") {
+    val ks = docs.filter(col("doc_id") === 1)
+      .select(SpanDedup.spanKeys(col("text"), 8).as("ks"))
+      .as[Seq[String]].head()
+    assert(ks.distinct.size == ks.size)
+  }
+}
