@@ -1,0 +1,60 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic symmetric int8 quantization of embedding columns —
+  * the storage-side step of a 100 TB vector pipeline (4× smaller than
+  * float32 at little recall cost; dot products stay integer until the
+  * final rescale).
+  *
+  * Determinism across engines is by construction: `scale = 127 /
+  * max(|x|)` uses only IEEE divide on identical inputs, and each code
+  * is `floor(x·scale + 0.5)` — multiply, add, floor are all exactly
+  * rounded operations, so the codes are bit-identical anywhere IEEE
+  * doubles are (unlike `round()`, whose half-way tie mode differs
+  * between engines). Zero vectors quantize to all-zero with scale 0.
+  */
+object Quantize {
+
+  /** Per-element int8 codes (as longs) for an `array<float>` column. */
+  def codes(vec: Column, scale: Column): Column =
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)))
+
+  /** 127 / max(|x|), 0 for the all-zero vector. */
+  def scaleFor(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+  }
+
+  /** Per-vector quantization summary: scale (rounded 6) and exact
+    * integer checksums of the codes — the oracle-able witness that the
+    * full code arrays agree without shipping 64 columns. */
+  def profile(df: DataFrame, vec: Column, id: Column): DataFrame =
+    df.withColumn("__scale", scaleFor(vec))
+      .select(
+        id.as("id"),
+        round(col("__scale"), 6).as("scale"),
+        aggregate(codes(vec, col("__scale")), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("q_sum"),
+        array_min(codes(vec, col("__scale"))).cast("long").as("q_min"),
+        array_max(codes(vec, col("__scale"))).cast("long").as("q_max"))
+
+  /** DuckDB twin of [[profile]] over the `embeddings` table. */
+  def oracleSql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, embedding,
+      |         CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+      |              THEN 0.0
+      |              ELSE 127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+      |         END AS scale
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, scale,
+      |        list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)) AS qs
+      |      FROM sc)
+      |SELECT vec_id AS id, round(scale, 6) AS scale,
+      |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |       CAST(list_min(qs) AS BIGINT) AS q_min,
+      |       CAST(list_max(qs) AS BIGINT) AS q_max
+      |FROM q""".stripMargin
+}

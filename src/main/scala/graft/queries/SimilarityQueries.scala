@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.similarity.{IvfIndex, SimilaritySearch}
+import graft.operators.similarity.{IvfIndex, Quantize, SimilaritySearch}
 
 /** Similarity-search inventory over `embeddings`. The exact queries
   * (brute force, batch top-k) ARE oracled: both engines fold the dot
@@ -149,6 +149,16 @@ object SimilarityQueries {
                      true AS self_found, true AS missed_le_6, true AS mass_ge_085
               UNION ALL
               SELECT 'ivf', 10, true, true, true""")),
+    Q(
+      "qs09_quantize_profile",
+      // int8 quantization witness: per-vector scale + exact integer
+      // checksums of the codes; floor(x*scale + 0.5) is bit-identical
+      // on both engines (see Quantize), so this is a full value oracle
+      // for the storage-side quantization path
+      (s, dir) =>
+        Quantize.profile(
+          Tables.load(s, dir, "embeddings"), col("embedding"), col("vec_id")),
+      Some(Quantize.oracleSql)),
     Q(
       "qs05_topk_batch",
       (s, dir) => {

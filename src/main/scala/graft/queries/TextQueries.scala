@@ -264,6 +264,50 @@ object TextQueries {
               FROM r JOIN l ON r.doc_id = l.doc_id WHERE rn = 1""")),
 
     Q(
+      "qt14_tfidf_top_terms",
+      // TF-IDF signature terms per source: tf over the source's token
+      // stream, idf = ln(N_docs / doc-frequency). The RANK runs on the
+      // ROUNDED score, so a last-ulp ln() difference between engines
+      // cannot reorder rows; rounded-score ties break by term. Corpus
+      // size is computed in-plan (broadcast 1-row aggregate), not
+      // driver-side.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val terms = docs.select(
+          col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        val dfd = terms.groupBy("term").agg(countDistinct("doc_id").as("dfd"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(dfd, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("dfd")), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("score").desc, col("term"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select("source", "term", "tf", "dfd", "score")
+      },
+      Some("""WITH nrm AS (SELECT doc_id, source,
+                            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+                          FROM documents),
+              tk AS (SELECT doc_id, source, unnest(string_split(nt, ' ')) AS term
+                     FROM nrm),
+              tf AS (SELECT source, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+              dfd AS (SELECT term, count(DISTINCT doc_id) AS dfd FROM tk GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              sc AS (SELECT source, tf.term AS term, tf, dfd,
+                            round(tf * ln(n_docs::DOUBLE / dfd), 4) AS score
+                     FROM tf JOIN dfd ON tf.term = dfd.term, n),
+              r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rn
+                    FROM sc)
+              SELECT source, term, tf, dfd, score FROM r WHERE rn <= 5""")),
+
+    Q(
       "qt13_dup_spans",
       // span-level exact dedup signal (the substring complement of
       // qd01/qd03): per document, the share of its distinct token
