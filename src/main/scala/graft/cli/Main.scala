@@ -71,7 +71,12 @@ object Main {
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
         val tables = catalog.listTables(cfg.exclude)
-        val rows = Compare.countCompare(spark, catalog, sink, tables)
+        // --content upgrades the reference's count-only check to the
+        // one-pass checksum content compare
+        val rows =
+          if (args.contains("--content"))
+            Compare.contentCompare(spark, catalog, sink, tables)
+          else Compare.countCompare(spark, catalog, sink, tables)
         println(table(
           Seq("Table", "SourceRows", "DestRows", "DestIsExist", "IsOk") +:
             rows.map(r => Seq(r.table_name, r.src_rows.toString, r.dest_rows.toString,

@@ -339,6 +339,39 @@ object Compare {
     df.agg(sums.head, sums.tail: _*)
   }
 
+  /** Per-table CONTENT compare — the mode the reference cannot do: one
+    * order-independent checksum pass per side (see [[contentChecksum]])
+    * plus the count check. One aggregation scan each side regardless of
+    * table width; at 100 TB this is the affordable cross-system
+    * verification (two exceptAll scans would shuffle the whole table
+    * twice). A dest read/checksum failure reports NO/NO like the
+    * reference's error conflation — but only after a real existence
+    * probe. */
+  def contentCompare(
+      spark: SparkSession,
+      src: Catalog,
+      sink: Sink,
+      tables: Seq[String]): Seq[CompareRow] =
+    tables.map { t =>
+      val s = Normalize.lowercaseColumns(src.read(spark, t))
+      val cols = s.columns.sorted.toIndexedSeq
+      val srcCnt = src.rowCount(spark, t)
+      val destCnt = sink.rowCount(spark, t)
+      val ok =
+        destCnt.contains(srcCnt) && {
+          try {
+            val d = Normalize.lowercaseColumns(sink.readBack(spark, t))
+            contentChecksum(s, cols).head() == contentChecksum(d, cols).head()
+          } catch { case _: Exception => false }
+        }
+      CompareRow(
+        t,
+        srcCnt,
+        destCnt.getOrElse(-1L),
+        if (destCnt.isDefined) "YES" else "NO",
+        if (ok) "YES" else "NO")
+    }
+
   /** Content equality: both directions of exceptAll are empty. Stronger
     * than the reference's count check; distributed (no collect of data,
     * only of the two difference counts). */

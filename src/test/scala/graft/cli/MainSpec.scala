@@ -58,6 +58,32 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("compare", "--config", cfg), spark) > 0)
   }
 
+  test("compare --content catches a same-count content mutation") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_cli_out3").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |exclude: lineitem orders events documents embeddings part customer supplier nation
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) == 0)
+    // mutate one region row, keep the row count — the count compare
+    // stays green, the content compare must go red
+    val mutated = spark.read.parquet(s"$out/region.parquet")
+      .withColumn("r_name",
+        when(col("r_regionkey") === 0, lit("MUTATED")).otherwise(col("r_name")))
+    val tmp = Files.createTempDirectory("graft_cli_mut").toString
+    mutated.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$out/region.parquet")
+    assert(Main.run(Array("compare", "--config", cfg), spark) == 0,
+      "count compare cannot see the mutation")
+    assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) > 0,
+      "content compare must see the mutation")
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }

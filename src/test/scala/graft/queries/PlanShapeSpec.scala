@@ -77,6 +77,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("qt13: span table is materialized once; joins stay hash joins") {
+    val p = plan("qt13_dup_spans")
+    // the explode ran once, behind the Barrier — both the shared-set
+    // aggregation and the join-back read the materialized span table,
+    // so no Generate (explode) may appear in the final plan
+    assert(!p.contains("Generate"),
+      s"span explode re-evaluated instead of read from the barrier:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span join degraded to nested loop:\n$p")
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
