@@ -82,22 +82,32 @@ object SpanDedup {
     df.join(heavy, Seq(idCol), "left_anti")
   }
 
-  /** The DuckDB formulation of [[spanProfile]] — same normalization,
-    * same md5 span keys, same greatest() short-doc convention. */
-  def oracleSql(n: Int = 8, minDocs: Int = 2): String =
-    s"""WITH nrm AS (SELECT doc_id,
-       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
-       |             FROM documents),
-       |t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
-       |g AS (SELECT doc_id,
+  /** The CTE chain of [[spanProfile]] rooted on `from` (a table or
+    * prior CTE with doc_id + text), ending in
+    * `span_prof(id, n_spans, shared_spans, dup_ratio)` — spliceable
+    * into composed pipelines (see CorpusPipeline). Same normalization,
+    * same md5 span keys, same greatest() short-doc convention as the
+    * Spark side. */
+  def profileCtes(from: String, n: Int = 8, minDocs: Int = 2): String =
+    s"""sd_nrm AS (SELECT doc_id,
+       |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |           FROM $from),
+       |sd_t AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM sd_nrm),
+       |sd_g AS (SELECT doc_id,
        |        list_distinct(list_transform(
        |          range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
        |          i -> md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))) AS gs
-       |      FROM t),
-       |e AS (SELECT doc_id, unnest(gs) AS g FROM g),
-       |s AS (SELECT g FROM e GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs)
-       |SELECT e.doc_id AS id, count(*) AS n_spans, count(s.g) AS shared_spans,
-       |       round(count(s.g)::DOUBLE / count(*), 4) AS dup_ratio
-       |FROM e LEFT JOIN s ON e.g = s.g
-       |GROUP BY e.doc_id""".stripMargin
+       |      FROM sd_t),
+       |sd_e AS (SELECT doc_id, unnest(gs) AS g FROM sd_g),
+       |sd_s AS (SELECT g FROM sd_e GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+       |span_prof AS (
+       |  SELECT sd_e.doc_id AS id, count(*) AS n_spans, count(sd_s.g) AS shared_spans,
+       |         round(count(sd_s.g)::DOUBLE / count(*), 4) AS dup_ratio
+       |  FROM sd_e LEFT JOIN sd_s ON sd_e.g = sd_s.g
+       |  GROUP BY sd_e.doc_id)""".stripMargin
+
+  /** The standalone DuckDB formulation of [[spanProfile]]. */
+  def oracleSql(n: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${profileCtes("documents", n, minDocs)}
+       |SELECT id, n_spans, shared_spans, dup_ratio FROM span_prof""".stripMargin
 }

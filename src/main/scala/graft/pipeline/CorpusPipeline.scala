@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps
 import graft.operators.dedup.PortableMinHash
-import graft.operators.text.{CorpusOps, TextAnalysis}
+import graft.operators.text.{CorpusOps, SpanDedup, TextAnalysis}
 
 /** The end-to-end training-data curation pipeline, composed from the
   * library's own operators in the order a real corpus run uses them:
@@ -57,6 +57,38 @@ object CorpusPipeline {
     val d2 = PortableMinHash.dedupKeepFirst(d1, col("text"), "doc_id", simThreshold)
     // 3. quality gate
     d2.filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+  }
+
+  /** The span-level curation variant (query qp02): drop documents
+    * whose duplicated-span ratio exceeds `maxRatio` (boilerplate /
+    * template copies the doc-level passes miss), then the token-count
+    * quality gate, then per-source corpus stats. Two hash shuffles
+    * (span table + final group-by) — nothing quadratic. */
+  def spanCurateStats(
+      docs: DataFrame,
+      maxRatio: Double = 0.5,
+      minTokens: Int = 20): DataFrame =
+    SpanDedup.dropSpanHeavy(docs, col("text"), "doc_id", maxRatio)
+      .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .cast("bigint").as("total_tokens"))
+
+  /** DuckDB rendition of [[spanCurateStats]] — the span-profile CTEs
+    * spliced ahead of the filter + stats stages. */
+  def spanOracleSql(maxRatio: Double = 0.5, minTokens: Int = 20): String = {
+    val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""WITH ${SpanDedup.profileCtes("documents")},
+       |heavy AS (SELECT id FROM span_prof WHERE dup_ratio > $maxRatio),
+       |kept AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT id FROM heavy)
+       |    AND $toks >= $minTokens)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
+       |FROM kept GROUP BY source""".stripMargin
   }
 
   /** The DuckDB rendition of the whole pipeline — stage CTEs spliced

@@ -12,6 +12,10 @@ object PipelineQueries {
     Q(
       "qp01_corpus_curation",
       (s, dir) => CorpusPipeline.curateStats(Tables.load(s, dir, "documents")),
-      Some(CorpusPipeline.oracleSql()))
+      Some(CorpusPipeline.oracleSql())),
+    Q(
+      "qp02_span_curation",
+      (s, dir) => CorpusPipeline.spanCurateStats(Tables.load(s, dir, "documents")),
+      Some(CorpusPipeline.spanOracleSql()))
   )
 }
