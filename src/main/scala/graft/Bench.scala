@@ -35,7 +35,12 @@ object Bench {
     // min over SUCCESSFUL runs only: a fast failure (fail-fast analysis
     // error, OOM on run 2 of 3) must not masquerade as the benchmark
     // number. A query with zero successful runs reports null.
-    val results: Seq[(String, Option[Double])] = benchQs.map { q =>
+    // The headline stays MIN (comparable across rounds), but the full
+    // min/median/max spread is emitted alongside: a regression moves
+    // the MIN, machine turbulence widens the SPREAD — round 4's 2.6x
+    // q01 "regression" (min 1.73 s under end-of-round load, back to
+    // 0.53 s re-measured quiet) was indistinguishable without it.
+    val results: Seq[(String, Seq[Double])] = benchQs.map { q =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -47,20 +52,27 @@ object Bench {
             None
         }
       }
-      q.name -> (if (times.isEmpty) None else Some(times.min))
+      q.name -> times.sorted
     }
+    def j(ts: Seq[Double], f: Seq[Double] => Double): String =
+      if (ts.isEmpty) "null" else f"${f(ts)}%.3f"
     val qs = results
-      .map { case (k, v) =>
-        "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")
+      .map { case (k, ts) => "\"" + k + "\":" + j(ts, _.min) }
+      .mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, ts) =>
+        val med = j(ts, s => s(s.size / 2))
+        "\"" + k + "\":{\"min\":" + j(ts, _.min) + ",\"med\":" + med +
+          ",\"max\":" + j(ts, _.max) + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.minOption).sum
     val failed = results.filter(_._2.isEmpty).map(_._1)
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,13 @@ object GraftSession {
       // reader rejects by default; read as raw ns longs and convert in
       // Tables.load (exact integer µs division)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (Barrier with spark.graft.checkpointDir
+      // set) are one-shot sketch materializations: let the
+      // ContextCleaner delete them once their RDD is GC'd instead of
+      // accumulating one full table copy per Barrier call. Read at
+      // SparkContext construction, so it must be set here, not at
+      // Barrier time.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
   }
 
   /** Local session for tests/tools; cluster deployments use spark-submit

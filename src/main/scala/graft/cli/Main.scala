@@ -50,9 +50,11 @@ object Main {
 
     // reference O4: cooperative cancel of in-flight work on shutdown,
     // plus server-side KILL QUERY of tagged statements still executing
-    // inside any MySQL-wire endpoint (cmd/app.go:161-191)
-    graft.sync.Jobs.armShutdownCancel(spark,
-      Seq(cfg.src, cfg.dest).filter(e => graft.sync.Jobs.isMySqlWire(e.url)))
+    // inside any MySQL-wire endpoint (cmd/app.go:161-191). Armed only
+    // for the duration of the command — the bracket disarms on exit so
+    // repeated run() calls never accumulate hook threads.
+    graft.sync.Jobs.withShutdownCancel(spark,
+      Seq(cfg.src, cfg.dest).filter(e => graft.sync.Jobs.isMySqlWire(e.url))) {
 
     val t0 = System.nanoTime()
     cmd match {
@@ -111,6 +113,7 @@ object Main {
       case other =>
         println(s"unknown command '$other'; usage: graft <sync|compare|create-table|version> --config cfg.yml")
         2
+    }
     }
   }
 

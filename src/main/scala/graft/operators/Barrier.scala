@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Lineage barrier for sketch tables that are about to be self-joined
@@ -19,31 +22,60 @@ import org.apache.spark.sql.DataFrame
   *     right barrier for 1000-executor runs where losing one of the
   *     32+ hosts mid-LSH is routine, at the cost of a write+read
   *     round trip through the checkpoint store.
+  *
+  * Retention: checkpoint data is written under a per-application UUID
+  * subdirectory of the configured base. Individual checkpoints are
+  * reclaimed by the ContextCleaner when their RDD is GC'd
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`, a
+  * GraftSession default — it must be set at context construction, so
+  * arm it yourself on hand-built sessions), and the whole UUID subdir
+  * is deleted by a JVM shutdown hook as a backstop; without both, an
+  * iterative caller (ConnectedComponents loops a Barrier per round)
+  * would accumulate one full table copy per round forever.
   */
 object Barrier {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Last-applied ConfKey VALUE — compared by equality, not by
+    * substring of the resolved UUID path, so a config change between
+    * dirs where one name prefixes the other still re-points the
+    * checkpoint location. */
+  private val applied = new AtomicReference[String](null)
+
+  private val cleanupArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir appends a fresh UUID subdir on every call —
-        // only (re)set when unset or when the configured base changed
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(stripScheme(dir))))
+        // setCheckpointDir appends a fresh UUID subdir on every call —
+        // only (re)apply when unset or the configured base changed
+        if (applied.getAndSet(dir) != dir || sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(dir)
+          armCleanup(sc)
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)
     }
   }
 
-  private def stripScheme(dir: String): String = {
-    val noScheme = dir.indexOf("://") match {
-      case -1 => dir
-      case i  => dir.substring(i + 3)
+  /** Delete this application's resolved UUID checkpoint subdir on JVM
+    * exit — the backstop for checkpoints the ContextCleaner never got
+    * to (e.g. still-referenced results at shutdown). */
+  private def armCleanup(sc: SparkContext): Unit =
+    sc.getCheckpointDir.foreach { resolved =>
+      if (cleanupArmed.add(resolved)) {
+        val conf = sc.hadoopConfiguration
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val p = new org.apache.hadoop.fs.Path(resolved)
+            p.getFileSystem(conf).delete(p, true)
+          } catch { case _: Throwable => () }
+        }))
+      }
     }
-    noScheme.stripSuffix("/")
-  }
 }

@@ -29,16 +29,20 @@ object Quantize {
 
   /** Per-vector quantization summary: scale (rounded 6) and exact
     * integer checksums of the codes — the oracle-able witness that the
-    * full code arrays agree without shipping 64 columns. */
+    * full code arrays agree without shipping 64 columns. The code array
+    * materializes ONCE per row (`__q`): Catalyst does not CSE
+    * higher-order-function lambdas, so inlining `codes(...)` into the
+    * three summaries would quantize every embedding three times. */
   def profile(df: DataFrame, vec: Column, id: Column): DataFrame =
     df.withColumn("__scale", scaleFor(vec))
+      .withColumn("__q", codes(vec, col("__scale")))
       .select(
         id.as("id"),
         round(col("__scale"), 6).as("scale"),
-        aggregate(codes(vec, col("__scale")), lit(0L),
+        aggregate(col("__q"), lit(0L),
           (acc, x) => acc + x.cast("long")).as("q_sum"),
-        array_min(codes(vec, col("__scale"))).cast("long").as("q_min"),
-        array_max(codes(vec, col("__scale"))).cast("long").as("q_max"))
+        array_min(col("__q")).cast("long").as("q_min"),
+        array_max(col("__q")).cast("long").as("q_max"))
 
   /** DuckDB twin of [[profile]] over the `embeddings` table. */
   def oracleSql: String =

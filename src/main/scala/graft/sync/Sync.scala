@@ -77,17 +77,20 @@ final case class JdbcSink(
     val p = new Properties()
     endpoint.props.foreach { case (k, v) => p.setProperty(k, v) }
     p.setProperty("batchsize", batchRowSize.toString)
+    // the JDBC writer's own connection cap: it coalesces to at most
+    // this many write partitions — the declarative form of a
+    // `df.rdd.getNumPartitions` probe + manual coalesce, without
+    // forcing an early plan-to-RDD conversion that bypasses AQE
+    p.setProperty("numPartitions", numPartitions.toString)
     p
   }
-  private def capped(df: DataFrame): DataFrame =
-    if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions) else df
   override def overwrite(df: DataFrame, table: String): Unit =
-    capped(df).write
+    df.write
       .mode(SaveMode.Overwrite)
       .option("truncate", "true")
       .jdbc(endpoint.url, table, props)
   override def append(df: DataFrame, table: String): Unit =
-    capped(df).write.mode(SaveMode.Append).jdbc(endpoint.url, table, props)
+    df.write.mode(SaveMode.Append).jdbc(endpoint.url, table, props)
   override def readBack(spark: SparkSession, table: String): DataFrame =
     Normalize.lowercaseColumns(spark.read.jdbc(endpoint.url, table, props))
   /** Catalog-level existence via JDBC metadata (never error-driven). */
@@ -403,8 +406,15 @@ object DdlReplay {
     *      and friends have neither IF EXISTS of that shape nor FK
     *      toggles);
     *   2. the CREATE statement;
-    *   3. commit — rollback and rethrow on any failure, so a botched
-    *      replay never leaves the target half-dropped.
+    *   3. commit — rollback and rethrow on any failure.
+    *
+    * The rollback guarantee ("a botched replay never leaves the target
+    * half-dropped") holds only on dialects with TRANSACTIONAL DDL
+    * (Derby, PostgreSQL). MySQL-wire DDL implicitly commits statement
+    * by statement, so there the choreography is drop-then-create
+    * best-effort — exactly the reference's behavior
+    * (cmd/tablemeta.go:56-95); a failed CREATE after the DROP leaves
+    * the table absent and the error reported.
     */
   def replayTable(target: JdbcCatalog, table: String, createSql: String): Unit =
     target.executeTxn(

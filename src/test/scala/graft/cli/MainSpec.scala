@@ -25,8 +25,15 @@ class MainSpec extends SparkSpec {
          |maxParallel: 4
          |exclude: lineitem orders events documents embeddings part
          |""".stripMargin)
+    // O4: each run arms the shutdown-cancel hook for its duration and
+    // disarms on exit — no hook thread accumulates across invocations
+    val armedBefore = graft.sync.Jobs.armTotal
     assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
     assert(Main.run(Array("compare", "--config", cfg), spark) == 0)
+    assert(graft.sync.Jobs.armTotal == armedBefore + 2,
+      "CLI run did not arm the shutdown hook")
+    assert(graft.sync.Jobs.armedCount == 0,
+      "CLI run leaked an armed shutdown hook")
     assert(new java.io.File(s"$out/nation.parquet").exists())
   }
 

@@ -21,6 +21,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "partial+final aggregate expected")
   }
 
+  test("q01: single shuffle — partial/final aggregate, nothing else") {
+    // the headline query's plan is a pure two-phase hash aggregate; any
+    // extra exchange here is a regression (round-4's 2.6x bench swing
+    // was environment, not plan — this pin keeps it decidable)
+    val p = plan("q01_pricing_summary")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      "aggregate fell out of the hash path")
+  }
+
+  test("qs09: quantized code array materializes once per row") {
+    // Catalyst does not CSE higher-order-function lambdas: if the
+    // codes() transform were inlined into q_sum/q_min/q_max, every
+    // embedding would quantize three times per row. The floor() kernel
+    // appears exactly once in the plan when the __q intermediate holds.
+    val p = plan("qs09_quantize_profile")
+    val floors = "(?i)floor\\(".r.findAllIn(p).size
+    assert(floors == 1,
+      s"quantize transform duplicated ($floors floor() sites):\n$p")
+  }
+
   test("q23: dimension joins broadcast; fact side never pre-shuffles") {
     val p = plan("q23_revenue_by_segment")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -8,8 +8,9 @@ import graft.SparkSpec
 class JobsSpec extends SparkSpec {
 
   test("tagSql prefixes the processlist-visible comment tag once") {
-    assert(Jobs.tagSql("SELECT 1") == "/* graft */ SELECT 1")
-    assert(Jobs.tagSql(Jobs.tagSql("SELECT 1")) == "/* graft */ SELECT 1")
+    assert(Jobs.SqlTag == s"/* graft ${Jobs.RunId} */")
+    assert(Jobs.tagSql("SELECT 1") == s"${Jobs.SqlTag} SELECT 1")
+    assert(Jobs.tagSql(Jobs.tagSql("SELECT 1")) == s"${Jobs.SqlTag} SELECT 1")
   }
 
   test("cancelJobGroup aborts a tagged long-running job") {
@@ -54,9 +55,15 @@ class JobsSpec extends SparkSpec {
   }
 
   test("PROCESSLIST scan SQL matches the reference shape, tag included") {
-    assert(Jobs.scanTaggedSql ==
+    // default scan is scoped to THIS run's tag — two graft instances on
+    // one endpoint must not kill each other's statements
+    assert(Jobs.scanTaggedSql() ==
       "SELECT id FROM information_schema.PROCESSLIST " +
-        "WHERE info LIKE '/* graft */%'")
+        s"WHERE info LIKE '/* graft ${Jobs.RunId} */%'")
+    // explicit all-runs scan covers crashed-instance cleanup
+    assert(Jobs.scanTaggedSql(allRuns = true) ==
+      "SELECT id FROM information_schema.PROCESSLIST " +
+        "WHERE info LIKE '/* graft %'")
   }
 
   test("kill statements are generated per id; non-numeric ids refused") {
@@ -97,10 +104,30 @@ class JobsSpec extends SparkSpec {
         "CREATE TABLE information_schema.PROCESSLIST" +
           "(id VARCHAR(16), info VARCHAR(256))")
       st.execute("INSERT INTO information_schema.PROCESSLIST VALUES" +
-        "('11', '/* graft */ SELECT * FROM big')," +
-        "('12', 'SELECT untagged'), ('13', '/* graft */ SELECT 2')")
+        s"('11', '${Jobs.SqlTag} SELECT * FROM big')," +
+        "('12', 'SELECT untagged')," +
+        s"('13', '${Jobs.SqlTag} SELECT 2')," +
+        "('14', '/* graft deadbeef0000 */ SELECT other_instance')")
       st.close()
+      // own-run scan skips the other instance's tagged statement
       assert(Jobs.killTagged(conn).sorted == Seq("11", "13"))
+      // all-runs scan reaps it too
+      assert(Jobs.killTagged(conn, allRuns = true).sorted ==
+        Seq("11", "13", "14"))
     } finally conn.close()
+  }
+
+  test("withShutdownCancel arms for the body and always disarms") {
+    val before = Jobs.armTotal
+    var during = -1
+    Jobs.withShutdownCancel(spark) { during = Jobs.armedCount }
+    assert(during >= 1, "hook not armed inside the bracket")
+    assert(Jobs.armTotal == before + 1)
+    assert(Jobs.armedCount == 0, "hook leaked past the bracket")
+    // disarms on exception too
+    intercept[RuntimeException] {
+      Jobs.withShutdownCancel(spark) { throw new RuntimeException("boom") }
+    }
+    assert(Jobs.armedCount == 0, "hook leaked past a throwing body")
   }
 }
