@@ -42,23 +42,52 @@ object SpanDedup {
   }
 
   /** Per-document span profile:
-    * (id, n_spans, shared_spans, dup_ratio rounded to 4). */
+    * (id, n_spans, shared_spans, dup_ratio rounded to 4).
+    *
+    * Skew safety at corpus scale, mirroring `MinHashLSH.maxBucket`
+    * (MinHashLSH.scala:90-95): a boilerplate span occurring in
+    * millions of documents must not funnel all its (span, doc) rows
+    * through one reducer. Two defenses:
+    *
+    *   - the per-span document count is a plain `count(*)` — exact
+    *     because [[spanKeys]] is distinct per document, and algebraic,
+    *     so map-side partial aggregation collapses a hot span to one
+    *     row per task before the shuffle (`countDistinct` would ship
+    *     every pair);
+    *   - spans in more than `maxDocs` documents are boilerplate BY
+    *     DEFINITION (maxDocs >= minDocs, so they are shared without
+    *     needing enumeration): their keys form a tiny broadcast
+    *     overflow list, and their rows are flagged by a broadcast join
+    *     and routed AROUND the g-keyed shuffle join, whose remaining
+    *     per-key fan-in is bounded by maxDocs.
+    */
   def spanProfile(
       df: DataFrame,
       text: Column,
       id: Column,
       n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      maxDocs: Int = 1000000): DataFrame = {
+    require(maxDocs >= minDocs,
+      s"maxDocs ($maxDocs) must be >= minDocs ($minDocs): a span past " +
+        "the cap is counted as shared without enumeration")
     val exploded = Barrier(
       graft.operators.Parallelism.ensureMin(df)
         .select(id.as("id"), explode(spanKeys(text, n)).as("g")))
-    val shared = exploded
-      .groupBy("g")
-      .agg(countDistinct("id").as("nd"))
-      .filter(col("nd") >= minDocs)
+    val counts = exploded.groupBy("g").agg(count(lit(1)).as("nd"))
+    val hot = counts.filter(col("nd") > maxDocs)
+      .select(col("g"), lit(1).as("hot"))
+    val shared = counts
+      .filter(col("nd") >= minDocs && col("nd") <= maxDocs)
       .select(col("g"), lit(1).as("sh"))
-    exploded
+    val flagged = exploded.join(broadcast(hot), Seq("g"), "left")
+    val viaHot = flagged.filter(col("hot") === 1)
+      .select(col("id"), lit(1).as("sh"))
+    val viaJoin = flagged.filter(col("hot").isNull)
       .join(shared, Seq("g"), "left")
+      .select(col("id"), col("sh"))
+    viaHot
+      .unionByName(viaJoin)
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_spans"),
@@ -75,8 +104,9 @@ object SpanDedup {
       idCol: String,
       maxRatio: Double,
       n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
-    val heavy = spanProfile(df, text, col(idCol), n, minDocs)
+      minDocs: Int = 2,
+      maxDocs: Int = 1000000): DataFrame = {
+    val heavy = spanProfile(df, text, col(idCol), n, minDocs, maxDocs)
       .filter(col("dup_ratio") > maxRatio)
       .select(col("id").as(idCol))
     df.join(heavy, Seq(idCol), "left_anti")

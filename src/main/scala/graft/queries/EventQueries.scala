@@ -128,7 +128,7 @@ object EventQueries {
         implicit val sp: org.apache.spark.sql.SparkSession = s
         val media = Multimodal.asMedia(
           Tables.load(s, dir, "documents"), "doc_id", "text")
-        Multimodal.decodeStub(media).toDF()
+        Multimodal.decode(media).toDF()
           .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
             col("width"), col("height"), col("checksum"))
       },

@@ -532,20 +532,24 @@ object ParityQueries {
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
 
     // the distributed content-compare the reference can't do: one
-    // aggregation pass, order-independent per-column md5 checksums
-    // (int/string columns only — float stringification differs across
-    // engines; floats go through the DECIMAL or exceptAll paths)
+    // aggregation pass, order-independent per-column md5 checksums.
+    // Double columns (c_acctbal) hash their DECIMAL(28,10) rendering —
+    // raw float stringification is engine-shaped, the fixed-scale cast
+    // pins one canonical digit string per value on both engines
     Q(
       "q38_content_checksum",
       (s, dir) =>
         Compare.contentChecksum(
-          t(s, dir, "customer"), Seq("c_custkey", "c_name", "c_mktsegment")),
+          t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")),
       Some {
         // VARCHAR output: a 38-digit integer is exact as a string in
         // both engines, while DECIMAL and DOUBLE renderings are not
-        def ck(c: String) =
-          s"CAST(CAST(sum(CAST(('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS ck_$c"
-        s"SELECT ${ck("c_custkey")}, ${ck("c_name")}, ${ck("c_mktsegment")} FROM customer"
+        def ck(c: String, v: String) =
+          s"CAST(CAST(sum(CAST(('0x' || substring(md5($v), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS ck_$c"
+        def plain(c: String) = ck(c, s"CAST($c AS VARCHAR)")
+        val bal = ck("c_acctbal", "CAST(CAST(c_acctbal AS DECIMAL(28,10)) AS VARCHAR)")
+        s"SELECT ${plain("c_custkey")}, ${plain("c_name")}, ${plain("c_mktsegment")}, $bal FROM customer"
       }),
 
     Q(

@@ -331,11 +331,25 @@ object Compare {
     * pass, bytes per column cross the wire — the cheap way to compare a
     * 100 TB table's content across systems when two exceptAll scans are
     * too expensive, and reproducible by any engine with md5 (the DuckDB
-    * oracle runs the same formula — query q38). */
+    * oracle runs the same formula — query q38).
+    *
+    * Float/double columns are rendered via a FIXED-SCALE decimal cast
+    * before hashing: raw floating-point stringification is
+    * engine-shaped (shortest-roundtrip vs fixed digits, float-widened
+    * -vs-double storage on the JDBC side), so equal values would
+    * otherwise hash differently across systems. DECIMAL(28,10) pins
+    * one canonical digit string per value on every engine. */
   def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
     val sums = cols.map { c =>
-      sum(conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+      val canonical = types.get(c) match {
+        case Some(FloatType) | Some(DoubleType) =>
+          col(c).cast("decimal(28,10)").cast("string")
+        case _ => col(c).cast("string")
+      }
+      sum(conv(substring(md5(canonical), 1, 15), 16, 10)
         .cast("decimal(38,0)")).cast("decimal(38,0)")
         .cast("string").as(s"ck_$c")
     }

@@ -21,12 +21,57 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decode stub is deterministic and total") {
-    val meta = Multimodal.decodeStub(media)
+    val meta = Multimodal.decode(media)
     assert(meta.count() == 500)
     val m1 = meta.filter(_.id == 7L).head()
-    val m2 = Multimodal.decodeStub(media).filter(_.id == 7L).head()
+    val m2 = Multimodal.decode(media).filter(_.id == 7L).head()
     assert(m1 == m2, "decode must be deterministic")
     assert(m1.width >= 64 && m1.height >= 64)
+  }
+
+  // real image bytes, generated in-test by the JDK encoder: decode()
+  // must report TRUE dimensions, not the checksum-derived fallback
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  test("decode parses real PNG/JPEG/GIF/BMP dimensions") {
+    val payloads = Seq(
+      (1L, "image/png", imageBytes("png", 640, 480)),
+      (2L, "image/jpeg", imageBytes("jpg", 31, 17)),
+      (3L, "image/gif", imageBytes("gif", 200, 100)),
+      (4L, "image/bmp", imageBytes("bmp", 77, 55)),
+      (5L, "text/plain", "just some text".getBytes("UTF-8")))
+    val df = payloads.toDF("id", "media_type", "content")
+    val got = Multimodal.decode(df).collect().map(m => m.id -> m).toMap
+    assert(got(1L).width == 640 && got(1L).height == 480)
+    assert(got(1L).mediaType == "image/png")
+    assert(got(2L).width == 31 && got(2L).height == 17)
+    assert(got(2L).mediaType == "image/jpeg")
+    assert(got(3L).width == 200 && got(3L).height == 100)
+    assert(got(4L).width == 77 && got(4L).height == 55)
+    // non-media payload falls back to checksum-derived stub dims
+    assert(got(5L).mediaType == "text/plain")
+    assert(got(5L).width >= 64 && got(5L).width < 64 + 1024)
+    // byte count and checksum are real for every payload
+    payloads.foreach { case (id, _, bytes) =>
+      assert(got(id).nBytes == bytes.length)
+    }
+  }
+
+  test("imageDims rejects truncated and non-image headers") {
+    assert(Multimodal.imageDims(Array[Byte](0x89.toByte, 'P', 'N')).isEmpty)
+    assert(Multimodal.imageDims("GIF8".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Multimodal.imageDims("plain text bytes".getBytes).isEmpty)
+    // a truncated real PNG (header cut before IHDR payload)
+    assert(Multimodal.imageDims(
+      imageBytes("png", 10, 10).take(20)).isEmpty)
   }
 
   test("resize stub caps the longer side and keeps aspect floor") {

@@ -44,6 +44,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(all == 4, "ratio exactly at the bound is kept")
   }
 
+  test("ubiquitous-span cap: same answer, hot spans routed via broadcast") {
+    // six documents share one boilerplate 8-gram prefix; with
+    // maxDocs=3 those spans overflow the cap and must be counted as
+    // shared WITHOUT flowing through the g-keyed shuffle join
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val many = (1L to 6L).map(i => (i, s"$boiler tail$i a$i b$i")).toSeq
+      .toDF("doc_id", "text")
+    val uncapped = SpanDedup
+      .spanProfile(many, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val capped = SpanDedup
+      .spanProfile(many, col("text"), col("doc_id"), maxDocs = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(capped.sameElements(uncapped),
+      "cap must not change the profile, only the route")
+    // the boilerplate span is genuinely shared by all six docs
+    assert(uncapped.forall(_._3 >= 1))
+    // the overflow list joins as a broadcast, never a shuffle
+    val p = SpanDedup
+      .spanProfile(many, col("text"), col("doc_id"), maxDocs = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-span overflow join is not broadcast:\n$p")
+  }
+
+  test("maxDocs below minDocs is refused") {
+    intercept[IllegalArgumentException] {
+      SpanDedup.spanProfile(docs, col("text"), col("doc_id"),
+        minDocs = 5, maxDocs = 2)
+    }
+  }
+
   test("span keys are order-sensitive and duplicate-free") {
     val ks = docs.filter(col("doc_id") === 1)
       .select(SpanDedup.spanKeys(col("text"), 8).as("ks"))

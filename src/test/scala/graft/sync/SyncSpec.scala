@@ -63,6 +63,30 @@ class SyncSpec extends SparkSpec {
     assert(!Compare.contentEqual(a, b))
     assert(Compare.contentEqual(a, a))
   }
+
+  test("content checksum of a double column is storage-representation-safe") {
+    import org.apache.spark.sql.functions._
+    // parquet side: doubles. Derby side: the same values through a
+    // REAL (float32) column would differ bitwise; through DOUBLE they
+    // round-trip — either way the checksum must compare the CANONICAL
+    // fixed-scale rendering, not engine stringification
+    val url = "jdbc:derby:memory:graftdbl;create=true"
+    val src = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val sink = JdbcSink(Endpoint(url), numPartitions = 2)
+    sink.overwrite(src, "balcmp")
+    val back = sink.readBack(spark, "balcmp")
+    val cols = Seq("c_acctbal", "c_custkey")
+    val a = Compare.contentChecksum(src, cols).head()
+    val b = Compare.contentChecksum(back, cols).head()
+    assert(a == b, s"double-column checksum drifted across engines: $a vs $b")
+    // and it still detects a real value change at the last scale digit
+    val nudged = src.withColumn("c_acctbal",
+      when(col("c_custkey") === 1, col("c_acctbal") + 0.0000000001)
+        .otherwise(col("c_acctbal")))
+    val c = Compare.contentChecksum(nudged, cols).head()
+    assert(a.get(0) != c.get(0), "nudged double not detected")
+  }
 }
 
 /** Full JDBC path against embedded Derby: DDL replay, truncate-load
