@@ -34,6 +34,20 @@ object VectorExprsImpl {
     acc
   }
 
+  /** Sequential squared-L2 distance — same index-order double fold as
+    * [[dot]], so it matches the oracle's list_reduce bit for bit. */
+  def sqDist(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = elem(a, i, aF) - elem(b, i, bF)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Single-pass cosine: dot, |a|², |b|² accumulated together —
     * identical values to three separate sequential folds. */
   def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
@@ -103,9 +117,24 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
   override def prettyName: String = "vec_cosine"
 }
 
+case class SquaredDistance(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprsImpl.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloatArr(left.dataType), isFloatArr(right.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorExprsImpl.sqDist($a, $b, " +
+        s"${isFloatArr(left.dataType)}, ${isFloatArr(right.dataType)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_sqdist"
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

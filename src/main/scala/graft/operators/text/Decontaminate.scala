@@ -1,0 +1,98 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag (and drop) training documents that
+  * overlap an evaluation/benchmark set at the token-n-gram level. The
+  * standard pre-training hygiene step: a training document sharing even
+  * one long n-gram with a benchmark item leaks the benchmark into the
+  * model, so contaminated documents are removed before training.
+  * (No reference analog — the reference replicates tables; this is part
+  * of the LLM-pipeline surface this engine adds on top.)
+  *
+  * Span keys are the md5 token-n-gram keys of [[SpanDedup.spanKeys]] —
+  * the span TEXT never leaves the row; only 32-char digests move.
+  *
+  * Scale shape (the reason this formulation wins at 100 TB): benchmark
+  * sets are small (thousands to a few million n-grams) while the corpus
+  * is the 100 TB side, so the benchmark key set is the BROADCAST side of
+  * a hash join against the corpus's exploded span stream. The corpus
+  * side is one narrow explode (no redistribution — a document's spans
+  * stay in its partition), the contamination test is a broadcast hash
+  * join (zero shuffle), and the per-document rollup is an algebraic
+  * `count` that partial-aggregates map-side, collapsing each document to
+  * one row per task before the only shuffle in the plan (keyed by doc
+  * id — uniform by construction, no hot keys possible).
+  */
+object Decontaminate {
+
+  /** The benchmark side: distinct md5 keys of the eval set's token
+    * n-grams, one `g` column — small by assumption, broadcast by
+    * [[profile]]. Deduplication happens on the small side so repeated
+    * benchmark boilerplate costs nothing against the corpus. */
+  def benchmarkKeys(bench: DataFrame, text: Column, n: Int = 8): DataFrame =
+    bench.select(explode(SpanDedup.spanKeys(text, n)).as("g")).distinct()
+
+  /** Per-document contamination profile:
+    * (id, n_spans, dirty_spans, contaminated).
+    *
+    * `n_spans` counts the document's distinct spans, `dirty_spans` the
+    * ones that also occur in the benchmark set; `contaminated` is the
+    * drop signal (any overlap at all — the conservative standard). */
+  def profile(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      benchKeys: DataFrame,
+      n: Int = 8): DataFrame = {
+    val spans = graft.operators.Parallelism.ensureMin(corpus)
+      .select(id.as("id"), explode(SpanDedup.spanKeys(text, n)).as("g"))
+    spans
+      .join(broadcast(benchKeys.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("hit")).as("dirty_spans"))
+      .withColumn("contaminated", col("dirty_spans") > 0)
+  }
+
+  /** The keep-side filter: corpus rows whose document shares NO span
+    * with the benchmark set. Anti-join on the contaminated id list —
+    * the id list is tiny relative to the corpus, so AQE plans it as a
+    * broadcast anti-join. */
+  def dropContaminated(
+      corpus: DataFrame,
+      text: Column,
+      idCol: String,
+      benchKeys: DataFrame,
+      n: Int = 8): DataFrame = {
+    val dirty = profile(corpus, text, col(idCol), benchKeys, n)
+      .filter(col("contaminated"))
+      .select(col("id").as(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB formulation of the qt15 query: eval set = the 'test'
+    * hash-split bucket of `documents` (CorpusOps.splitBucket >= 90),
+    * corpus = the 'train' bucket (< 80); same md5 span keys, same
+    * short-document convention as the Spark side. */
+  def oracleSql(n: Int = 8): String =
+    s"""WITH nrm AS (SELECT doc_id,
+       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+       |               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+       |             FROM documents),
+       |tk AS (SELECT doc_id, b, string_split(nt, ' ') AS toks FROM nrm),
+       |gs AS (SELECT doc_id, b,
+       |              list_distinct(list_transform(
+       |                range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |                i -> md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))) AS g
+       |       FROM tk),
+       |e AS (SELECT doc_id, b, unnest(g) AS g FROM gs),
+       |bench AS (SELECT DISTINCT g FROM e WHERE b >= 90)
+       |SELECT e.doc_id AS id, count(*) AS n_spans, count(bench.g) AS dirty_spans,
+       |       count(bench.g) > 0 AS contaminated
+       |FROM e LEFT JOIN bench ON e.g = bench.g
+       |WHERE e.b < 80
+       |GROUP BY 1""".stripMargin
+}

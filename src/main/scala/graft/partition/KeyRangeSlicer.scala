@@ -141,26 +141,31 @@ object KeyRangeSlicer {
     out.distinct.sorted.filter(c => c > lo && c <= hi).toSeq
   }
 
-  /** Quantile-derived predicates for a DataFrame already at hand (file
-    * sources; for JDBC prefer the pushed-down histogram path). */
-  def slicePredicates(df: DataFrame, pkCols: Seq[String], numSlices: Int): Array[String] = {
-    if (pkCols.isEmpty || numSlices <= 1) return Array("1=1")
-    val lead = pkCols.head
+  /** Quantile-derived cut values over a numeric lead key of a
+    * DataFrame already at hand; empty when the key is non-numeric or
+    * one slice suffices. */
+  def quantileCuts(df: DataFrame, lead: String, numSlices: Int): Seq[Long] = {
+    if (numSlices <= 1) return Seq.empty
     val isNumeric = df.schema(lead).dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case _                                         => false
     }
-    if (!isNumeric) return Array("1=1")
-
+    if (!isNumeric) return Seq.empty
     val probs = (1 until numSlices).map(_.toDouble / numSlices).toArray
-    val cuts = df
-      .select(col(lead).cast("double"))
+    df.select(col(lead).cast("double"))
       .na.drop()
       .stat
       .approxQuantile(lead, probs, 0.001)
       .map(math.floor(_).toLong)
       .toSeq
-    if (cuts.isEmpty) Array("1=1") else predicatesFromCuts(lead, cuts)
+  }
+
+  /** Quantile-derived predicates for a DataFrame already at hand (file
+    * sources; for JDBC prefer the pushed-down histogram path). */
+  def slicePredicates(df: DataFrame, pkCols: Seq[String], numSlices: Int): Array[String] = {
+    if (pkCols.isEmpty || numSlices <= 1) return Array("1=1")
+    val cuts = quantileCuts(df, pkCols.head, numSlices)
+    if (cuts.isEmpty) Array("1=1") else predicatesFromCuts(pkCols.head, cuts)
   }
 
   /** Slice count for a table: ceil(rowCount / pageSize), mirroring the

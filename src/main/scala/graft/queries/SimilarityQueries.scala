@@ -160,6 +160,23 @@ object SimilarityQueries {
           Tables.load(s, dir, "embeddings"), col("embedding"), col("vec_id")),
       Some(Quantize.oracleSql)),
     Q(
+      "qs10_kmeans_assign",
+      // deterministic k-means (integer-lattice Lloyd's): md5-ordered
+      // init, one exact-lattice update, final nearest-centroid
+      // assignment — every row value-oracled (same sequential
+      // squared-L2 fold, same 2^20 mean lattice in both engines)
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = graft.operators.similarity.KMeansCluster
+          .fit(emb, col("embedding"), col("vec_id"), k = 8, iters = 1)
+        graft.operators.similarity.KMeansCluster
+          .assign(emb, col("embedding"), col("vec_id"), cents)
+          .select(
+            col("id").as("vec_id"), col("cluster"),
+            round(col("dist"), 4).as("dist"))
+      },
+      Some(graft.operators.similarity.KMeansCluster.oracleSql(8))),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.RollingMinHash
 import graft.operators.TextOps
-import graft.operators.text.{CorpusOps, TextAnalysis}
+import graft.operators.text.{CorpusOps, Decontaminate, PiiScrub, TextAnalysis}
 
 /** Text-analysis inventory over `documents`. These are all per-row
   * expressions, so (unlike aggregates over doubles) raw double outputs
@@ -307,6 +307,69 @@ object TextQueries {
                     FROM sc)
               SELECT source, term, tf, dfd, score FROM r WHERE rn <= 5""")),
 
+    Q(
+      "qt15_decontaminate",
+      // benchmark decontamination: the 'test' hash-split bucket plays
+      // the eval set, the 'train' bucket the corpus; a train document
+      // is contaminated when it shares any token 8-gram with the eval
+      // set. Broadcast-join shape: the benchmark key set is the small
+      // side; the corpus side never shuffles except the per-doc rollup.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bench = docs.filter(CorpusOps.splitAssign(col("doc_id")) === "test")
+        val train = docs.filter(CorpusOps.splitAssign(col("doc_id")) === "train")
+        Decontaminate.profile(
+          train, col("text"), col("doc_id"),
+          Decontaminate.benchmarkKeys(bench, col("text")))
+      },
+      Some(Decontaminate.oracleSql())),
+    Q(
+      "qt16_pii_scrub",
+      // PII scrub witness. The synthetic corpus carries no PII, so a
+      // deterministic fixture is injected IN-QUERY for every fifth
+      // document (identically in both engines): an email, an IPv4 and
+      // an E.164-ish phone derived from doc_id. The operator under
+      // test is the staged regex scrub; counts and the redacted-text
+      // md5 are value-oracled.
+      (s, dir) => {
+        val injected = when(
+          col("doc_id") % 5 === 0,
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.20."), (col("doc_id") % 200).cast("string"),
+            lit(".7 or +1415555"), (col("doc_id") % 10000).cast("string")))
+          .otherwise(col("text"))
+        PiiScrub.profile(
+          Tables.load(s, dir, "documents"), injected, col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+               |  SELECT doc_id,
+               |         CASE WHEN doc_id % 5 = 0
+               |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+               |                   || '@example.com via 10.20.' || CAST(doc_id % 200 AS VARCHAR)
+               |                   || '.7 or +1415555' || CAST(doc_id % 10000 AS VARCHAR)
+               |              ELSE text END AS tx
+               |  FROM documents),
+               |r AS (
+               |  SELECT doc_id, tx,
+               |         regexp_replace(tx, '${PiiScrub.emailRe}', '<EMAIL>', 'g') AS t1
+               |  FROM t),
+               |r2 AS (
+               |  SELECT doc_id, tx, t1,
+               |         regexp_replace(t1, '${PiiScrub.ipv4Re}', '<IP>', 'g') AS t2
+               |  FROM r),
+               |r3 AS (
+               |  SELECT doc_id, tx, t1, t2,
+               |         regexp_replace(t2, '${PiiScrub.phoneRe}', '<PHONE>', 'g') AS t3
+               |  FROM r2)
+               |SELECT doc_id AS id,
+               |       length(regexp_extract_all(tx, '${PiiScrub.emailRe}')) AS n_emails,
+               |       length(regexp_extract_all(t1, '${PiiScrub.ipv4Re}')) AS n_ips,
+               |       length(regexp_extract_all(t2, '${PiiScrub.phoneRe}')) AS n_phones,
+               |       md5(t3) AS redacted_fp,
+               |       t3 <> tx AS changed
+               |FROM r3""".stripMargin)),
     Q(
       "qt13_dup_spans",
       // span-level exact dedup signal (the substring complement of

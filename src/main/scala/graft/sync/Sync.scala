@@ -48,6 +48,41 @@ sealed trait Sink {
   def rowCount(spark: SparkSession, table: String): Option[Long] =
     try Some(readBack(spark, table).count())
     catch { case _: Exception => None }
+  /** Replace one half-open key range [lo, hi) of the target with `df`
+    * (already filtered to that range; `lo`/`hi` None = unbounded, and
+    * the unbounded-below range owns NULL keys) — the repair primitive
+    * of [[DeltaSync]]. JDBC sinks DELETE the range server-side then
+    * batch-append; file sinks rewrite. */
+  def replaceRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCol: String,
+      lo: Option[Long],
+      hi: Option[Long]): Unit
+}
+
+private[sync] object RangeBounds {
+  /** SQL predicate for the half-open range (NULLs live in the
+    * unbounded-below slice, mirroring KeyRangeSlicer's first slice). */
+  def predicate(pkCol: String, lo: Option[Long], hi: Option[Long]): String =
+    (lo, hi) match {
+      case (Some(a), Some(b)) => s"$pkCol >= $a AND $pkCol < $b"
+      case (Some(a), None)    => s"$pkCol >= $a"
+      case (None, Some(b))    => s"$pkCol < $b OR $pkCol IS NULL"
+      case (None, None)       => "1=1"
+    }
+
+  def column(pk: org.apache.spark.sql.Column, lo: Option[Long], hi: Option[Long])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    (lo, hi) match {
+      case (Some(a), Some(b)) => pk >= lit(a) && pk < lit(b)
+      case (Some(a), None)    => pk >= lit(a)
+      case (None, Some(b))    => pk < lit(b) || pk.isNull
+      case (None, None)       => lit(true)
+    }
+  }
 }
 
 final case class ParquetSink(dir: String) extends Sink {
@@ -60,6 +95,24 @@ final case class ParquetSink(dir: String) extends Sink {
   override def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+  /** Plain parquet has no row-level delete: keep-rows ∪ replacement is
+    * materialized through a [[graft.operators.Barrier]] (the path being
+    * overwritten cannot stay in the read lineage), then overwritten.
+    * A table format with row-level ops (Iceberg/Delta) would replace
+    * just the affected files; this sink is the fixture/test path. */
+  override def replaceRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCol: String,
+      lo: Option[Long],
+      hi: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keep = readBack(spark, table)
+      .filter(!RangeBounds.column(col(pkCol), lo, hi))
+    val merged = graft.operators.Barrier(keep.unionByName(df))
+    overwrite(merged, table)
   }
 }
 
@@ -131,6 +184,28 @@ final case class JdbcSink(
         case _         => None
       }
     } catch { case _: Exception => None }
+  /** Server-side range DELETE (one statement, rides the PK index) +
+    * batched append of the replacement rows — the target only touches
+    * the changed range, never the whole table. */
+  override def replaceRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCol: String,
+      lo: Option[Long],
+      hi: Option[Long]): Unit = {
+    endpoint.props.get("driver").foreach(Class.forName)
+    val p = new Properties()
+    endpoint.props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(endpoint.url, p)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"DELETE FROM $table WHERE ${RangeBounds.predicate(pkCol, lo, hi)}")
+      finally st.close()
+    } finally conn.close()
+    append(df, table)
+  }
 }
 
 final case class TableReport(
@@ -339,11 +414,15 @@ object Compare {
     * -vs-double storage on the JDBC side), so equal values would
     * otherwise hash differently across systems. DECIMAL(28,10) pins
     * one canonical digit string per value on every engine. */
-  def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The per-column checksum aggregate expressions behind
+    * [[contentChecksum]] — shared with the grouped per-key-range form
+    * in [[DeltaSync]]. */
+  private[sync] def checksumExprs(
+      df: DataFrame, cols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     val types = df.schema.map(f => f.name -> f.dataType).toMap
-    val sums = cols.map { c =>
+    cols.map { c =>
       val canonical = types.get(c) match {
         case Some(FloatType) | Some(DoubleType) =>
           col(c).cast("decimal(28,10)").cast("string")
@@ -353,6 +432,10 @@ object Compare {
         .cast("decimal(38,0)")).cast("decimal(38,0)")
         .cast("string").as(s"ck_$c")
     }
+  }
+
+  def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val sums = checksumExprs(df, cols)
     df.agg(sums.head, sums.tail: _*)
   }
 
