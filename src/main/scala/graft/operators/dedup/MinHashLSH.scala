@@ -121,4 +121,78 @@ object MinHashLSH {
       .distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** A persisted-corpus LSH index: `docs` is one row per document
+    * (id, sig, bks) — NOT band-exploded, so it is ~1/bands the size of
+    * the bucket table — and `hot` is the tiny list of over-`maxBucket`
+    * band buckets, precomputed at build time so incremental runs never
+    * re-aggregate the corpus. */
+  final case class LshIndex(docs: DataFrame, hot: DataFrame)
+
+  /** Sign the corpus once. The hot-bucket list is the one corpus-wide
+    * aggregation, paid at BUILD time; every later increment reuses it. */
+  def buildIndex(df: DataFrame, text: Column, id: Column, p: Params = Params()): LshIndex = {
+    val rows = signatures(df, text, id, p)
+      .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
+    val hot = rows
+      .select(posexplode(col("bks")).as(Seq("band", "bh")))
+      .groupBy("band", "bh")
+      .count()
+      .filter(col("count") > p.maxBucket)
+      .select("band", "bh")
+    LshIndex(rows, hot)
+  }
+
+  def writeIndex(index: LshIndex, path: String): Unit = {
+    index.docs.write.mode("overwrite").parquet(s"$path/docs")
+    index.hot.write.mode("overwrite").parquet(s"$path/hot")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex =
+    LshIndex(spark.read.parquet(s"$path/docs"), spark.read.parquet(s"$path/hot"))
+
+  /** Near-dup pairs between a NEW batch and the persisted corpus —
+    * the daily-increment shape: dedup today's crawl against the whole
+    * corpus WITHOUT re-processing the corpus.
+    *
+    * Scale shape (the reason this is not just candidatePairs on the
+    * union): the increment is small relative to the corpus by
+    * definition, so its band buckets (and signatures) ride a BROADCAST
+    * into one streaming scan of the index — the 100 TB side is never
+    * shuffled, never re-signed, never re-aggregated. Hot corpus
+    * buckets were excluded at build time via the broadcast `hot`
+    * anti-join on the new side (removing a bucket from one side of an
+    * equi-join removes its pairs). A pair where the increment re-sends
+    * an id already in the corpus (same id, est 1.0) is kept — that is
+    * the re-ingest signal [[dedupAgainstIndex]] must act on. */
+  def pairsAgainstIndex(
+      index: LshIndex, newDf: DataFrame, text: Column, id: Column,
+      p: Params = Params()): DataFrame = {
+    val newSigs = signatures(newDf, text, id, p)
+      .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
+      .transform(Barrier.apply)
+    val newB = newSigs
+      .select(col("id").as("id_new"), col("sig").as("sig_new"),
+        posexplode(col("bks")).as(Seq("band", "bh")))
+      .join(broadcast(index.hot), Seq("band", "bh"), "left_anti")
+    val idxB = index.docs.select(
+      col("id").as("id_old"), col("sig").as("sig_old"),
+      posexplode(col("bks")).as(Seq("band", "bh")))
+    idxB.join(broadcast(newB), Seq("band", "bh"))
+      .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_old"), p.numHashes))
+      .filter(col("est_jaccard") >= p.threshold)
+      .select("id_new", "id_old", "est_jaccard")
+      .dropDuplicates("id_new", "id_old")
+  }
+
+  /** Increment rows with no near-dup in the corpus — the keep side of
+    * an incremental ingest. */
+  def dedupAgainstIndex(
+      index: LshIndex, newDf: DataFrame, text: Column, idCol: String,
+      p: Params = Params()): DataFrame = {
+    val dup = pairsAgainstIndex(index, newDf, text, col(idCol), p)
+      .select(col("id_new").as(idCol))
+      .distinct()
+    newDf.join(dup, Seq(idCol), "left_anti")
+  }
 }

@@ -49,12 +49,10 @@ object PortableMinHash {
   def signature(normText: Column): Column =
     graft.functions.PortableMinHashSig(normText)
 
-  /** Near-dup pairs (doc_a < doc_b) with the signature-estimated
-    * Jaccard, filtered to >= threshold. Same join shape as
-    * MinHashLSH.candidatePairs (ids through the band join, signatures
-    * re-attached after dedup). */
-  def pairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
-    val sigs = graft.operators.Parallelism.ensureMin(df)
+  /** (id, sig, bks): signatures plus md5 band keys — the shared head of
+    * [[pairs]] and [[incrementalPairs]]. */
+  private def banded(df: DataFrame, text: Column, id: Column): DataFrame =
+    graft.operators.Parallelism.ensureMin(df)
       .select(id.as("id"), signature(TextOps.normalized(text)).as("sig"))
       .withColumn("bks", transform(
         sequence(lit(0), lit(bands - 1)),
@@ -62,7 +60,13 @@ object PortableMinHash {
           transform(slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
             x => x.cast("string")),
           ","))))
-      .transform(Barrier.apply)
+
+  /** Near-dup pairs (doc_a < doc_b) with the signature-estimated
+    * Jaccard, filtered to >= threshold. Same join shape as
+    * MinHashLSH.candidatePairs (ids through the band join, signatures
+    * re-attached after dedup). */
+  def pairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
+    val sigs = banded(df, text, id).transform(Barrier.apply)
     val buckets = sigs.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
     val a = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
     val b = buckets.select(col("band"), col("bk"), col("id").as("doc_b"))
@@ -82,6 +86,44 @@ object PortableMinHash {
       .select("doc_a", "doc_b", "est_jaccard")
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Portable twin of [[MinHashLSH.pairsAgainstIndex]]: (new, old)
+    * near-dup pairs between an increment and a corpus — same
+    * broadcast-the-increment join shape, md5 family, so the
+    * incremental-dedup algorithm carries a full value oracle (qd19).
+    * Same-id re-ingest pairs are kept, as in the production path. */
+  def incrementalPairs(
+      corpus: DataFrame, inc: DataFrame, text: Column, id: Column,
+      threshold: Double): DataFrame = {
+    val cb = banded(corpus, text, id).transform(Barrier.apply)
+      .select(col("id").as("doc_old"), col("sig").as("sig_old"),
+        posexplode(col("bks")).as(Seq("band", "bk")))
+    val nb = banded(inc, text, id).transform(Barrier.apply)
+      .select(col("id").as("doc_new"), col("sig").as("sig_new"),
+        posexplode(col("bks")).as(Seq("band", "bk")))
+    cb.join(broadcast(nb), Seq("band", "bk"))
+      .withColumn("est_jaccard",
+        MinHashLSH.estJaccard(col("sig_new"), col("sig_old"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_new", "doc_old", "est_jaccard")
+      .dropDuplicates("doc_new", "doc_old")
+  }
+
+  /** Oracle for [[incrementalPairs]] with corpus = even doc ids and
+    * increment = odd doc ids (the split used by qd19): the same
+    * signature/band CTEs, candidates joined ACROSS the two sides. */
+  def oracleIncrementalSql(threshold: Double): String =
+    s"""${pipelineCtes()},
+       |candx AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |          FROM bands n JOIN bands o ON n.j = o.j AND n.bk = o.bk
+       |          WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+       |estx AS (SELECT doc_new, doc_old,
+       |           CAST(length(list_filter(range(1, ${numHashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+       |             / $numHashes.0 AS est_jaccard
+       |         FROM candx JOIN sig sa ON candx.doc_new = sa.doc_id
+       |                    JOIN sig sb ON candx.doc_old = sb.doc_id)
+       |SELECT doc_new, doc_old, est_jaccard FROM estx
+       |WHERE est_jaccard >= $threshold""".stripMargin
 
   /** Near-dup survivors with the keep-first policy of
     * [[MinHashLSH.dedupKeepFirst]], over the portable pairs — so the

@@ -55,6 +55,55 @@ object CorpusOps {
     (BigDecimal(fraction) * BigDecimal(1L << 40)).toLong
   }
 
+  /** Per-source keep-thresholds for token-proportional corpus mixing:
+    * source s gets a token target of `budgetTokens · pct_s / 100`
+    * (integer arithmetic — percent weights, not float fractions, so
+    * both engines compute the same targets), and its keep-threshold on
+    * the 40-bit hash key is `floor(target/actual · 2^40)`, clamped to
+    * keep-everything when the source is already under target. The
+    * division/multiply order is fixed (target→double / actual→double,
+    * then · 2^40) so the thresholds are bit-identical wherever they are
+    * recomputed — the portable-twin rule of [[sampleThreshold]] applied
+    * to data-driven rates. */
+  def mixThreshold(actualTokens: Long, budgetTokens: Long, pct: Int): Long = {
+    require(actualTokens >= 0 && budgetTokens >= 0 && pct >= 0, "negative mix input")
+    val target = budgetTokens * pct / 100
+    if (target >= actualTokens) 1L << 40
+    else math.floor((target.toDouble / actualTokens.toDouble) * (1L << 40).toDouble).toLong
+  }
+
+  /** Token-proportional downsampling across sources ("data mixing"):
+    * keep a deterministic hash sample of each source sized so its kept
+    * token mass approaches `budgetTokens · pct/100`. Two passes over
+    * the corpus: one partial-aggregated token count per source (a
+    * #sources-row collect — bounded, like the IVF fit), then the pure
+    * hash filter. Membership is a function of (id, source counts)
+    * only: stable across runs, engines, and partitionings, and
+    * re-runnable incrementally. */
+  def tokenMix(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      id: Column,
+      source: Column,
+      budgetTokens: Long,
+      pctBySource: Map[String, Int],
+      defaultPct: Int): org.apache.spark.sql.DataFrame = {
+    val tokens = TextAnalysis.tokenCount(text).cast("long")
+    val actual = df
+      .groupBy(source.as("__src"))
+      .agg(sum(tokens).as("__tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val thr = actual.map { case (s, a) =>
+      s -> mixThreshold(a, budgetTokens, pctBySource.getOrElse(s, defaultPct))
+    }
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(source === s, lit(t)).otherwise(acc)
+    }
+    df.where(hashKey40(id) < thrCol)
+  }
+
   /** Greedy sequential packing: within each `part` (shard), walking in
     * `order`, a document's bin is where its token run begins —
     * `floor((cumsum(tokens) - tokens) / budget)`. A document crossing

@@ -147,6 +147,37 @@ object DedupQueries {
       // seeds, same hash family, same banding) — see PortableMinHash
       Some(PortableMinHash.oracleSql(0.3))),
     Q(
+      "qd18_incremental_pairs",
+      // incremental ingest: even doc ids play the signed corpus index,
+      // odd ids the daily increment; pairs come from ONE streaming scan
+      // of the index against broadcast increment buckets (production
+      // FNV family — rows-only; the algorithm is value-oracled by qd19)
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val p = MinHashLSH.Params(
+          shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3)
+        val index = MinHashLSH.buildIndex(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), col("doc_id"), p)
+        MinHashLSH.pairsAgainstIndex(
+          index, docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"), p)
+          .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+      },
+      None),
+    Q(
+      "qd19_incremental_portable",
+      // portable twin of qd18: same increment-vs-corpus join shape on
+      // the md5 family — DuckDB reproduces the whole incremental
+      // pipeline, value-oracling the algorithm
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        PortableMinHash.incrementalPairs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("text"), col("doc_id"), threshold = 0.3)
+      },
+      Some(PortableMinHash.oracleIncrementalSql(0.3))),
+    Q(
       "qd15_minhash_portable_dedup",
       (s, dir) =>
         PortableMinHash.dedupKeepFirst(

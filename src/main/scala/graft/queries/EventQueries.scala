@@ -142,6 +142,28 @@ object EventQueries {
                            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS ck
                     FROM documents) x""")),
     Q(
+      "qm04_audio_meta",
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        Multimodal.decodeAudio(media).toDF()
+          .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+            col("channels"), col("sampleRate").as("sample_rate"),
+            col("durationMs").as("duration_ms"), col("checksum"))
+      },
+      // text payloads take the deterministic stub path (real WAV/FLAC
+      // parsing is spec-tested on hand-built containers), so the audio
+      // metadata is fully value-oracle-able like qm02
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                     CAST(1 + ck % 2 AS INT) AS channels,
+                     CAST(8000 + (ck % 5) * 8000 AS INT) AS sample_rate,
+                     (ck >> 10) % 600000 AS duration_ms,
+                     ck AS checksum
+              FROM (SELECT doc_id, text,
+                           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS ck
+                    FROM documents) x""")),
+    Q(
       "qm03_frame_sample",
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s

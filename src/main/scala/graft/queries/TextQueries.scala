@@ -308,6 +308,49 @@ object TextQueries {
               SELECT source, term, tf, dfd, score FROM r WHERE rn <= 5""")),
 
     Q(
+      "qt17_token_mix",
+      // data mixing: downsample each source so its kept token mass
+      // approaches budget·pct/100 — thresholds are DERIVED FROM THE
+      // DATA (per-source token counts) with fixed integer/double op
+      // order, so DuckDB re-derives the identical thresholds and the
+      // kept set is fully value-oracled. src2 exercises the
+      // keep-everything clamp; src0/src1 the fractional branch.
+      (s, dir) => {
+        val kept = CorpusOps.tokenMix(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), col("source"),
+          budgetTokens = 2000L,
+          pctBySource = Map("src0" -> 60, "src1" -> 25, "src2" -> 100),
+          defaultPct = 5)
+        kept.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .cast("bigint").as("kept_tokens"))
+      },
+      Some("""WITH tok AS (
+               |  SELECT doc_id, source,
+               |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+               |  FROM documents),
+               |tgt AS (
+               |  SELECT source, sum(n_tokens) AS actual,
+               |         2000 * (CASE source WHEN 'src0' THEN 60
+               |                             WHEN 'src1' THEN 25
+               |                             WHEN 'src2' THEN 100
+               |                             ELSE 5 END) // 100 AS target
+               |  FROM tok GROUP BY source),
+               |thr AS (
+               |  SELECT source,
+               |         CASE WHEN target >= actual THEN 1099511627776
+               |              ELSE CAST(floor((CAST(target AS DOUBLE) / CAST(actual AS DOUBLE))
+               |                              * 1099511627776.0) AS BIGINT)
+               |         END AS t
+               |  FROM tgt)
+               |SELECT tok.source, count(*) AS n_docs,
+               |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+               |FROM tok JOIN thr ON tok.source = thr.source
+               |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) < thr.t
+               |GROUP BY tok.source""".stripMargin)),
+    Q(
       "qt15_decontaminate",
       // benchmark decontamination: the 'test' hash-split bucket plays
       // the eval set, the 'train' bucket the corpus; a train document

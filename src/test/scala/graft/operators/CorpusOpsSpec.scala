@@ -66,4 +66,37 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.splitAssign(col("x"), trainPct = 90, validPct = 20)
     }
   }
+
+  test("mixThreshold: clamp at/over target, fractional below, zero cases") {
+    val full = 1L << 40
+    assert(CorpusOps.mixThreshold(1000L, 2000L, 60) == full) // target 1200 >= 1000
+    assert(CorpusOps.mixThreshold(1000L, 1000L, 100) == full) // exactly at target
+    val t = CorpusOps.mixThreshold(2000L, 2000L, 50) // target 1000 of 2000
+    assert(t == math.floor(0.5 * full.toDouble).toLong)
+    assert(CorpusOps.mixThreshold(1000L, 2000L, 0) == 0L) // pct 0 keeps nothing
+  }
+
+  test("tokenMix downsamples heavy sources toward their token targets") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val kept = CorpusOps.tokenMix(
+      docs, col("text"), col("doc_id"), col("source"),
+      budgetTokens = 2000L,
+      pctBySource = Map("src0" -> 100), defaultPct = 10)
+    val tokens = graft.operators.text.TextAnalysis.tokenCount(col("text")).cast("long")
+    val by = kept.groupBy("source").agg(sum(tokens).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0All = docs.filter(col("source") === "src0")
+      .agg(sum(tokens)).head().getLong(0)
+    // src0 target (2000) exceeds its mass: kept in full
+    assert(by("src0") == src0All)
+    // a default source's kept mass lands near its 200-token target
+    // (documents are ~60 tokens, so within a few docs of the target)
+    val others = by.filter(_._1 != "src0").values
+    assert(others.forall(_ < 600), s"default sources not downsampled: $by")
+    // determinism: same inputs, same kept set
+    val again = CorpusOps.tokenMix(
+      docs, col("text"), col("doc_id"), col("source"),
+      2000L, Map("src0" -> 100), 10)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
 }

@@ -74,6 +74,63 @@ class MultimodalSpec extends SparkSpec {
       imageBytes("png", 10, 10).take(20)).isEmpty)
   }
 
+  // real WAV bytes from the JDK encoder (the audio analog of imageBytes)
+  private def wavBytes(rate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  // hand-built fLaC STREAMINFO: 44.1 kHz stereo, 88200 total samples
+  private def flacBytes: Array[Byte] = {
+    val b = new Array[Byte](8 + 34)
+    b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+    b(4) = 0x80.toByte // last-metadata-block flag + type 0 (STREAMINFO)
+    b(7) = 34 // block length
+    b(18) = 0x0a; b(19) = 0xc4.toByte // sample rate 44100 = 0x0AC44...
+    b(20) = (0x40 | (1 << 1)).toByte // ...low nibble 4; channels-1 = 1
+    b(23) = 0x01; b(24) = 0x58; b(25) = 0x88.toByte // samples = 0x15888
+    b
+  }
+
+  test("decodeAudio parses real WAV and FLAC headers; text falls back to the stub") {
+    val payloads = Seq(
+      (1L, "audio/wav", wavBytes(16000, 2, 16000)), // exactly 1 s stereo
+      (2L, "audio/flac", flacBytes),
+      (3L, "text/plain", "just some words".getBytes("UTF-8")))
+    val df = payloads.toDF("id", "media_type", "content")
+    val got = Multimodal.decodeAudio(df).collect().map(m => m.id -> m).toMap
+    assert(got(1L).mediaType == "audio/wav")
+    assert(got(1L).channels == 2 && got(1L).sampleRate == 16000)
+    assert(got(1L).durationMs == 1000L)
+    assert(got(2L).mediaType == "audio/flac")
+    assert(got(2L).channels == 2 && got(2L).sampleRate == 44100)
+    assert(got(2L).durationMs == 2000L)
+    // non-audio payload: deterministic stub, still total
+    assert(got(3L).mediaType == "text/plain")
+    assert(got(3L).channels >= 1 && got(3L).sampleRate >= 8000)
+    payloads.foreach { case (id, _, bytes) =>
+      assert(got(id).nBytes == bytes.length)
+    }
+  }
+
+  test("audioMeta rejects truncated and corrupt containers") {
+    assert(Multimodal.audioMeta("RIFF".getBytes).isEmpty)
+    assert(Multimodal.audioMeta(wavBytes(8000, 1, 100).take(20)).isEmpty)
+    assert(Multimodal.audioMeta("fLaC".getBytes).isEmpty)
+    assert(Multimodal.audioMeta("plain text, not audio at all".getBytes).isEmpty)
+    // corrupt chunk length must end the RIFF walk, not loop or throw
+    val bad = wavBytes(8000, 1, 100)
+    bad(16) = 0xff.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0x7f.toByte
+    assert(Multimodal.audioMeta(bad).isEmpty)
+  }
+
   test("resize stub caps the longer side and keeps aspect floor") {
     val resized = Multimodal.resizeStub(Multimodal.decodeStub(media), maxSide = 128)
     resized.collect().foreach { m =>
