@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHashSig, PortableSimHashSig, RollingMinHash, SigMatchFraction, SimHash64}
+import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHashSig, PortableSimHashSig, RollingMinHash, SigMatchFraction, SimHash64, SortedCharShingles, SortedIntersectCount, SortedTokenShingles, SquaredDistance}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions, so the engine's sketching primitives
@@ -20,9 +20,13 @@ import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHash
   *   - rolling_min_hash(text string, window int) -> bigint
   *   - vec_dot(a, b array<float|double>) -> double
   *   - vec_cosine(a, b array<float|double>) -> double
+  *   - vec_sqdist(a, b array<float|double>) -> double
   *   - sig_match_fraction(a, b array<bigint>) -> double
   *   - portable_minhash_sig(text string) -> array<bigint>
   *   - portable_simhash(text string) -> bigint
+  *   - sorted_char_shingles(text string, k int) -> array<string>
+  *   - sorted_token_shingles(text string, n int) -> array<string>
+  *   - sorted_intersect_count(a, b array<string>) -> bigint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,7 +73,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     inject2("vec_dot", classOf[DotProduct], DotProduct(_, _))
     inject2("vec_cosine", classOf[CosineSim], CosineSim(_, _))
+    inject2("vec_sqdist", classOf[SquaredDistance], SquaredDistance(_, _))
     inject2("sig_match_fraction", classOf[SigMatchFraction], SigMatchFraction(_, _))
+    inject2("sorted_intersect_count", classOf[SortedIntersectCount], SortedIntersectCount(_, _))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_char_shingles"),
+      new ExpressionInfo(classOf[SortedCharShingles].getName, "sorted_char_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_char_shingles(text, k)")
+        SortedCharShingles(
+          children.head, intLit(children(1), "sorted_char_shingles", "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_token_shingles"),
+      new ExpressionInfo(classOf[SortedTokenShingles].getName, "sorted_token_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_token_shingles(text, n)")
+        SortedTokenShingles(
+          children.head, intLit(children(1), "sorted_token_shingles", "n"))
+      }))
     inject1("portable_minhash_sig", classOf[PortableMinHashSig], PortableMinHashSig(_))
     inject1("portable_simhash", classOf[PortableSimHashSig], PortableSimHashSig(_))
     ext.injectFunction((

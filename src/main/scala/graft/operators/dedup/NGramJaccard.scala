@@ -21,8 +21,39 @@ object NGramJaccard {
     when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** [[jaccard]] over SORTED distinct arrays: the intersection size is
+    * one allocation-free native merge walk
+    * ([[graft.functions.SetExprs.sortedIntersectCount]]) and the union
+    * size is |A| + |B| − |A∩B| — same values, none of
+    * `array_intersect`/`array_union`'s per-pair hash sets and result
+    * arrays. This is the pair-join hot loop: at sf0.1 the hash-set form
+    * made qd07 a 28-second query; the merge walk is ~20× cheaper. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.SetExprs.sortedIntersectCount(a, b)
+    val union = size(a).cast("long") + size(b).cast("long") - inter
+    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
   /** Pairs within a blocking key (e.g. `source`) scored by exact
-    * token-n-gram Jaccard, id_a < id_b, similarity >= threshold. */
+    * token-n-gram Jaccard, id_a < id_b, similarity >= threshold.
+    *
+    * Two formulations, same values for any positive threshold:
+    *
+    *   - threshold > 0 → INVERTED INDEX (the classic set-similarity
+    *     join): explode to (block, gram, id) postings, self-join on
+    *     gram equality, count co-occurrences per pair —
+    *     |A∩B| arrives as an algebraic `count`, union by
+    *     |A|+|B|−|A∩B|, and the gram ARRAYS never cross the pair
+    *     join (the dense form materialized both ~n-gram arrays into
+    *     every one of the B² candidate rows — the dominant cost at
+    *     sf0.1). Pairs sharing no gram have similarity 0 and cannot
+    *     pass a positive threshold, so never materializing them is
+    *     exactly the point.
+    *   - threshold <= 0 → dense within-block pair join (zero-overlap
+    *     pairs included by contract), sorted-merge native kernel.
+    *
+    * Gram sets build through the native [[graft.functions.ShingleExprs]]
+    * kernel (the interpreted HOF build cost more than the join). */
   def pairsWithinBlock(
       df: DataFrame,
       text: Column,
@@ -30,19 +61,40 @@ object NGramJaccard {
       block: Column,
       n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    // materialized so gram arrays are built once per doc, not once per
-    // pair through the join lineage; localCheckpoint so the blocks are
-    // freed when the result is dropped (see MinHashLSH)
+    // materialized so gram arrays are built (and sorted) once per doc,
+    // not once per pair through the join lineage; localCheckpoint so
+    // the blocks are freed when the result is dropped (see MinHashLSH)
     val g = graft.operators.Parallelism.ensureMin(df).select(
       block.as("blk"),
       id.as("id"),
-      TextOps.tokenShingles(text, n).as("grams"))
+      graft.functions.ShingleExprs
+        .sortedTokenShingles(TextOps.normalized(text), n).as("grams"))
       .transform(Barrier.apply)
+    if (threshold > 0) invertedPairs(g, threshold) else densePairs(g, threshold)
+  }
+
+  private def invertedPairs(g: DataFrame, threshold: Double): DataFrame = {
+    val e = g.select(col("blk"), col("id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val a = e.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = e.select(col("blk"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("blk", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a").cast("long") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  private def densePairs(g: DataFrame, threshold: Double): DataFrame = {
     val a = g.select(col("blk"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = g.select(col("blk"), col("id").as("id_b"), col("grams").as("g_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .withColumn("jaccard", jaccardSorted(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -107,15 +107,17 @@ object KMeansCluster {
     cents
   }
 
-  /** DuckDB formulation of fit(k, iters = 1) + final assignment over
-    * `embeddings(vec_id, embedding[64])`: same md5-ordered init, same
-    * sequential squared-L2 fold, same 2^20-lattice mean, same
-    * lowest-cluster tie-break. */
-  def oracleSql(k: Int, dim: Int = 64): String = {
+  /** The CTE chain of fit(k, iters = 1) + final assignment over
+    * `embeddings(vec_id, embedding[dim])`, ending in
+    * `kma(vec_id, cluster, dist)` — spliceable into composed pipelines
+    * (SemanticDedup). Same md5-ordered init, same sequential
+    * squared-L2 fold, same 2^20-lattice mean, same lowest-cluster
+    * tie-break as the Spark side. */
+  def oracleCtes(k: Int, dim: Int = 64): String = {
     def d(c: String) =
       s"list_reduce(list_transform(range(1, ${dim + 1}), " +
         s"i -> (e.embedding[i]::DOUBLE - $c.cv[i]) * (e.embedding[i]::DOUBLE - $c.cv[i])), (x, y) -> x + y)"
-    s"""WITH c1 AS (
+    s"""c1 AS (
        |  SELECT cluster, cv FROM (
        |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS cluster,
        |           list_transform(embedding, x -> x::DOUBLE) AS cv
@@ -138,12 +140,18 @@ object KMeansCluster {
        |    SELECT cluster, pos,
        |           (CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / $Lattice AS qm
        |    FROM q GROUP BY cluster, pos) z
-       |  GROUP BY cluster)
-       |SELECT vec_id, cluster, round(dist, 4) AS dist FROM (
-       |  SELECT e.vec_id, c2.cluster, ${d("c2")} AS dist,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY ${d("c2")}, c2.cluster) AS rn
-       |  FROM embeddings e CROSS JOIN c2) z
-       |WHERE rn = 1""".stripMargin
+       |  GROUP BY cluster),
+       |kma AS (
+       |  SELECT vec_id, cluster, dist FROM (
+       |    SELECT e.vec_id, c2.cluster, ${d("c2")} AS dist,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${d("c2")}, c2.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN c2) z
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB formulation of the qs10 query (per-vector assignments). */
+  def oracleSql(k: Int, dim: Int = 64): String =
+    s"""WITH ${oracleCtes(k, dim)}
+       |SELECT vec_id, cluster, round(dist, 4) AS dist FROM kma""".stripMargin
 }

@@ -282,14 +282,18 @@ object DedupQueries {
         val p = MinHashLSH.Params()
         val docs = Tables.load(s, dir, "documents")
         val pairs = MinHashLSH.candidatePairs(docs, col("text"), col("doc_id"), p)
-        val sh = docs.select(col("doc_id"),
-          graft.operators.TextOps.charShingles(col("text"), p.shingleSize).as("sh"))
+        // shingle sets build through the native kernel and materialize
+        // ONCE behind a Barrier (the interpreted-HOF build was ~15s of
+        // this query's sf0.1 wall time), sorted so the exact Jaccard
+        // is the native merge-count kernel
+        val sh = graft.operators.Barrier(docs.select(col("doc_id"),
+          graft.functions.ShingleExprs.sortedCharShingles(
+            graft.operators.TextOps.normalized(col("text")), p.shingleSize).as("sh")))
         val joined = pairs
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
           .withColumn("exact",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
+            graft.operators.dedup.NGramJaccard.jaccardSorted(col("sh_a"), col("sh_b")))
           .withColumn("abs_err", abs(col("est_jaccard") - col("exact")))
         joined
           .agg(

@@ -177,6 +177,19 @@ object SimilarityQueries {
       },
       Some(graft.operators.similarity.KMeansCluster.oracleSql(8))),
     Q(
+      "qs11_semantic_prune",
+      // SemDeDup-shaped composite: k-means cells (qs10 machinery) ->
+      // exact within-cell cosine pairs -> keep-lowest-id prune. The
+      // whole cluster->pair->prune chain is value-oracled: same
+      // deterministic clustering, same bit-identical cosine fold.
+      (s, dir) =>
+        graft.operators.similarity.SemanticDedup.prune(
+          Tables.load(s, dir, "embeddings"),
+          col("embedding"), col("vec_id"), "vec_id",
+          k = 8, iters = 1, threshold = 0.2)
+          .select("vec_id", "label"),
+      Some(graft.operators.similarity.SemanticDedup.oracleSql(8, 0.2))),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

@@ -60,6 +60,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(4) == 48)
   }
 
+  test("set and distance kernels are callable from SQL") {
+    val df = Seq("abc abd xyz").toDF("text")
+    df.createOrReplaceTempView("ext_sets")
+    val r = spark.sql(
+      """SELECT sorted_char_shingles(text, 3) AS cs,
+        |       sorted_token_shingles(text, 2) AS ts,
+        |       sorted_intersect_count(sorted_token_shingles(text, 2),
+        |                              sorted_token_shingles(text, 2)) AS ic,
+        |       vec_sqdist(array(1.0D, 2.0D), array(1.0D, 0.0D)) AS sq
+        |FROM ext_sets""".stripMargin).head()
+    assert(r.getSeq[String](0).nonEmpty && r.getSeq[String](0) == r.getSeq[String](0).sorted)
+    assert(r.getSeq[String](1) == Seq("abc abd", "abd xyz"))
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 4.0)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val df = Seq(("t", 3)).toDF("text", "k")
     df.createOrReplaceTempView("ext_docs4")

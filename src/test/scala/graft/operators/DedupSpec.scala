@@ -77,6 +77,60 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) > 0.5 && pairs((1L, 4L)) < 1.0)
   }
 
+  test("native sorted shingles equal the HOF formulation on real docs") {
+    val real = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val both = real.select(
+      graft.functions.ShingleExprs
+        .sortedCharShingles(TextOps.normalized(col("text")), 5).as("nat_c"),
+      array_sort(TextOps.charShingles(col("text"), 5)).as("hof_c"),
+      graft.functions.ShingleExprs
+        .sortedTokenShingles(TextOps.normalized(col("text")), 2).as("nat_t"),
+      array_sort(TextOps.tokenShingles(col("text"), 2)).as("hof_t"))
+    assert(both.filter(col("nat_c") =!= col("hof_c")).isEmpty,
+      "char shingles diverge from HOF")
+    assert(both.filter(col("nat_t") =!= col("hof_t")).isEmpty,
+      "token shingles diverge from HOF")
+    // short/degenerate inputs follow the same whole-stream convention
+    val edge = Seq("", "ab", "one two").toDF("text")
+    val e = edge.select(
+      graft.functions.ShingleExprs
+        .sortedCharShingles(TextOps.normalized(col("text")), 5).as("nat"),
+      array_sort(TextOps.charShingles(col("text"), 5)).as("hof"))
+    assert(e.filter(col("nat") =!= col("hof")).isEmpty)
+  }
+
+  test("inverted-index jaccard pairs equal the dense join for positive thresholds") {
+    val withBlock = docs.withColumn("src", lit("all"))
+    val inv = NGramJaccard
+      .pairsWithinBlock(withBlock, col("text"), col("doc_id"), col("src"),
+        n = 2, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    // dense path forced via threshold <= 0, filtered to the same bar
+    val dense = NGramJaccard
+      .pairsWithinBlock(withBlock, col("text"), col("doc_id"), col("src"),
+        n = 2, threshold = 0.0)
+      .filter(col("jaccard") >= 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inv == dense, s"inverted=$inv dense=$dense")
+  }
+
+  test("sorted-merge jaccard kernel equals the hash-set builtins") {
+    val pairs = Seq(
+      (Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),
+      (Seq("x"), Seq("x")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq("y")),
+      (Seq("dup", "dup2", "zz"), Seq.empty[String])
+    ).toDF("a", "b")
+    val got = pairs.select(
+      NGramJaccard.jaccard(col("a"), col("b")).as("hashset"),
+      NGramJaccard.jaccardSorted(
+        array_sort(col("a")), array_sort(col("b"))).as("merged"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (h, m) => assert(h == m, s"$h != $m") }
+  }
+
   test("embedding cosine dedup finds planted duplicate vector") {
     val base = Array.tabulate(8)(i => i.toFloat / 10f)
     val nearDup = base.clone(); nearDup(0) += 0.001f
