@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.operators.dedup.MinHashLSH
+import graft.sync.Sink
+
+/** Streaming corpus ingestion — the continuous form of the batch
+  * curation pipeline: documents arrive as a stream and must not
+  * re-enter the corpus when they already exist (exact) or
+  * near-duplicate it (sketch index), without ever re-processing the
+  * corpus itself. Pairs with [[MinHashLSH.buildIndex]]: the corpus is
+  * signed once offline; the stream checks against it forever after.
+  */
+object IngestPipeline {
+
+  /** The corpus's exact-dup guard: distinct md5 fingerprints of the
+    * normalized text — one 32-char string per unique document, the
+    * compact static side of the ingest anti-join. */
+  def corpusFingerprints(corpus: DataFrame, text: Column): DataFrame =
+    corpus.select(md5(TextOps.normalized(text)).as("fp")).distinct()
+
+  /** Exact ingest dedup, fully streaming: drop documents whose
+    * fingerprint exists in the static corpus (stream-static broadcast
+    * LEFT ANTI — stateless, evaluated per micro-batch), then drop
+    * within-stream re-deliveries of the same fingerprint inside the
+    * watermark horizon (keyed state bounded by horizon × arrival
+    * rate). The stream side is never shuffled by the anti-join; the
+    * fingerprint set ships once per executor. */
+  def dedupIngest(
+      stream: DataFrame,
+      text: Column,
+      fingerprints: DataFrame,
+      eventTime: String = "ts",
+      horizon: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__fp", md5(TextOps.normalized(text)))
+      .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
+        Seq("__fp"), "left_anti")
+      .withWatermark(eventTime, horizon)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Full curation ingest: per micro-batch, exact-dedup against the
+    * corpus fingerprints, near-dup-dedup against the persisted LSH
+    * index ([[MinHashLSH.dedupAgainstIndex]] — increment broadcasts,
+    * corpus streams through one scan), then append survivors to the
+    * sink. foreachBatch because the near-dup check is a composed batch
+    * plan, not a single streaming-supported join; source progress is
+    * checkpointed, the sink append is at-least-once on task retry
+    * (pair with a keyed target, as in Sync.streamingSync). Within-batch
+    * self-duplicates collapse via the exact fingerprint before the
+    * index check. */
+  def curateIngest(
+      stream: DataFrame,
+      sink: Sink,
+      table: String,
+      checkpointDir: String,
+      index: MinHashLSH.LshIndex,
+      fingerprints: DataFrame,
+      text: Column,
+      idCol: String,
+      p: MinHashLSH.Params = MinHashLSH.Params(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fp = md5(TextOps.normalized(text))
+        val exactNew = batch
+          .withColumn("__fp", fp)
+          .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
+            Seq("__fp"), "left_anti")
+          // keep one representative per in-batch fingerprint (lowest id)
+          .withColumn("__rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("__fp").orderBy(col(idCol))))
+          .filter(col("__rn") === 1)
+          .drop("__fp", "__rn")
+        val novel = MinHashLSH.dedupAgainstIndex(index, exactNew, text, idCol, p)
+        sink.append(novel, table)
+      }
+      .trigger(trigger)
+      .start()
+}

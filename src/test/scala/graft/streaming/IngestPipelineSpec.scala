@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.dedup.MinHashLSH
+import graft.sync.ParquetSink
+
+/** Streaming ingestion against an existing corpus: exact re-ingests
+  * and near-duplicates must be rejected without re-processing the
+  * corpus; novel documents land exactly once. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val corpus = Seq(
+    (2L, base),
+    (4L, "completely different corpus content about spark partitions and shuffles")
+  ).toDF("doc_id", "text")
+  // stream: 2 re-ingests doc 2 exactly; 11 near-dups it; 13/15 novel;
+  // 15 is re-delivered (same id+text twice)
+  private lazy val arrivals = Seq(
+    (2L, base),
+    (11L, base + " tonight"),
+    (13L, "a wholly new document with nothing in common with the corpus"),
+    (15L, "another novel arrival about benchmarks and latencies only")
+  ).toDF("doc_id", "text")
+
+  private def stage(df: org.apache.spark.sql.DataFrame, twice: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    df.write.mode("overwrite").parquet(s"$dir/a")
+    if (twice) df.write.mode("append").parquet(s"$dir/b")
+    dir
+  }
+
+  test("dedupIngest rejects corpus re-ingests and in-stream re-deliveries") {
+    val dir = stage(arrivals.withColumn("ts", lit("2026-01-01 10:00:00").cast("timestamp")), twice = true)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = IngestPipeline.dedupIngest(stream, col("text"), fps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingest_out").select("doc_id").as[Long]
+      .collect().sorted
+    // exact re-ingest (2) dropped; near-dup 11 SURVIVES the exact
+    // filter (that is curateIngest's job); each survivor lands once
+    assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
+  }
+
+  test("curateIngest appends only novel documents to the sink") {
+    val dir = stage(arrivals, twice = false)
+    val p = MinHashLSH.Params(
+      shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3)
+    val index = MinHashLSH.buildIndex(corpus, col("text"), col("doc_id"), p)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_ingest_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val sink = ParquetSink(sinkDir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = IngestPipeline.curateIngest(
+      stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p)
+    q.awaitTermination(60000)
+    val landed = sink.readBack(spark, "docs").select("doc_id").as[Long]
+      .collect().sorted
+    // 2 exact-dropped, 11 near-dup-dropped, 13/15 novel
+    assert(landed.sameElements(Array(13L, 15L)), landed.mkString(","))
+    // restart with no new data: idempotent (checkpointed progress)
+    val q2 = IngestPipeline.curateIngest(
+      stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p)
+    q2.awaitTermination(60000)
+    assert(sink.readBack(spark, "docs").count() == 2)
+  }
+}
