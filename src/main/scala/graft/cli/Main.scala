@@ -11,7 +11,9 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   * compare.go, create.go):
   *
   *   graft sync         --config cfg.yml    full migration (DDL+data)
+  *   graft sync --delta --config cfg.yml    checksum-diff repair sync
   *   graft compare      --config cfg.yml    row-count compare
+  *   graft compare --content --config ...   one-pass checksum compare
   *   graft create-table --config cfg.yml    DDL-only
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
@@ -58,6 +60,22 @@ object Main {
 
     val t0 = System.nanoTime()
     cmd match {
+      case "sync" if args.contains("--delta") =>
+        // checksum-diff repair mode: only key ranges whose content
+        // checksums disagree move (update-aware, no truncate-reload)
+        val catalog = catalogFor(cfg.src)
+        val sink = sinkFor(cfg.dest, cfg)
+        val reports = catalog.listTables(cfg.exclude).map(t =>
+          graft.sync.DeltaSync.syncDelta(spark, catalog, sink, t,
+            pageSize = cfg.pageSize.toLong))
+        println(table(
+          Seq("Object", "Slices", "Changed", "RowsCopied", "Result") +:
+            reports.map(r => Seq(r.table, r.slices.toString,
+              r.changedSlices.toString, r.rowsCopied.toString,
+              if (r.ok) "OK" else s"FAILED ${r.error.getOrElse("")}"))))
+        println(f"Delta sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"failed ${reports.count(!_.ok)}")
+        reports.count(!_.ok)
       case "sync" =>
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
@@ -111,7 +129,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync|compare|create-table|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|version> --config cfg.yml")
         2
     }
     }

@@ -104,6 +104,63 @@ object CorpusOps {
     df.where(hashKey40(id) < thrCol)
   }
 
+  /** Fixed-window token chunking with stride — context-window prep:
+    * each document yields chunks of up to `maxTokens` tokens starting
+    * every `stride` tokens (stride < maxTokens → overlapping windows).
+    * Output rows are (id, chunk_start [1-based token offset],
+    * chunk_tokens, chunk_fp) — the md5 stands in for the chunk text so
+    * downstream joins/dedup never carry the tokens. One narrow explode
+    * per document; embarrassingly parallel. */
+  def chunkTokens(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      maxTokens: Int,
+      stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0, s"bad maxTokens=$maxTokens / stride=$stride")
+    val toks = graft.operators.TextOps.tokens(text)
+    df.select(id.as("id"), toks.as("__toks"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(1), size(col("__toks")), lit(stride))))
+      .select(
+        col("id"),
+        col("chunk_start"),
+        size(slice(col("__toks"), col("chunk_start"), lit(maxTokens)))
+          .as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("chunk_start"), lit(maxTokens))))
+          .as("chunk_fp"))
+  }
+
+  /** Per-document out-of-vocabulary profile against the corpus's own
+    * top-`vocabSize` terms (the tokenizer-coverage signal): vocabulary
+    * is the frequency-ranked term list (ties break by term — a total
+    * order, so the cut is deterministic), and each document reports
+    * its token count, in-vocabulary count, and OOV rate. Vocabulary is
+    * small by construction → broadcast join against the token stream;
+    * the per-doc rollup partial-aggregates map-side. */
+  def oovProfile(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      vocabSize: Int): DataFrame = {
+    val toks = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), explode(graft.operators.TextOps.tokens(text)).as("term"))
+    val vocab = toks
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("iv"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("iv")).as("in_vocab"))
+      .withColumn("oov_rate",
+        round(lit(1.0) - col("in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
   /** Greedy sequential packing: within each `part` (shard), walking in
     * `order`, a document's bin is where its token run begins —
     * `floor((cumsum(tokens) - tokens) / budget)`. A document crossing

@@ -351,6 +351,48 @@ object TextQueries {
                |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) < thr.t
                |GROUP BY tok.source""".stripMargin)),
     Q(
+      "qt18_token_chunks",
+      // context-window prep: 64-token chunks every 32 tokens
+      // (overlapping); the md5 chunk fingerprint stands in for the
+      // chunk text, so the output stays narrow
+      (s, dir) =>
+        CorpusOps.chunkTokens(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), maxTokens = 64, stride = 32),
+      Some("""WITH nrm AS (SELECT doc_id,
+               |              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+               |            FROM documents),
+               |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
+               |st AS (SELECT doc_id, toks,
+               |              unnest(range(1, len(toks) + 1, 32)) AS s
+               |       FROM tk)
+               |SELECT doc_id AS id, CAST(s AS INT) AS chunk_start,
+               |       len(toks[s:s+63]) AS chunk_tokens,
+               |       md5(list_aggregate(toks[s:s+63], 'string_agg', ' ')) AS chunk_fp
+               |FROM st""".stripMargin)),
+    Q(
+      "qt19_oov_rate",
+      // tokenizer-coverage signal: per-doc fraction of token
+      // occurrences outside the corpus's own top-50 vocabulary
+      // (frequency-ranked, ties by term — a deterministic cut)
+      (s, dir) =>
+        CorpusOps.oovProfile(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), vocabSize = 50),
+      Some("""WITH nrm AS (SELECT doc_id,
+               |              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+               |            FROM documents),
+               |tk AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM nrm),
+               |voc AS (SELECT term FROM (
+               |          SELECT term, count(*) AS n FROM tk GROUP BY term
+               |          ORDER BY n DESC, term LIMIT 50) z)
+               |SELECT tk.doc_id AS id, count(*) AS n_tokens,
+               |       count(voc.term) AS in_vocab,
+               |       round(1.0 - CAST(count(voc.term) AS DOUBLE)
+               |                   / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+               |FROM tk LEFT JOIN voc ON tk.term = voc.term
+               |GROUP BY tk.doc_id""".stripMargin)),
+    Q(
       "qt15_decontaminate",
       // benchmark decontamination: the 'test' hash-split bucket plays
       // the eval set, the 'train' bucket the corpus; a train document

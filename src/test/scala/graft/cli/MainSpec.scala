@@ -91,6 +91,32 @@ class MainSpec extends SparkSpec {
       "content compare must see the mutation")
   }
 
+  test("sync --delta repairs a mutated destination and is idempotent") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_cli_delta").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |exclude: lineitem orders events documents embeddings part region nation supplier
+         |""".stripMargin)
+    // first delta run on a missing target = full load
+    assert(Main.run(Array("sync", "--delta", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) == 0)
+    // corrupt one customer row in place (same count)
+    val mutated = spark.read.parquet(s"$out/customer.parquet")
+      .withColumn("c_name",
+        when(col("c_custkey") === 7, lit("CORRUPT")).otherwise(col("c_name")))
+    val tmp = Files.createTempDirectory("graft_cli_delta_mut").toString
+    mutated.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) > 0)
+    // delta sync heals it; content compare goes green again
+    assert(Main.run(Array("sync", "--delta", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) == 0)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }

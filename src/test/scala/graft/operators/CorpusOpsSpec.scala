@@ -67,6 +67,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens windows cover every token with the requested stride") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "short doc")                               // 2 tokens
+    ).toDF("doc_id", "text")
+    val chunks = CorpusOps
+      .chunkTokens(docs, col("text"), col("doc_id"), maxTokens = 8, stride = 4)
+      .as[(Long, Int, Int, String)].collect().sortBy(c => (c._1, c._2))
+    val d1 = chunks.filter(_._1 == 1L)
+    // starts 1, 5, 9; lengths 8, 6, 2
+    assert(d1.map(_._2).sameElements(Array(1, 5, 9)))
+    assert(d1.map(_._3).sameElements(Array(8, 6, 2)))
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 2)
+    // overlapping windows: consecutive chunks share maxTokens - stride
+    // tokens, so every token is covered at least once
+    assert(d1.map(c => c._2 to (c._2 + c._3 - 1)).flatten.distinct.sorted
+      .sameElements(1 to 10))
+  }
+
+  test("oovProfile: rate reflects the vocabulary cut deterministically") {
+    val docs = Seq(
+      (1L, "common common common rare1"),
+      (2L, "common other other rare2 rare3")
+    ).toDF("doc_id", "text")
+    // vocab of size 2 = {common(4), other(2)}; rare* are OOV
+    val p = CorpusOps.oovProfile(docs, col("text"), col("doc_id"), vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(p(1L) == ((1L, 4L, 3L, 0.25)))
+    assert(p(2L) == ((2L, 5L, 3L, 0.4)))
+    // a huge vocab means nothing is OOV
+    val all = CorpusOps.oovProfile(docs, col("text"), col("doc_id"), vocabSize = 100)
+      .select("oov_rate").as[Double].collect()
+    assert(all.forall(_ == 0.0))
+  }
+
   test("mixThreshold: clamp at/over target, fractional below, zero cases") {
     val full = 1L << 40
     assert(CorpusOps.mixThreshold(1000L, 2000L, 60) == full) // target 1200 >= 1000
