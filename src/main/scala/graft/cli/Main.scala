@@ -65,9 +65,7 @@ object Main {
         // checksums disagree move (update-aware, no truncate-reload)
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
-        val reports = catalog.listTables(cfg.exclude).map(t =>
-          graft.sync.DeltaSync.syncDelta(spark, catalog, sink, t,
-            pageSize = cfg.pageSize.toLong))
+        val reports = graft.sync.DeltaSync.syncAllDelta(spark, catalog, sink, cfg)
         println(table(
           Seq("Object", "Slices", "Changed", "RowsCopied", "Result") +:
             reports.map(r => Seq(r.table, r.slices.toString,

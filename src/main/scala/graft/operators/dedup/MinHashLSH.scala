@@ -130,10 +130,14 @@ object MinHashLSH {
   final case class LshIndex(docs: DataFrame, hot: DataFrame)
 
   /** Sign the corpus once. The hot-bucket list is the one corpus-wide
-    * aggregation, paid at BUILD time; every later increment reuses it. */
+    * aggregation, paid at BUILD time; every later increment reuses it.
+    * The signed rows cross a [[Barrier]] — at least two consumers read
+    * them (the hot aggregation plus writeIndex/pairsAgainstIndex), and
+    * without it each consumer's lineage would re-run the signing scan,
+    * breaking the "signed once" contract this index exists for. */
   def buildIndex(df: DataFrame, text: Column, id: Column, p: Params = Params()): LshIndex = {
-    val rows = signatures(df, text, id, p)
-      .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
+    val rows = Barrier(signatures(df, text, id, p)
+      .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows)))
     val hot = rows
       .select(posexplode(col("bks")).as(Seq("band", "bh")))
       .groupBy("band", "bh")

@@ -88,9 +88,15 @@ object Multimodal {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       Some(("image/gif", le16(b, 6), le16(b, 8)))
-    // BMP: "BM", BITMAPINFOHEADER width/height at 18/22 (height may be
-    // negative = top-down rows)
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    // BMP: "BM" alone is 2 ASCII bytes any text can start with
+    // ("BMW dealers..."), so require the BITMAPINFOHEADER-family DIB
+    // size at 14 and planes == 1 at 26 before trusting width/height at
+    // 18/22 (height may be negative = top-down rows)
+    else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && {
+      val dib = le32(b, 14)
+      (dib == 40 || dib == 52 || dib == 56 || dib == 108 || dib == 124) &&
+        le16(b, 26) == 1
+    })
       Some(("image/bmp", le32(b, 18), math.abs(le32(b, 22))))
     // JPEG: walk the segment chain to the first frame header (SOFn)
     else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {

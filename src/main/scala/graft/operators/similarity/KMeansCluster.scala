@@ -59,9 +59,11 @@ object KMeansCluster {
       .toSeq
   }
 
-  /** Per-row nearest-centroid assignment: (id, cluster, dist) plus the
-    * original columns. Map-only — the centroid list rides in as
-    * literals and the k distances are native codegen'd folds. */
+  /** Per-row nearest-centroid assignment, projected to
+    * (id, v [the double vector], cluster, dist) — join back on id to
+    * recover other columns (see SemanticDedup.prune). Map-only — the
+    * centroid list rides in as literals and the k distances are native
+    * codegen'd folds. */
   def assign(df: DataFrame, vec: Column, id: Column, cents: Seq[Centroid]): DataFrame = {
     require(cents.nonEmpty, "no centroids")
     val v = transform(vec, _.cast("double"))

@@ -144,8 +144,12 @@ object CorpusOps {
       text: Column,
       id: Column,
       vocabSize: Int): DataFrame = {
-    val toks = graft.operators.Parallelism.ensureMin(df)
-      .select(id.as("id"), explode(graft.operators.TextOps.tokens(text)).as("term"))
+    // two consumers (vocabulary aggregation + the join) read the
+    // exploded stream: materialize it once, or the join lineage
+    // re-tokenizes the whole corpus (the SpanDedup Barrier pattern)
+    val toks = graft.operators.Barrier(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), explode(graft.operators.TextOps.tokens(text)).as("term")))
     val vocab = toks
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))

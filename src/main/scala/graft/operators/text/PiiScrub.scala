@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
 object PiiScrub {
 
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  /** 7..15 digits, optional leading + — the E.164 envelope. */
-  val phoneRe = "\\+?[0-9]{7,15}"
+  /** Word-bounded so digits embedded in alphanumeric tokens
+    * ("v1.2.3.4000", order ids) are never touched; `\b` is the ASCII
+    * word boundary in BOTH Java regex and RE2. */
+  val ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** 7..15 digits, optional leading + — the E.164 envelope.
+    * Word-bounded: a digit run INSIDE a token ("ISBN97803064061") is
+    * an identifier, not a phone number, and runs longer than 15 digits
+    * are not phone numbers at all. */
+  val phoneRe = "\\+?\\b[0-9]{7,15}\\b"
 
   def redactEmails(c: Column): Column = regexp_replace(c, emailRe, "<EMAIL>")
   def redactIps(c: Column): Column = regexp_replace(c, ipv4Re, "<IP>")

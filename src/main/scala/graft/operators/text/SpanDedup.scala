@@ -50,10 +50,12 @@ object SpanDedup {
     * through one reducer. Two defenses:
     *
     *   - the per-span document count is a plain `count(*)` — exact
-    *     because [[spanKeys]] is distinct per document, and algebraic,
-    *     so map-side partial aggregation collapses a hot span to one
-    *     row per task before the shuffle (`countDistinct` would ship
-    *     every pair);
+    *     because [[spanKeys]] is distinct per document AND the input
+    *     carries one row per document id (PRECONDITION: duplicate ids
+    *     would inflate every one of their spans' counts; run exact
+    *     dedup first, as every pipeline here does — `countDistinct`
+    *     would tolerate duplicate ids but ships every (span, doc) pair
+    *     through the shuffle, the skew this design removes);
     *   - spans in more than `maxDocs` documents are boilerplate BY
     *     DEFINITION (maxDocs >= minDocs, so they are shared without
     *     needing enumeration): their keys form a tiny broadcast

@@ -44,15 +44,28 @@ object IngestPipeline {
       .drop("__fp")
 
   /** Full curation ingest: per micro-batch, exact-dedup against the
-    * corpus fingerprints, near-dup-dedup against the persisted LSH
-    * index ([[MinHashLSH.dedupAgainstIndex]] — increment broadcasts,
-    * corpus streams through one scan), then append survivors to the
-    * sink. foreachBatch because the near-dup check is a composed batch
-    * plan, not a single streaming-supported join; source progress is
+    * corpus fingerprints AND against everything this stream already
+    * appended (the sink's own fingerprints, recomputed per batch, so
+    * an exact duplicate arriving in a LATER micro-batch is rejected
+    * too — the static set alone would only guard batch one), then
+    * near-dup-dedup against the persisted LSH index
+    * ([[MinHashLSH.dedupAgainstIndex]] — increment broadcasts, corpus
+    * streams through one scan), then append survivors to the sink.
+    * foreachBatch because the near-dup check is a composed batch plan,
+    * not a single streaming-supported join; source progress is
     * checkpointed, the sink append is at-least-once on task retry
     * (pair with a keyed target, as in Sync.streamingSync). Within-batch
     * self-duplicates collapse via the exact fingerprint before the
-    * index check. */
+    * index check.
+    *
+    * Guard freshness: the EXACT guard is complete (corpus ∪ sink);
+    * the NEAR-DUP guard is as fresh as the index — two novel
+    * near-duplicates of each other arriving in different micro-batches
+    * both land, until the corpus index is rebuilt out of band. Folding
+    * every appended batch into a live LSH index is a compaction job,
+    * not a per-batch plan. The per-batch sink fingerprint scan grows
+    * with ingested volume; at scale, maintain the fingerprint table
+    * incrementally instead of re-deriving it. */
   def curateIngest(
       stream: DataFrame,
       sink: Sink,
@@ -71,9 +84,14 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fp = md5(TextOps.normalized(text))
+        val guard =
+          if (sink.exists(batch.sparkSession, table))
+            fingerprints.unionByName(
+              corpusFingerprints(sink.readBack(batch.sparkSession, table), text))
+          else fingerprints
         val exactNew = batch
           .withColumn("__fp", fp)
-          .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
+          .join(broadcast(guard.select(col("fp").as("__fp"))),
             Seq("__fp"), "left_anti")
           // keep one representative per in-batch fingerprint (lowest id)
           .withColumn("__rn",

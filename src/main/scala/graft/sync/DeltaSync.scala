@@ -106,7 +106,17 @@ object DeltaSync {
         case Some(pk) =>
           val dst = Normalize.lowercaseColumns(sink.readBack(spark, table))
           val cols = src.columns.sorted.toIndexedSeq
-          val cuts = KeyRangeSlicer.quantileCuts(src, pk, numSlices)
+          // JDBC sources derive cuts from pushed-down histograms (the
+          // source DB computes them over its PK index — no Spark-side
+          // scan before the checksum pass); file sources estimate
+          // quantiles from the data at hand
+          val cuts = catalog match {
+            case j: graft.catalog.JdbcCatalog =>
+              val pushed = PartitionedReader.pushedCuts(j.endpoint, table, numSlices)
+              if (pushed.nonEmpty) pushed
+              else KeyRangeSlicer.quantileCuts(src, pk, numSlices)
+            case _ => KeyRangeSlicer.quantileCuts(src, pk, numSlices)
+          }
           val k = cuts.length + 1
           def bySlice(d: DataFrame) =
             rangeChecksums(d, pk, cuts, cols).collect()
@@ -132,5 +142,25 @@ object DeltaSync {
       case e: Exception =>
         DeltaReport(table, 0, 0, 0L, ok = false, Some(e.getMessage))
     }
+  }
+
+  /** All tables, `maxParallel` at a time — the same bounded driver
+    * pool as Sync.syncAll, so `sync --delta` honors the config's
+    * parallelism exactly like plain sync. */
+  def syncAllDelta(
+      spark: SparkSession,
+      catalog: Catalog,
+      sink: Sink,
+      config: graft.config.SyncConfig): Seq[DeltaReport] = {
+    val tables = catalog.listTables(config.exclude)
+    val pool = new java.util.concurrent.ForkJoinPool(config.maxParallel)
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      val par = tables.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map(t =>
+        syncDelta(spark, catalog, sink, t, pageSize = config.pageSize.toLong))
+        .seq.toSeq
+    } finally pool.shutdown()
   }
 }

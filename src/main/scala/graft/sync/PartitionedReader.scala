@@ -62,28 +62,57 @@ object PartitionedReader {
           if (n <= 1 || mxL <= mnL) return fullScan
 
           val nBuckets = math.max(64, n * 8)
-          // pushed-down histogram of [lo, hi]; the adaptive planner
-          // calls this again on any bucket too hot to split in one pass
-          def fetchHist(lo: Long, hi: Long, buckets: Int): Seq[(Int, Long)] = {
-            val span = BigInt(hi) - BigInt(lo) + 1
-            // 1E0 forces DOUBLE arithmetic on every dialect (Derby incl.)
-            val histSql =
-              s"""SELECT b, COUNT(*) FROM (
-                 |  SELECT FLOOR(($lead - $lo) * 1E0 * $buckets / $span) AS b
-                 |  FROM $table
-                 |  WHERE $lead IS NOT NULL AND $lead >= $lo AND $lead <= $hi) x
-                 |GROUP BY b""".stripMargin
-            queryRows(conn, histSql).collect {
-              case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
-            }
-          }
-          val cuts = KeyRangeSlicer.adaptiveCuts(fetchHist, mnL, mxL, n, nBuckets)
+          val cuts = KeyRangeSlicer.adaptiveCuts(
+            histFetcher(conn, lead, table), mnL, mxL, n, nBuckets)
           if (cuts.isEmpty) fullScan
           else
             Normalize.lowercaseColumns(
               spark.read.jdbc(
                 endpoint.url, table, KeyRangeSlicer.predicatesFromCuts(lead, cuts), props))
         case _ => fullScan // empty table or non-numeric PK
+      }
+    } finally conn.close()
+  }
+
+  /** Pushed-down histogram of [lo, hi]; the adaptive planner calls
+    * this again on any bucket too hot to split in one pass. */
+  private def histFetcher(conn: java.sql.Connection, lead: String, table: String)
+      : (Long, Long, Int) => Seq[(Int, Long)] = { (lo, hi, buckets) =>
+    val span = BigInt(hi) - BigInt(lo) + 1
+    // 1E0 forces DOUBLE arithmetic on every dialect (Derby incl.)
+    val histSql =
+      s"""SELECT b, COUNT(*) FROM (
+         |  SELECT FLOOR(($lead - $lo) * 1E0 * $buckets / $span) AS b
+         |  FROM $table
+         |  WHERE $lead IS NOT NULL AND $lead >= $lo AND $lead <= $hi) x
+         |GROUP BY b""".stripMargin
+    queryRows(conn, histSql).collect {
+      case Seq(b: Number, c: Number) => (b.intValue(), c.longValue())
+    }
+  }
+
+  /** Equal-count cut values for a FIXED slice count, all statistics
+    * pushed to the source database (bounds + adaptive histograms, no
+    * row transfer) — the planning primitive DeltaSync uses so that its
+    * slicing never costs a Spark-side scan. Empty when the table has
+    * no numeric lead PK, is empty, or spans a single key. */
+  def pushedCuts(endpoint: Endpoint, table: String, numSlices: Int): Seq[Long] = {
+    if (numSlices <= 1) return Seq.empty
+    val props = new Properties()
+    endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    val pk = new JdbcCatalog(endpoint).primaryKey(table)
+    if (pk.isEmpty) return Seq.empty
+    val lead = pk.head
+    val conn = DriverManager.getConnection(endpoint.url, props)
+    try {
+      queryRows(conn, s"SELECT MIN($lead), MAX($lead) FROM $table").headOption match {
+        case Some(Seq(mn: Number, mx: Number)) =>
+          val (mnL, mxL) = (mn.longValue(), mx.longValue())
+          if (mxL <= mnL) Seq.empty
+          else KeyRangeSlicer.adaptiveCuts(
+            histFetcher(conn, lead, table), mnL, mxL, numSlices,
+            math.max(64, numSlices * 8))
+        case _ => Seq.empty // empty table or non-numeric PK
       }
     } finally conn.close()
   }

@@ -69,6 +69,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDims("GIF8".getBytes).isEmpty)
     assert(Multimodal.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
     assert(Multimodal.imageDims("plain text bytes".getBytes).isEmpty)
+    // text starting with the 2-byte BMP magic must NOT parse as BMP
+    assert(Multimodal.imageDims(
+      "BMW dealers reported record sales this quarter".getBytes).isEmpty)
     // a truncated real PNG (header cut before IHDR payload)
     assert(Multimodal.imageDims(
       imageBytes("png", 10, 10).take(20)).isEmpty)

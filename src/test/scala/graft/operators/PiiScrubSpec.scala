@@ -50,6 +50,23 @@ class PiiScrubSpec extends SparkSpec {
     assert(red(5L) == "combo <EMAIL> from <IP> dialing <PHONE>")
   }
 
+  test("digit runs inside tokens and over-long runs are NOT phone numbers") {
+    val tricky = Seq(
+      (21L, "ISBN9780306406157 catalogued on 20260812"),
+      (22L, "order ABC12345678 total 1234567890123456789"),
+      (23L, "semver v1.2.3.4000 is not an address")
+    ).toDF("doc_id", "text")
+    val red = tricky.select(col("doc_id"), PiiScrub.redact(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    // embedded run (ISBN...) protected; standalone 8-digit date still
+    // matches the envelope (dates are indistinguishable from IDs here)
+    assert(red(21L) == "ISBN9780306406157 catalogued on <PHONE>")
+    // embedded in alphanumeric token + >15-digit run: both protected
+    assert(red(22L) == "order ABC12345678 total 1234567890123456789")
+    // version-ish dotted quad inside a token is not an IP
+    assert(red(23L) == "semver v1.2.3.4000 is not an address")
+  }
+
   test("profile is a map-only plan — no shuffle, no UDFs") {
     val plan = PiiScrub.profile(docs, col("text"), col("doc_id"))
       .queryExecution.executedPlan.toString

@@ -79,5 +79,18 @@ class IngestPipelineSpec extends SparkSpec {
       stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p)
     q2.awaitTermination(60000)
     assert(sink.readBack(spark, "docs").count() == 2)
+
+    // a LATER micro-batch re-sending an already-ingested doc (13, not
+    // in the original corpus) must be rejected by the sink-side guard
+    Seq((99L, "a wholly new document with nothing in common with the corpus"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/late")
+    val q3 = IngestPipeline.curateIngest(
+      stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p)
+    q3.awaitTermination(60000)
+    val after = sink.readBack(spark, "docs").select("doc_id").as[Long]
+      .collect().sorted
+    assert(after.sameElements(Array(13L, 15L)),
+      s"cross-batch exact dup re-ingested: ${after.mkString(",")}")
   }
 }
