@@ -190,6 +190,18 @@ object SimilarityQueries {
           .select("vec_id", "label"),
       Some(graft.operators.similarity.SemanticDedup.oracleSql(8, 0.2))),
     Q(
+      "qs12_random_projection",
+      // JL sign projection 64 -> 16 dims: the map-only width reducer
+      // in front of ANN/clustering. The md5-parity sign matrix is a
+      // pure function of (k', dim), so DuckDB re-derives it and the
+      // whole projection is value-oracled row by row.
+      (s, dir) =>
+        graft.operators.similarity.RandomProjection.projectExploded(
+          Tables.load(s, dir, "embeddings"),
+          col("embedding"), col("vec_id"), kOut = 16, dim = 64)
+          .select(col("id").as("vec_id"), col("j"), col("y")),
+      Some(graft.operators.similarity.RandomProjection.oracleSql(16))),
+    Q(
       "qs05_topk_batch",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
