@@ -94,8 +94,9 @@ object Multimodal {
     // 18/22 (height may be negative = top-down rows)
     else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && {
       val dib = le32(b, 14)
-      (dib == 40 || dib == 52 || dib == 56 || dib == 108 || dib == 124) &&
-        le16(b, 26) == 1
+      // BITMAPINFOHEADER family incl. OS/2 2.x (64)
+      (dib == 40 || dib == 52 || dib == 56 || dib == 64 || dib == 108 ||
+        dib == 124) && le16(b, 26) == 1
     })
       Some(("image/bmp", le32(b, 18), math.abs(le32(b, 22))))
     // JPEG: walk the segment chain to the first frame header (SOFn)

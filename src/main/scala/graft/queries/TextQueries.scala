@@ -456,6 +456,45 @@ object TextQueries {
                |       t3 <> tx AS changed
                |FROM r3""".stripMargin)),
     Q(
+      "qt20_compression_gate",
+      // zlib-ratio quality signal (Gopher-style): no SQL engine can
+      // reproduce deflate, so this is a GATE query like qs08/qd17 —
+      // wide-margin booleans against a constant oracle. Two extreme
+      // fixtures are injected in-query: a pathological repetition and
+      // an incompressible hex blob; the corpus itself must sit between
+      // them.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val boiler = (1 to 60).map(_ => "spam").mkString(" ")
+        val noise = (1 to 40).map(i =>
+          md5(concat(lit(i.toString), col("doc_id").cast("string"))))
+        val injected = docs.limit(0)
+          .unionByName(s.range(1).select(
+            lit(-1L).as("doc_id"), lit(boiler).as("text")))
+          .unionByName(docs.filter(col("doc_id") === 0)
+            .select(lit(-2L).as("doc_id"),
+              concat_ws("", noise: _*).as("text")))
+        val scored = docs.unionByName(injected).select(
+          col("doc_id"),
+          graft.functions.DeflateRatioFn(col("text")).as("r"))
+        // frozen ~3x-margin bounds (observed at sf0.01: corpus min/avg/
+        // max 0.40/0.55/1.02 — short docs exceed 1.0 under deflate
+        // framing; boiler ~0.06; hex noise ~0.55)
+        scored.agg(
+          avg(when(col("doc_id") >= 0, col("r"))).as("corpus_avg"),
+          max(when(col("doc_id") >= 0, col("r"))).as("corpus_max"),
+          min(when(col("doc_id") >= 0, col("r"))).as("corpus_min"),
+          max(when(col("doc_id") === -1, col("r"))).as("boiler_r"),
+          max(when(col("doc_id") === -2, col("r"))).as("noise_r"))
+          .select(
+            (col("corpus_avg") > 0.2 && col("corpus_avg") < 0.9).as("corpus_avg_in_band"),
+            (col("corpus_max") < 1.5).as("corpus_overhead_bounded"),
+            (col("boiler_r") < col("corpus_min")).as("boiler_below_corpus"),
+            (col("noise_r") > col("boiler_r") * 2).as("noise_above_boiler"))
+      },
+      Some("""SELECT true AS corpus_avg_in_band, true AS corpus_overhead_bounded,
+                     true AS boiler_below_corpus, true AS noise_above_boiler""")),
+    Q(
       "qt13_dup_spans",
       // span-level exact dedup signal (the substring complement of
       // qd01/qd03): per document, the share of its distinct token

@@ -58,14 +58,18 @@ object IngestPipeline {
     * self-duplicates collapse via the exact fingerprint before the
     * index check.
     *
-    * Guard freshness: the EXACT guard is complete (corpus ∪ sink);
+    * Guard freshness: the EXACT guard is complete (corpus ∪ ingested);
     * the NEAR-DUP guard is as fresh as the index — two novel
     * near-duplicates of each other arriving in different micro-batches
     * both land, until the corpus index is rebuilt out of band. Folding
     * every appended batch into a live LSH index is a compaction job,
-    * not a per-batch plan. The per-batch sink fingerprint scan grows
-    * with ingested volume; at scale, maintain the fingerprint table
-    * incrementally instead of re-deriving it. */
+    * not a per-batch plan.
+    *
+    * The ingested-side guard is maintained INCREMENTALLY: each batch
+    * appends its novel fingerprints to `<table>_fps` through the same
+    * sink, so later batches read 32-char digests instead of re-hashing
+    * every previously ingested document — per-batch guard cost is one
+    * narrow fingerprint-table read, not a full sink re-scan. */
   def curateIngest(
       stream: DataFrame,
       sink: Sink,
@@ -83,11 +87,12 @@ object IngestPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fpTable = s"${table}_fps"
         val fp = md5(TextOps.normalized(text))
         val guard =
-          if (sink.exists(batch.sparkSession, table))
+          if (sink.exists(batch.sparkSession, fpTable))
             fingerprints.unionByName(
-              corpusFingerprints(sink.readBack(batch.sparkSession, table), text))
+              sink.readBack(batch.sparkSession, fpTable).select("fp"))
           else fingerprints
         val exactNew = batch
           .withColumn("__fp", fp)
@@ -98,9 +103,12 @@ object IngestPipeline {
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy("__fp").orderBy(col(idCol))))
           .filter(col("__rn") === 1)
-          .drop("__fp", "__rn")
-        val novel = MinHashLSH.dedupAgainstIndex(index, exactNew, text, idCol, p)
-        sink.append(novel, table)
+          .drop("__rn")
+        val novel = MinHashLSH
+          .dedupAgainstIndex(index, exactNew, text, idCol, p)
+          .transform(graft.operators.Barrier.apply) // two consumers below
+        sink.append(novel.drop("__fp"), table)
+        sink.append(novel.select(col("__fp").as("fp")).distinct(), fpTable)
       }
       .trigger(trigger)
       .start()

@@ -88,8 +88,25 @@ object DeltaSync {
       pageSize: Long = 100000L,
       maxSlices: Int = 60): DeltaReport = {
     try Jobs.tagged(spark, s"graft-delta-$table") {
-      val src = Normalize.lowercaseColumns(
-        catalog.readPartitioned(spark, table, pageSize, maxSlices))
+      // ONE planning pass: JDBC sources derive cuts from pushed-down
+      // histograms (the source DB computes them over its PK index) and
+      // REUSE them as the read predicates, so delta planning costs the
+      // same source-side aggregates as a plain partitioned read — no
+      // Spark-side pre-scan, no second histogram pass
+      val jdbcPlan = catalog match {
+        case j: graft.catalog.JdbcCatalog =>
+          j.primaryKey(table).headOption.map { lead =>
+            (lead, PartitionedReader.pushedCuts(j.endpoint, table, numSlices))
+          }.collect { case (lead, cs) if cs.nonEmpty => (j.endpoint, lead, cs) }
+        case _ => None
+      }
+      val src = jdbcPlan match {
+        case Some((ep, lead, cs)) =>
+          PartitionedReader.readSliced(spark, ep, table, lead, cs)
+        case None =>
+          Normalize.lowercaseColumns(
+            catalog.readPartitioned(spark, table, pageSize, maxSlices))
+      }
       val pkOpt = catalog.primaryKey(table).headOption.map(_.toLowerCase)
         .filter(src.columns.contains)
         .filter(c => src.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -106,16 +123,12 @@ object DeltaSync {
         case Some(pk) =>
           val dst = Normalize.lowercaseColumns(sink.readBack(spark, table))
           val cols = src.columns.sorted.toIndexedSeq
-          // JDBC sources derive cuts from pushed-down histograms (the
-          // source DB computes them over its PK index — no Spark-side
-          // scan before the checksum pass); file sources estimate
-          // quantiles from the data at hand
-          val cuts = catalog match {
-            case j: graft.catalog.JdbcCatalog =>
-              val pushed = PartitionedReader.pushedCuts(j.endpoint, table, numSlices)
-              if (pushed.nonEmpty) pushed
-              else KeyRangeSlicer.quantileCuts(src, pk, numSlices)
-            case _ => KeyRangeSlicer.quantileCuts(src, pk, numSlices)
+          // checksum slices = the read slices when the pushed plan
+          // produced them (1:1 alignment — one planning pass covers
+          // both); file sources estimate quantiles from the data
+          val cuts = jdbcPlan match {
+            case Some((_, _, cs)) => cs
+            case None => KeyRangeSlicer.quantileCuts(src, pk, numSlices)
           }
           val k = cuts.length + 1
           def bySlice(d: DataFrame) =
@@ -151,16 +164,7 @@ object DeltaSync {
       spark: SparkSession,
       catalog: Catalog,
       sink: Sink,
-      config: graft.config.SyncConfig): Seq[DeltaReport] = {
-    val tables = catalog.listTables(config.exclude)
-    val pool = new java.util.concurrent.ForkJoinPool(config.maxParallel)
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      val par = tables.par
-      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map(t =>
-        syncDelta(spark, catalog, sink, t, pageSize = config.pageSize.toLong))
-        .seq.toSeq
-    } finally pool.shutdown()
-  }
+      config: graft.config.SyncConfig): Seq[DeltaReport] =
+    Sync.parMap(catalog.listTables(config.exclude), config.maxParallel)(t =>
+      syncDelta(spark, catalog, sink, t, pageSize = config.pageSize.toLong))
 }

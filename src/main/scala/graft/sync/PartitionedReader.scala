@@ -105,16 +105,35 @@ object PartitionedReader {
     val lead = pk.head
     val conn = DriverManager.getConnection(endpoint.url, props)
     try {
-      queryRows(conn, s"SELECT MIN($lead), MAX($lead) FROM $table").headOption match {
-        case Some(Seq(mn: Number, mx: Number)) =>
+      queryRows(conn, s"SELECT COUNT(*), MIN($lead), MAX($lead) FROM $table")
+        .headOption match {
+        case Some(Seq(cnt: Number, mn: Number, mx: Number)) =>
           val (mnL, mxL) = (mn.longValue(), mx.longValue())
-          if (mxL <= mnL) Seq.empty
+          // row-count gate: a table smaller than a couple of rows per
+          // slice gains nothing from slicing — skip the histogram scan
+          if (mxL <= mnL || cnt.longValue() < 2L * numSlices) Seq.empty
           else KeyRangeSlicer.adaptiveCuts(
             histFetcher(conn, lead, table), mnL, mxL, numSlices,
             math.max(64, numSlices * 8))
         case _ => Seq.empty // empty table or non-numeric PK
       }
     } finally conn.close()
+  }
+
+  /** Partitioned read over PRE-COMPUTED cut values — lets a caller that
+    * already derived cuts (DeltaSync) reuse them for read parallelism
+    * instead of paying a second planning pass. */
+  def readSliced(
+      spark: SparkSession,
+      endpoint: Endpoint,
+      table: String,
+      lead: String,
+      cuts: Seq[Long]): DataFrame = {
+    val props = new Properties()
+    endpoint.props.foreach { case (k, v) => props.setProperty(k, v) }
+    Normalize.lowercaseColumns(
+      spark.read.jdbc(
+        endpoint.url, table, KeyRangeSlicer.predicatesFromCuts(lead, cuts), props))
   }
 
   /** Pushed-down planning query on the shared connection: the database

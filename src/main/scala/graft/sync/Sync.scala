@@ -345,27 +345,32 @@ object Sync {
       }
     }
 
+  /** Bounded driver-side parallel map — the reference's maxParallel
+    * goroutine semaphore (cmd/root.go:104-113), shared by every
+    * all-tables entry point so pool lifecycle fixes land once. */
+  private[sync] def parMap[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    val pool = new java.util.concurrent.ForkJoinPool(parallelism)
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      val par = items.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map(f).seq.toSeq
+    } finally pool.shutdown()
+  }
+
   def syncAll(
       spark: SparkSession,
       catalog: Catalog,
       sink: Sink,
-      config: SyncConfig): Seq[TableReport] = {
-    val tables = catalog.listTables(config.exclude)
-    val pool = new java.util.concurrent.ForkJoinPool(config.maxParallel)
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      val par = tables.par
-      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map { t =>
-        config.watermarks.get(t) match {
-          case Some(wmCol) =>
-            syncIncremental(spark, catalog, sink, t, wmCol, config.pageSize.toLong)
-          case None =>
-            syncTable(spark, catalog, sink, t, config.pageSize.toLong)
-        }
-      }.seq.toSeq
-    } finally pool.shutdown()
-  }
+      config: SyncConfig): Seq[TableReport] =
+    parMap(catalog.listTables(config.exclude), config.maxParallel) { t =>
+      config.watermarks.get(t) match {
+        case Some(wmCol) =>
+          syncIncremental(spark, catalog, sink, t, wmCol, config.pageSize.toLong)
+        case None =>
+          syncTable(spark, catalog, sink, t, config.pageSize.toLong)
+      }
+    }
 }
 
 /** compareDb (cmd/compare.go): per-table source/target row-count

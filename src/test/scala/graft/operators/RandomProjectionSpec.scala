@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.similarity.{RandomProjection, VectorOps}
+import graft.operators.similarity.RandomProjection
 
 class RandomProjectionSpec extends SparkSpec {
   import spark.implicits._
