@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHashSig, PortableSimHashSig, RollingMinHash, SigMatchFraction, SimHash64, SortedCharShingles, SortedIntersectCount, SortedTokenShingles, SquaredDistance}
+import graft.functions.{CosineSim, DeflateRatio, DotProduct, MinHashSignature, PortableMinHashSig, PortableSimHashSig, RollingMinHash, SigMatchFraction, SimHash64, SortedCharShingles, SortedIntersectCount, SortedTokenShingles, SquaredDistance}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions, so the engine's sketching primitives
@@ -27,6 +27,7 @@ import graft.functions.{CosineSim, DotProduct, MinHashSignature, PortableMinHash
   *   - sorted_char_shingles(text string, k int) -> array<string>
   *   - sorted_token_shingles(text string, n int) -> array<string>
   *   - sorted_intersect_count(a, b array<string>) -> bigint
+  *   - deflate_ratio(text string) -> double
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -94,6 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     inject1("portable_minhash_sig", classOf[PortableMinHashSig], PortableMinHashSig(_))
     inject1("portable_simhash", classOf[PortableSimHashSig], PortableSimHashSig(_))
+    inject1("deflate_ratio", classOf[DeflateRatio], DeflateRatio(_))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),

@@ -68,12 +68,14 @@ class GraftExtensionsSpec extends SparkSpec {
         |       sorted_token_shingles(text, 2) AS ts,
         |       sorted_intersect_count(sorted_token_shingles(text, 2),
         |                              sorted_token_shingles(text, 2)) AS ic,
-        |       vec_sqdist(array(1.0D, 2.0D), array(1.0D, 0.0D)) AS sq
+        |       vec_sqdist(array(1.0D, 2.0D), array(1.0D, 0.0D)) AS sq,
+        |       deflate_ratio(repeat(text, 50)) AS dr
         |FROM ext_sets""".stripMargin).head()
     assert(r.getSeq[String](0).nonEmpty && r.getSeq[String](0) == r.getSeq[String](0).sorted)
     assert(r.getSeq[String](1) == Seq("abc abd", "abd xyz"))
     assert(r.getLong(2) == 2L)
     assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 0.3)
   }
 
   test("non-literal k is rejected with a clear message") {
