@@ -17,10 +17,21 @@ import graft.operators.Barrier
   * learned geometry instead of hash buckets.
   *
   * Skew note: a pathological cell (the "junk cluster" every web corpus
-  * has) is the hot-bucket problem again. Run EXACT dedup first — a
-  * junk cell is near-identical by construction, so the exact pass
-  * collapses it (the same argument as MinHashLSH.maxBucket); raising k
-  * shrinks every cell's pair budget linearly.
+  * has) is the hot-bucket problem again, and — like
+  * [[graft.operators.dedup.MinHashLSH]]'s `maxBucket` — the cap is
+  * ENFORCED IN CODE, not left to documentation: cells whose population
+  * exceeds `maxCell` never enter the exact within-cell self-join.
+  * Instead they are re-split by signed random-hyperplane LSH
+  * ([[VectorOps.hyperplaneBucket]], the [[graft.operators.dedup.EmbeddingDedup]]
+  * machinery) and pairs form only within (cell, table, bucket) — and
+  * any bucket STILL over `maxCell` after both splits is dropped and
+  * counted rather than exploded, exactly the MinHashLSH hot-bucket
+  * argument: a group that survives k-means AND an LSH split at that
+  * size is near-identical junk an exact-dedup pass collapses anyway.
+  * Every joinable group is therefore <= maxCell rows in code, so the
+  * pair budget is bounded by (#groups)·maxCell² — never quadratic in a
+  * cell. Run exact dedup first regardless; raising k shrinks every
+  * cell's pair budget linearly.
   *
   * Every step is engine-deterministic ([[KMeansCluster]]'s lattice
   * Lloyd's + the bit-identical cosine fold), so the WHOLE
@@ -31,22 +42,71 @@ object SemanticDedup {
   /** Within-cluster near-dup pairs (vec_a < vec_b, cosine >= threshold)
     * under a fit + assign of [[KMeansCluster]]. The assigned table
     * crosses a [[Barrier]]: both join sides read it, and without one
-    * the lineage would re-run the assignment scan per side. */
+    * the lineage would re-run the assignment scan per side.
+    *
+    * `maxCell` is the enforced skew guard (see class doc): cells over
+    * it take the hyperplane-LSH fallback path instead of the exact
+    * self-join. `dim`/`fallbackBits`/`fallbackTables` parameterize that
+    * fallback only — they never touch results when every cell fits
+    * (the qs11 oracle regime). Both the over-cap cell list (<= k rows)
+    * and the residual hot-bucket list (near-identical floods, tiny by
+    * the MinHashLSH argument) ride broadcasts, so the guard costs one
+    * cheap count aggregation, no extra wide shuffle. */
   def pairs(
       emb: DataFrame,
       vec: Column,
       id: Column,
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCell: Int = 100000,
+      dim: Int = 64,
+      fallbackBits: Int = 8,
+      fallbackTables: Int = 2): DataFrame = {
+    require(maxCell > 0, s"bad maxCell=$maxCell")
     val cents = KMeansCluster.fit(emb, vec, id, k, iters)
     val assigned = Barrier(
       KMeansCluster.assign(emb, vec, id, cents)
         .select(col("cluster"), col("id"), col("v")))
-    val a = assigned.select(col("cluster"), col("id").as("vec_a"), col("v").as("e_a"))
-    val b = assigned.select(col("cluster"), col("id").as("vec_b"), col("v").as("e_b"))
-    a.join(b, Seq("cluster"))
+    // the over-cap cell list is at most k rows — broadcast it
+    val big = assigned.groupBy("cluster").count()
+      .filter(col("count") > maxCell)
+      .select("cluster")
+    // cold cells (the normal regime): exact within-cell pairs, ids only
+    // through the join — vectors are re-attached once after the union,
+    // so each embedding crosses the pair join's shuffle as a slim id
+    val cold = assigned.join(broadcast(big), Seq("cluster"), "left_anti")
+    val coldPairs = cold.select(col("cluster"), col("id").as("vec_a"))
+      .join(cold.select(col("cluster"), col("id").as("vec_b")), Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    // hot cells: re-split by signed-hyperplane LSH; pairs only within
+    // (cluster, tab, bucket); buckets still over maxCell are dropped
+    val hot = assigned.join(broadcast(big), Seq("cluster"), "left_semi")
+      .select(col("cluster"), col("id"),
+        posexplode(array((0 until fallbackTables).map(t =>
+          VectorOps.hyperplaneBucket(col("v"), dim, fallbackBits, seed = 1042L + t)): _*))
+          .as(Seq("tab", "bucket")))
+      .transform(Barrier.apply)
+    val hotBig = hot.groupBy("cluster", "tab", "bucket").count()
+      .filter(col("count") > maxCell)
+      .select("cluster", "tab", "bucket")
+    val hotCapped = hot.join(broadcast(hotBig), Seq("cluster", "tab", "bucket"), "left_anti")
+    val hotPairs = hotCapped
+      .select(col("cluster"), col("tab"), col("bucket"), col("id").as("vec_a"))
+      .join(
+        hotCapped.select(col("cluster"), col("tab"), col("bucket"), col("id").as("vec_b")),
+        Seq("cluster", "tab", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    // a pair lives entirely in ONE cell, and a cell is hot xor cold, so
+    // the union never duplicates across branches; multi-table collision
+    // duplicates within hot survive until the final dedup (identical
+    // cosine per pair — see EmbeddingDedup)
+    val byId = assigned.select(col("id"), col("v"))
+    coldPairs.union(hotPairs)
+      .join(byId.select(col("id").as("vec_a"), col("v").as("e_a")), "vec_a")
+      .join(byId.select(col("id").as("vec_b"), col("v").as("e_b")), "vec_b")
       .withColumn("cosine", VectorOps.cosine(col("e_a"), col("e_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
@@ -63,8 +123,10 @@ object SemanticDedup {
       idCol: String,
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
-    val losers = pairs(emb, vec, id, k, iters, threshold)
+      threshold: Double,
+      maxCell: Int = 100000,
+      dim: Int = 64): DataFrame = {
+    val losers = pairs(emb, vec, id, k, iters, threshold, maxCell, dim)
       .select(col("vec_b").as(idCol))
       .distinct()
     emb.join(losers, Seq(idCol), "left_anti")

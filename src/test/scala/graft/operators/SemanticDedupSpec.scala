@@ -42,6 +42,58 @@ class SemanticDedupSpec extends SparkSpec {
     assert(p.contains((1L, 2L)) && p.contains((5L, 6L)))
   }
 
+  // degenerate corpus: one mega-cell of near-identical vectors — the
+  // "junk cluster" the maxCell cap exists for
+  private def junkCorpus(n: Int) = {
+    val rows = (1 to n).map { i =>
+      (i.toLong, vf(1.0, 0.001 * (i % 7), 0.0, 0.0))
+    } :+ ((n + 1).toLong, vf(0.0, 0.0, 1.0, 0.0))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("maxCell cap engages on a degenerate all-near-identical cell") {
+    val n = 60
+    val df = junkCorpus(n)
+    val uncapped = SemanticDedup
+      .pairs(df, col("embedding"), col("vec_id"), k = 2, iters = 1,
+        threshold = 0.0, maxCell = 1000000, dim = 4)
+      .count()
+    // all n junk vectors share one cell -> full quadratic without a cap
+    assert(uncapped >= n.toLong * (n - 1) / 2 - n,
+      s"expected ~quadratic uncapped pair count, got $uncapped")
+    val capped = SemanticDedup
+      .pairs(df, col("embedding"), col("vec_id"), k = 2, iters = 1,
+        threshold = 0.0, maxCell = 10, dim = 4)
+      .count()
+    // hot cell re-split by LSH, residual hot buckets dropped: every
+    // joinable group <= maxCell, so pairs <= groups * maxCell^2 and in
+    // particular FAR below the quadratic count
+    assert(capped < uncapped / 2,
+      s"cap did not engage: capped=$capped uncapped=$uncapped")
+  }
+
+  test("capped fallback path stays an equi-join (no nested loop)") {
+    val plan = SemanticDedup
+      .pairs(junkCorpus(30), col("embedding"), col("vec_id"), k = 2,
+        iters = 1, threshold = 0.0, maxCell = 5, dim = 4)
+      .queryExecution.executedPlan.toString
+    assert(
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fallback must be bucketed, got:\n$plan")
+  }
+
+  test("cap does not change results when every cell fits") {
+    val base = SemanticDedup
+      .pairs(vecs, col("embedding"), col("vec_id"), k = 2, iters = 2,
+        threshold = 0.0)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val hugeCap = SemanticDedup
+      .pairs(vecs, col("embedding"), col("vec_id"), k = 2, iters = 2,
+        threshold = 0.0, maxCell = 999999, dim = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(base == hugeCap)
+  }
+
   test("prune is deterministic under re-partitioning") {
     val a = SemanticDedup.prune(vecs.repartition(1), col("embedding"),
       col("vec_id"), "vec_id", 2, 2, 0.995).select("vec_id").as[Long].collect().sorted
