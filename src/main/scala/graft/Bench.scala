@@ -13,6 +13,13 @@ import graft.queries.Registry
   * previous harness step) filtered out. Round-2 driver numbers showed
   * exactly that artifact: the first three queries timed 3-7x their
   * steady-state cost, in run order, while later queries matched.
+  *
+  * The JSON also carries a `sentinel` field: the min-of-3 wall time of
+  * one FIXED trivial query (count a 25-row parquet table) whose true
+  * cost never changes across rounds. Cross-round deltas in the real
+  * queries can be normalized against it — if the sentinel moved, the
+  * machine moved, not the code (identical code swung 15% between two
+  * rounds on load alone).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,6 +39,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // load sentinel: a fixed trivial scan whose cost is code-invariant
+    // across rounds — its movement measures the MACHINE, not the engine
+    def sentinelRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelRun() // untimed warmup, same as the bench queries
+    val sentinel = (1 to runs).map(_ => sentinelRun()).min
     // min over SUCCESSFUL runs only: a fast failure (fail-fast analysis
     // error, OOM on run 2 of 3) must not masquerade as the benchmark
     // number. A query with zero successful runs reports null.
@@ -72,7 +89,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":$sentinel%.3f,"queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

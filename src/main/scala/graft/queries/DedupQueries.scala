@@ -163,7 +163,8 @@ object DedupQueries {
           .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
             round(col("est_jaccard"), 4).as("est_jaccard"))
       },
-      None),
+      None,
+      bench = true),
     Q(
       "qd19_incremental_portable",
       // portable twin of qd18: same increment-vs-corpus join shape on

@@ -175,7 +175,8 @@ object SimilarityQueries {
             col("id").as("vec_id"), col("cluster"),
             round(col("dist"), 4).as("dist"))
       },
-      Some(graft.operators.similarity.KMeansCluster.oracleSql(8))),
+      Some(graft.operators.similarity.KMeansCluster.oracleSql(8)),
+      bench = true),
     Q(
       "qs11_semantic_prune",
       // SemDeDup-shaped composite: k-means cells (qs10 machinery) ->
@@ -188,7 +189,8 @@ object SimilarityQueries {
           col("embedding"), col("vec_id"), "vec_id",
           k = 8, iters = 1, threshold = 0.2)
           .select("vec_id", "label"),
-      Some(graft.operators.similarity.SemanticDedup.oracleSql(8, 0.2))),
+      Some(graft.operators.similarity.SemanticDedup.oracleSql(8, 0.2)),
+      bench = true),
     Q(
       "qs12_random_projection",
       // JL sign projection 64 -> 16 dims: the map-only width reducer

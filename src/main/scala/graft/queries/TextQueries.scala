@@ -407,7 +407,8 @@ object TextQueries {
           train, col("text"), col("doc_id"),
           Decontaminate.benchmarkKeys(bench, col("text")))
       },
-      Some(Decontaminate.oracleSql())),
+      Some(Decontaminate.oracleSql()),
+      bench = true),
     Q(
       "qt16_pii_scrub",
       // PII scrub witness. The synthetic corpus carries no PII, so a
@@ -503,6 +504,7 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.SpanDedup.spanProfile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.SpanDedup.oracleSql()))
+      Some(graft.operators.text.SpanDedup.oracleSql()),
+      bench = true)
   )
 }
