@@ -1,0 +1,220 @@
+package graft.operators.multimodal
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Barrier
+
+/** Perceptual image near-duplicate detection: a 64-bit difference hash
+  * (dHash) over REAL decoded pixels, paired by the same blocked-Hamming
+  * machinery as [[graft.operators.dedup.PortableSimHash]]. This closes
+  * the image-dedup gap: [[Multimodal.decode]] stops at header metadata
+  * (byte-checksum exact dups only); dHash catches re-encoded, resized
+  * and lightly-edited copies. (No reference analog — the reference
+  * passes BLOBs through untouched; part of the added LLM-pipeline
+  * surface.)
+  *
+  * Determinism: the pixel→hash path is integer-only — block-averaged
+  * luminance on integer-floor block boundaries, (299r+587g+114b)/1000
+  * luma, strict `<` comparisons — so the same pixels give the same
+  * hash on any JVM, and a fixture whose pixels are a known function is
+  * value-oracle-able end to end (qm05).
+  *
+  * Scale notes: decode is a narrow map over the binary column — blobs
+  * never shuffle, only (id, 64-bit hash) rows flow onward; decode cost
+  * is capped per payload (`maxDecodeBytes` — an oversized or corrupt
+  * blob costs a header sniff, not a decompression bomb); the pair join
+  * is blocked exactly like [[graft.operators.dedup.SimHashDedup]], so
+  * it inherits that sub-quadratic discipline.
+  */
+object PerceptualHash {
+
+  /** dHash grid: 9 columns x 8 rows -> 8x8 = 64 horizontal-gradient
+    * bits. */
+  val GridW = 9
+  val GridH = 8
+
+  /** Block-averaged integer luminance grid. Boundaries are integer
+    * floor (`gx*w/9`), averages are integer division — no float
+    * resampling anywhere, so the grid is bit-stable across JVMs. A
+    * 9x8 input maps through untouched (each block is one pixel). */
+  private[multimodal] def lumaGrid(img: BufferedImage): Array[Int] = {
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](GridW * GridH)
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW) {
+        val x0 = math.min(gx * w / GridW, w - 1)
+        val y0 = math.min(gy * h / GridH, h - 1)
+        val x1 = math.max(x0 + 1, math.min((gx + 1) * w / GridW, w))
+        val y1 = math.max(y0 + 1, math.min((gy + 1) * h / GridH, h))
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val lum =
+              if (bands == 1) raster.getSample(x, y, 0)
+              else {
+                val r = raster.getSample(x, y, 0)
+                val g = raster.getSample(x, y, 1)
+                val b = raster.getSample(x, y, 2)
+                (299 * r + 587 * g + 114 * b) / 1000
+              }
+            sum += lum
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * GridW + gx) = (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Bit y*8+x is set when grid(x,y) < grid(x+1,y) — the standard
+    * horizontal-gradient dHash. */
+  private[multimodal] def dHashFromGrid(g: Array[Int]): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < GridH) {
+      var x = 0
+      while (x < GridW - 1) {
+        if (g(y * GridW + x) < g(y * GridW + x + 1))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Decode + dHash, None when the payload is over the decode-cost cap,
+    * not a container [[Multimodal.imageDims]] recognizes, or fails to
+    * decode. The header sniff runs BEFORE ImageIO so arbitrary bytes
+    * (the text fixtures, junk blobs) are rejected in nanoseconds. */
+  def dHash64(bytes: Array[Byte], maxDecodeBytes: Int = 1 << 22): Option[Long] = {
+    if (bytes.length > maxDecodeBytes) None
+    else if (Multimodal.imageDims(bytes).isEmpty) None
+    else
+      try {
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None else Some(dHashFromGrid(lumaGrid(img)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (id, dhash) per payload — narrow mapPartitions over the media
+    * frame ([[Multimodal.asMedia]] schema); null dhash for payloads
+    * that do not decode. */
+  def dHashes(media: DataFrame, maxDecodeBytes: Int = 1 << 22)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select("id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, dHash64(bytes, maxDecodeBytes)) })
+      .toDF("id", "dhash")
+  }
+
+  /** Near-dup image pairs (doc_a < doc_b, Hamming <= maxHamming)
+    * within a blocking key — the [[graft.operators.dedup.PortableSimHash.pairsWithinBlock]]
+    * shape: hashes cross a [[Barrier]] (two join sides; without it the
+    * lineage re-decodes every image per side), the join moves only
+    * (block, id, 64-bit hash). Undecodable payloads drop out before
+    * the join. */
+  def pairsWithinBlock(
+      media: DataFrame,
+      block: Column,
+      maxHamming: Int,
+      maxDecodeBytes: Int = 1 << 22)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashed = media
+      .select(block.cast("string").as("blk"), col("id"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions(_.map { case (blk, id, bytes) =>
+        (blk, id, dHash64(bytes, maxDecodeBytes))
+      })
+      .toDF("blk", "id", "dh")
+      .filter(col("dh").isNotNull)
+      .transform(Barrier.apply)
+    val a = hashed.select(col("blk"), col("id").as("doc_a"), col("dh").as("dh_a"))
+    val b = hashed.select(col("blk"), col("id").as("doc_b"), col("dh").as("dh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- planted-fixture support (qm05): the corpus ships no images, so
+  // the query plants deterministic 9x8 grayscale PNGs derived from
+  // doc_id — same trick as qt16's in-query PII injection. Even/odd ids
+  // within a pair-group render near-identical pixels, so the REAL
+  // decode -> grid -> hash -> Hamming pipeline runs end to end and
+  // every value is reproducible in SQL.
+
+  /** Planted pixel value: base = (group * 1000003 + y*131 + x*17) mod
+    * 251 with group = docId/2; odd ids brighten every pixel by one
+    * (saturating at 250) — a near-identical copy whose dHash differs
+    * only where the saturation boundary flips a comparison. */
+  def plantedPixel(docId: Long, x: Int, y: Int): Int = {
+    val base = ((docId / 2) * 1000003L + y * 131L + x * 17L) % 251L
+    if (docId % 2 == 1) math.min(250L, base + 1L).toInt else base.toInt
+  }
+
+  /** The planted 9x8 grayscale PNG for a doc id — real PNG bytes via
+    * ImageIO, so qm05 exercises the genuine container decode path. */
+  def plantedPng(docId: Long): Array[Byte] = {
+    val img = new BufferedImage(GridW, GridH, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < GridH) {
+      var x = 0
+      while (x < GridW) {
+        r.setSample(x, y, 0, plantedPixel(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def pixSql(x: String, y: String): String =
+    s"(CASE WHEN doc_id % 2 = 1 THEN LEAST(250, ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 + 1) " +
+      s"ELSE ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 END)"
+
+  /** DuckDB rendition of qm05: re-derives the planted pixels, folds the
+    * 64 gradient bits, and joins within the doc_id/2 pair-group —
+    * value-oracling the whole decode->dHash->blocked-Hamming pipeline
+    * (the PNG encode/decode roundtrip is lossless, and the 9x8 fixture
+    * passes through [[lumaGrid]] untouched, so pixels ARE the grid). */
+  def oracleSql(maxHamming: Int): String =
+    s"""WITH dh AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 64), i ->
+       |      CASE WHEN ${pixSql("i % 8", "i // 8")} < ${pixSql("i % 8 + 1", "i // 8")}
+       |           -- bit 63 is the BIGINT sign bit: 1<<63 overflows
+       |           -- DuckDB's checked shift, so emit it as min-BIGINT
+       |           -- (bits 0..62 sum to < 2^63, so the total stays in
+       |           -- range and equals the Spark side's signed Long)
+       |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
+       |           ELSE 0 END)) AS BIGINT) AS dh
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+       |FROM dh a JOIN dh b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming""".stripMargin
+}

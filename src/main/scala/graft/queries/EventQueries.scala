@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.Multimodal
+import graft.operators.multimodal.{Multimodal, PerceptualHash}
 import graft.streaming.EventPipeline
 
 /** Event-stream (batch shape) and multimodal-plumbing inventory.
@@ -183,6 +183,27 @@ object EventQueries {
               FROM (SELECT doc_id, text,
                            unnest(range(0, greatest(length(text) // 64, 1), 2)) AS f
                     FROM documents) x""")),
+    Q(
+      "qm05_image_near_dup",
+      // perceptual image near-dup: REAL PNG decode (ImageIO) -> 64-bit
+      // dHash -> blocked-Hamming pairs. The corpus ships no images, so
+      // deterministic 9x8 grayscale PNGs are planted per doc_id
+      // in-query (qt16's injection trick): even/odd ids in a pair-group
+      // render near-identical pixels. Pixels are a pure function of
+      // doc_id, the PNG roundtrip is lossless and the hash path is
+      // integer-only, so DuckDB re-derives every value.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "image/png", PerceptualHash.plantedPng(id))))
+          .toDF("id", "media_type", "content")
+        PerceptualHash.pairsWithinBlock(
+          media, expr("id div 2"), maxHamming = 8)
+      },
+      Some(PerceptualHash.oracleSql(8))),
     Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence

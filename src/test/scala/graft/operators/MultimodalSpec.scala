@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
-import graft.operators.multimodal.Multimodal
+import graft.operators.multimodal.{Multimodal, PerceptualHash}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -140,6 +140,68 @@ class MultimodalSpec extends SparkSpec {
       assert(math.max(m.width, m.height) <= 128)
       assert(m.width >= 1 && m.height >= 1)
     }
+  }
+
+  // ---- perceptual dHash ----
+
+  /** Render a scale-invariant pattern (triangle waves in normalized
+    * coordinates) at the given size — resized "copies" of one image. */
+  private def patternPng(w: Int, h: Int, phase: Double = 0.0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      def tri(u: Double) = math.abs((u * 4 + phase) % 2.0 - 1.0)
+      val v = (tri(x.toDouble / w) * 0.7 + tri(y.toDouble / h) * 0.3) * 255
+      r.setSample(x, y, 0, math.min(255, math.max(0, v.toInt)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash survives a resize: two sizes of one image land close") {
+    val big = PerceptualHash.dHash64(patternPng(72, 64)).get
+    val small = PerceptualHash.dHash64(patternPng(36, 32)).get
+    val near = java.lang.Long.bitCount(big ^ small)
+    val other = PerceptualHash.dHash64(patternPng(72, 64, phase = 1.0)).get
+    val far = java.lang.Long.bitCount(big ^ other)
+    assert(near <= 12, s"resized copy drifted $near bits")
+    assert(far > near, s"unrelated image as close as the copy: $far vs $near")
+  }
+
+  test("dHash rejects non-images and over-cap payloads cheaply") {
+    assert(PerceptualHash.dHash64("just text".getBytes).isEmpty)
+    val png = patternPng(18, 16)
+    assert(PerceptualHash.dHash64(png, maxDecodeBytes = 10).isEmpty)
+    assert(PerceptualHash.dHash64(png).nonEmpty)
+  }
+
+  test("planted PNG decode reproduces the pixel-function dHash exactly") {
+    // the 9x8 fixture passes through lumaGrid untouched, so the hash
+    // must equal the one computed straight from the pixel function —
+    // proving the PNG encode/decode roundtrip is lossless end to end
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val viaPng = PerceptualHash.dHash64(PerceptualHash.plantedPng(id)).get
+      val grid = Array.tabulate(8, 9)((y, x) => PerceptualHash.plantedPixel(id, x, y))
+      var expected = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (grid(y)(x) < grid(y)(x + 1)) expected |= 1L << (y * 8 + x)
+      assert(viaPng == expected, s"id=$id roundtrip drift")
+    }
+  }
+
+  test("blocked pairs find the planted even/odd near-identical copies") {
+    val media = spark.range(0, 40).select(col("id")).as[Long]
+      .mapPartitions(_.map(id => (id, "image/png", PerceptualHash.plantedPng(id))))
+      .toDF("id", "media_type", "content")
+    val pairs = PerceptualHash
+      .pairsWithinBlock(media, expr("id div 2"), maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+    // every pair-group (2g, 2g+1) must surface, and nothing else can:
+    // the block key makes cross-group pairs impossible by construction
+    assert(pairs.length == 20, s"expected 20 planted pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b, hm) => b == a + 1 && a % 2 == 0 && hm <= 8 })
   }
 
   test("frame sampling covers payloads with the requested stride") {
