@@ -87,8 +87,11 @@ object CorpusOps {
       source: Column,
       budgetTokens: Long,
       pctBySource: Map[String, Int],
-      defaultPct: Int): org.apache.spark.sql.DataFrame = {
-    val tokens = TextAnalysis.tokenCount(text).cast("long")
+      defaultPct: Int,
+      // swap in a subword counter (graft.functions.WordPiece.count)
+      // to budget in real tokenizer tokens instead of whitespace ones
+      tokenCount: Option[Column] = None): org.apache.spark.sql.DataFrame = {
+    val tokens = tokenCount.getOrElse(TextAnalysis.tokenCount(text)).cast("long")
     val actual = df
       .groupBy(source.as("__src"))
       .agg(sum(tokens).as("__tok"))
@@ -116,9 +119,12 @@ object CorpusOps {
       text: Column,
       id: Column,
       maxTokens: Int,
-      stride: Int): DataFrame = {
+      stride: Int,
+      // swap in a subword stream (graft.functions.WordPiece.tokens) to
+      // chunk on real tokenizer tokens instead of whitespace ones
+      tokens: Option[Column] = None): DataFrame = {
     require(maxTokens > 0 && stride > 0, s"bad maxTokens=$maxTokens / stride=$stride")
-    val toks = graft.operators.TextOps.tokens(text)
+    val toks = tokens.getOrElse(graft.operators.TextOps.tokens(text))
     df.select(id.as("id"), toks.as("__toks"))
       .withColumn("chunk_start",
         explode(sequence(lit(1), size(col("__toks")), lit(stride))))
@@ -143,13 +149,17 @@ object CorpusOps {
       df: DataFrame,
       text: Column,
       id: Column,
-      vocabSize: Int): DataFrame = {
+      vocabSize: Int,
+      // swap in a subword stream (graft.functions.WordPiece.tokens) to
+      // profile coverage in real tokenizer tokens
+      tokens: Option[Column] = None): DataFrame = {
     // two consumers (vocabulary aggregation + the join) read the
     // exploded stream: materialize it once, or the join lineage
     // re-tokenizes the whole corpus (the SpanDedup Barrier pattern)
     val toks = graft.operators.Barrier(
       graft.operators.Parallelism.ensureMin(df)
-        .select(id.as("id"), explode(graft.operators.TextOps.tokens(text)).as("term")))
+        .select(id.as("id"),
+          explode(tokens.getOrElse(graft.operators.TextOps.tokens(text))).as("term")))
     val vocab = toks
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))

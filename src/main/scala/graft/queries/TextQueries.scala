@@ -505,6 +505,24 @@ object TextQueries {
         graft.operators.text.SpanDedup.spanProfile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
       Some(graft.operators.text.SpanDedup.oracleSql()),
-      bench = true)
+      bench = true),
+    Q(
+      "qt21_wordpiece_tokens",
+      // real subword tokenization: greedy longest-match WordPiece over
+      // the demo vocab, as a native codegen expression (vocab rides in
+      // as a codegen reference object). Longest-match is deterministic,
+      // so DuckDB re-derives the identical piece stream with a
+      // recursive CTE and the md5 of the joined stream value-oracles
+      // every piece in order.
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("__p",
+            graft.functions.WordPiece.tokens(TextOps.normalized(col("text"))))
+          .select(
+            col("doc_id"),
+            size(col("__p")).cast("long").as("n_pieces"),
+            size(filter(col("__p"), x => x === "[UNK]")).cast("long").as("n_unk"),
+            md5(concat_ws(" ", col("__p"))).as("pieces_md5")),
+      Some(graft.functions.WordPiece.oracleSql()))
   )
 }
