@@ -73,10 +73,13 @@ object DeltaSync {
   }
 
   /** Compare per-slice checksums between source and target and repair
-    * only the slices that disagree. Falls back to a full
-    * truncate-reload when the target is verifiably missing, when the
-    * table has no numeric lead PK to slice on, or when the target is
-    * so diverged that a full reload is cheaper (`maxChangedFraction`).
+    * only the slices that disagree. Numeric lead PKs slice on the key
+    * itself; string/composite PKs slice on the 60-bit [[HashKey]] md5
+    * space (fixed uniform cuts — no planning scan; MySQL repairs stay
+    * server-side via the dialect md5). Falls back to a full
+    * truncate-reload only when the target is verifiably missing, when
+    * the table has no PK at all, or when the target is so diverged
+    * that a full reload is cheaper (`maxChangedFraction`).
     */
   def syncDelta(
       spark: SparkSession,
@@ -107,8 +110,9 @@ object DeltaSync {
           Normalize.lowercaseColumns(
             catalog.readPartitioned(spark, table, pageSize, maxSlices))
       }
-      val pkOpt = catalog.primaryKey(table).headOption.map(_.toLowerCase)
+      val pks = catalog.primaryKey(table).map(_.toLowerCase)
         .filter(src.columns.contains)
+      val numericLead = pks.headOption
         .filter(c => src.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
 
       def fullLoad(): DeltaReport = {
@@ -117,39 +121,64 @@ object DeltaSync {
         DeltaReport(table, 1, 1, n, ok = true)
       }
 
+      // shared checksum-diff-repair walk, abstracted over the slice
+      // key: the numeric path keys on the lead PK itself (range DELETE
+      // rides the PK index on any dialect); the hash path keys on the
+      // 60-bit md5 key of the full PK tuple ([[HashKey]] — fixed cuts,
+      // no planning scan, works for string AND composite keys)
+      def runDelta(
+          keyName: String,
+          srcK: DataFrame,
+          dstK: DataFrame,
+          cuts: Seq[Long],
+          cols: Seq[String],
+          repairRange: (Option[Long], Option[Long]) => Unit): DeltaReport = {
+        val k = cuts.length + 1
+        def bySlice(d: DataFrame) =
+          rangeChecksums(d, keyName, cuts, cols).collect()
+            .map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+        val s = bySlice(srcK)
+        val d = bySlice(dstK)
+        val changed = (0 until k).filter(i => s.get(i) != d.get(i))
+        if (changed.isEmpty)
+          DeltaReport(table, k, 0, 0L, ok = true)
+        else if (changed.size.toDouble / k > maxChangedFraction) fullLoad()
+        else {
+          mergeRanges(changed, cuts).foreach { case (lo, hi) => repairRange(lo, hi) }
+          val copied = changed.flatMap(i => s.get(i))
+            .map(_.head.asInstanceOf[Long]).sum
+          DeltaReport(table, k, changed.size, copied, ok = true)
+        }
+      }
+
       if (!sink.exists(spark, table)) fullLoad()
-      else pkOpt match {
-        case None => fullLoad() // nothing sliceable: behave like syncTable
-        case Some(pk) =>
-          val dst = Normalize.lowercaseColumns(sink.readBack(spark, table))
-          val cols = src.columns.sorted.toIndexedSeq
-          // checksum slices = the read slices when the pushed plan
-          // produced them (1:1 alignment — one planning pass covers
-          // both); file sources estimate quantiles from the data
-          val cuts = jdbcPlan match {
-            case Some((_, _, cs)) => cs
-            case None => KeyRangeSlicer.quantileCuts(src, pk, numSlices)
-          }
-          val k = cuts.length + 1
-          def bySlice(d: DataFrame) =
-            rangeChecksums(d, pk, cuts, cols).collect()
-              .map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
-          val s = bySlice(src)
-          val d = bySlice(dst)
-          val changed = (0 until k).filter(i => s.get(i) != d.get(i))
-          if (changed.isEmpty)
-            DeltaReport(table, k, 0, 0L, ok = true)
-          else if (changed.size.toDouble / k > maxChangedFraction) fullLoad()
-          else {
-            var copied = 0L
-            mergeRanges(changed, cuts).foreach { case (lo, hi) =>
-              val slice = src.filter(RangeBounds.column(col(pk), lo, hi))
-              sink.replaceRange(spark, slice, table, pk, lo, hi)
+      else if (pks.isEmpty) fullLoad() // nothing sliceable: behave like syncTable
+      else {
+        val dst = Normalize.lowercaseColumns(sink.readBack(spark, table))
+        val cols = src.columns.sorted.toIndexedSeq
+        numericLead match {
+          case Some(pk) =>
+            // checksum slices = the read slices when the pushed plan
+            // produced them (1:1 alignment — one planning pass covers
+            // both); file sources estimate quantiles from the data
+            val cuts = jdbcPlan match {
+              case Some((_, _, cs)) => cs
+              case None => KeyRangeSlicer.quantileCuts(src, pk, numSlices)
             }
-            copied = changed.flatMap(i => s.get(i))
-              .map(_.head.asInstanceOf[Long]).sum
-            DeltaReport(table, k, changed.size, copied, ok = true)
-          }
+            runDelta(pk, src, dst, cuts, cols, (lo, hi) =>
+              sink.replaceRange(spark,
+                src.filter(RangeBounds.column(col(pk), lo, hi)), table, pk, lo, hi))
+          case None =>
+            // string/composite PK: slice the md5 key space — uniform by
+            // construction, so the fixed cuts balance with NO data scan
+            val hk = HashKey.column(pks.map(col))
+            val cuts = HashKey.cuts(numSlices)
+            runDelta("__hk",
+              src.withColumn("__hk", hk), dst.withColumn("__hk", hk), cuts, cols,
+              (lo, hi) =>
+                sink.replaceKeyRange(spark,
+                  src.filter(RangeBounds.column(hk, lo, hi)), table, pks, lo, hi))
+        }
       }
     } catch {
       case e: Exception =>

@@ -60,6 +60,51 @@ sealed trait Sink {
       pkCol: String,
       lo: Option[Long],
       hi: Option[Long]): Unit
+  /** Replace one half-open [[HashKey]] range [lo, hi) of the target —
+    * the repair primitive for string/composite PKs, where no numeric
+    * order exists to range over. JDBC sinks with a dialect md5 still
+    * DELETE server-side over the key expression; others fall back to a
+    * bounded PK-batch delete of just the dirty range's rows. */
+  def replaceKeyRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCols: Seq[String],
+      lo: Option[Long],
+      hi: Option[Long]): Unit
+}
+
+/** Deterministic 60-bit slice key over ARBITRARY primary keys: the
+  * first 15 hex chars of `md5(concat_ws('|', pk...))` as a bigint in
+  * [0, 2^60) — the qt07/qt10 hash-bucket trick applied to sync
+  * slicing. md5 is uniform, so FIXED equal-width cuts balance slices
+  * with no data scan (no quantile pass, no histogram — the plan is
+  * free), and the key is engine-portable: MySQL computes the identical
+  * value server-side ([[HashKey.mysqlSql]]), so range DELETEs stay on
+  * the server. Composite keys join on '|' after string casts —
+  * int/string PKs (the real-world population) render identically on
+  * both engines; a float PK would not, and has no business being a PK.
+  */
+object HashKey {
+  val Bits = 60
+  val Space: Long = 1L << Bits
+
+  def column(pks: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(concat_ws("|", pks.map(_.cast("string")): _*)), 1, 15), 16, 10)
+      .cast("bigint")
+  }
+
+  /** k-1 equal-width cuts over the 60-bit space → k slices. */
+  def cuts(numSlices: Int): Seq[Long] = {
+    require(numSlices > 0, s"bad numSlices=$numSlices")
+    (1 until numSlices).map(i => i * (Space / numSlices))
+  }
+
+  /** The server-side MySQL rendition (the reference's target dialect —
+    * same md5, same 15-hex-char prefix, same base-16→10 conversion). */
+  def mysqlSql(pkCols: Seq[String]): String =
+    s"CONV(SUBSTRING(MD5(CONCAT_WS('|', ${pkCols.mkString(", ")})), 1, 15), 16, 10)"
 }
 
 private[sync] object RangeBounds {
@@ -111,6 +156,21 @@ final case class ParquetSink(dir: String) extends Sink {
     import org.apache.spark.sql.functions.col
     val keep = readBack(spark, table)
       .filter(!RangeBounds.column(col(pkCol), lo, hi))
+    val merged = graft.operators.Barrier(keep.unionByName(df))
+    overwrite(merged, table)
+  }
+  /** Same rewrite, keyed on the computed [[HashKey]] (never NULL, so
+    * the unbounded-below NULL convention is vacuous here). */
+  override def replaceKeyRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCols: Seq[String],
+      lo: Option[Long],
+      hi: Option[Long]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val hk = HashKey.column(pkCols.map(col))
+    val keep = readBack(spark, table).filter(!RangeBounds.column(hk, lo, hi))
     val merged = graft.operators.Barrier(keep.unionByName(df))
     overwrite(merged, table)
   }
@@ -203,6 +263,52 @@ final case class JdbcSink(
       try st.executeUpdate(
         s"DELETE FROM $table WHERE ${RangeBounds.predicate(pkCol, lo, hi)}")
       finally st.close()
+    } finally conn.close()
+    append(df, table)
+  }
+  /** Hash-range repair. On MySQL the DELETE stays server-side — the
+    * predicate is the dialect rendition of the same md5 key, one
+    * statement per merged range. Other dialects (Derby in tests) lack
+    * md5, so the doomed keys are read back FROM THE DIRTY RANGE ONLY
+    * (bounded by construction: DeltaSync repairs only changed slices)
+    * and deleted by batched PK statements. */
+  override def replaceKeyRange(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      pkCols: Seq[String],
+      lo: Option[Long],
+      hi: Option[Long]): Unit = {
+    endpoint.props.get("driver").foreach(Class.forName)
+    val p = new Properties()
+    endpoint.props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(endpoint.url, p)
+    try {
+      if (endpoint.url.startsWith("jdbc:mysql")) {
+        val keySql = HashKey.mysqlSql(pkCols)
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"DELETE FROM $table WHERE ${RangeBounds.predicate(s"($keySql)", lo, hi)}")
+        finally st.close()
+      } else {
+        import org.apache.spark.sql.functions.col
+        val doomed = readBack(spark, table)
+          .filter(RangeBounds.column(HashKey.column(pkCols.map(col)), lo, hi))
+          .select(pkCols.map(col): _*)
+          .collect()
+        val where = pkCols.map(c => s"$c = ?").mkString(" AND ")
+        val ps = conn.prepareStatement(s"DELETE FROM $table WHERE $where")
+        try {
+          var inBatch = 0
+          doomed.foreach { r =>
+            pkCols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+            ps.addBatch()
+            inBatch += 1
+            if (inBatch >= batchRowSize) { ps.executeBatch(); inBatch = 0 }
+          }
+          if (inBatch > 0) ps.executeBatch()
+        } finally ps.close()
+      }
     } finally conn.close()
     append(df, table)
   }

@@ -75,6 +75,57 @@ class DeltaSyncSpec extends SparkSpec {
       srcCat.read(spark, "dlt"), sink.readBack(spark, "dlt")))
   }
 
+  test("string-PK tables repair one dirty hash slice without full reload") {
+    DdlReplay.replay(srcCat, Seq(
+      "CREATE TABLE sdlt (sku VARCHAR(24) NOT NULL PRIMARY KEY, payload VARCHAR(32))"))
+    DdlReplay.replay(dstCat, Seq(
+      "CREATE TABLE sdlt (sku VARCHAR(24) NOT NULL PRIMARY KEY, payload VARCHAR(32))"))
+    JdbcSink(Endpoint(srcUrl)).append(
+      (1 to 200).map(i => (s"sku_$i", s"row_$i")).toDF("sku", "payload"), "sdlt")
+
+    val first = DeltaSync.syncDelta(spark, srcCat, sink, "sdlt", numSlices = 10)
+    assert(first.ok, first.toString)
+    val idle = DeltaSync.syncDelta(spark, srcCat, sink, "sdlt", numSlices = 10)
+    assert(idle.ok && idle.slices == 10 && idle.changedSlices == 0 && idle.rowsCopied == 0,
+      s"hash-sliced convergence expected, got $idle")
+
+    // one edited row dirties exactly one md5 slice
+    srcCat.execute("UPDATE sdlt SET payload = 'edited' WHERE sku = 'sku_42'")
+    val repair = DeltaSync.syncDelta(spark, srcCat, sink, "sdlt", numSlices = 10)
+    assert(repair.ok && repair.slices == 10 && repair.changedSlices == 1,
+      s"one dirty hash slice expected: $repair")
+    assert(repair.rowsCopied < 60, s"repair copied too much: $repair")
+    assert(Compare.contentEqual(
+      srcCat.read(spark, "sdlt"), sink.readBack(spark, "sdlt")))
+
+    // a source-side DELETE must also repair (the doomed target row is
+    // found from the dirty range read-back, not from the source)
+    srcCat.execute("DELETE FROM sdlt WHERE sku = 'sku_77'")
+    val heal = DeltaSync.syncDelta(spark, srcCat, sink, "sdlt", numSlices = 10)
+    assert(heal.ok && heal.changedSlices >= 1, heal.toString)
+    assert(Compare.contentEqual(
+      srcCat.read(spark, "sdlt"), sink.readBack(spark, "sdlt")))
+  }
+
+  test("composite-PK tables hash the full key tuple") {
+    DdlReplay.replay(srcCat, Seq(
+      "CREATE TABLE cdlt (region VARCHAR(8) NOT NULL, seq INT NOT NULL, v DOUBLE, PRIMARY KEY (region, seq))"))
+    DdlReplay.replay(dstCat, Seq(
+      "CREATE TABLE cdlt (region VARCHAR(8) NOT NULL, seq INT NOT NULL, v DOUBLE, PRIMARY KEY (region, seq))"))
+    JdbcSink(Endpoint(srcUrl)).append(
+      (for (r <- Seq("eu", "us", "ap"); i <- 1 to 50) yield (r, i, i * 0.5))
+        .toDF("region", "seq", "v"), "cdlt")
+
+    val first = DeltaSync.syncDelta(spark, srcCat, sink, "cdlt", numSlices = 8)
+    assert(first.ok, first.toString)
+    srcCat.execute("UPDATE cdlt SET v = -9.0 WHERE region = 'us' AND seq = 17")
+    val repair = DeltaSync.syncDelta(spark, srcCat, sink, "cdlt", numSlices = 8)
+    assert(repair.ok && repair.slices == 8 && repair.changedSlices == 1,
+      s"one dirty hash slice expected: $repair")
+    assert(Compare.contentEqual(
+      srcCat.read(spark, "cdlt"), sink.readBack(spark, "cdlt")))
+  }
+
   test("parquet targets repair by rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_pq").toString
     val psink = ParquetSink(dir)
