@@ -15,6 +15,10 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *   graft compare      --config cfg.yml    row-count compare
   *   graft compare --content --config ...   one-pass checksum compare
   *   graft create-table --config cfg.yml    DDL-only
+  *   graft index build  --table t --index d sign the corpus once (LSH
+  *                                          index + exact fingerprints)
+  *   graft index append --table t --index d curate one increment against
+  *                                          the index and fold it in
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
@@ -122,12 +126,46 @@ object Main {
         }
         println(f"Table create finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
         0
+      case "index" =>
+        // the persisted LSH-index lifecycle (the 100 TB operating mode:
+        // sign the corpus ONCE, curate every later increment against
+        // the index without re-processing the corpus)
+        import org.apache.spark.sql.functions.col
+        val idC = opt("--id").getOrElse("doc_id")
+        val txtC = opt("--text").getOrElse("text")
+        val p = graft.operators.dedup.MinHashLSH.Params(
+          threshold = opt("--threshold").map(_.toDouble).getOrElse(0.5))
+        (args.lift(1), opt("--index"), opt("--table")) match {
+          case (Some("build"), Some(dir), Some(t)) =>
+            val corpus = catalogFor(cfg.src).read(spark, t)
+            graft.streaming.IngestPipeline
+              .buildIndexDir(corpus, col(txtC), col(idC), dir, p)
+            val n = spark.read.parquet(s"$dir/docs").count()
+            println(s"Index built at $dir: $n documents signed")
+            println(f"Index build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("append"), Some(dir), Some(t)) =>
+            val into = opt("--into").getOrElse(t)
+            val inc = catalogFor(cfg.src).read(spark, t)
+            val sink = sinkFor(cfg.dest, cfg)
+            val (in, kept) = graft.streaming.IngestPipeline
+              .ingestBatch(spark, dir, inc, sink, into, col(txtC), idC, p)
+            println(table(Seq(
+              Seq("Object", "Incoming", "Kept", "Dropped"),
+              Seq(into, in.toString, kept.toString, (in - kept).toString))))
+            println(f"Index append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case _ =>
+            println("usage: graft index <build|append> --table <docs-table> --index <dir> " +
+              "[--into <dest-table>] [--id doc_id] [--text text] [--threshold 0.5] --config cfg.yml")
+            2
+        }
       case "version" =>
         // reference parity: cmd/version.go prints the build version
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append>|version> --config cfg.yml")
         2
     }
     }

@@ -87,29 +87,88 @@ object IngestPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fpTable = s"${table}_fps"
-        val fp = md5(TextOps.normalized(text))
-        val guard =
-          if (sink.exists(batch.sparkSession, fpTable))
-            fingerprints.unionByName(
-              sink.readBack(batch.sparkSession, fpTable).select("fp"))
-          else fingerprints
-        val exactNew = batch
-          .withColumn("__fp", fp)
-          .join(broadcast(guard.select(col("fp").as("__fp"))),
-            Seq("__fp"), "left_anti")
-          // keep one representative per in-batch fingerprint (lowest id)
-          .withColumn("__rn",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy("__fp").orderBy(col(idCol))))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-        val novel = MinHashLSH
-          .dedupAgainstIndex(index, exactNew, text, idCol, p)
-          .transform(graft.operators.Barrier.apply) // two consumers below
+        val novel = curateBatch(batch, sink, table, index, fingerprints, text, idCol, p)
         sink.append(novel.drop("__fp"), table)
-        sink.append(novel.select(col("__fp").as("fp")).distinct(), fpTable)
+        sink.append(novel.select(col("__fp").as("fp")).distinct(), s"${table}_fps")
       }
       .trigger(trigger)
       .start()
+
+  /** One batch through the exact + near-dup curation guards — the body
+    * [[curateIngest]] runs per micro-batch and [[ingestBatch]] runs
+    * once. Returns the novel rows, [[graft.operators.Barrier]]'d (the
+    * caller appends them at least twice), still carrying `__fp`. */
+  private[graft] def curateBatch(
+      batch: DataFrame,
+      sink: Sink,
+      table: String,
+      index: MinHashLSH.LshIndex,
+      fingerprints: DataFrame,
+      text: Column,
+      idCol: String,
+      p: MinHashLSH.Params): DataFrame = {
+    val fpTable = s"${table}_fps"
+    val fp = md5(TextOps.normalized(text))
+    val guard =
+      if (sink.exists(batch.sparkSession, fpTable))
+        fingerprints.unionByName(
+          sink.readBack(batch.sparkSession, fpTable).select("fp"))
+      else fingerprints
+    val exactNew = batch
+      .withColumn("__fp", fp)
+      .join(broadcast(guard.select(col("fp").as("__fp"))),
+        Seq("__fp"), "left_anti")
+      // keep one representative per in-batch fingerprint (lowest id)
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    MinHashLSH
+      .dedupAgainstIndex(index, exactNew, text, idCol, p)
+      .transform(graft.operators.Barrier.apply)
+  }
+
+  /** Build the SELF-CONTAINED index directory the CLI lifecycle works
+    * against: the [[MinHashLSH]] docs/hot layout plus the corpus exact
+    * fingerprints under `fps` — everything an increment needs, so
+    * `index append` never touches the corpus again. */
+  def buildIndexDir(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      dir: String,
+      p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+    MinHashLSH.writeIndex(MinHashLSH.buildIndex(corpus, text, id, p), dir)
+    corpusFingerprints(corpus, text).write.mode("overwrite").parquet(s"$dir/fps")
+  }
+
+  /** One BATCH increment through the full curation lifecycle — the
+    * `graft index append` form of [[curateIngest]]: exact-dedup
+    * against corpus + already-ingested fingerprints, near-dup-dedup
+    * against the persisted index, append survivors to the sink, then
+    * FOLD the survivors' signatures into the index's docs so the next
+    * increment's near-dup guard sees them (the out-of-band compaction
+    * the streaming doc calls out, done inline here — batch cadence can
+    * afford it). The hot-bucket list refreshes only on a full rebuild.
+    * Returns (incoming rows, survivors kept). */
+  def ingestBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      increment: DataFrame,
+      sink: Sink,
+      table: String,
+      text: Column,
+      idCol: String,
+      p: MinHashLSH.Params = MinHashLSH.Params()): (Long, Long) = {
+    val index = MinHashLSH.readIndex(spark, indexDir)
+    val fps = spark.read.parquet(s"$indexDir/fps")
+    val novel = curateBatch(increment, sink, table, index, fps, text, idCol, p)
+    sink.append(novel.drop("__fp"), table)
+    sink.append(novel.select(col("__fp").as("fp")).distinct(), s"${table}_fps")
+    MinHashLSH.signatures(novel, text, col(idCol), p)
+      .withColumn("bks", MinHashLSH.bandKeys(col("sig"), p.bands, p.rows))
+      .write.mode("append").parquet(s"$indexDir/docs")
+    (increment.count(), novel.count())
+  }
 }

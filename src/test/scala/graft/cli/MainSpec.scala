@@ -117,6 +117,68 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("compare", "--config", cfg, "--content"), spark) == 0)
   }
 
+  test("index build + append round-trip curates increments against the persisted index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_idx_src").toString
+    val outDir = Files.createTempDirectory("graft_idx_out").toString
+    val idxDir = Files.createTempDirectory("graft_idx").toString + "/lsh"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+
+    // the IncrementalDedupSpec fixture: corpus of 3, increment where 11
+    // near-dups corpus doc 2, 2 re-ingests itself, 13 is novel
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (2L, base),
+      (4L, "completely different corpus content about spark partitions and shuffles"),
+      (6L, "yet another unrelated document speaking of benchmarks and latencies"))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/corpus.parquet")
+    Seq(
+      (11L, base + " tonight"),
+      (13L, "a wholly new document with nothing in common with the corpus at all"),
+      (2L, base))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/increment.parquet")
+
+    assert(Main.run(Array("index", "build", "--table", "corpus",
+      "--index", idxDir, "--threshold", "0.3", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("index", "append", "--table", "increment",
+      "--into", "curated", "--index", idxDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    // survivor set matches IncrementalDedupSpec: only the novel doc 13
+    val kept = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(13L)), kept.mkString(","))
+
+    // the fold: a later increment near-dupping ALREADY-INGESTED doc 13
+    // must be dropped by the index (which only saw 13 via the fold)
+    Seq(
+      (21L, "a wholly new document with nothing in common with the corpus at all, right"),
+      (23L, "entirely fresh prose concerning watermark semantics in stream joins"))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/increment2.parquet")
+    assert(Main.run(Array("index", "append", "--table", "increment2",
+      "--into", "curated", "--index", idxDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    val kept2 = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.sameElements(Array(13L, 23L)), kept2.mkString(","))
+
+    // idempotence: replaying an increment adds nothing (fps guard)
+    assert(Main.run(Array("index", "append", "--table", "increment",
+      "--into", "curated", "--index", idxDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    val kept3 = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept3.sameElements(Array(13L, 23L)), kept3.mkString(","))
+
+    // malformed index invocation exits 2
+    assert(Main.run(Array("index", "rebuild", "--config", cfg), spark) == 2)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
