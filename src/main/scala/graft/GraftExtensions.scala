@@ -28,6 +28,9 @@ import graft.functions.{CosineSim, DeflateRatio, DotProduct, MinHashSignature, P
   *   - sorted_token_shingles(text string, n int) -> array<string>
   *   - sorted_intersect_count(a, b array<string>) -> bigint
   *   - deflate_ratio(text string) -> double
+  *   - wordpiece_tokens(text string) -> array<string> (built-in vocab;
+  *     custom vocabs go through the Column API, where the vocab is a
+  *     driver value — SQL literals are the wrong vehicle for 30k rows)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -96,6 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject1("portable_minhash_sig", classOf[PortableMinHashSig], PortableMinHashSig(_))
     inject1("portable_simhash", classOf[PortableSimHashSig], PortableSimHashSig(_))
     inject1("deflate_ratio", classOf[DeflateRatio], DeflateRatio(_))
+    inject1("wordpiece_tokens", classOf[graft.functions.WordPieceTokens],
+      graft.functions.WordPieceTokens(_, graft.functions.WordPiece.DefaultVocab))
     ext.injectFunction((
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),

@@ -144,10 +144,18 @@ object PerceptualHash {
         (blk, id, dHash64(bytes, maxDecodeBytes))
       })
       .toDF("blk", "id", "dh")
-      .filter(col("dh").isNotNull)
-      .transform(Barrier.apply)
-    val a = hashed.select(col("blk"), col("id").as("doc_a"), col("dh").as("dh_a"))
-    val b = hashed.select(col("blk"), col("id").as("doc_b"), col("dh").as("dh_b"))
+    blockedHammingPairs(hashed, maxHamming)
+  }
+
+  /** The shared (blk, id, dh) → near-dup-pair join: Barrier'd hashes
+    * (two sides read them; without it the lineage re-decodes every
+    * payload per side), equi-join on the block, 64-bit XOR popcount.
+    * Also the audio-hash pair path ([[PerceptualAudio]]). */
+  private[multimodal] def blockedHammingPairs(
+      hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val h = hashed.filter(col("dh").isNotNull).transform(Barrier.apply)
+    val a = h.select(col("blk"), col("id").as("doc_a"), col("dh").as("dh_a"))
+    val b = h.select(col("blk"), col("id").as("doc_b"), col("dh").as("dh_b"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.multimodal.{Multimodal, PerceptualHash}
+import graft.operators.multimodal.{Multimodal, PerceptualAudio, PerceptualHash}
 import graft.streaming.EventPipeline
 
 /** Event-stream (batch shape) and multimodal-plumbing inventory.
@@ -204,6 +204,26 @@ object EventQueries {
           media, expr("id div 2"), maxHamming = 8)
       },
       Some(PerceptualHash.oracleSql(8))),
+    Q(
+      "qm06_audio_near_dup",
+      // perceptual audio near-dup: REAL WAV PCM16 sample decode ->
+      // 65-window loudness envelope -> 64-bit gradient-sign hash ->
+      // blocked-Hamming pairs. Planted per-doc WAVs (odd ids are
+      // 0.9-gain copies — the re-normalized duplicate the contour
+      // catches); integer-only hash path, so DuckDB re-derives every
+      // value from the same sample function.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "audio/wav", PerceptualAudio.plantedWav(id))))
+          .toDF("id", "media_type", "content")
+        PerceptualAudio.pairsWithinBlock(
+          media, expr("id div 2"), maxHamming = 10)
+      },
+      Some(PerceptualAudio.oracleSql(10))),
     Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence

@@ -78,6 +78,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 0.3)
   }
 
+  test("wordpiece_tokens is callable from SQL and matches the Column API") {
+    val df = Seq("the singer testing loudly").toDF("text")
+    df.createOrReplaceTempView("ext_docs_wp")
+    val viaSql = spark
+      .sql("SELECT wordpiece_tokens(text) AS p FROM ext_docs_wp")
+      .as[Seq[String]].head()
+    val viaCol = df
+      .select(graft.functions.WordPiece.tokens(col("text")).as("p"))
+      .as[Seq[String]].head()
+    assert(viaSql == viaCol)
+    assert(viaSql.startsWith(Seq("the", "sing", "##er")), viaSql.mkString(" "))
+  }
+
   test("non-literal k is rejected with a clear message") {
     val df = Seq(("t", 3)).toDF("text", "k")
     df.createOrReplaceTempView("ext_docs4")

@@ -204,6 +204,54 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, hm) => b == a + 1 && a % 2 == 0 && hm <= 8 })
   }
 
+  // ---- perceptual audio hash ----
+
+  test("audio contour hash is gain-invariant and order-sensitive") {
+    import graft.operators.multimodal.PerceptualAudio
+    val n = 130
+    // rewrite the planted container's samples with a chosen function
+    // (small amplitudes so integer gain multiples stay inside int16)
+    def wavOf(f: Int => Int): Array[Byte] = {
+      val w = PerceptualAudio.plantedWav(0L).clone()
+      for (t <- 0 until n) {
+        val v = f(t)
+        w(44 + t * 2) = (v & 0xff).toByte
+        w(45 + t * 2) = ((v >> 8) & 0xff).toByte
+      }
+      w
+    }
+    def base(t: Int): Int = (t * t * 13) % 997
+    val h = PerceptualAudio.audioHash64(wavOf(base)).get
+    // exact 2x gain: every window mean doubles, every comparison holds
+    val h2 = PerceptualAudio.audioHash64(wavOf(t => base(t) * 2)).get
+    assert(h2 == h, "2x gain changed the contour")
+    // reversing the samples flips the contour far from the original
+    val hr = PerceptualAudio.audioHash64(wavOf(t => base(n - 1 - t))).get
+    assert(java.lang.Long.bitCount(h ^ hr) > 16, "reversed audio too close")
+  }
+
+  test("audio hash rejects non-wav, over-cap, and too-short payloads") {
+    import graft.operators.multimodal.PerceptualAudio
+    assert(PerceptualAudio.audioHash64("not audio".getBytes).isEmpty)
+    val wav = PerceptualAudio.plantedWav(1L)
+    assert(PerceptualAudio.audioHash64(wav, maxDecodeBytes = 10).isEmpty)
+    assert(PerceptualAudio.audioHash64(wav).nonEmpty)
+    // fewer samples than windows -> no contour
+    assert(PerceptualAudio.audioHash64(wavBytes(8000, 1, 32)).isEmpty)
+  }
+
+  test("blocked audio pairs find the planted gain-copy duplicates") {
+    import graft.operators.multimodal.PerceptualAudio
+    val media = spark.range(0, 40).select(col("id")).as[Long]
+      .mapPartitions(_.map(id => (id, "audio/wav", PerceptualAudio.plantedWav(id))))
+      .toDF("id", "media_type", "content")
+    val pairs = PerceptualAudio
+      .pairsWithinBlock(media, expr("id div 2"), maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 20, s"expected 20 planted pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b, hm) => b == a + 1 && a % 2 == 0 && hm <= 10 })
+  }
+
   test("frame sampling covers payloads with the requested stride") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2)
     val byDoc = frames.groupByKey(_.id).count().collect().toMap
