@@ -107,6 +107,69 @@ object CorpusOps {
     df.where(hashKey40(id) < thrCol)
   }
 
+  /** Exactly-rounded x^α for α ∈ {0.25, 0.5, 0.75, 1.0}: sqrt chains
+    * plus at most one multiply — every step is correctly rounded under
+    * IEEE 754, so ANY engine reproduces the value bit-identically.
+    * General `pow()` is NOT correctly rounded (libm implementations
+    * differ in the last ulp), which would make data-derived thresholds
+    * engine-dependent — the same argument as [[sampleThreshold]]'s
+    * integer-threshold rule, applied to the α family. */
+  def quarterPow(x: Double, alpha: Double): Double = alpha match {
+    case 1.0  => x
+    case 0.5  => math.sqrt(x)
+    case 0.25 => math.sqrt(math.sqrt(x))
+    case 0.75 => math.sqrt(x) * math.sqrt(math.sqrt(x))
+    case a =>
+      throw new IllegalArgumentException(
+        s"alpha must be one of 0.25, 0.5, 0.75, 1.0 (exactly-rounded sqrt chains); got $a")
+  }
+
+  /** Per-source keep-thresholds for TEMPERATURE-weighted mixing: source
+    * s gets token target `budget · a_s^α / Σ a^α` — α < 1 upweights
+    * small sources relative to proportional sampling (α = 1), the
+    * standard multilingual/multi-domain mixture flattening. The α-power
+    * sum folds over sources in NAME order with a 0.0 seed, mirrored
+    * exactly by the oracle's ordered `list_reduce`, so the derived
+    * integer thresholds are engine-identical. */
+  def temperatureThresholds(
+      actualBySource: Map[String, Long],
+      budgetTokens: Long,
+      alpha: Double): Map[String, Long] = {
+    require(budgetTokens >= 0, "negative budget")
+    val pows = actualBySource.toSeq.sortBy(_._1)
+      .map { case (s, a) => (s, a, quarterPow(a.toDouble, alpha)) }
+    val total = pows.foldLeft(0.0)(_ + _._3)
+    pows.map { case (s, a, p) =>
+      val ratio = (budgetTokens.toDouble * (p / total)) / a.toDouble
+      s -> math.floor(math.min(1.0, ratio) * (1L << 40).toDouble).toLong
+    }.toMap
+  }
+
+  /** Temperature mixing: [[tokenMix]]'s two-pass shape (bounded
+    * #sources collect, then a pure hash filter) with targets derived
+    * from the data itself via `a^α` instead of configured percentages. */
+  def temperatureMix(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      source: Column,
+      budgetTokens: Long,
+      alpha: Double,
+      tokenCount: Option[Column] = None): DataFrame = {
+    val tokens = tokenCount.getOrElse(TextAnalysis.tokenCount(text)).cast("long")
+    val actual = df
+      .groupBy(source.as("__src"))
+      .agg(sum(tokens).as("__tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val thr = temperatureThresholds(actual, budgetTokens, alpha)
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(source === s, lit(t)).otherwise(acc)
+    }
+    df.where(hashKey40(id) < thrCol)
+  }
+
   /** Fixed-window token chunking with stride — context-window prep:
     * each document yields chunks of up to `maxTokens` tokens starting
     * every `stride` tokens (stride < maxTokens → overlapping windows).

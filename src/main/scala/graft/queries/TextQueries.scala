@@ -523,6 +523,40 @@ object TextQueries {
             size(col("__p")).cast("long").as("n_pieces"),
             size(filter(col("__p"), x => x === "[UNK]")).cast("long").as("n_unk"),
             md5(concat_ws(" ", col("__p"))).as("pieces_md5")),
-      Some(graft.functions.WordPiece.oracleSql()))
+      Some(graft.functions.WordPiece.oracleSql())),
+    Q(
+      "qt22_temperature_mix",
+      // temperature-weighted mixing (α = 0.5): targets ∝ sqrt(source
+      // token mass) — flattens the mixture toward small sources, the
+      // standard multilingual upweighting. sqrt is exactly rounded (pow
+      // is not), the α-power sum folds in source-name order with a 0.0
+      // seed on both engines, so the data-derived integer thresholds
+      // and therefore the kept set are fully value-oracled.
+      (s, dir) => {
+        val kept = CorpusOps.temperatureMix(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), col("source"),
+          budgetTokens = 2000L, alpha = 0.5)
+        kept.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .cast("bigint").as("kept_tokens"))
+      },
+      Some("""WITH tok AS (
+               |  SELECT doc_id, source,
+               |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+               |  FROM documents),
+               |agg AS (SELECT source, sum(n_tokens) AS actual FROM tok GROUP BY source),
+               |pw AS (SELECT source, actual, sqrt(CAST(actual AS DOUBLE)) AS p FROM agg),
+               |tot AS (SELECT list_reduce(list(p ORDER BY source), (a, b) -> a + b) AS tp FROM pw),
+               |thr AS (SELECT source,
+               |         CAST(floor(LEAST(1.0, (2000.0 * (p / tp)) / CAST(actual AS DOUBLE))
+               |                    * 1099511627776.0) AS BIGINT) AS t
+               |        FROM pw, tot)
+               |SELECT tok.source AS source, count(*) AS n_docs,
+               |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+               |FROM tok JOIN thr ON tok.source = thr.source
+               |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) < thr.t
+               |GROUP BY tok.source""".stripMargin))
   )
 }

@@ -135,4 +135,43 @@ class CorpusOpsSpec extends SparkSpec {
       2000L, Map("src0" -> 100), 10)
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
+
+  test("quarterPow is the exactly-rounded sqrt-chain family") {
+    assert(CorpusOps.quarterPow(16.0, 1.0) == 16.0)
+    assert(CorpusOps.quarterPow(16.0, 0.5) == 4.0)
+    assert(CorpusOps.quarterPow(16.0, 0.25) == 2.0)
+    assert(CorpusOps.quarterPow(16.0, 0.75) == 8.0)
+    intercept[IllegalArgumentException](CorpusOps.quarterPow(16.0, 0.3))
+  }
+
+  test("temperature thresholds flatten the mixture as alpha drops") {
+    val actual = Map("big" -> 90000L, "small" -> 10000L)
+    def keepFrac(alpha: Double): (Double, Double) = {
+      val thr = CorpusOps.temperatureThresholds(actual, 50000L, alpha)
+      val full = (1L << 40).toDouble
+      (thr("big") / full, thr("small") / full)
+    }
+    val (b1, s1) = keepFrac(1.0)
+    val (b5, s5) = keepFrac(0.5)
+    // alpha = 1 is proportional: equal keep fractions
+    assert(math.abs(b1 - s1) < 1e-9, s"alpha=1 not proportional: $b1 vs $s1")
+    // alpha = 0.5 upweights the small source at the big one's expense
+    assert(s5 > s1 && b5 < b1, s"no flattening: big $b1->$b5 small $s1->$s5")
+    // a source whose target exceeds its mass clamps to keep-everything
+    val thr = CorpusOps.temperatureThresholds(
+      Map("tiny" -> 100L, "huge" -> 1000000L), 500000L, 0.5)
+    assert(thr("tiny") == (1L << 40))
+  }
+
+  test("temperatureMix keeps a deterministic hash subset per source") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val kept = CorpusOps.temperatureMix(
+      docs, col("text"), col("doc_id"), col("source"),
+      budgetTokens = 2000L, alpha = 0.5)
+    val again = CorpusOps.temperatureMix(
+      docs, col("text"), col("doc_id"), col("source"),
+      budgetTokens = 2000L, alpha = 0.5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    assert(kept.count() > 0 && kept.count() < docs.count())
+  }
 }
