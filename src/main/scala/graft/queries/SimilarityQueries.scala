@@ -223,6 +223,35 @@ object SimilarityQueries {
                         row_number() OVER (PARTITION BY probe_id
                                            ORDER BY cosine DESC, corpus_id) AS rank
                  FROM scored) z
-               WHERE rank <= 5"""))
+               WHERE rank <= 5""")),
+    Q(
+      "qs13_pq_codes",
+      // product quantization encode: 64 floats -> one packed 32-bit
+      // code (8 subspaces x 4-bit argmin codewords) against the
+      // md5-derived codebook — the externally-trained-codebook mode.
+      // Encode is argmin of sequential-fold sqdists with ties to the
+      // lowest code on both engines: every code value-oracled.
+      (s, dir) =>
+        graft.operators.similarity.ProductQuantizer.encode(
+          Tables.load(s, dir, "embeddings"), col("embedding"), col("vec_id"))
+          .select(col("id").as("vec_id"), col("pq_code")),
+      Some(graft.operators.similarity.ProductQuantizer.encodeOracleSql)),
+    Q(
+      "qs14_topk_pq",
+      // ADC scan over the packed codes: the m·k lookup table rides in
+      // as literals (driver-derived from the vec_id-0 probe with the
+      // same sequential fold the oracle uses), each row costs m
+      // lookups + a fixed-order add chain — the codes-only scan that
+      // never touches the original vectors.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+        graft.operators.similarity.ProductQuantizer.adcTopK(
+          graft.operators.similarity.ProductQuantizer.encode(
+            emb, col("embedding"), col("vec_id")),
+          p, topk = 10)
+      },
+      Some(graft.operators.similarity.ProductQuantizer.adcOracleSql(10)))
   )
 }
