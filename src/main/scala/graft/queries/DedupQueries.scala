@@ -320,6 +320,31 @@ object DedupQueries {
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
             round(col("cosine"), 4).as("cosine"))
       },
-      None)
+      None),
+    Q(
+      "qd20_bloom_guard",
+      // the scalable exact-dup guard: a bloom over the corpus (even
+      // doc ids) fingerprints probed by every document. Contract under
+      // gate (the qd17/qt20 pattern — bloom bits aren't
+      // SQL-reproducible, their GUARANTEES are): zero false negatives
+      // (the filter's hard property — a miss here is a lost duplicate)
+      // and a false-positive rate within 5x the configured 1% fpp.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val fp = md5(graft.operators.TextOps.normalized(col("text")))
+        val corpusFps = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp"))
+        val bf = corpusFps.stat.bloomFilter(
+          "fp", math.max(corpusFps.count(), 1L), 0.01)
+        docs
+          .select(col("doc_id"),
+            graft.functions.BloomExprs.mightContain(bf, fp).as("hit"))
+          .agg(
+            (sum(when(col("doc_id") % 2 === 0 && !col("hit"), 1).otherwise(0)) === 0)
+              .as("no_false_negatives"),
+            (sum(when(col("doc_id") % 2 === 1 && col("hit"), 1).otherwise(0)).cast("double")
+              / sum(when(col("doc_id") % 2 === 1, 1).otherwise(0)).cast("double") <= 0.05)
+              .as("fp_rate_bounded"))
+      },
+      Some("SELECT true AS no_false_negatives, true AS fp_rate_bounded"))
   )
 }

@@ -97,7 +97,17 @@ object IngestPipeline {
   /** One batch through the exact + near-dup curation guards — the body
     * [[curateIngest]] runs per micro-batch and [[ingestBatch]] runs
     * once. Returns the novel rows, [[graft.operators.Barrier]]'d (the
-    * caller appends them at least twice), still carrying `__fp`. */
+    * caller appends them at least twice), still carrying `__fp`.
+    *
+    * With a `bloom` ([[graft.functions.BloomMightContain]], built over
+    * the SAME fingerprint universe as `fingerprints` ∪ the sink's fp
+    * table), rows the filter rejects are DEFINITELY novel (no false
+    * negatives) and skip the exact-confirmation join entirely — only
+    * bloom-positives probe the guard. That is the 100 TB shape: the
+    * guard's raw fingerprints stop being broadcastable around 10⁹ rows
+    * (~40 GB of md5 strings) while their bloom bits stay ~1.4 GB at
+    * 1% fpp, and the positives (the true-dup fraction plus ~1% noise)
+    * become the tiny join side. */
   private[graft] def curateBatch(
       batch: DataFrame,
       sink: Sink,
@@ -106,18 +116,25 @@ object IngestPipeline {
       fingerprints: DataFrame,
       text: Column,
       idCol: String,
-      p: MinHashLSH.Params): DataFrame = {
+      p: MinHashLSH.Params,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val fpTable = s"${table}_fps"
-    val fp = md5(TextOps.normalized(text))
+    val withFp = batch.withColumn("__fp", md5(TextOps.normalized(text)))
+    val (sureNew, maybeDup) = bloom match {
+      case Some(bf) =>
+        val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
+        (withFp.filter(!hit), withFp.filter(hit))
+      case None => (withFp.filter(lit(false)), withFp)
+    }
     val guard =
       if (sink.exists(batch.sparkSession, fpTable))
         fingerprints.unionByName(
           sink.readBack(batch.sparkSession, fpTable).select("fp"))
       else fingerprints
-    val exactNew = batch
-      .withColumn("__fp", fp)
+    val exactNew = maybeDup
       .join(broadcast(guard.select(col("fp").as("__fp"))),
         Seq("__fp"), "left_anti")
+      .unionByName(sureNew)
       // keep one representative per in-batch fingerprint (lowest id)
       .withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -129,6 +146,31 @@ object IngestPipeline {
       .transform(graft.operators.Barrier.apply)
   }
 
+  /** Persist/load the guard bloom beside the index (Hadoop FS, so any
+    * scheme the session can reach works). */
+  def writeBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try bloom.writeTo(os) finally os.close()
+  }
+
+  def readBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val is = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+      finally is.close()
+    }
+  }
+
   /** Build the SELF-CONTAINED index directory the CLI lifecycle works
     * against: the [[MinHashLSH]] docs/hot layout plus the corpus exact
     * fingerprints under `fps` — everything an increment needs, so
@@ -138,9 +180,17 @@ object IngestPipeline {
       text: Column,
       id: Column,
       dir: String,
-      p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+      p: MinHashLSH.Params = MinHashLSH.Params(),
+      bloomFpp: Double = 0.01): Unit = {
     MinHashLSH.writeIndex(MinHashLSH.buildIndex(corpus, text, id, p), dir)
     corpusFingerprints(corpus, text).write.mode("overwrite").parquet(s"$dir/fps")
+    // the guard bloom: built from the persisted fps (one narrow read,
+    // no corpus re-hash) so increments can reject definite-novels
+    // without touching the raw fingerprint set
+    val spark = corpus.sparkSession
+    val fps = spark.read.parquet(s"$dir/fps")
+    val n = math.max(fps.count(), 1L)
+    writeBloom(spark, fps.stat.bloomFilter("fp", n, bloomFpp), s"$dir/bloom")
   }
 
   /** One BATCH increment through the full curation lifecycle — the
@@ -163,12 +213,21 @@ object IngestPipeline {
       p: MinHashLSH.Params = MinHashLSH.Params()): (Long, Long) = {
     val index = MinHashLSH.readIndex(spark, indexDir)
     val fps = spark.read.parquet(s"$indexDir/fps")
-    val novel = curateBatch(increment, sink, table, index, fps, text, idCol, p)
+    val bloom = readBloom(spark, s"$indexDir/bloom")
+    val novel = curateBatch(increment, sink, table, index, fps, text, idCol, p, bloom)
     sink.append(novel.drop("__fp"), table)
     sink.append(novel.select(col("__fp").as("fp")).distinct(), s"${table}_fps")
     MinHashLSH.signatures(novel, text, col(idCol), p)
       .withColumn("bks", MinHashLSH.bandKeys(col("sig"), p.bands, p.rows))
       .write.mode("append").parquet(s"$indexDir/docs")
+    // fold the survivors' fingerprints into the persisted bloom too —
+    // a bounded per-increment collect (the increment IS the small side
+    // by definition), so the next batch's prefilter stays complete
+    bloom.foreach { bf =>
+      novel.select(col("__fp")).distinct().collect()
+        .foreach(r => bf.putString(r.getString(0)))
+      writeBloom(spark, bf, s"$indexDir/bloom")
+    }
     (increment.count(), novel.count())
   }
 }
