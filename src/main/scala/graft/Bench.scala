@@ -47,8 +47,10 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    sentinelRun() // untimed warmup, same as the bench queries
-    val sentinel = (1 to runs).map(_ => sentinelRun()).min
+    // a missing fixture must cost the sentinel, never the bench run
+    val sentinel =
+      try { sentinelRun(); (1 to runs).map(_ => sentinelRun()).min }
+      catch { case _: Throwable => -1.0 }
     // min over SUCCESSFUL runs only: a fast failure (fail-fast analysis
     // error, OOM on run 2 of 3) must not masquerade as the benchmark
     // number. A query with zero successful runs reports null.

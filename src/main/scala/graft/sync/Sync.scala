@@ -269,9 +269,11 @@ final case class JdbcSink(
   /** Hash-range repair. On MySQL the DELETE stays server-side — the
     * predicate is the dialect rendition of the same md5 key, one
     * statement per merged range. Other dialects (Derby in tests) lack
-    * md5, so the doomed keys are read back FROM THE DIRTY RANGE ONLY
-    * (bounded by construction: DeltaSync repairs only changed slices)
-    * and deleted by batched PK statements. */
+    * md5, so the target is read back, filtered to the dirty range in
+    * Spark, and the doomed KEYS (bounded: only changed slices repair)
+    * are deleted by batched PK statements. The read-back is a full
+    * target scan per merged range — the price of a dialect with no
+    * server-side md5; the MySQL path never pays it. */
   override def replaceKeyRange(
       spark: SparkSession,
       df: DataFrame,
