@@ -557,6 +557,28 @@ object TextQueries {
                |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
                |FROM tok JOIN thr ON tok.source = thr.source
                |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) < thr.t
-               |GROUP BY tok.source""".stripMargin))
+               |GROUP BY tok.source""".stripMargin)),
+    Q(
+      "qt23_approx_distinct",
+      // HLL++ approximate term cardinality per source — at 100 TB the
+      // exact distinct is a full shuffle of every term; the sketch is
+      // one partial-aggregated pass. HLL registers aren't
+      // SQL-reproducible, so this is a GATE (qd17/qd20 pattern) on the
+      // sketch's accuracy CONTRACT: every per-source estimate within
+      // 3x the configured 2% rsd of the exact count, computed here
+      // side by side.
+      (s, dir) => {
+        val terms = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        terms.groupBy("source")
+          .agg(
+            countDistinct(col("term")).as("__exact"),
+            approx_count_distinct(col("term"), rsd = 0.02).as("__approx"))
+          .agg(
+            (max(abs(col("__approx") - col("__exact")).cast("double")
+              / col("__exact").cast("double")) <= 0.06).as("rel_err_bounded"),
+            (min(col("__approx")) > 0).as("estimates_present"))
+      },
+      Some("SELECT true AS rel_err_bounded, true AS estimates_present"))
   )
 }
