@@ -60,28 +60,56 @@ object ProductQuantizer {
   private[similarity] def centroid(s: Int, c: Int): Seq[Double] =
     codebookInts(s)(c).map(v => v.toDouble / half - 1.0)
 
+  /** A PQ codebook: cents(s)(c) is codeword c of subspace s. */
+  final case class Codebook(cents: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    require(cents.length == m && cents.forall(_.length == k), "bad codebook shape")
+  }
+
+  /** The md5-derived default — the portable, value-oracle-able mode. */
+  lazy val DefaultCodebook: Codebook =
+    Codebook((0 until m).map(s => (0 until k).map(c => centroid(s, c))))
+
+  /** Data-FITTED codebook: one deterministic [[KMeansCluster]] fit per
+    * subspace slice (hash-order init + exact-lattice Lloyd updates —
+    * layout-invariant, so the fitted codebook is reproducible across
+    * runs and partitionings). m bounded k·dsub collects, the documented
+    * [[KMeansCluster.update]] cost, paid once at TRAIN time. Subspaces
+    * whose fit drops an empty cluster pad with the md5 default so the
+    * codebook always carries k codewords. */
+  def fitCodebook(df: DataFrame, vec: Column, id: Column, iters: Int = 1): Codebook = {
+    val v = transform(vec, _.cast("double"))
+    Codebook((0 until m).map { s =>
+      val sliced = df.select(id.as("__id"), slice(v, s * dsub + 1, dsub).as("__sub"))
+      val fitted = KMeansCluster
+        .fit(sliced, col("__sub"), col("__id"), k, iters)
+        .map(c => c.cluster -> c.vec).toMap
+      (1 to k).map(c => fitted.getOrElse(c, centroid(s, c - 1))).toIndexedSeq
+    })
+  }
+
   /** 4-bit codeword of subspace `s`: argmin squared-L2 against the
     * subspace codebook, ties to the LOWEST code (array_position finds
     * the first minimum — mirrored by the oracle's lexicographic
     * list_min over [dist, code] pairs). */
-  private def codeOf(vDouble: Column, s: Int): Column = {
+  private def codeOf(vDouble: Column, s: Int, cb: Codebook): Column = {
     val sub = slice(vDouble, s * dsub + 1, dsub)
     val dists = array((0 until k).map(c =>
-      VectorExprs.sqDist(sub, typedLit(centroid(s, c)))): _*)
+      VectorExprs.sqDist(sub, typedLit(cb.cents(s)(c)))): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** The packed 32-bit PQ code: Σ code_s · 16^s. */
-  def packedCode(vec: Column): Column = {
+  def packedCode(vec: Column, cb: Codebook = DefaultCodebook): Column = {
     val v = transform(vec, _.cast("double"))
     (0 until m)
-      .map(s => codeOf(v, s).cast("bigint") * lit(1L << (4 * s)))
+      .map(s => codeOf(v, s, cb).cast("bigint") * lit(1L << (4 * s)))
       .reduce(_ + _)
   }
 
   /** (id, pq_code) for the whole corpus — the map-only encode pass. */
-  def encode(df: DataFrame, vec: Column, id: Column): DataFrame =
-    df.select(id.as("id"), packedCode(vec).as("pq_code"))
+  def encode(df: DataFrame, vec: Column, id: Column,
+      cb: Codebook = DefaultCodebook): DataFrame =
+    df.select(id.as("id"), packedCode(vec, cb).as("pq_code"))
 
   /** Driver-side sub-distance: same sequential fold as
     * [[VectorExprs.sqDist]] and the oracle's list_reduce. */
@@ -101,11 +129,12 @@ object ProductQuantizer {
     * each row's approximate distance is m lookups + a fixed-order add
     * chain. `codes` is the output of [[encode]] (or its persisted
     * form — at scale you store codes, not vectors). */
-  def adcTopK(codes: DataFrame, probe: Seq[Float], topk: Int): DataFrame = {
+  def adcTopK(codes: DataFrame, probe: Seq[Float], topk: Int,
+      cb: Codebook = DefaultCodebook): DataFrame = {
     val p = probe.map(_.toDouble)
     val table: IndexedSeq[IndexedSeq[Double]] = (0 until m).map { s =>
       val sub = p.slice(s * dsub, (s + 1) * dsub)
-      (0 until k).map(c => sqDistSeq(sub, centroid(s, c))).toIndexedSeq
+      (0 until k).map(c => sqDistSeq(sub, cb.cents(s)(c))).toIndexedSeq
     }
     val score = (0 until m)
       .map { s =>

@@ -48,6 +48,34 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(overlap >= 8, s"ADC@50 overlaps exact@50 on only $overlap ids (chance ≈ 5)")
   }
 
+  test("a fitted codebook beats the untrained md5 codebook on overlap") {
+    val p = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val pd = typedLit(p.map(_.toDouble))
+    val exact = emb
+      .select(col("vec_id"),
+        graft.functions.VectorExprs
+          .sqDist(transform(col("embedding"), _.cast("double")), pd).as("d"))
+      .orderBy(col("d").asc, col("vec_id"))
+      .limit(50)
+      .select("vec_id").as[Long].collect().toSet
+    def overlap(cb: ProductQuantizer.Codebook): Int = {
+      val codes = ProductQuantizer.encode(emb, col("embedding"), col("vec_id"), cb)
+      ProductQuantizer.adcTopK(codes, p, topk = 50, cb)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    }
+    val fitted = ProductQuantizer.fitCodebook(emb, col("embedding"), col("vec_id"))
+    val md5Overlap = overlap(ProductQuantizer.DefaultCodebook)
+    val fitOverlap = overlap(fitted)
+    assert(fitOverlap >= md5Overlap,
+      s"training made PQ worse: fitted $fitOverlap vs md5 $md5Overlap")
+    assert(fitOverlap >= 15, s"fitted codebook overlap only $fitOverlap/50")
+    // determinism: the fit is layout-invariant
+    val again = ProductQuantizer.fitCodebook(
+      emb.repartition(7), col("embedding"), col("vec_id"))
+    assert(fitted == again, "fitCodebook not layout-invariant")
+  }
+
   test("ADC scan plan is scan + TakeOrdered, no shuffle join") {
     val codes = ProductQuantizer.encode(emb, col("embedding"), col("vec_id"))
     val p = emb.filter(col("vec_id") === 0)
