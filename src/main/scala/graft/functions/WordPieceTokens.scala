@@ -194,10 +194,14 @@ object WordPiece {
     * md5 of the full space-joined piece stream — a value oracle over
     * every piece in order. */
   def oracleSql(vocab: Seq[String] = DefaultVocab): String =
+    // COALESCEs: a document whose text normalizes to '' still yields
+    // one ''-word row whose pieces/npieces are NULL — the Spark side
+    // skips empty words entirely (0 pieces, md5 of ''), so the NULL
+    // aggregates must land on the same 0/0/md5('') row
     s"""WITH RECURSIVE ${oracleCtes(vocab)}
        |SELECT doc_id,
-       |       CAST(sum(npieces) AS BIGINT) AS n_pieces,
-       |       CAST(sum(nunk) AS BIGINT) AS n_unk,
-       |       md5(string_agg(wtoks, ' ' ORDER BY wi)) AS pieces_md5
+       |       CAST(COALESCE(sum(npieces), 0) AS BIGINT) AS n_pieces,
+       |       CAST(COALESCE(sum(nunk), 0) AS BIGINT) AS n_unk,
+       |       md5(COALESCE(string_agg(wtoks, ' ' ORDER BY wi), '')) AS pieces_md5
        |FROM wp GROUP BY doc_id""".stripMargin
 }

@@ -61,8 +61,10 @@ object PerceptualHash {
         while (y < y1) {
           var x = x0
           while (x < x1) {
+            // < 3 bands = gray or gray+alpha (PNG color type 4): band 0
+            // IS the luminance; >= 3 = RGB(A): integer BT.601 weights
             val lum =
-              if (bands == 1) raster.getSample(x, y, 0)
+              if (bands < 3) raster.getSample(x, y, 0)
               else {
                 val r = raster.getSample(x, y, 0)
                 val g = raster.getSample(x, y, 1)

@@ -335,15 +335,23 @@ object DedupQueries {
         val corpusFps = docs.filter(col("doc_id") % 2 === 0).select(fp.as("fp"))
         val bf = corpusFps.stat.bloomFilter(
           "fp", math.max(corpusFps.count(), 1L), 0.01)
-        docs
-          .select(col("doc_id"),
+        // a TRUE member (an odd doc that exactly duplicates a corpus
+        // doc — planted dups do this) is a correct hit, not a false
+        // positive: the fp-rate denominator keeps only genuine
+        // non-members, found by anti-joining the corpus fp set
+        val probes = docs
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), fp.as("fp"),
             graft.functions.BloomExprs.mightContain(bf, fp).as("hit"))
-          .agg(
-            (sum(when(col("doc_id") % 2 === 0 && !col("hit"), 1).otherwise(0)) === 0)
-              .as("no_false_negatives"),
-            (sum(when(col("doc_id") % 2 === 1 && col("hit"), 1).otherwise(0)).cast("double")
-              / sum(when(col("doc_id") % 2 === 1, 1).otherwise(0)).cast("double") <= 0.05)
-              .as("fp_rate_bounded"))
+          .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+        val corpusChecked = docs
+          .filter(col("doc_id") % 2 === 0)
+          .select(graft.functions.BloomExprs.mightContain(bf, fp).as("hit"))
+        corpusChecked.agg(
+          (sum(when(!col("hit"), 1).otherwise(0)) === 0).as("no_false_negatives"))
+          .crossJoin(probes.agg(
+            (sum(when(col("hit"), 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double") <= 0.05).as("fp_rate_bounded")))
       },
       Some("SELECT true AS no_false_negatives, true AS fp_rate_bounded"))
   )

@@ -108,6 +108,51 @@ object IngestPipeline {
     * (~40 GB of md5 strings) while their bloom bits stay ~1.4 GB at
     * 1% fpp, and the positives (the true-dup fraction plus ~1% noise)
     * become the tiny join side. */
+  /** The exact-dup guard stage of [[curateBatch]], pre-LSH and
+    * pre-Barrier (so its join shape stays plan-inspectable): rows of
+    * `batch` whose fingerprint is NOT in corpus ∪ already-ingested
+    * fps, one representative per in-batch fingerprint. */
+  private[graft] def exactGuard(
+      batch: DataFrame,
+      sink: Sink,
+      table: String,
+      fingerprints: DataFrame,
+      text: Column,
+      idCol: String,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val fpTable = s"${table}_fps"
+    val withFp = batch.withColumn("__fp", md5(TextOps.normalized(text)))
+    val guard =
+      if (sink.exists(batch.sparkSession, fpTable))
+        fingerprints.unionByName(
+          sink.readBack(batch.sparkSession, fpTable).select("fp"))
+      else fingerprints
+    (bloom match {
+      case Some(bf) =>
+        // the 100 TB join shape: the guard is the UNBROADCASTABLE side,
+        // so the bloom-positive fingerprints (true dups + ~fpp noise —
+        // tiny) broadcast INTO one streaming scan of the guard to find
+        // the confirmed dups, which broadcast again for the final
+        // anti-join. The guard is never broadcast and never shuffled.
+        val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
+        val probeFps = withFp.filter(hit).select(col("__fp")).distinct()
+          .transform(graft.operators.Barrier.apply) // read by two joins
+        val dupFps = guard.select(col("fp").as("__fp"))
+          .join(broadcast(probeFps), Seq("__fp"), "left_semi")
+        withFp.join(broadcast(dupFps), Seq("__fp"), "left_anti")
+      case None =>
+        // small-corpus mode: one guard broadcast, one anti-join
+        withFp.join(broadcast(guard.select(col("fp").as("__fp"))),
+          Seq("__fp"), "left_anti")
+    })
+      // keep one representative per in-batch fingerprint (lowest id)
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   private[graft] def curateBatch(
       batch: DataFrame,
       sink: Sink,
@@ -117,34 +162,13 @@ object IngestPipeline {
       text: Column,
       idCol: String,
       p: MinHashLSH.Params,
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
-    val fpTable = s"${table}_fps"
-    val withFp = batch.withColumn("__fp", md5(TextOps.normalized(text)))
-    val (sureNew, maybeDup) = bloom match {
-      case Some(bf) =>
-        val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
-        (withFp.filter(!hit), withFp.filter(hit))
-      case None => (withFp.filter(lit(false)), withFp)
-    }
-    val guard =
-      if (sink.exists(batch.sparkSession, fpTable))
-        fingerprints.unionByName(
-          sink.readBack(batch.sparkSession, fpTable).select("fp"))
-      else fingerprints
-    val exactNew = maybeDup
-      .join(broadcast(guard.select(col("fp").as("__fp"))),
-        Seq("__fp"), "left_anti")
-      .unionByName(sureNew)
-      // keep one representative per in-batch fingerprint (lowest id)
-      .withColumn("__rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__fp").orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame =
     MinHashLSH
-      .dedupAgainstIndex(index, exactNew, text, idCol, p)
+      .dedupAgainstIndex(
+        index,
+        exactGuard(batch, sink, table, fingerprints, text, idCol, bloom),
+        text, idCol, p)
       .transform(graft.operators.Barrier.apply)
-  }
 
   /** Persist/load the guard bloom beside the index (Hadoop FS, so any
     * scheme the session can reach works). */
@@ -186,10 +210,13 @@ object IngestPipeline {
     corpusFingerprints(corpus, text).write.mode("overwrite").parquet(s"$dir/fps")
     // the guard bloom: built from the persisted fps (one narrow read,
     // no corpus re-hash) so increments can reject definite-novels
-    // without touching the raw fingerprint set
+    // without touching the raw fingerprint set. Sized 4x the corpus —
+    // increments fold their fingerprints in forever, and a filter
+    // sized exactly for day zero would saturate (fpp -> 1) as the
+    // corpus grows; ingestBatch also rebuilds when saturation shows.
     val spark = corpus.sparkSession
     val fps = spark.read.parquet(s"$dir/fps")
-    val n = math.max(fps.count(), 1L)
+    val n = math.max(fps.count() * 4, 4L)
     writeBloom(spark, fps.stat.bloomFilter("fp", n, bloomFpp), s"$dir/bloom")
   }
 
@@ -222,11 +249,23 @@ object IngestPipeline {
       .write.mode("append").parquet(s"$indexDir/docs")
     // fold the survivors' fingerprints into the persisted bloom too —
     // a bounded per-increment collect (the increment IS the small side
-    // by definition), so the next batch's prefilter stays complete
+    // by definition), so the next batch's prefilter stays complete.
+    // A fixed-size filter saturates as folds accumulate (fpp -> 1 =
+    // every row silently pays the exact join again), so when the
+    // filter's own saturation estimate passes 5%, rebuild it from the
+    // full fingerprint universe with fresh 4x headroom.
     bloom.foreach { bf =>
       novel.select(col("__fp")).distinct().collect()
         .foreach(r => bf.putString(r.getString(0)))
-      writeBloom(spark, bf, s"$indexDir/bloom")
+      val refreshed =
+        if (bf.expectedFpp() <= 0.05) bf
+        else {
+          val allFps = fps.select("fp")
+            .unionByName(sink.readBack(spark, s"${table}_fps").select("fp"))
+            .distinct()
+          allFps.stat.bloomFilter("fp", math.max(allFps.count() * 4, 4L), 0.01)
+        }
+      writeBloom(spark, refreshed, s"$indexDir/bloom")
     }
     (increment.count(), novel.count())
   }

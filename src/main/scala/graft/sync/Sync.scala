@@ -102,9 +102,14 @@ object HashKey {
   }
 
   /** The server-side MySQL rendition (the reference's target dialect —
-    * same md5, same 15-hex-char prefix, same base-16→10 conversion). */
+    * same md5, same 15-hex-char prefix, same base-16→10 conversion).
+    * CONV returns a STRING, and a bare string in a numeric comparison
+    * coerces to DOUBLE (53-bit mantissa) — rows whose 60-bit key lies
+    * within ~2^7 of a slice cut would then classify differently than
+    * Spark's exact bigint filter (lost rows or duplicate-key repair
+    * failures). The CAST keeps the comparison in exact integers. */
   def mysqlSql(pkCols: Seq[String]): String =
-    s"CONV(SUBSTRING(MD5(CONCAT_WS('|', ${pkCols.mkString(", ")})), 1, 15), 16, 10)"
+    s"CAST(CONV(SUBSTRING(MD5(CONCAT_WS('|', ${pkCols.mkString(", ")})), 1, 15), 16, 10) AS UNSIGNED)"
 }
 
 private[sync] object RangeBounds {

@@ -170,6 +170,28 @@ class MultimodalSpec extends SparkSpec {
     assert(far > near, s"unrelated image as close as the copy: $far vs $near")
   }
 
+  test("gray+alpha PNGs (2-band rasters) hash instead of silently dropping") {
+    // PNG color type 4 decodes to a 2-band raster; band 0 must be read
+    // as the luminance, not indexed as RGB
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(
+      cs, true, false, java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(9, 8)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      raster.setSample(x, y, 0, PerceptualHash.plantedPixel(0L, x, y))
+      raster.setSample(x, y, 1, 255) // opaque alpha
+    }
+    val img = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ga = PerceptualHash.dHash64(bos.toByteArray)
+    assert(ga.nonEmpty, "gray+alpha image failed to hash")
+    // and it must equal the plain-gray hash of the same pixels
+    assert(ga == PerceptualHash.dHash64(PerceptualHash.plantedPng(0L)),
+      "alpha channel changed the luminance hash")
+  }
+
   test("dHash rejects non-images and over-cap payloads cheaply") {
     assert(PerceptualHash.dHash64("just text".getBytes).isEmpty)
     val png = patternPng(18, 16)

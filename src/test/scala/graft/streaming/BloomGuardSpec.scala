@@ -58,6 +58,22 @@ class BloomGuardSpec extends SparkSpec {
     assert(withBloom == Seq(13L), withBloom.mkString(","))
   }
 
+  test("bloom mode confirms dups via semi-join — the guard side is never broadcast") {
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val bf = fps.stat.bloomFilter("fp", 16L, 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bg_plan").toString
+    val plan = IngestPipeline
+      .exactGuard(increment, ParquetSink(dir), "out", fps,
+        col("text"), "doc_id", Some(bf))
+      .queryExecution.executedPlan.toString
+    // the bloom_might_contain expression itself sits behind the
+    // probe-side Barrier (a Scan ExistingRDD here), so the visible
+    // contract is the join shape: the guard enters a LeftSemi against
+    // the broadcast positives, never a broadcast of the guard itself
+    assert(plan.contains("LeftSemi"),
+      s"bloom mode must route through the positives semi-join:\n$plan")
+  }
+
   test("ingestBatch keeps the persisted bloom complete across increments") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_bg_idx").toString + "/lsh"
     val outDir = java.nio.file.Files.createTempDirectory("graft_bg_out").toString
