@@ -108,4 +108,31 @@ object AsOfJoin {
       rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c"))
     matched.select(leftOut ++ rightOut: _*)
   }
+
+  /** Tolerance-bounded backward as-of: like [[asofBackward]], but a
+    * match older than `maxGap` (in `ord` units — numeric ordering
+    * column) is DISCARDED: the left row survives with null right
+    * columns, exactly a left join whose only candidate fell out of the
+    * window. "The most recent quote, but only if it is fresh enough" —
+    * the standard staleness bound on feature as-of lookups. A pure
+    * post-projection on the as-of result (the window pass already found
+    * the nearest match; a match farther than maxGap proves no closer
+    * one exists), so the scale shape is unchanged: one shuffle, no
+    * replication. */
+  def asofBackwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      maxGap: Long,
+      rightPrefix: String = "r_",
+      strict: Boolean = false): DataFrame = {
+    require(maxGap >= 0, s"bad maxGap=$maxGap")
+    val joined = asofBackward(left, right, keys, ord, rightPrefix, strict)
+    val rOrd = col(s"$rightPrefix$ord")
+    val fresh = rOrd.isNotNull && (col(ord) - rOrd <= lit(maxGap))
+    right.columns.filterNot(keys.contains).foldLeft(joined) { (df, c) =>
+      df.withColumn(s"$rightPrefix$c", when(fresh, col(s"$rightPrefix$c")))
+    }
+  }
 }

@@ -68,6 +68,33 @@ object JoinQueries {
                JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
                  ON l.user_id = r.user_id
                 AND epoch_us(r.ts) - epoch_us(l.ts)
-                      BETWEEN $bandLower AND $bandUpper"""))
+                      BETWEEN $bandLower AND $bandUpper""")),
+    Q(
+      "qj03_asof_within",
+      // staleness-bounded as-of: attribute each purchase to the most
+      // recent prior view ONLY when it is <= 2h old — older matches
+      // null out (the left row survives, as in a left join whose
+      // candidate aged out). Ordering on integer microseconds (unique
+      // per user in the fixture), gap arithmetic exact.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+        AsOfJoin.asofBackwardWithin(
+          purchases, views, Seq("user_id"), "tus",
+          maxGap = 2L * 3600L * 1000000L,
+          rightPrefix = "prev_", strict = true)
+      },
+      Some("""SELECT l.user_id, l.event_id, epoch_us(l.ts) AS tus,
+                     CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.event_id END AS prev_event_id,
+                     CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN epoch_us(r.ts) END AS prev_tus,
+                     CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.value END AS prev_value
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+                ON l.user_id = r.user_id AND epoch_us(r.ts) < epoch_us(l.ts)"""))
   )
 }

@@ -34,6 +34,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("early").isEmpty && out("lonely_key").isEmpty)
   }
 
+  test("tolerance nulls out stale matches but keeps the left row") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale"), (2L, 50L, "none"))
+      .toDF("k", "ord", "lv")
+    val right = Seq((1L, 90L, "r90")).toDF("k", "ord", "rv")
+    val out = AsOfJoin
+      .asofBackwardWithin(left, right, Seq("k"), "ord", maxGap = 50L)
+      .select("lv", "r_rv", "r_ord")
+      .as[(String, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // gap 10 <= 50: matched; gap 410 > 50: nulled; no candidate: nulls
+    assert(out("fresh") == (Some("r90"), Some(90L)))
+    assert(out("stale") == (None, None), s"stale match survived: ${out("stale")}")
+    assert(out("none") == (None, None))
+    assert(out.size == 3, "tolerance must never drop left rows")
+  }
+
   test("matches the naive join+argmax formulation on fixture events") {
     val ev = Tables.load(spark, sf0001, "events")
     val l = ev.filter(col("event_type") === "purchase")
