@@ -28,20 +28,38 @@ object IngestPipeline {
     * within-stream re-deliveries of the same fingerprint inside the
     * watermark horizon (keyed state bounded by horizon × arrival
     * rate). The stream side is never shuffled by the anti-join; the
-    * fingerprint set ships once per executor. */
+    * fingerprint set ships once per executor.
+    *
+    * With `bloom` (built over the same fingerprint universe — see
+    * [[exactGuard]]), bloom-negative rows bypass the anti-join as
+    * definite novels (no false negatives) and only positives confirm
+    * against the static set — the per-micro-batch join touches the
+    * true-dup fraction plus ~fpp noise instead of every arriving row.
+    */
   def dedupIngest(
       stream: DataFrame,
       text: Column,
       fingerprints: DataFrame,
       eventTime: String = "ts",
-      horizon: String = "2 hours"): DataFrame =
-    stream
-      .withColumn("__fp", md5(TextOps.normalized(text)))
-      .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
-        Seq("__fp"), "left_anti")
+      horizon: String = "2 hours",
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val withFp = stream.withColumn("__fp", md5(TextOps.normalized(text)))
+    val guarded = bloom match {
+      case Some(bf) =>
+        val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
+        withFp.filter(hit)
+          .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
+            Seq("__fp"), "left_anti")
+          .unionByName(withFp.filter(!hit))
+      case None =>
+        withFp.join(broadcast(fingerprints.select(col("fp").as("__fp"))),
+          Seq("__fp"), "left_anti")
+    }
+    guarded
       .withWatermark(eventTime, horizon)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  }
 
   /** Full curation ingest: per micro-batch, exact-dedup against the
     * corpus fingerprints AND against everything this stream already

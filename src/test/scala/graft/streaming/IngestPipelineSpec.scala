@@ -54,6 +54,25 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
   }
 
+  test("bloom-prefiltered streaming dedup lands on the identical survivor set") {
+    val dir = stage(arrivals.withColumn("ts", lit("2026-01-01 10:00:00").cast("timestamp")), twice = true)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val bf = fps.stat.bloomFilter("fp", 16L, 0.01)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = IngestPipeline.dedupIngest(stream, col("text"), fps, bloom = Some(bf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out_bloom")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingest_out_bloom").select("doc_id").as[Long]
+      .collect().sorted
+    assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
+  }
+
   test("curateIngest appends only novel documents to the sink") {
     val dir = stage(arrivals, twice = false)
     val p = MinHashLSH.Params(
