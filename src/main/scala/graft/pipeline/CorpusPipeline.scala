@@ -119,4 +119,65 @@ object CorpusPipeline {
        |      FROM d3) x
        |GROUP BY 1""".stripMargin
   }
+
+  /** Subword-denominated curation (qp03): the round's tokenizer and
+    * mixer chained under one oracle —
+    *
+    *   1. WordPiece-segment every document (the REAL token counter)
+    *   2. quality filter — [UNK] share <= maxUnkRatio (tokenizer
+    *      coverage as the quality signal)
+    *   3. temperature mix (α = 0.5) BUDGETED IN SUBWORD PIECES, via
+    *      the injected token counter
+    *   4. per-source doc and piece totals
+    *
+    * Every stage is engine-portable (greedy longest-match, exactly
+    * rounded sqrt thresholds, md5 hash sampling), so the composite
+    * carries a single DuckDB value oracle like qp01/qp02. */
+  def subwordCurateStats(
+      docs: DataFrame,
+      maxUnkRatio: Double = 0.3,
+      budgetPieces: Long = 2000L): DataFrame = {
+    val withP = docs
+      .withColumn("__p",
+        graft.functions.WordPiece.tokens(TextOps.normalized(col("text"))))
+      .withColumn("__np", size(col("__p")).cast("long"))
+      .withColumn("__nu",
+        size(filter(col("__p"), x => x === "[UNK]")).cast("long"))
+    val good = withP.filter(
+      col("__np") > 0 &&
+        col("__nu").cast("double") / col("__np").cast("double") <= lit(maxUnkRatio))
+    val kept = CorpusOps.temperatureMix(
+      good, col("text"), col("doc_id"), col("source"),
+      budgetPieces, alpha = 0.5, tokenCount = Some(col("__np")))
+    kept.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__np")).cast("bigint").as("kept_pieces"))
+  }
+
+  /** DuckDB rendition of [[subwordCurateStats]]: the WordPiece
+    * recursive CTEs feed per-doc piece stats, the [UNK]-share filter,
+    * and the qt22 threshold chain over the SURVIVORS' piece masses. */
+  def subwordOracleSql(maxUnkRatio: Double = 0.3, budgetPieces: Long = 2000L): String =
+    s"""WITH RECURSIVE ${graft.functions.WordPiece.oracleCtes()},
+       |docstats AS (
+       |  SELECT doc_id,
+       |         CAST(COALESCE(sum(npieces), 0) AS BIGINT) AS np,
+       |         CAST(COALESCE(sum(nunk), 0) AS BIGINT) AS nu
+       |  FROM wp GROUP BY doc_id),
+       |good AS (
+       |  SELECT d.doc_id, d.source, s.np
+       |  FROM documents d JOIN docstats s USING (doc_id)
+       |  WHERE s.np > 0 AND CAST(s.nu AS DOUBLE) / CAST(s.np AS DOUBLE) <= $maxUnkRatio),
+       |agg AS (SELECT source, sum(np) AS actual FROM good GROUP BY source),
+       |pw AS (SELECT source, actual, sqrt(CAST(actual AS DOUBLE)) AS p FROM agg),
+       |tot AS (SELECT list_reduce(list(p ORDER BY source), (a, b) -> a + b) AS tp FROM pw),
+       |thr AS (SELECT source,
+       |         CAST(floor(LEAST(1.0, ($budgetPieces.0 * (p / tp)) / CAST(actual AS DOUBLE))
+       |                    * 1099511627776.0) AS BIGINT) AS t
+       |        FROM pw, tot)
+       |SELECT g.source AS source, count(*) AS n_docs,
+       |       CAST(sum(np) AS BIGINT) AS kept_pieces
+       |FROM good g JOIN thr ON g.source = thr.source
+       |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) < thr.t
+       |GROUP BY g.source""".stripMargin
 }

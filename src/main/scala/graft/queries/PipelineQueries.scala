@@ -16,6 +16,13 @@ object PipelineQueries {
     Q(
       "qp02_span_curation",
       (s, dir) => CorpusPipeline.spanCurateStats(Tables.load(s, dir, "documents")),
-      Some(CorpusPipeline.spanOracleSql()))
+      Some(CorpusPipeline.spanOracleSql())),
+    Q(
+      "qp03_subword_curation",
+      // WordPiece segmentation -> [UNK]-share quality filter ->
+      // temperature mix budgeted in subword pieces — round 7's
+      // tokenizer and mixer chained under ONE composed value oracle
+      (s, dir) => CorpusPipeline.subwordCurateStats(Tables.load(s, dir, "documents")),
+      Some(CorpusPipeline.subwordOracleSql()))
   )
 }
