@@ -205,26 +205,52 @@ object PerceptualHash {
     s"(CASE WHEN doc_id % 2 = 1 THEN LEAST(250, ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 + 1) " +
       s"ELSE ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 END)"
 
+  /** The planted-dHash CTE: per-doc 64-bit hash from the pixel
+    * function (bit 63 is the BIGINT sign bit — 1<<63 overflows
+    * DuckDB's checked shift, so it is emitted as min-BIGINT; bits
+    * 0..62 sum below 2^63, so the total stays in range and equals the
+    * Spark side's signed Long). */
+  private def dhCte: String =
+    s"""dh AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 64), i ->
+       |      CASE WHEN ${pixSql("i % 8", "i // 8")} < ${pixSql("i % 8 + 1", "i // 8")}
+       |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
+       |           ELSE 0 END)) AS BIGINT) AS dh
+       |  FROM documents)""".stripMargin
+
   /** DuckDB rendition of qm05: re-derives the planted pixels, folds the
     * 64 gradient bits, and joins within the doc_id/2 pair-group —
     * value-oracling the whole decode->dHash->blocked-Hamming pipeline
     * (the PNG encode/decode roundtrip is lossless, and the 9x8 fixture
     * passes through [[lumaGrid]] untouched, so pixels ARE the grid). */
   def oracleSql(maxHamming: Int): String =
-    s"""WITH dh AS (
-       |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, 64), i ->
-       |      CASE WHEN ${pixSql("i % 8", "i // 8")} < ${pixSql("i % 8 + 1", "i // 8")}
-       |           -- bit 63 is the BIGINT sign bit: 1<<63 overflows
-       |           -- DuckDB's checked shift, so emit it as min-BIGINT
-       |           -- (bits 0..62 sum to < 2^63, so the total stays in
-       |           -- range and equals the Spark side's signed Long)
-       |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
-       |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
-       |           ELSE 0 END)) AS BIGINT) AS dh
-       |  FROM documents)
+    s"""WITH $dhCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
        |FROM dh a JOIN dh b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming""".stripMargin
+
+  /** qm07: duplicate-cluster labels over the image pair graph — the
+    * qd16 recursive transitive-closure oracle applied to the dHash
+    * edges (every doc labeled with the least id reachable; singletons
+    * label themselves). */
+  def oracleComponentsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE $dhCte,
+       |edges AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM dh a JOIN dh b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |reach AS (
+       |  SELECT a AS node, b AS other FROM sym
+       |  UNION
+       |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a
+       |)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |FROM documents d
+       |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |  ON d.doc_id = m.node""".stripMargin
 }

@@ -225,6 +225,28 @@ object EventQueries {
       },
       Some(PerceptualAudio.oracleSql(10))),
     Q(
+      "qm07_image_dup_clusters",
+      // image pair graph -> duplicate clusters: the qd16 composition
+      // applied to the multimodal surface — every doc labeled with the
+      // least id reachable through the dHash near-dup graph
+      // (singletons label themselves); oracled by an independent
+      // recursive transitive closure over the same planted hashes.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"))
+        val media = docs.as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "image/png", PerceptualHash.plantedPng(id))))
+          .toDF("id", "media_type", "content")
+        val edges = PerceptualHash.pairsWithinBlock(
+          media, expr("id div 2"), maxHamming = 8)
+        graft.operators.dedup.ConnectedComponents.components(
+          edges, "doc_a", "doc_b", docs, "doc_id")
+      },
+      Some(PerceptualHash.oracleComponentsSql(8))),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep
