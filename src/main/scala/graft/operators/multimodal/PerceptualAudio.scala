@@ -109,7 +109,9 @@ object PerceptualAudio {
       media: DataFrame,
       block: Column,
       maxHamming: Int,
-      maxDecodeBytes: Int = 1 << 22)(implicit spark: SparkSession): DataFrame = {
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = PerceptualHash.DefaultMaxBlock)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hashed = media
       .select(block.cast("string").as("blk"), col("id"), col("content"))
@@ -118,7 +120,37 @@ object PerceptualAudio {
         (blk, id, audioHash64(bytes, maxDecodeBytes))
       })
       .toDF("blk", "id", "dh")
-    PerceptualHash.blockedHammingPairs(hashed, maxHamming)
+    PerceptualHash.blockedHammingPairs(hashed, maxHamming, maxBlock)
+  }
+
+  /** (id, dhash) per payload — the audio analog of
+    * [[PerceptualHash.dHashes]]. */
+  def audioHashes(media: DataFrame, maxDecodeBytes: Int = 1 << 22)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select("id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, audioHash64(bytes, maxDecodeBytes))
+      })
+      .toDF("id", "dhash")
+  }
+
+  /** Default near-dup pairing with no caller blocking column — bands
+    * of the contour hash itself are the blocks
+    * ([[PerceptualHash.pairs]] semantics: exact recall for
+    * maxHamming <= bands-1, hot buckets capped). */
+  def pairs(
+      media: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = PerceptualHash.DefaultMaxBlock)(
+      implicit spark: SparkSession): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    PerceptualHash.bandedHammingPairs(
+      audioHashes(media, maxDecodeBytes), maxHamming, bands, maxBlock)
   }
 
   // ---- planted-fixture support (qm06): deterministic 130-sample WAVs

@@ -137,7 +137,8 @@ object PerceptualHash {
       media: DataFrame,
       block: Column,
       maxHamming: Int,
-      maxDecodeBytes: Int = 1 << 22)(implicit spark: SparkSession): DataFrame = {
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = DefaultMaxBlock)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hashed = media
       .select(block.cast("string").as("blk"), col("id"), col("content"))
@@ -146,24 +147,99 @@ object PerceptualHash {
         (blk, id, dHash64(bytes, maxDecodeBytes))
       })
       .toDF("blk", "id", "dh")
-    blockedHammingPairs(hashed, maxHamming)
+    blockedHammingPairs(hashed, maxHamming, maxBlock)
   }
+
+  /** Hot-block cap: a block this populous is either an exact-dup flood
+    * (all-black thumbnails, silence clips — exact-dedup fodder, not
+    * near-dup work) or a degenerate blocking key; expanding it is
+    * quadratic. Mirrors [[graft.operators.dedup.MinHashLSH]]'s
+    * `maxBucket` = 1000. */
+  val DefaultMaxBlock = 1000
 
   /** The shared (blk, id, dh) → near-dup-pair join: Barrier'd hashes
     * (two sides read them; without it the lineage re-decodes every
     * payload per side), equi-join on the block, 64-bit XOR popcount.
-    * Also the audio-hash pair path ([[PerceptualAudio]]). */
+    * Also the audio-hash pair path ([[PerceptualAudio]]).
+    *
+    * Blocks over `maxBlock` rows are dropped BEFORE the self-join (the
+    * overflow key list is tiny — degenerate floods — so it broadcasts;
+    * same guard shape as `MinHashLSH.candidatePairs`), keeping the pair
+    * expansion Σ n_b² bounded by (#blocks)·maxBlock² instead of
+    * quadratic in the hottest block. */
   private[multimodal] def blockedHammingPairs(
-      hashed: DataFrame, maxHamming: Int): DataFrame = {
+      hashed: DataFrame, maxHamming: Int,
+      maxBlock: Int = DefaultMaxBlock): DataFrame = {
     val h = hashed.filter(col("dh").isNotNull).transform(Barrier.apply)
-    val a = h.select(col("blk"), col("id").as("doc_a"), col("dh").as("dh_a"))
-    val b = h.select(col("blk"), col("id").as("doc_b"), col("dh").as("dh_b"))
+    val big = h.groupBy("blk").count()
+      .filter(col("count") > maxBlock)
+      .select("blk")
+    val capped = h.join(broadcast(big), Seq("blk"), "left_anti")
+    val a = capped.select(col("blk"), col("id").as("doc_a"), col("dh").as("dh_a"))
+    val b = capped.select(col("blk"), col("id").as("doc_b"), col("dh").as("dh_b"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Default near-dup pairing: no caller-invented blocking column —
+    * blocks are multi-table prefixes of the dHash itself, the
+    * [[graft.operators.dedup.SimHashDedup]] banding. The 64-bit hash
+    * splits into `bands` keys of 64/bands bits; any pair within
+    * Hamming h <= bands-1 agrees on at least one whole band
+    * (pigeonhole), so recall is EXACT for maxHamming <= bands-1 —
+    * recall/cost is the `bands` parameter, not caller ingenuity. The
+    * default 4 bands of 16 bits is the SimHashDedup discipline
+    * (65k-value keys stay selective at billion scale, h <= 3); widen
+    * `bands` to raise the exact-recall bound at the cost of coarser
+    * keys. Band buckets over `maxBlock` are dropped+capped exactly
+    * like the keyed path. Scale shape: the bucket join moves only
+    * (band, key, id, 8-byte hash); candidate duplicates collapse
+    * AFTER the cheap Hamming filter. */
+  def pairs(
+      media: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = DefaultMaxBlock)(implicit spark: SparkSession): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    bandedHammingPairs(dHashes(media, maxDecodeBytes), maxHamming, bands, maxBlock)
+  }
+
+  /** The shared (id, dhash) → banded near-dup-pair join behind
+    * [[pairs]] (also [[PerceptualAudio.pairs]]): explode each hash into
+    * (band, 64/bands-bit key), cap hot buckets, equi-join per band,
+    * dedup pairs after the Hamming filter. */
+  private[multimodal] def bandedHammingPairs(
+      hashes: DataFrame, maxHamming: Int, bands: Int, maxBlock: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val h = hashes.filter(col("dhash").isNotNull).transform(Barrier.apply)
+    val banded = h.select(
+      col("id"), col("dhash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("dhash"), i * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    val big = banded.groupBy("band", "bkey").count()
+      .filter(col("count") > maxBlock)
+      .select("band", "bkey")
+    val capped = banded.join(broadcast(big), Seq("band", "bkey"), "left_anti")
+    val a = capped.select(col("band"), col("bkey"),
+      col("id").as("doc_a"), col("dhash").as("dh_a"))
+    val b = capped.select(col("band"), col("bkey"),
+      col("id").as("doc_b"), col("dhash").as("dh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ---- planted-fixture support (qm05): the corpus ships no images, so
@@ -230,6 +306,18 @@ object PerceptualHash {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
        |FROM dh a JOIN dh b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming""".stripMargin
+
+  /** DuckDB rendition of qm08 ([[pairs]] — default dHash-prefix
+    * blocking, no caller key): because banding is EXACTLY lossless for
+    * maxHamming <= bands-1, the oracle is the brute-force all-pairs
+    * Hamming join over the planted hashes — the green hash match IS
+    * the recall proof against the unblocked formulation. */
+  def oracleAllPairsSql(maxHamming: Int): String =
+    s"""WITH $dhCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming""".stripMargin
 
   /** qm07: duplicate-cluster labels over the image pair graph — the

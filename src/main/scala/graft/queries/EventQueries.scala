@@ -247,6 +247,25 @@ object EventQueries {
       },
       Some(PerceptualHash.oracleComponentsSql(8))),
     Q(
+      "qm08_image_near_dup_unblocked",
+      // default dHash-prefix blocking: NO caller blocking column — the
+      // 8 bands of the hash itself are the blocks, exact recall for
+      // Hamming <= 7 by pigeonhole. The oracle is the brute-force
+      // all-pairs Hamming join over the full planted corpus (no group
+      // restriction), so the green hash match IS the recall proof
+      // against the unblocked formulation.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "image/png", PerceptualHash.plantedPng(id))))
+          .toDF("id", "media_type", "content")
+        PerceptualHash.pairs(media, maxHamming = 7, bands = 8)
+      },
+      Some(PerceptualHash.oracleAllPairsSql(7))),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep

@@ -226,6 +226,64 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, hm) => b == a + 1 && a % 2 == 0 && hm <= 8 })
   }
 
+  test("maxBlock cap drops a degenerate all-identical block, keeps the rest") {
+    // one flood block of 30 identical images (all map to blk 0 via
+    // id div 100) plus two normal pair-groups beyond it: without the
+    // cap the flood expands to 435 pairs; with maxBlock = 10 the flood
+    // block is dropped whole and ONLY the healthy pairs survive
+    val media = spark.range(0, 34).select(col("id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val srcId = if (id < 30) 0L else 100L + (id - 30) // 30 clones, then ids 100..103
+        (id, "image/png", PerceptualHash.plantedPng(srcId))
+      })
+      .toDF("id", "media_type", "content")
+    val blk = expr("CASE WHEN id < 30 THEN -1 ELSE (id - 30) div 2 END")
+    val uncapped = PerceptualHash
+      .pairsWithinBlock(media, blk, maxHamming = 8, maxBlock = 1000000)
+      .count()
+    assert(uncapped == 435 + 2, s"flood should expand uncapped, got $uncapped")
+    val capped = PerceptualHash
+      .pairsWithinBlock(media, blk, maxHamming = 8, maxBlock = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(capped.length == 2, s"cap should drop the flood block, got ${capped.length}")
+    assert(capped.forall { case (a, b, _) => a >= 30 && b == a + 1 })
+  }
+
+  test("banded default blocking equals brute force for maxHamming < bands") {
+    // no caller blocking column: 8 hash-prefix bands, exact recall for
+    // h <= 7 by pigeonhole — verify against the all-pairs formulation
+    val n = 60
+    val hashes = (0 until n).map(id =>
+      id.toLong -> PerceptualHash.dHash64(PerceptualHash.plantedPng(id.toLong)).get).toMap
+    val brute = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      hm = java.lang.Long.bitCount(hashes(a.toLong) ^ hashes(b.toLong))
+      if hm <= 7
+    } yield (a.toLong, b.toLong, hm)).toSet
+    val media = spark.range(0, n).select(col("id")).as[Long]
+      .mapPartitions(_.map(id => (id, "image/png", PerceptualHash.plantedPng(id))))
+      .toDF("id", "media_type", "content")
+    val banded = PerceptualHash.pairs(media, maxHamming = 7, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute,
+      s"banded recall hole: missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture should plant at least one near-dup pair")
+  }
+
+  test("banded audio pairs find the gain copies without a caller key") {
+    import graft.operators.multimodal.PerceptualAudio
+    val media = spark.range(0, 40).select(col("id")).as[Long]
+      .mapPartitions(_.map(id => (id, "audio/wav", PerceptualAudio.plantedWav(id))))
+      .toDF("id", "media_type", "content")
+    val pairs = PerceptualAudio.pairs(media, maxHamming = 10, bands = 16)
+      .as[(Long, Long, Int)].collect()
+    // every planted gain-copy pair must surface (h <= 10 < 16 bands);
+    // cross-group coincidences are allowed but must satisfy the bound
+    val planted = pairs.filter { case (a, b, _) => a % 2 == 0 && b == a + 1 }
+    assert(planted.length == 20, s"expected 20 planted pairs, got ${planted.length}")
+    assert(pairs.forall(_._3 <= 10))
+  }
+
   // ---- perceptual audio hash ----
 
   test("audio contour hash is gain-invariant and order-sensitive") {
