@@ -140,8 +140,15 @@ object CorpusOps {
       .map { case (s, a) => (s, a, quarterPow(a.toDouble, alpha)) }
     val total = pows.foldLeft(0.0)(_ + _._3)
     pows.map { case (s, a, p) =>
-      val ratio = (budgetTokens.toDouble * (p / total)) / a.toDouble
-      s -> math.floor(math.min(1.0, ratio) * (1L << 40).toDouble).toLong
+      // a == 0 explicitly -> threshold 0 (a zero-token source has
+      // nothing to keep; without the guard 0/0 = NaN would floor to 0
+      // only by accident of NaN.toLong). total == 0 (ALL sources
+      // empty) degenerates the same way through the a == 0 arm.
+      if (a == 0L) s -> 0L
+      else {
+        val ratio = (budgetTokens.toDouble * (p / total)) / a.toDouble
+        s -> math.floor(math.min(1.0, ratio) * (1L << 40).toDouble).toLong
+      }
     }.toMap
   }
 

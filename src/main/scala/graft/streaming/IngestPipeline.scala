@@ -46,7 +46,13 @@ object IngestPipeline {
     val withFp = stream.withColumn("__fp", md5(TextOps.normalized(text)))
     val guarded = bloom match {
       case Some(bf) =>
-        val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
+        // null __fp (null text) must route with the bloom-NEGATIVE
+        // branch: the no-bloom anti-join keeps such rows (null keys
+        // never match), and a raw `hit`/`!hit` split would drop them
+        // from BOTH branches (three-valued logic) — the modes must
+        // agree on null-text rows.
+        val hit = coalesce(
+          graft.functions.BloomExprs.mightContain(bf, col("__fp")), lit(false))
         withFp.filter(hit)
           .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
             Seq("__fp"), "left_anti")
@@ -112,10 +118,10 @@ object IngestPipeline {
       .trigger(trigger)
       .start()
 
-  /** One batch through the exact + near-dup curation guards — the body
-    * [[curateIngest]] runs per micro-batch and [[ingestBatch]] runs
-    * once. Returns the novel rows, [[graft.operators.Barrier]]'d (the
-    * caller appends them at least twice), still carrying `__fp`.
+  /** The exact-dup guard stage of [[curateBatch]], pre-LSH and
+    * pre-Barrier (so its join shape stays plan-inspectable): rows of
+    * `batch` whose fingerprint is NOT in corpus ∪ already-ingested
+    * fps, one representative per in-batch fingerprint.
     *
     * With a `bloom` ([[graft.functions.BloomMightContain]], built over
     * the SAME fingerprint universe as `fingerprints` ∪ the sink's fp
@@ -126,10 +132,6 @@ object IngestPipeline {
     * (~40 GB of md5 strings) while their bloom bits stay ~1.4 GB at
     * 1% fpp, and the positives (the true-dup fraction plus ~1% noise)
     * become the tiny join side. */
-  /** The exact-dup guard stage of [[curateBatch]], pre-LSH and
-    * pre-Barrier (so its join shape stays plan-inspectable): rows of
-    * `batch` whose fingerprint is NOT in corpus ∪ already-ingested
-    * fps, one representative per in-batch fingerprint. */
   private[graft] def exactGuard(
       batch: DataFrame,
       sink: Sink,
@@ -213,6 +215,43 @@ object IngestPipeline {
     }
   }
 
+  /** The bloom's creation params, persisted beside the bits:
+    * `BloomFilter.mergeInPlace` requires identical (numBits,
+    * numHashFunctions), and those derive from (expectedItems, fpp) at
+    * creation — so an increment filter built executor-side is
+    * mergeable into the persisted one exactly when it is created with
+    * the SAME params, which therefore must survive restarts. */
+  private[graft] final case class BloomMeta(expectedItems: Long, fpp: Double)
+
+  private[graft] def writeBloomMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      meta: BloomMeta,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val os = fs.create(p, true)
+    try os.write(s"${meta.expectedItems} ${meta.fpp}".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private[graft] def readBloomMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[BloomMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val is = fs.open(p)
+      try {
+        is.readFully(0, buf)
+        val parts = new String(buf, "UTF-8").trim.split(" ")
+        Some(BloomMeta(parts(0).toLong, parts(1).toDouble))
+      } finally is.close()
+    }
+  }
+
   /** Build the SELF-CONTAINED index directory the CLI lifecycle works
     * against: the [[MinHashLSH]] docs/hot layout plus the corpus exact
     * fingerprints under `fps` — everything an increment needs, so
@@ -236,6 +275,7 @@ object IngestPipeline {
     val fps = spark.read.parquet(s"$dir/fps")
     val n = math.max(fps.count() * 4, 4L)
     writeBloom(spark, fps.stat.bloomFilter("fp", n, bloomFpp), s"$dir/bloom")
+    writeBloomMeta(spark, BloomMeta(n, bloomFpp), s"$dir/bloom.meta")
   }
 
   /** One BATCH increment through the full curation lifecycle — the
@@ -265,23 +305,35 @@ object IngestPipeline {
     MinHashLSH.signatures(novel, text, col(idCol), p)
       .withColumn("bks", MinHashLSH.bandKeys(col("sig"), p.bands, p.rows))
       .write.mode("append").parquet(s"$indexDir/docs")
-    // fold the survivors' fingerprints into the persisted bloom too —
-    // a bounded per-increment collect (the increment IS the small side
-    // by definition), so the next batch's prefilter stays complete.
+    // fold the survivors' fingerprints into the persisted bloom too,
+    // EXECUTOR-side: build an increment filter with the persisted
+    // creation params (identical numBits/numHashFunctions — the
+    // mergeInPlace compatibility contract) via the distributed
+    // stat.bloomFilter aggregate, then OR it in. No fingerprint ever
+    // crosses to the driver — only the two filters' bits meet there.
     // A fixed-size filter saturates as folds accumulate (fpp -> 1 =
     // every row silently pays the exact join again), so when the
     // filter's own saturation estimate passes 5%, rebuild it from the
     // full fingerprint universe with fresh 4x headroom.
     bloom.foreach { bf =>
-      novel.select(col("__fp")).distinct().collect()
-        .foreach(r => bf.putString(r.getString(0)))
+      val meta = readBloomMeta(spark, s"$indexDir/bloom.meta")
+      val novelFps = novel.select(col("__fp")).filter(col("__fp").isNotNull)
+      // no sidecar (legacy index dir) = creation params unrecoverable
+      // (numHashFunctions is private to the impl) = not mergeable:
+      // fall through to the full rebuild instead. Zero-row aggregate
+      // yields no filter at all (stat.bloomFilter NPEs) — nothing to
+      // fold then anyway.
+      meta.filter(_ => !novelFps.isEmpty).foreach(m =>
+        bf.mergeInPlace(novelFps.stat.bloomFilter("__fp", m.expectedItems, m.fpp)))
       val refreshed =
-        if (bf.expectedFpp() <= 0.05) bf
+        if (meta.nonEmpty && bf.expectedFpp() <= 0.05) bf
         else {
           val allFps = fps.select("fp")
             .unionByName(sink.readBack(spark, s"${table}_fps").select("fp"))
             .distinct()
-          allFps.stat.bloomFilter("fp", math.max(allFps.count() * 4, 4L), 0.01)
+          val n = math.max(allFps.count() * 4, 4L)
+          writeBloomMeta(spark, BloomMeta(n, 0.01), s"$indexDir/bloom.meta")
+          allFps.stat.bloomFilter("fp", n, 0.01)
         }
       writeBloom(spark, refreshed, s"$indexDir/bloom")
     }

@@ -163,6 +163,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(thr("tiny") == (1L << 40))
   }
 
+  test("temperatureThresholds handles zero-token sources without NaN") {
+    // a zero-token source gets threshold 0 by the explicit guard, and
+    // its zero a^alpha must not poison the other sources' shares
+    val thr = CorpusOps.temperatureThresholds(
+      Map("empty" -> 0L, "full" -> 1000L), 500L, 0.5)
+    assert(thr("empty") == 0L)
+    assert(thr("full") > 0L)
+    // all sources empty: every threshold 0, no NaN/zero-division blowup
+    val allEmpty = CorpusOps.temperatureThresholds(
+      Map("a" -> 0L, "b" -> 0L), 500L, 0.5)
+    assert(allEmpty.values.forall(_ == 0L))
+  }
+
   test("temperatureMix keeps a deterministic hash subset per source") {
     val docs = Tables.load(spark, sf001, "documents")
     val kept = CorpusOps.temperatureMix(
