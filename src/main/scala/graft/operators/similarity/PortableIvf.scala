@@ -52,10 +52,7 @@ object PortableIvf {
     * probe. */
   def topK(df: DataFrame, vec: Column, id: Column, probe: Seq[Float],
       k: Int, nprobe: Int): DataFrame = {
-    val probeD = probe.map(_.toDouble).toArray
-    val best = (0 until numCells)
-      .sortBy(c => -IvfIndex.cosine(probeD, centroidVals(c).toArray))
-      .take(nprobe)
+    val best = probedCells(probe, nprobe)
     val q = typedLit(probe)
     df.select(id.as("id"), vec.as("v"))
       .filter(cell(col("v")).isin(best: _*))
@@ -64,31 +61,47 @@ object PortableIvf {
       .limit(k)
   }
 
+  /** The `nprobe` codebook cells nearest (by cosine) to the probe —
+    * the driver-side probe selection shared by [[topK]] and the
+    * IVF×PQ composition ([[IvfPq]]). Stable sort: ties keep the lower
+    * cell index. */
+  def probedCells(probe: Seq[Float], nprobe: Int): Seq[Int] = {
+    val probeD = probe.map(_.toDouble).toArray
+    (0 until numCells)
+      .sortBy(c => -IvfIndex.cosine(probeD, centroidVals(c).toArray))
+      .take(nprobe)
+  }
+
+  // ---- oracle SQL fragments (shared with IvfPq's composed oracle) ----
+
+  private def centroidList(c: Int): String = centroidInts(c).mkString("[", ",", "]")
+  private def dotC(vec: String, c: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  j -> $vec[j]::DOUBLE * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y)""".stripMargin
+  private def normC(c: Int): String =
+    s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+       |  j -> ((${centroidList(c)})[j] / 549755813888.0 - 1.0) * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y))""".stripMargin
+  private[similarity] def normV(vec: String): String =
+    s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+       |  j -> $vec[j]::DOUBLE * $vec[j]::DOUBLE), (x, y) -> x + y))""".stripMargin
+  private def cosC(vec: String, c: Int): String = {
+    val d = s"${normV(vec)} * ${normC(c)}"
+    s"CASE WHEN $d = 0 THEN 0.0 ELSE (${dotC(vec, c)}) / ($d) END"
+  }
+  // argmax by (sim, idx): lexicographic max over [sim, idx] pairs —
+  // the same tie-break as Spark's greatest(struct(sim, idx))
+  private[similarity] def scoredListSql(vec: String): String =
+    (0 until numCells)
+      .map(c => s"[${cosC(vec, c)}, $c.0]")
+      .mkString("[", ", ", "]")
+  private[similarity] def cellSql(vec: String): String =
+    s"CAST((list_max(${scoredListSql(vec)}))[2] AS INT)"
+
   /** DuckDB rendition: same codebook integers, same fold order, same
     * argmax-by-(sim, idx) tie-break, same restriction and ranking. */
   def oracleSql(k: Int, nprobe: Int): String = {
-    def centroidList(c: Int): String = centroidInts(c).mkString("[", ",", "]")
-    def dotC(vec: String, c: Int): String =
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |  j -> $vec[j]::DOUBLE * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y)""".stripMargin
-    def normC(c: Int): String =
-      s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
-         |  j -> ((${centroidList(c)})[j] / 549755813888.0 - 1.0) * ((${centroidList(c)})[j] / 549755813888.0 - 1.0)), (x, y) -> x + y))""".stripMargin
-    def normV(vec: String): String =
-      s"""sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
-         |  j -> $vec[j]::DOUBLE * $vec[j]::DOUBLE), (x, y) -> x + y))""".stripMargin
-    def cosC(vec: String, c: Int): String = {
-      val d = s"${normV(vec)} * ${normC(c)}"
-      s"CASE WHEN $d = 0 THEN 0.0 ELSE (${dotC(vec, c)}) / ($d) END"
-    }
-    // argmax by (sim, idx): lexicographic max over [sim, idx] pairs —
-    // the same tie-break as Spark's greatest(struct(sim, idx))
-    def scoredList(vec: String): String =
-      (0 until numCells)
-        .map(c => s"[${cosC(vec, c)}, $c.0]")
-        .mkString("[", ", ", "]")
-    def cellSql(vec: String): String =
-      s"CAST((list_max(${scoredList(vec)}))[2] AS INT)"
+    def scoredList(vec: String): String = scoredListSql(vec)
+    def cellSql(vec: String): String = PortableIvf.cellSql(vec)
     val dot = s"""list_reduce(list_transform(range(1, ${dim + 1}),
                  |  j -> e.embedding[j]::DOUBLE * p.pe[j]::DOUBLE), (x, y) -> x + y)""".stripMargin
     s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),

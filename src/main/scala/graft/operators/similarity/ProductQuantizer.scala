@@ -163,7 +163,7 @@ object ProductQuantizer {
 
   /** argmin by (dist, code): lexicographic list_min over [dist, code]
     * pairs — ties to the lowest code, like array_position-first. */
-  private def codeSql(vec: String, s: Int): String = {
+  private[similarity] def codeSql(vec: String, s: Int): String = {
     val pairs = (0 until k).map(c => s"[${subDistSql(vec, s, c)}, $c.0]")
       .mkString("[", ", ", "]")
     s"CAST((list_min($pairs))[2] AS BIGINT)"
@@ -180,19 +180,32 @@ object ProductQuantizer {
   /** qs14: ADC top-k for the vec_id-0 probe — table entries re-derived
     * from the same seeds, per-row score summed in the same fixed
     * subspace order (explicit add chain, never a float SUM()). */
-  def adcOracleSql(topk: Int): String = {
-    // codes computed ONCE per row (a codes CTE), then each subspace is
-    // a 16-way CASE picking the probe-vs-codeword sub-distance
-    val codeCols = (0 until m)
-      .map(s => s"${codeSql("embedding", s)} AS c$s")
+  /** Per-subspace code columns `c0..c{m-1}` for a codes CTE — shared
+    * with [[IvfPq]]'s composed oracle. */
+  private[similarity] def codeColsSql(vec: String): String =
+    (0 until m)
+      .map(s => s"${codeSql(vec, s)} AS c$s")
       .mkString(",\n       ")
+
+  /** The ADC score add chain over a codes CTE aliased `z` and a probe
+    * CTE aliased `p` (column `pe`): each subspace is a 16-way CASE
+    * picking the probe-vs-codeword sub-distance, summed in fixed
+    * subspace order (explicit add chain, never a float SUM()). */
+  private[similarity] def adcChainSql: String = {
     def caseSql(s: Int): String = {
       val whens = (0 until k)
         .map(c => s"WHEN z.c$s = $c THEN (${subDistSql("p.pe", s, c)})")
         .mkString(" ")
       s"(CASE $whens END)"
     }
-    val chain = (0 until m).map(caseSql).mkString(" + ")
+    (0 until m).map(caseSql).mkString(" + ")
+  }
+
+  def adcOracleSql(topk: Int): String = {
+    // codes computed ONCE per row (a codes CTE), then the shared CASE
+    // chain scores them against the probe
+    val codeCols = codeColsSql("embedding")
+    val chain = adcChainSql
     s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
        |codes AS (
        |  SELECT vec_id, $codeCols

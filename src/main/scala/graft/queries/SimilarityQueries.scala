@@ -252,6 +252,25 @@ object SimilarityQueries {
             emb, col("embedding"), col("vec_id")),
           p, topk = 10)
       },
-      Some(graft.operators.similarity.ProductQuantizer.adcOracleSql(10)))
+      Some(graft.operators.similarity.ProductQuantizer.adcOracleSql(10))),
+    Q(
+      "qs15_topk_ivfpq",
+      // the IVF x PQ serving composition: codes persist parquet-
+      // partitioned by coarse cell (file-level pruning — a probe reads
+      // nprobe/numCells of the corpus), each cell holding 32-bit PQ
+      // codes (64x memory cut); the probed scan is map-only ADC +
+      // TakeOrdered and never touches the original vectors. Both
+      // codebooks are the md5 families, so the whole serving path is
+      // the qs07 x qs14 composition, value-oracled.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq").toString
+        graft.operators.similarity.IvfPq.writeIndex(
+          emb, col("embedding"), col("vec_id"), idx)
+        graft.operators.similarity.IvfPq.topKIndexed(
+          s, idx, probe(s, dir), topk = 10, nprobe = 3)
+      },
+      Some(graft.operators.similarity.IvfPq.oracleSql(10, 3)))
   )
 }

@@ -98,6 +98,27 @@ class SimilaritySpec extends SparkSpec {
       s"expected isin partition filter, got: $pruned")
   }
 
+  test("IVF x PQ index: partition-pruned ADC scan equals the in-memory path") {
+    import graft.operators.similarity.IvfPq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), dir)
+    val indexed = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+    val direct = IvfPq.adcTopK(
+      IvfPq.encode(emb, col("embedding"), col("vec_id")), probe, 10, nprobe = 3)
+    assert(
+      indexed.as[(Long, Double)].collect().toSeq ==
+        direct.as[(Long, Double)].collect().toSeq,
+      "persisted and in-memory IVFxPQ rankings differ")
+    // the probed-cell restriction must prune FILES, not rows: cell is
+    // a partition column, so non-probed cells' parquet is never opened
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"cell restriction did not become a partition filter:\n$plan")
+    // and the probe's own cell must rank it: self must appear
+    assert(indexed.select("vec_id").as[Long].collect().contains(0L),
+      "probe vector missing from its own probed-cell scan")
+  }
+
   test("portable ANN finds the probe and recalls reasonably vs exact") {
     val got = graft.operators.similarity.PortableAnn
       .topK(emb, col("embedding"), col("vec_id"), probe, 10)
