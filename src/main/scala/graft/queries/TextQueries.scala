@@ -579,6 +579,24 @@ object TextQueries {
               / col("__exact").cast("double")) <= 0.06).as("rel_err_bounded"),
             (min(col("__approx")) > 0).as("estimates_present"))
       },
-      Some("SELECT true AS rel_err_bounded, true AS estimates_present"))
+      Some("SELECT true AS rel_err_bounded, true AS estimates_present")),
+    Q(
+      "qt24_bpe_tokens",
+      // apply-time BPE (the GPT-family budget counter beside qt21's
+      // WordPiece): per word, the leftmost lowest-rank adjacent pair
+      // merges, one step at a time, until none applies — one
+      // deterministic successor per state, so DuckDB re-derives the
+      // identical token stream with a recursive CTE over LIST states
+      // and the md5 of the joined stream value-oracles every token in
+      // order.
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("__t",
+            graft.functions.Bpe.tokens(TextOps.normalized(col("text"))))
+          .select(
+            col("doc_id"),
+            size(col("__t")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("__t"))).as("tokens_md5")),
+      Some(graft.functions.Bpe.oracleSql()))
   )
 }
