@@ -134,7 +134,8 @@ object Main {
         val idC = opt("--id").getOrElse("doc_id")
         val txtC = opt("--text").getOrElse("text")
         val p = graft.operators.dedup.MinHashLSH.Params(
-          threshold = opt("--threshold").map(_.toDouble).getOrElse(0.5))
+          threshold = opt("--threshold").map(_.toDouble).getOrElse(0.5),
+          maxBucket = opt("--max-bucket").map(_.toInt).getOrElse(1000))
         (args.lift(1), opt("--index"), opt("--table")) match {
           case (Some("build"), Some(dir), Some(t)) =>
             val corpus = catalogFor(cfg.src).read(spark, t)
@@ -155,8 +156,24 @@ object Main {
               Seq(into, in.toString, kept.toString, (in - kept).toString))))
             println(f"Index append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
             0
+          case (Some("compact"), Some(dir), _) =>
+            // refresh hot buckets (and re-size the bloom) from the
+            // accumulated docs — the out-of-band compaction appends
+            // rely on; --into names the sink table whose ingested
+            // fingerprints join the corpus fps in the rebuilt bloom
+            val sink = sinkFor(cfg.dest, cfg)
+            val ingested = opt("--into")
+              .filter(t => sink.exists(spark, s"${t}_fps"))
+              .map(t => sink.readBack(spark, s"${t}_fps"))
+            val (docs, hotN, fps) = graft.streaming.IngestPipeline
+              .compactIndexDir(spark, dir, ingested, p)
+            println(table(Seq(
+              Seq("Index", "Docs", "HotBuckets", "Fingerprints"),
+              Seq(dir, docs.toString, hotN.toString, fps.toString))))
+            println(f"Index compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
           case _ =>
-            println("usage: graft index <build|append> --table <docs-table> --index <dir> " +
+            println("usage: graft index <build|append|compact> --table <docs-table> --index <dir> " +
               "[--into <dest-table>] [--id doc_id] [--text text] [--threshold 0.5] --config cfg.yml")
             2
         }

@@ -278,6 +278,45 @@ object IngestPipeline {
     writeBloomMeta(spark, BloomMeta(n, bloomFpp), s"$dir/bloom.meta")
   }
 
+  /** `graft index compact`: refresh the index dir's DERIVED artifacts
+    * from its accumulated docs. [[ingestBatch]] folds signatures and
+    * bloom bits forward, but the hot-bucket list stays as BUILT — an
+    * increment-accumulated flood (the same boilerplate arriving every
+    * day) never enters it, so every later append pays that bucket's
+    * quadratic pair expansion. Compact recomputes `hot` over the full
+    * docs set (build + every appended increment) and rebuilds the
+    * guard bloom from the full fingerprint universe (corpus fps ∪ the
+    * sink's ingested fps) with fresh 4× headroom — the periodic
+    * out-of-band job the streaming doc calls out, as a CLI verb.
+    * Returns (docs signed, hot buckets, fingerprints bloomed). */
+  def compactIndexDir(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      ingestedFps: Option[DataFrame] = None,
+      p: MinHashLSH.Params = MinHashLSH.Params(),
+      bloomFpp: Double = 0.01): (Long, Long, Long) = {
+    // hot refresh: one aggregation over the accumulated docs — the
+    // build-time cost, re-paid at compaction cadence, not per append
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    val hot = docs
+      .select(posexplode(col("bks")).as(Seq("band", "bh")))
+      .groupBy("band", "bh")
+      .count()
+      .filter(col("count") > p.maxBucket)
+      .select("band", "bh")
+    // docs is a plain parquet scan and hot lands in a DIFFERENT subdir,
+    // so the overwrite never reads what it replaces
+    hot.write.mode("overwrite").parquet(s"$indexDir/hot")
+    val allFps = ingestedFps
+      .foldLeft(spark.read.parquet(s"$indexDir/fps").select("fp"))(
+        (acc, more) => acc.unionByName(more.select("fp")))
+      .distinct()
+    val n = math.max(allFps.count() * 4, 4L)
+    writeBloom(spark, allFps.stat.bloomFilter("fp", n, bloomFpp), s"$indexDir/bloom")
+    writeBloomMeta(spark, BloomMeta(n, bloomFpp), s"$indexDir/bloom.meta")
+    (docs.count(), spark.read.parquet(s"$indexDir/hot").count(), n / 4)
+  }
+
   /** One BATCH increment through the full curation lifecycle — the
     * `graft index append` form of [[curateIngest]]: exact-dedup
     * against corpus + already-ingested fingerprints, near-dup-dedup

@@ -175,6 +175,30 @@ class MainSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept3.sameElements(Array(13L, 23L)), kept3.mkString(","))
 
+    // compact: recompute hot from ACCUMULATED docs (build + folds).
+    // With --max-bucket 0 every populated band bucket of the 5 signed
+    // docs is over-cap, so the refreshed hot list must be non-empty —
+    // proof the recompute saw the appended signatures, not the
+    // build-time snapshot (whose hot list was empty at any cap)
+    assert(Main.run(Array("index", "compact", "--index", idxDir,
+      "--into", "curated", "--max-bucket", "0", "--config", cfg), spark) == 0)
+    val hotAfter = spark.read.parquet(s"$idxDir/hot").count()
+    assert(hotAfter > 0, "compact did not refresh the hot list")
+    // and an append against the all-hot index still completes: every
+    // bucket excluded -> no near-dup candidates -> novel docs land
+    Seq((31L, "post compaction arrival mentioning gradient checkpoints"))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/increment3.parquet")
+    assert(Main.run(Array("index", "append", "--table", "increment3",
+      "--into", "curated", "--index", idxDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    val kept4 = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept4.sameElements(Array(13L, 23L, 31L)), kept4.mkString(","))
+    // a normal-cap compact restores the empty hot list
+    assert(Main.run(Array("index", "compact", "--index", idxDir,
+      "--into", "curated", "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$idxDir/hot").count() == 0)
+
     // malformed index invocation exits 2
     assert(Main.run(Array("index", "rebuild", "--config", cfg), spark) == 2)
   }
