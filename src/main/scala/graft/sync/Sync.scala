@@ -274,11 +274,13 @@ final case class JdbcSink(
   /** Hash-range repair. On MySQL the DELETE stays server-side — the
     * predicate is the dialect rendition of the same md5 key, one
     * statement per merged range. Other dialects (Derby in tests) lack
-    * md5, so the target is read back, filtered to the dirty range in
-    * Spark, and the doomed KEYS (bounded: only changed slices repair)
-    * are deleted by batched PK statements. The read-back is a full
-    * target scan per merged range — the price of a dialect with no
-    * server-side md5; the MySQL path never pays it. */
+    * md5, so the target is read back and filtered to the dirty range
+    * in Spark; the doomed KEYS then land in a scratch table through
+    * the executor-side JDBC writer (never visiting the driver) and ONE
+    * server-side keyed DELETE joins them against the target before the
+    * scratch drops. The read-back is a full target scan per merged
+    * range — the price of a dialect with no server-side md5; the MySQL
+    * path never pays it. */
   override def replaceKeyRange(
       spark: SparkSession,
       df: DataFrame,
@@ -302,19 +304,25 @@ final case class JdbcSink(
         val doomed = readBack(spark, table)
           .filter(RangeBounds.column(HashKey.column(pkCols.map(col)), lo, hi))
           .select(pkCols.map(col): _*)
-          .collect()
-        val where = pkCols.map(c => s"$c = ?").mkString(" AND ")
-        val ps = conn.prepareStatement(s"DELETE FROM $table WHERE $where")
+        val scratch = s"${table}_doomed"
+        val wp = new Properties()
+        endpoint.props.foreach { case (k, v) => wp.setProperty(k, v) }
+        val st = conn.createStatement()
         try {
-          var inBatch = 0
-          doomed.foreach { r =>
-            pkCols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
-            ps.addBatch()
-            inBatch += 1
-            if (inBatch >= batchRowSize) { ps.executeBatch(); inBatch = 0 }
-          }
-          if (inBatch > 0) ps.executeBatch()
-        } finally ps.close()
+          try st.executeUpdate(s"DROP TABLE $scratch")
+          catch { case _: java.sql.SQLException => () } // leftover from a failed run
+          // clone the PK columns' exact target types: a Spark-CREATED
+          // scratch would map strings to CLOB, which the server can't
+          // compare against the target's VARCHAR keys
+          st.executeUpdate(
+            s"CREATE TABLE $scratch AS SELECT ${pkCols.mkString(", ")} " +
+              s"FROM $table WITH NO DATA")
+          doomed.write.mode("append").jdbc(endpoint.url, scratch, wp)
+          val joinOn = pkCols.map(c => s"d.$c = $table.$c").mkString(" AND ")
+          st.executeUpdate(
+            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $scratch d WHERE $joinOn)")
+          st.executeUpdate(s"DROP TABLE $scratch")
+        } finally st.close()
       }
     } finally conn.close()
     append(df, table)
