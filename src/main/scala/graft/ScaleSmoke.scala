@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+
+/** Opt-in scale-up smoke for the heavy operators (run out of band, not
+  * by the per-round driver): derives a REPLICAS× corpus from the
+  * largest driver fixture and times the heavy queries at both scales,
+  * validating empirically that nothing goes super-linear — the claim
+  * every 100 TB design note in this repo makes on paper.
+  *
+  * The derived corpus is bench-only (correctness stays on the driver's
+  * fixtures, untouched): each replica shifts ids into a disjoint range
+  * and DECORRELATES content so the workload's dup/similarity structure
+  * scales the way real data would, instead of every replica being an
+  * exact near-duplicate of replica 0 (which would inflate pair counts
+  * quadratically and measure a different workload entirely):
+  *   - documents: per-replica Caesar-rotated alphabet (translate —
+  *     lengths, whitespace and punctuation survive, so token/shingle
+  *     STATISTICS are preserved while cross-replica shingles disagree);
+  *   - embeddings: per-replica component rotation (norms and pairwise
+  *     geometry within a replica survive; cross-replica cosines
+  *     scramble).
+  *
+  * Prints one JSON line:
+  *   {"metric":"scale_smoke","replicas":N,
+  *    "queries":{q:{"base":s,"big":s,"ratio":r}},...}
+  * `ratio` <= replicas (with scheduling slack) = at-most-linear.
+  */
+object ScaleSmoke {
+
+  /** The heavy value-oracled operators the round-7 verdict asked to
+    * smoke: banded MinHash pairs, incremental index dedup, span dedup,
+    * decontamination, semantic dedup. */
+  val Heavy: Seq[String] = Seq(
+    "qd03_minhash_pairs",
+    "qd18_incremental_pairs",
+    "qt13_dup_spans",
+    "qt15_decontaminate",
+    "qs11_semantic_prune")
+
+  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val AZ = az.toUpperCase
+    val s = shift % 26
+    translate(c, az + AZ, az.drop(s) + az.take(s) + AZ.drop(s) + AZ.take(s))
+  }
+
+  /** Build the replicated corpus once; skip when present. */
+  def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
+      replicas: Int): Unit = {
+    val done = new java.io.File(s"$bigDir/_BUILT")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until replicas)
+      .map(i => docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        caesar(col("text"), i).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until replicas)
+      .map { i =>
+        val rot = i % 64
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), rot + 1, 64 - rot),
+            slice(col("embedding"), 1, rot))
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          rotated.as("embedding"), col("label"))
+      }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft_scale_big")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession
+      .builder("graft-scale-smoke")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    buildBig(spark, baseDir, bigDir, replicas)
+
+    def time(q: queries.Q, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup: footers + codegen
+      math.min(once(), once())
+    }
+    val rows = Heavy.map { name =>
+      val q = Registry.byName(name)
+      val base = time(q, baseDir)
+      val big = time(q, bigDir)
+      (name, base, big, big / base)
+    }
+    val qs = rows
+      .map { case (n, b, g, r) =>
+        f""""$n":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f}"""
+      }
+      .mkString("{", ",", "}")
+    val worst = rows.map(_._4).max
+    println(
+      f"""{"metric":"scale_smoke","replicas":$replicas,"base":"$baseDir","big":"$bigDir","queries":$qs,"worst_ratio":$worst%.2f}""")
+    spark.stop()
+  }
+}
