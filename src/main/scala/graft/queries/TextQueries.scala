@@ -597,6 +597,21 @@ object TextQueries {
             col("doc_id"),
             size(col("__t")).cast("long").as("n_tokens"),
             md5(concat_ws(" ", col("__t"))).as("tokens_md5")),
-      Some(graft.functions.Bpe.oracleSql()))
+      Some(graft.functions.Bpe.oracleSql()),
+      bench = true),
+    Q(
+      "qt25_line_dedup",
+      // CCNet/C4-style corpus line dedup WITH reconstruction: lines
+      // (10-token windows — the fixture is single-line, so the
+      // segmenter is the documented fallback) appearing in >= 2 docs
+      // are boilerplate and are cut from every doc, order preserved;
+      // clean_md5 value-oracles the rebuilt text line-for-line.
+      (s, dir) =>
+        graft.operators.text.LineDedup.profile(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), minDocs = 2,
+          segmenter =
+            graft.operators.text.LineDedup.tokenWindowSegmenter(10)),
+      Some(graft.operators.text.LineDedup.oracleSql(10, 2)))
   )
 }
