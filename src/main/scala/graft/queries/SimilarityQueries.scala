@@ -271,6 +271,23 @@ object SimilarityQueries {
         graft.operators.similarity.IvfPq.topKIndexed(
           s, idx, probe(s, dir), topk = 10, nprobe = 3)
       },
-      Some(graft.operators.similarity.IvfPq.oracleSql(10, 3)))
+      Some(graft.operators.similarity.IvfPq.oracleSql(10, 3)),
+      bench = true),
+    Q(
+      "qs16_semantic_decontaminate",
+      // embedding-space eval-leak detection (the semantic complement
+      // of qt15's exact 8-grams): label 9 plays the benchmark, every
+      // other vector the corpus; a corpus item is contaminated when
+      // its max cosine against ANY benchmark vector reaches 0.40.
+      // Benchmark broadcast, corpus map-only + partial max — the
+      // corpus never shuffles its vectors.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.similarity.SemanticDecon.profile(
+          emb.filter(col("label") =!= 9), col("embedding"), col("vec_id"),
+          emb.filter(col("label") === 9), col("embedding"),
+          tau = 0.40)
+      },
+      Some(graft.operators.similarity.SemanticDecon.oracleSql(9, 0.40)))
   )
 }
