@@ -264,7 +264,8 @@ object EventQueries {
           .toDF("id", "media_type", "content")
         PerceptualHash.pairs(media, maxHamming = 7, bands = 8)
       },
-      Some(PerceptualHash.oracleAllPairsSql(7))),
+      Some(PerceptualHash.oracleAllPairsSql(7)),
+      bench = true),
     Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
