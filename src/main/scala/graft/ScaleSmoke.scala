@@ -32,14 +32,20 @@ import graft.queries.Registry
 object ScaleSmoke {
 
   /** The heavy value-oracled operators the round-7 verdict asked to
-    * smoke: banded MinHash pairs, incremental index dedup, span dedup,
-    * decontamination, semantic dedup. */
+    * smoke — banded MinHash pairs, incremental index dedup, span
+    * dedup, decontamination, semantic dedup — plus round 8's line
+    * dedup and IVF x PQ serving. (qs16 is deliberately absent: its
+    * benchmark side is fixed-size in production but would grow with
+    * the replicated corpus here, making the smoke quadratic by
+    * construction rather than by defect.) */
   val Heavy: Seq[String] = Seq(
     "qd03_minhash_pairs",
     "qd18_incremental_pairs",
     "qt13_dup_spans",
     "qt15_decontaminate",
-    "qs11_semantic_prune")
+    "qs11_semantic_prune",
+    "qt25_line_dedup",
+    "qs15_topk_ivfpq")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"

@@ -153,7 +153,9 @@ object PortableMinHash {
     * graph via a recursive transitive-closure CTE (an INDEPENDENT
     * formulation — set-recursion, not our iterative label
     * propagation), labeling each doc with the least reachable id. */
-  def oracleComponentsSql(threshold: Double): String =
+  /** Shared transitive-closure prefix of the component oracles: the
+    * pipeline CTEs plus the symmetric-edge recursive reach set. */
+  private def reachCtes(threshold: Double): String =
     s"""${pipelineCtes().replaceFirst("^WITH ", "WITH RECURSIVE ")},
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= $threshold),
        |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
@@ -161,12 +163,38 @@ object PortableMinHash {
        |  SELECT a AS node, b AS other FROM sym
        |  UNION
        |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a
-       |)
+       |)""".stripMargin
+
+  def oracleComponentsSql(threshold: Double): String =
+    s"""${reachCtes(threshold)}
        |SELECT d.doc_id,
        |       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
        |FROM documents d
        |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
        |  ON d.doc_id = m.node""".stripMargin
+
+  /** [[oracleComponentsSql]] extended with canonical selection
+    * (CanonicalSelect.label): per component, the longest document wins
+    * (n_chars DESC, doc_id ASC tiebreak) via the same
+    * full-frame first_value both engines evaluate identically. */
+  def oracleCanonicalSql(threshold: Double): String =
+    s"""${reachCtes(threshold)},
+       |comp AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |  FROM documents d
+       |  LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |    ON d.doc_id = m.node)
+       |SELECT doc_id, component,
+       |       first_value(doc_id) OVER (
+       |         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS canonical_id,
+       |       doc_id = first_value(doc_id) OVER (
+       |         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS keep
+       |FROM comp""".stripMargin
 
   /** The shared CTE chain (normalize -> shingle-hash -> signature ->
     * bands -> candidates -> estimates) over `from` — parametrized so
