@@ -288,6 +288,34 @@ object SimilarityQueries {
           emb.filter(col("label") === 9), col("embedding"),
           tau = 0.40)
       },
-      Some(graft.operators.similarity.SemanticDecon.oracleSql(9, 0.40)))
+      Some(graft.operators.similarity.SemanticDecon.oracleSql(9, 0.40))),
+    Q(
+      "qs17_topk_rerank",
+      // two-stage serving: the qs14 ADC codes-only scan proposes 50
+      // candidates (map-only + TakeOrdered, vectors untouched), then
+      // ONLY those ids broadcast into one hash join against the
+      // vector corpus for exact-cosine re-ranking — precision of the
+      // exact pass at O(coarseK) cost, recall of the cheap scan. Both
+      // stages were oracled alone (qs14, qs02); composed here.
+      (s, dir) =>
+        graft.operators.similarity.Rerank.topK(
+          Tables.load(s, dir, "embeddings"), col("embedding"), col("vec_id"),
+          probe(s, dir), topk = 10, coarseK = 50),
+      Some(graft.operators.similarity.Rerank.oracleSql(10, 50))),
+    Q(
+      "qs18_diversity_prune",
+      // SSL-prototypes/D4-style region thinning: qs10's deterministic
+      // cells, then each cell drops its floor(25%) most-prototypical
+      // members (closest to centroid — least marginal information) and
+      // keeps the diverse tail. Assignment map-only; ranking one
+      // narrow keyed window. The geometric complement of qs11.
+      (s, dir) =>
+        graft.operators.similarity.DiversityPrune.prune(
+          Tables.load(s, dir, "embeddings"), col("embedding"), col("vec_id"),
+          k = 8, iters = 1, dropFrac = 0.25)
+          .select(
+            col("id").as("vec_id"), col("cluster"),
+            round(col("dist"), 4).as("dist"), col("rank"), col("keep")),
+      Some(graft.operators.similarity.DiversityPrune.oracleSql(8, 0.25)))
   )
 }
