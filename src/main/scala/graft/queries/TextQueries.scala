@@ -612,6 +612,20 @@ object TextQueries {
           col("text"), col("doc_id"), minDocs = 2,
           segmenter =
             graft.operators.text.LineDedup.tokenWindowSegmenter(10)),
-      Some(graft.operators.text.LineDedup.oracleSql(10, 2)))
+      Some(graft.operators.text.LineDedup.oracleSql(10, 2))),
+    Q(
+      "qt26_quality_classifier",
+      // fasttext-style model-based quality filter: word bigrams hash
+      // into 4096 feature buckets (feature hashing — fixed parameter
+      // count), md5-derived integer weights (the externally-trained
+      // mode), score = mean bigram weight, keep = score >= 0. One
+      // native codegen expression per row — map-only, no explode, no
+      // shuffle; the integer sum is exact, so every score and keep
+      // decision value-oracles.
+      (s, dir) =>
+        graft.operators.text.QualityClassifier.score(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          tau = 0.0),
+      Some(graft.operators.text.QualityClassifier.oracleSql(0.0)))
   )
 }
