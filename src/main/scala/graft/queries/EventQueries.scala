@@ -267,6 +267,25 @@ object EventQueries {
       Some(PerceptualHash.oracleAllPairsSql(7)),
       bench = true),
     Q(
+      "qm09_video_copy_pairs",
+      // content-based video partial-copy detection: videos sharing
+      // >= 2 distinct frame fingerprints (the qm03 frame stream) are
+      // copy candidates. Inverted-index shape — narrow (fingerprint,
+      // id) postings self-join, |A∩B| as an algebraic count, frame
+      // bytes never move; ubiquitous fingerprints (fan-in > 8: black
+      // frames, intro cards) capped out of pair mining in code.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val media = graft.operators.multimodal.Multimodal.asMedia(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        graft.operators.multimodal.VideoCopyDetect.pairs(
+          graft.operators.multimodal.Multimodal
+            .frameSampleStub(media, frameBytes = 64, stride = 2).toDF(),
+          col("id"), col("frameChecksum"), minShared = 2, maxDocs = 8)
+      },
+      Some(graft.operators.multimodal.VideoCopyDetect
+        .oracleSql(64, 2, 2, 8))),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep
