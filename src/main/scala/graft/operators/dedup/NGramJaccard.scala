@@ -73,7 +73,10 @@ object NGramJaccard {
     if (threshold > 0) invertedPairs(g, threshold) else densePairs(g, threshold)
   }
 
-  private def invertedPairs(g: DataFrame, threshold: Double): DataFrame = {
+  /** The shared inverted-index stage: (id_a, id_b, sz_a, sz_b, inter)
+    * for every gram-sharing pair — |A∩B| as an algebraic count, gram
+    * arrays never crossing the pair join. */
+  private def invertedCounts(g: DataFrame): DataFrame = {
     val e = g.select(col("blk"), col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val a = e.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
@@ -82,11 +85,44 @@ object NGramJaccard {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  private def invertedPairs(g: DataFrame, threshold: Double): DataFrame =
+    invertedCounts(g)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a").cast("long") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** Directional overlap instead of symmetric Jaccard: containment =
+    * |A∩B| / min(|A|, |B|) — 1.0 when the smaller gram set is a
+    * SUBSET of the larger. This is the quote/excerpt/superset-page
+    * detector Jaccard structurally misses: a paragraph quoted inside
+    * a 100× longer page has Jaccard ≈ 1%, containment 1.0. Same
+    * inverted-index shape and cost as [[pairsWithinBlock]]; a
+    * positive threshold is required (zero-overlap pairs are never
+    * materialized, which is the point of the index). */
+  def containmentPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      block: Column,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0, "containment needs a positive threshold")
+    val g = graft.operators.Parallelism.ensureMin(df).select(
+      block.as("blk"),
+      id.as("id"),
+      graft.functions.ShingleExprs
+        .sortedTokenShingles(TextOps.normalized(text), n).as("grams"))
+      .transform(Barrier.apply)
+    invertedCounts(g)
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
   }
 
   private def densePairs(g: DataFrame, threshold: Double): DataFrame = {

@@ -262,4 +262,26 @@ object CorpusOps {
     floor((sum(tokens).over(w).cast("bigint") - tokens) / lit(budgetTokens))
       .cast("bigint")
   }
+
+  /** Per-source quota cap — the guard against one crawl domain
+    * dominating a mixture regardless of its quality scores: within
+    * each source, rank by `quality` DESC (id ASC tiebreak — rank on an
+    * engine-stable quality value for cross-engine determinism) and
+    * keep at most `cap` rows. One keyed window over narrow rows; doc
+    * text never moves. Complements [[tokenMix]]: that bounds a
+    * source's TOKEN share by random thinning, this bounds its DOC
+    * count keeping the best-scored ones. */
+  def capPerSource(
+      scored: DataFrame,
+      source: String,
+      quality: Column,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"bad cap $cap")
+    val w = Window.partitionBy(source)
+      .orderBy(quality.desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .withColumn("keep", col("rank") <= cap)
+  }
 }

@@ -119,6 +119,34 @@ object DedupQueries {
            |WHERE $jac >= 0.12""".stripMargin
       }),
     Q(
+      "qd21_containment_pairs",
+      // directional overlap: containment = |A∩B| / min(|A|,|B|) — the
+      // quote/excerpt/superset detector Jaccard structurally misses
+      // (a paragraph quoted in a 100x longer page has Jaccard ~1%,
+      // containment 1.0). Same inverted-index shape as qd07.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        NGramJaccard
+          .containmentPairs(docs, col("text"), col("doc_id"), col("source"),
+            n = 2, threshold = 0.25)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            round(col("containment"), 4).as("containment"))
+      },
+      Some {
+        val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        val grams =
+          s"""list_distinct(list_transform(
+             |  range(1, greatest(len(string_split($norm, ' ')) - 1, 1) + 1),
+             |  i -> list_aggregate(list_slice(string_split($norm, ' '), i, i + 1),
+             |                      'string_agg', ' ')))""".stripMargin
+        val cont =
+          "len(list_intersect(a.grams, b.grams))::DOUBLE / least(len(a.grams), len(b.grams))::DOUBLE"
+        s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($cont, 4) AS containment
+           |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE $cont >= 0.25""".stripMargin
+      }),
+    Q(
       "qd09_source_signature",
       (s, dir) => {
         // corpus-level sketch: element-wise-min merge of per-doc MinHash

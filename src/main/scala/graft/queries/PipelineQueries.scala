@@ -42,6 +42,43 @@ object PipelineQueries {
           docs.select("doc_id", "n_chars"), "doc_id",
           org.apache.spark.sql.functions.col("n_chars"), comp)
       },
-      Some(graft.operators.dedup.PortableMinHash.oracleCanonicalSql(0.3)))
+      Some(graft.operators.dedup.PortableMinHash.oracleCanonicalSql(0.3))),
+    Q(
+      "qp05_source_cap",
+      // model-scored domain caps: qt26's hashed linear scorer ranks
+      // every doc, then each source keeps only its 30 best — the
+      // standard guard against one crawl domain dominating a mixture.
+      // Scoring is map-only; the cap is one keyed window over narrow
+      // (id, source, score) rows.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = graft.operators.text.QualityClassifier
+          .score(docs, org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.col("doc_id"), tau = 0.0)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source"),
+            org.apache.spark.sql.functions.col("score"))
+        graft.operators.text.CorpusOps.capPerSource(
+          scored, "source", org.apache.spark.sql.functions.col("score"),
+          "doc_id", cap = 30)
+      },
+      Some {
+        // the qt26 statement nests as a derived table; ranking is on
+        // its ROUNDED score in both engines (id tiebreak), so ranks
+        // agree exactly
+        s"""WITH j AS (
+           |  SELECT d.doc_id, d.source, sc.score
+           |  FROM documents d JOIN (
+           |    ${graft.operators.text.QualityClassifier.oracleSql(0.0)}
+           |  ) sc ON d.doc_id = sc.doc_id)
+           |SELECT doc_id, source, score,
+           |       row_number() OVER (PARTITION BY source
+           |                          ORDER BY score DESC, doc_id) AS rank,
+           |       row_number() OVER (PARTITION BY source
+           |                          ORDER BY score DESC, doc_id) <= 30 AS keep
+           |FROM j""".stripMargin
+      })
   )
 }

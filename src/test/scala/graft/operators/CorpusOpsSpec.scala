@@ -187,4 +187,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
     assert(kept.count() > 0 && kept.count() < docs.count())
   }
+
+  test("capPerSource keeps the cap best-scored docs per source") {
+    val scored = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7), (4L, "a", 0.5),
+      (5L, "b", 0.1)
+    ).toDF("doc_id", "source", "score")
+    val out = CorpusOps
+      .capPerSource(scored, "source", col("score"), "doc_id", cap = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getBoolean(4))).toMap
+    // a: 1 (0.9) rank 1, 3 (0.7) rank 2 kept; score tie 2-vs-4 breaks
+    // to the lower id for rank 3
+    assert(out(1L) == (1, true) && out(3L) == (2, true))
+    assert(out(2L) == (3, false) && out(4L) == (4, false))
+    assert(out(5L) == (1, true)) // small sources keep everything
+    intercept[IllegalArgumentException] {
+      CorpusOps.capPerSource(scored, "source", col("score"), "doc_id", 0)
+    }
+  }
 }

@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpec {
     assert(inv == dense, s"inverted=$inv dense=$dense")
   }
 
+  test("containment flags a short doc quoted inside a long one") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta plus lots more trailing content here now okay"),
+      (3L, "totally unrelated text about other things entirely different")
+    ).toDF("doc_id", "text").withColumn("src", lit("all"))
+    val cont = NGramJaccard
+      .containmentPairs(quoted, col("text"), col("doc_id"), col("src"),
+        n = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont == Map((1L, 2L) -> 1.0)) // subset -> containment 1.0
+    // while symmetric Jaccard on the same pair is far below any dedup bar
+    val jac = NGramJaccard
+      .pairsWithinBlock(quoted, col("text"), col("doc_id"), col("src"),
+        n = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac((1L, 2L)) < 0.3)
+  }
+
   test("sorted-merge jaccard kernel equals the hash-set builtins") {
     val pairs = Seq(
       (Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),
