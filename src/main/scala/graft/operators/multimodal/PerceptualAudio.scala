@@ -113,7 +113,7 @@ object PerceptualAudio {
       maxBlock: Int = PerceptualHash.DefaultMaxBlock)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val hashed = media
+    val hashed = graft.operators.Parallelism.ensureMin(media)
       .select(block.cast("string").as("blk"), col("id"), col("content"))
       .as[(String, Long, Array[Byte])]
       .mapPartitions(_.map { case (blk, id, bytes) =>
@@ -128,7 +128,8 @@ object PerceptualAudio {
   def audioHashes(media: DataFrame, maxDecodeBytes: Int = 1 << 22)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    media.select("id", "content").as[(Long, Array[Byte])]
+    graft.operators.Parallelism.ensureMin(media)
+      .select("id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         (id, audioHash64(bytes, maxDecodeBytes))
       })

@@ -32,6 +32,13 @@ import graft.operators.Barrier
   */
 object PerceptualHash {
 
+  // ImageIO defaults to staging every read/write through a temp FILE
+  // (FileCache image streams); for thousands of small in-memory
+  // payloads that disk round-trip dominates the actual decode. Memory
+  // cache only — set once per JVM when the object loads (driver and
+  // each executor hit this before their first decode).
+  ImageIO.setUseCache(false)
+
   /** dHash grid: 9 columns x 8 rows -> 8x8 = 64 horizontal-gradient
     * bits. */
   val GridW = 9
@@ -122,7 +129,10 @@ object PerceptualHash {
   def dHashes(media: DataFrame, maxDecodeBytes: Int = 1 << 22)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    media.select("id", "content").as[(Long, Array[Byte])]
+    // decode is the expensive stage — a one-split source would run it
+    // on a single task (see Parallelism; no-op on wide inputs)
+    graft.operators.Parallelism.ensureMin(media)
+      .select("id", "content").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, dHash64(bytes, maxDecodeBytes)) })
       .toDF("id", "dhash")
   }
@@ -140,7 +150,7 @@ object PerceptualHash {
       maxDecodeBytes: Int = 1 << 22,
       maxBlock: Int = DefaultMaxBlock)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val hashed = media
+    val hashed = graft.operators.Parallelism.ensureMin(media)
       .select(block.cast("string").as("blk"), col("id"), col("content"))
       .as[(String, Long, Array[Byte])]
       .mapPartitions(_.map { case (blk, id, bytes) =>

@@ -195,8 +195,9 @@ object EventQueries {
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
         import s.implicits._
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        val media = graft.operators.Parallelism.ensureMin(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"))).as[Long]
           .mapPartitions(_.map(id =>
             (id, "image/png", PerceptualHash.plantedPng(id))))
           .toDF("id", "media_type", "content")
@@ -215,8 +216,9 @@ object EventQueries {
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
         import s.implicits._
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        val media = graft.operators.Parallelism.ensureMin(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"))).as[Long]
           .mapPartitions(_.map(id =>
             (id, "audio/wav", PerceptualAudio.plantedWav(id))))
           .toDF("id", "media_type", "content")
@@ -236,7 +238,7 @@ object EventQueries {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id").cast("long"))
-        val media = docs.as[Long]
+        val media = graft.operators.Parallelism.ensureMin(docs).as[Long]
           .mapPartitions(_.map(id =>
             (id, "image/png", PerceptualHash.plantedPng(id))))
           .toDF("id", "media_type", "content")
@@ -257,8 +259,9 @@ object EventQueries {
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
         import s.implicits._
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
+        val media = graft.operators.Parallelism.ensureMin(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id").cast("long"))).as[Long]
           .mapPartitions(_.map(id =>
             (id, "image/png", PerceptualHash.plantedPng(id))))
           .toDF("id", "media_type", "content")
