@@ -626,6 +626,18 @@ object TextQueries {
         graft.operators.text.QualityClassifier.score(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           tau = 0.0),
-      Some(graft.operators.text.QualityClassifier.oracleSql(0.0)))
+      Some(graft.operators.text.QualityClassifier.oracleSql(0.0))),
+    Q(
+      "qt27_cms_heavy_hitters",
+      // count-min sketch — the frequency member of the sketch family
+      // (qt23 HLL = cardinality, qd20 bloom = membership): d=4 md5
+      // hash rows x w=1024 buckets, estimates one-sided by
+      // construction. The sketch build partial-aggregates to <= d*w
+      // rows per task, so the shuffle is sketch-sized regardless of
+      // corpus size; the exact side here is the verification gate.
+      (s, dir) =>
+        graft.operators.text.PortableCms.profile(
+          Tables.load(s, dir, "documents"), col("text"), topK = 20),
+      Some(graft.operators.text.PortableCms.oracleSql(20)))
   )
 }
