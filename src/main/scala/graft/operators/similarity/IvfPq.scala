@@ -59,6 +59,98 @@ object IvfPq {
       probe, topk, cb)
   }
 
+  /** BATCH serving — one pruned scan answers a whole query batch:
+    * every probe's `nprobe` cells are derived driver-side (the probe
+    * set is small by the qs05 broadcast-probe contract), their union
+    * restricts the codes read (still file-pruned on the persisted
+    * index), and each surviving code row joins only the probes that
+    * probed its cell — so per-row work is (probing probes) × m CASE
+    * lookups, and the only shuffle is the per-probe top-k window over
+    * candidate rows. The ADC distance here is computed probe-as-COLUMN
+    * (the single-probe path inlines a literal lookup table; a batch
+    * can't, so each subspace is a 16-way CASE over codeword sqDists
+    * against the probe slice — the identical fixed-order add chain, so
+    * values match the single-probe path and the oracle bit-for-bit). */
+  def adcTopKBatch(codes: DataFrame, probes: DataFrame, probeVec: Column,
+      probeId: Column, topk: Int, nprobe: Int,
+      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val pr = probes.select(probeId.cast("long"), probeVec)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val probeCells = pr.flatMap { case (pid, v) =>
+      PortableIvf.probedCells(v, nprobe).map(c => (pid, v.map(_.toDouble), c))
+    }
+    val pc = probeCells.toDF("probe_id", "pv", "cell")
+    val allCells = probeCells.map(_._3).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adc").asc, col("id").asc)
+    codes
+      .filter(col("cell").isin(allCells: _*))
+      .join(broadcast(pc), Seq("cell"))
+      .withColumn("adc", adcColumn(col("pv"), cb))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("probe_id"), col("id").as("vec_id"),
+        round(col("adc"), 4).as("adc_dist"))
+  }
+
+  /** [[adcTopKBatch]] against a persisted index dir. */
+  def topKIndexedBatch(spark: SparkSession, dir: String, probes: DataFrame,
+      probeVec: Column, probeId: Column, topk: Int, nprobe: Int,
+      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame =
+    adcTopKBatch(spark.read.parquet(s"$dir/codes"), probes, probeVec, probeId,
+      topk, nprobe, cb)
+
+  /** ADC distance with the probe as a COLUMN (`pv`: array<double>):
+    * per subspace, a 16-way CASE on the packed code nibble picks the
+    * sqDist of the probe slice against that codeword; subspaces sum in
+    * fixed order — the same operation sequence as the literal-table
+    * scan and the oracle's CASE chain. */
+  private def adcColumn(pv: Column, cb: ProductQuantizer.Codebook): Column = {
+    import ProductQuantizer.{dsub, k, m}
+    (0 until m)
+      .map { s =>
+        val codeS = expr(s"pq_code div ${1L << (4 * s)}") % 16
+        val sub = slice(pv, s * dsub + 1, dsub)
+        val first = when(codeS === 0,
+          graft.functions.VectorExprs.sqDist(sub, typedLit(cb.cents(s)(0))))
+        (1 until k).foldLeft(first)((acc, c) =>
+          acc.when(codeS === c,
+            graft.functions.VectorExprs.sqDist(sub, typedLit(cb.cents(s)(c)))))
+      }
+      .reduce(_ + _)
+  }
+
+  /** qs19 oracle: the qs15 statement generalized to a probe TABLE —
+    * per-probe probed cells, the shared CASE chain against each
+    * probe's embedding, per-probe window top-k. */
+  def oracleBatchSql(maxProbeId: Int, topk: Int, nprobe: Int): String = {
+    val codeCols = ProductQuantizer.codeColsSql("embedding")
+    val chain = ProductQuantizer.adcChainSql
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+       |           FROM embeddings WHERE vec_id < $maxProbeId),
+       |probed AS (SELECT probe_id, unnest(list_transform(
+       |             list_slice(list_reverse_sort(${PortableIvf.scoredListSql("p.pe")}), 1, $nprobe),
+       |             x -> CAST(x[2] AS INT))) AS cell
+       |           FROM p),
+       |codes AS (
+       |  SELECT vec_id, ${PortableIvf.cellSql("embedding")} AS cell,
+       |       $codeCols
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT p.probe_id, z.vec_id, $chain AS adc
+       |  FROM codes z
+       |  JOIN probed q ON z.cell = q.cell
+       |  JOIN p ON p.probe_id = q.probe_id)
+       |SELECT probe_id, vec_id, round(adc, 4) AS adc_dist FROM (
+       |  SELECT probe_id, vec_id, adc,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY adc, vec_id) AS rnk
+       |  FROM scored) z2
+       |WHERE rnk <= $topk""".stripMargin
+  }
+
   /** DuckDB rendition of the composition: probed cells exactly as
     * qs07's oracle, codes + ADC chain exactly as qs14's, the cell
     * restriction applied to the codes CTE. */

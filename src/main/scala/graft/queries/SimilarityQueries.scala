@@ -316,6 +316,25 @@ object SimilarityQueries {
           .select(
             col("id").as("vec_id"), col("cluster"),
             round(col("dist"), 4).as("dist"), col("rank"), col("keep")),
-      Some(graft.operators.similarity.DiversityPrune.oracleSql(8, 0.25)))
+      Some(graft.operators.similarity.DiversityPrune.oracleSql(8, 0.25))),
+    Q(
+      "qs19_topk_ivfpq_batch",
+      // BATCH IVF x PQ serving: one file-pruned scan of the union of
+      // all probes' cells answers the whole query batch — each code
+      // row joins only the probes that probed its cell, the ADC
+      // distance runs probe-as-column (16-way CASE per subspace, same
+      // fixed add chain as the literal-table scan), and the only
+      // shuffle is the per-probe top-k window.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_batch").toString
+        graft.operators.similarity.IvfPq.writeIndex(
+          emb, col("embedding"), col("vec_id"), idx)
+        graft.operators.similarity.IvfPq.topKIndexedBatch(
+          s, idx, emb.filter(col("vec_id") < 5),
+          col("embedding"), col("vec_id"), topk = 5, nprobe = 3)
+      },
+      Some(graft.operators.similarity.IvfPq.oracleBatchSql(5, 5, 3)))
   )
 }

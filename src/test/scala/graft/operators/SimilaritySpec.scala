@@ -119,6 +119,25 @@ class SimilaritySpec extends SparkSpec {
       "probe vector missing from its own probed-cell scan")
   }
 
+  test("batch IVFxPQ serving agrees with the single-probe path per probe") {
+    import graft.operators.similarity.IvfPq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_b").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), dir)
+    val probes = emb.filter(col("vec_id") < 3)
+    val batch = IvfPq.topKIndexedBatch(spark, dir, probes,
+      col("embedding"), col("vec_id"), topk = 5, nprobe = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._2).toSeq)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    // the column-probe CASE-chain ADC must equal the literal-table scan
+    probes.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().foreach { case (pid, v) =>
+        val single = IvfPq.topKIndexed(spark, dir, v, 5, nprobe = 3)
+          .as[(Long, Double)].collect().sortBy(_._2).toSeq
+        assert(batch(pid) == single, s"probe $pid diverges")
+      }
+  }
+
   test("portable ANN finds the probe and recalls reasonably vs exact") {
     val got = graft.operators.similarity.PortableAnn
       .topK(emb, col("embedding"), col("vec_id"), probe, 10)
