@@ -638,6 +638,18 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.PortableCms.profile(
           Tables.load(s, dir, "documents"), col("text"), topK = 20),
-      Some(graft.operators.text.PortableCms.oracleSql(20)))
+      Some(graft.operators.text.PortableCms.oracleSql(20))),
+    Q(
+      "qt28_bpe_learn",
+      // distributed BPE vocabulary LEARNING (the training side of
+      // qt24's apply-time tokenizer): corpus collapses once into the
+      // (word, freq) vocabulary, then each round is one vocab-sized
+      // pair aggregation + a 1-row argmax collect + a per-row fuse.
+      // The oracle re-derives all 6 rounds as mechanically-chained
+      // CTE stages — counts, argmax and rewrite per round.
+      (s, dir) =>
+        graft.operators.text.BpeLearn.learn(
+          Tables.load(s, dir, "documents"), col("text"), nMerges = 6),
+      Some(graft.operators.text.BpeLearn.oracleSql(6)))
   )
 }
