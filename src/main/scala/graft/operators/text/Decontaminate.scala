@@ -95,4 +95,48 @@ object Decontaminate {
        |FROM e LEFT JOIN bench ON e.g = bench.g
        |WHERE e.b < 80
        |GROUP BY 1""".stripMargin
+
+  /** Oracle for qp06 (transitive decontamination): the qt15 seed set
+    * (train docs sharing an 8-gram with the test bucket) expanded
+    * `maxHops` links over the portable-MinHash near-dup graph of the
+    * train bucket. Frontier rounds are mechanically-chained CTE stages
+    * (f_i = unreached neighbours of f_{i-1}), mirroring
+    * [[graft.operators.GraphExpand]] round for round, so hop labels
+    * are min-hop in both engines by the same argument. */
+  def oracleTransitiveSql(threshold: Double, maxHops: Int, n: Int = 8): String = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val bucket =
+      "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    val trainFrom = s"(SELECT doc_id, text FROM documents WHERE $bucket < 80) tr"
+    val mh = graft.operators.dedup.PortableMinHash.pipelineCtes(trainFrom)
+    val hops = (1 to maxHops).map { i =>
+      s"""f_$i AS (SELECT DISTINCT s.dst AS id
+         |         FROM f_${i - 1} JOIN sym s ON f_${i - 1}.id = s.src
+         |         WHERE s.dst NOT IN (SELECT id FROM r_${i - 1})),
+         |r_$i AS (SELECT * FROM r_${i - 1}
+         |         UNION ALL SELECT id, $i AS hop FROM f_$i)""".stripMargin
+    }
+    s"""$mh,
+       |cn AS (SELECT doc_id,
+       |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+       |         $bucket AS b
+       |       FROM documents),
+       |ct AS (SELECT doc_id, b, string_split(nt, ' ') AS toks FROM cn),
+       |cg AS (SELECT doc_id, b,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |           i -> md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))) AS g
+       |       FROM ct),
+       |ce AS (SELECT doc_id, b, unnest(g) AS g FROM cg),
+       |cbench AS (SELECT DISTINCT g FROM ce WHERE b >= 90),
+       |seeds AS (SELECT DISTINCT ce.doc_id AS id
+       |          FROM ce JOIN cbench USING (g) WHERE ce.b < 80),
+       |edges AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $threshold),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+       |        UNION SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |f_0 AS (SELECT id FROM seeds),
+       |r_0 AS (SELECT id, 0 AS hop FROM seeds),
+       |${hops.mkString(",\n")}
+       |SELECT id, hop FROM r_$maxHops""".stripMargin
+  }
 }
