@@ -79,6 +79,66 @@ object PipelineQueries {
            |       row_number() OVER (PARTITION BY source
            |                          ORDER BY score DESC, doc_id) <= 30 AS keep
            |FROM j""".stripMargin
+      }),
+    Q(
+      "qp06_transitive_decon",
+      // transitive decontamination: qt15's directly-contaminated train
+      // docs (8-gram overlap with the test bucket) spread 2 hops over
+      // the portable-MinHash near-dup graph of the train bucket — a
+      // near-dup of a leak is a leak the exact n-gram pass misses.
+      // Frontier BFS: one narrow ids-only join per hop, min-hop labels
+      // by construction.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(s, dir, "documents")
+        val split = graft.operators.text.CorpusOps.splitAssign(col("doc_id"))
+        val bench = docs.filter(split === "test")
+        val train = docs.filter(split === "train")
+        val seeds = graft.operators.text.Decontaminate.profile(
+            train, col("text"), col("doc_id"),
+            graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text")))
+          .filter(col("contaminated")).select("id")
+        val edges = graft.operators.dedup.PortableMinHash.pairs(
+          train, col("text"), col("doc_id"), 0.3)
+        graft.operators.GraphExpand.expand(
+          seeds, "id", edges, "doc_a", "doc_b", maxHops = 2)
+      },
+      Some(graft.operators.text.Decontaminate.oracleTransitiveSql(0.3, 2))),
+    Q(
+      "qp07_domain_rank",
+      // domain authority weighting: sources sharing near-dup documents
+      // (the mirror signal) form an undirected domain graph; integer-
+      // mass random-walk rounds (exact floor arithmetic — classic
+      // double PageRank can't be value-oracled) concentrate mass on
+      // the most-mirrored domains. Per round: one state-vs-edges join
+      // + one sum-by-destination, narrow (node, long) rows only.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.dedup.PortableMinHash.pairs(
+          docs, col("text"), col("doc_id"), 0.3)
+        val src = docs.select(col("doc_id"), col("source"))
+        val de = pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .filter(col("sa") =!= col("sb"))
+          .select(col("sa"), col("sb"))
+        val sym = de.select(col("sa").as("src"), col("sb").as("dst"))
+          .union(de.select(col("sb").as("src"), col("sa").as("dst")))
+        graft.operators.GraphRank.rank(
+          docs.select("source"), "source", sym, "src", "dst", rounds = 5)
+      },
+      Some {
+        val mh = graft.operators.dedup.PortableMinHash.pipelineCtes()
+        s"""$mh,
+           |de AS (SELECT DISTINCT da.source AS sa, db.source AS sb
+           |       FROM est JOIN documents da ON est.doc_a = da.doc_id
+           |                JOIN documents db ON est.doc_b = db.doc_id
+           |       WHERE est.est_jaccard >= 0.3 AND da.source <> db.source),
+           |sym AS (SELECT sa AS src, sb AS dst FROM de
+           |        UNION SELECT sb AS src, sa AS dst FROM de),
+           |nodes AS (SELECT DISTINCT source AS node FROM documents),
+           |${graft.operators.GraphRank.oracleRoundsSql(5)}""".stripMargin
       })
   )
 }

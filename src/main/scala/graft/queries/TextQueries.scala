@@ -650,6 +650,64 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.BpeLearn.learn(
           Tables.load(s, dir, "documents"), col("text"), nMerges = 6),
-      Some(graft.operators.text.BpeLearn.oracleSql(6)))
+      Some(graft.operators.text.BpeLearn.oracleSql(6))),
+    Q(
+      "qt29_rule_clean",
+      // C4-style heuristic cleaning: terminal-punctuation + min-words
+      // + blacklist line rules, '{'/'lorem ipsum' document gates. The
+      // fixture is single-line word salad with no punctuation, so
+      // deterministic web-junk lines are planted IN-QUERY (the qt16
+      // trick, identically in both engines): a rule-passing sentence
+      // (doc_id%3), a javascript banner (%4), a too-short punct line
+      // (%5), and the two doc-killers (%11, %13). Entirely per-row
+      // codegen work — zero shuffles; rule cleaning must run at scan
+      // speed, that is its job at 100 TB.
+      (s, dir) => {
+        val tx = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nthis cleaned sentence survives every rule today."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nplease enable javascript and cookies to continue."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nhome about contact."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur elit."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\nfunction() { return 0; }"))
+            .otherwise(lit("")))
+        graft.operators.text.RuleClean.profile(
+          Tables.load(s, dir, "documents"), tx, col("doc_id"))
+      },
+      Some {
+        // NOTE: '||' never starts a line — stripMargin would eat its
+        // first pipe (the BpeLearn.fuseSql trap)
+        val planted =
+          """(SELECT doc_id, text ||
+            |   CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this cleaned sentence survives every rule today.' ELSE '' END ||
+            |   CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'please enable javascript and cookies to continue.' ELSE '' END ||
+            |   CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'home about contact.' ELSE '' END ||
+            |   CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elit.' ELSE '' END ||
+            |   CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END
+            |   AS tx FROM documents) t""".stripMargin
+        graft.operators.text.RuleClean.oracleSql(planted)
+      }),
+    Q(
+      "qt30_bm25_topk",
+      // BM25 ranked retrieval: lexical search over the corpus for a
+      // literal query term set — the audit/dedup-probe primitive
+      // beside embedding ANN. Hit rows (one per doc × query term) are
+      // the only thing that shuffles; stats broadcast; top-k is
+      // TakeOrdered. Ranking runs on the ROUNDED score (qt14's ln
+      // convention) with an ordered per-term fold so addition order
+      // cannot drift between engines.
+      (s, dir) =>
+        graft.operators.text.Bm25.topK(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          queryTerms = Seq("spark", "window", "vector"), k = 15),
+      Some(graft.operators.text.Bm25.oracleSql(
+        Seq("spark", "window", "vector"), k = 15)))
   )
 }
