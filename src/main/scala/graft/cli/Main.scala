@@ -19,6 +19,9 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *                                          index + exact fingerprints)
   *   graft index append --table t --index d curate one increment against
   *                                          the index and fold it in
+  *   graft curate --table t --into t2       one-command corpus curation
+  *                                          ([--rules] [--bench evaltbl]
+  *                                          [--min-tokens n] [--threshold x])
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
@@ -177,12 +180,55 @@ object Main {
               "[--into <dest-table>] [--id doc_id] [--text text] [--threshold 0.5] --config cfg.yml")
             2
         }
+      case "curate" =>
+        // one-command corpus curation over a documents-shaped table
+        // (doc_id, text): optional C4 rule cleaning, exact dedup,
+        // near-dup dedup (keep-first), token-count gate, optional
+        // benchmark decontamination — the chain qp01/qp06 verify,
+        // productized. Funnel stages cross Barriers so the four
+        // counts and the final write never recompute the chain.
+        import org.apache.spark.sql.functions.col
+        val t = opt("--table").getOrElse("documents")
+        val into = opt("--into").getOrElse(s"${t}_curated")
+        val minTokens = opt("--min-tokens").map(_.toInt).getOrElse(20)
+        val thr = opt("--threshold").map(_.toDouble).getOrElse(0.3)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val n0 = docs.count()
+        val afterRules =
+          if (args.contains("--rules"))
+            graft.operators.Barrier(
+              graft.operators.text.RuleClean.clean(docs, col("text"), "doc_id"))
+          else docs
+        val n1 = afterRules.count()
+        val curated = graft.operators.Barrier(
+          graft.pipeline.CorpusPipeline.curate(afterRules, minTokens, thr))
+        val n2 = curated.count()
+        val fin = opt("--bench") match {
+          case Some(bt) =>
+            val bench = catalogFor(cfg.src).read(spark, bt)
+            graft.operators.Barrier(
+              graft.operators.text.Decontaminate.dropContaminated(
+                curated, col("text"), "doc_id",
+                graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text"))))
+          case None => curated
+        }
+        val n3 = fin.count()
+        sinkFor(cfg.dest, cfg).overwrite(fin, into)
+        println(table(Seq(
+          Seq("Stage", "Docs"),
+          Seq("incoming", n0.toString),
+          Seq("rule-clean", n1.toString),
+          Seq("dedup+gate", n2.toString),
+          Seq("decontaminated", n3.toString))))
+        println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"kept $n3/$n0 -> $into")
+        0
       case "version" =>
         // reference parity: cmd/version.go prints the build version
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|curate|version> --config cfg.yml")
         2
     }
     }

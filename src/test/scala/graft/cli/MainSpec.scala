@@ -203,6 +203,37 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("index", "rebuild", "--config", cfg), spark) == 2)
   }
 
+  test("curate end-to-end via CLI: dedup funnel, rules, decontamination") {
+    val out = Files.createTempDirectory("graft_cli_curate").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |maxParallel: 4
+         |""".stripMargin)
+    // plain curation: exact+near dedup and the token gate keep a
+    // nonempty strict subset with the input schema intact
+    assert(Main.run(Array("curate", "--table", "documents",
+      "--into", "docs_clean", "--config", cfg), spark) == 0)
+    val kept = spark.read.parquet(s"$out/docs_clean.parquet")
+    val n = kept.count()
+    assert(n > 0 && n < 500, s"unexpected survivor count $n")
+    assert(kept.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    // --bench against the corpus itself: every survivor shares its own
+    // 8-grams -> full contamination funnels to zero, exit stays 0
+    assert(Main.run(Array("curate", "--table", "documents",
+      "--into", "docs_empty", "--bench", "documents", "--config", cfg),
+      spark) == 0)
+    assert(spark.read.parquet(s"$out/docs_empty.parquet").count() == 0)
+    // --rules on the punctuation-free fixture removes every doc (the
+    // C4 terminal-punct rule) without failing the run
+    assert(Main.run(Array("curate", "--table", "documents",
+      "--into", "docs_rules", "--rules", "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$out/docs_rules.parquet").count() == 0)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
