@@ -205,8 +205,8 @@ object PerceptualAudio {
     * hash (sign bit via the min-BIGINT trick, see
     * [[PerceptualHash.oracleSql]]) and joins within the doc_id/2
     * pair-group. */
-  def oracleSql(maxHamming: Int): String =
-    s"""WITH env AS (
+  private def ahCte: String =
+    s"""env AS (
        |  SELECT doc_id,
        |    list_transform(range(0, $Windows), j ->
        |      ${sampSql("2 * j")} + ${sampSql("2 * j + 1")}) AS e
@@ -218,9 +218,34 @@ object PerceptualAudio {
        |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
        |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
        |           ELSE 0 END)) AS BIGINT) AS dh
-       |  FROM env)
+       |  FROM env)""".stripMargin
+
+  def oracleSql(maxHamming: Int): String =
+    s"""WITH $ahCte
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
        |FROM ah a JOIN ah b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming""".stripMargin
+
+  /** qm10: duplicate-cluster labels over the audio pair graph — the
+    * qm07/qd16 recursive transitive-closure oracle applied to the
+    * contour-hash edges (every doc labeled with the least id
+    * reachable; singletons label themselves). */
+  def oracleComponentsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE $ahCte,
+       |edges AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM ah a JOIN ah b ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= $maxHamming),
+       |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |reach AS (
+       |  SELECT a AS node, b AS other FROM sym
+       |  UNION
+       |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a
+       |)
+       |SELECT d.doc_id,
+       |       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |FROM documents d
+       |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |  ON d.doc_id = m.node""".stripMargin
 }

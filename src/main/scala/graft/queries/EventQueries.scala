@@ -289,6 +289,63 @@ object EventQueries {
       Some(graft.operators.multimodal.VideoCopyDetect
         .oracleSql(64, 2, 2, 8))),
     Q(
+      "qm10_audio_dup_clusters",
+      // audio pair graph -> duplicate clusters: qm07's composition on
+      // the audio surface — contour-hash near-dup edges (qm06's planted
+      // WAVs, gain-invariant) feed connected components; every doc
+      // labeled with the least id reachable, singletons themselves.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"))
+        val media = graft.operators.Parallelism.ensureMin(docs).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "audio/wav", PerceptualAudio.plantedWav(id))))
+          .toDF("id", "media_type", "content")
+        val edges = PerceptualAudio.pairsWithinBlock(
+          media, expr("id div 2"), maxHamming = 10)
+        graft.operators.dedup.ConnectedComponents.components(
+          edges, "doc_a", "doc_b", docs, "doc_id")
+      },
+      Some(PerceptualAudio.oracleComponentsSql(10))),
+    Q(
+      "qe09_trending_types",
+      // trending dashboard: per hour window, every event type's count,
+      // its delta vs the type's previous ACTIVE hour, and the top-3
+      // cut by rank. Two narrow shuffles (hourly rollup, per-type lag)
+      // then a windowed rank — the standard streaming-analytics
+      // "what's moving" query, batch-formulated over the same rollup
+      // streamingHourly maintains incrementally.
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("w_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("w_start")
+        val byHour = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start").orderBy(col("n").desc, col("event_type"))
+        c.withColumn("delta",
+            col("n") - coalesce(lag("n", 1).over(byType), lit(0L)))
+          .withColumn("rank", row_number().over(byHour))
+          .where(col("rank") <= 3)
+      },
+      Some("""WITH c AS (
+                SELECT date_trunc('hour', ts) AS w_start, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+              d AS (
+                SELECT w_start, event_type, n,
+                       n - coalesce(lag(n) OVER (PARTITION BY event_type
+                                                 ORDER BY w_start), 0) AS delta,
+                       row_number() OVER (PARTITION BY w_start
+                                          ORDER BY n DESC, event_type) AS rank
+                FROM c)
+              SELECT w_start, event_type, n, delta, rank
+              FROM d WHERE rank <= 3""")),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep
