@@ -103,7 +103,8 @@ object PipelineQueries {
         graft.operators.GraphExpand.expand(
           seeds, "id", edges, "doc_a", "doc_b", maxHops = 2)
       },
-      Some(graft.operators.text.Decontaminate.oracleTransitiveSql(0.3, 2))),
+      Some(graft.operators.text.Decontaminate.oracleTransitiveSql(0.3, 2)),
+      bench = true),
     Q(
       "qp07_domain_rank",
       // domain authority weighting: sources sharing near-dup documents

@@ -693,7 +693,8 @@ object TextQueries {
             |   CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END
             |   AS tx FROM documents) t""".stripMargin
         graft.operators.text.RuleClean.oracleSql(planted)
-      }),
+      },
+      bench = true),
     Q(
       "qt30_bm25_topk",
       // BM25 ranked retrieval: lexical search over the corpus for a
@@ -708,6 +709,37 @@ object TextQueries {
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           queryTerms = Seq("spark", "window", "vector"), k = 15),
       Some(graft.operators.text.Bm25.oracleSql(
-        Seq("spark", "window", "vector"), k = 15)))
+        Seq("spark", "window", "vector"), k = 15))),
+    Q(
+      "qt31_script_profile",
+      // Unicode script profiling: per-script char counts, dominant
+      // script, ASCII ratio — the multilingual signal under qt03's
+      // stopword lang-id. Pure ASCII fixture, so Cyrillic/Han/Greek
+      // snippets are planted in-query (qt16 trick) by doc_id residue;
+      // per-row regex counting only, zero shuffles.
+      (s, dir) => {
+        val tx = concat(
+          col("text"),
+          when(col("doc_id") % 6 === 1, lit(" привет мир данные"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 2, lit(" 机器学习数据"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 3, lit(" αλφα βητα γαμμα"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" version 2024 build 17"))
+            .otherwise(lit("")))
+        graft.operators.text.ScriptProfile.profile(
+          Tables.load(s, dir, "documents"), tx, col("doc_id"))
+      },
+      Some {
+        val planted =
+          """(SELECT doc_id, text ||
+            |   CASE WHEN doc_id % 6 = 1 THEN ' привет мир данные' ELSE '' END ||
+            |   CASE WHEN doc_id % 6 = 2 THEN ' 机器学习数据' ELSE '' END ||
+            |   CASE WHEN doc_id % 6 = 3 THEN ' αλφα βητα γαμμα' ELSE '' END ||
+            |   CASE WHEN doc_id % 7 = 0 THEN ' version 2024 build 17' ELSE '' END
+            |   AS tx FROM documents) t""".stripMargin
+        graft.operators.text.ScriptProfile.oracleSql(planted)
+      })
   )
 }
