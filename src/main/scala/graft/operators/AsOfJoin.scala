@@ -109,6 +109,70 @@ object AsOfJoin {
     matched.select(leftOut ++ rightOut: _*)
   }
 
+  /** Nearest as-of join: for each left row, the right row with the
+    * MINIMUM absolute `ord` distance in either direction (tie → the
+    * backward match, the "no lookahead unless strictly closer"
+    * convention) — "the quote closest in time to this trade". Computed
+    * in the SAME single union + window pass as [[asofBackward]]: the
+    * sorted partition yields the running last-before AND first-after
+    * payload (two frames over one sort — no second shuffle), and a
+    * per-row comparison picks the closer side. Same determinism caveat
+    * as [[asofBackward]] for right-side `ord` ties; `ord` must be
+    * numeric (distances subtract). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one equality key")
+    val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightPayloadCols.map(right(_)): _*)
+    val nonNullRight = right.where(col(ord).isNotNull)
+    val taggedRight = nonNullRight.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(-1).as("__side"),
+        payload.as("__payload")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(0).as("__side"),
+        lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    val ordering = Seq(col("__ord").asc, col("__side").asc)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val db = col("__ord") - col("__b").getField(ord)
+    val df = col("__f").getField(ord) - col("__ord")
+    val matched = taggedLeft
+      .unionByName(taggedRight)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 0)
+      // a null-ord left row matches nothing (it sorts nulls-first, so
+      // the forward frame would otherwise hand it the earliest right)
+      .withColumn("__match",
+        when(col("__ord").isNull, lit(null).cast(taggedRight.schema("__payload").dataType))
+          .when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(df < db, col("__f"))
+          .otherwise(col("__b")))
+    val leftOut: Seq[Column] = leftCols.map { c =>
+      if (keys.contains(c)) col(c) else col(s"__l_$c").as(c)
+    }
+    val rightOut: Seq[Column] =
+      rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c"))
+    matched.select(leftOut ++ rightOut: _*)
+  }
+
   /** Tolerance-bounded backward as-of: like [[asofBackward]], but a
     * match older than `maxGap` (in `ord` units — numeric ordering
     * column) is DISCARDED: the left row survives with null right

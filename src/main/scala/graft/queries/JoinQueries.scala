@@ -95,6 +95,50 @@ object JoinQueries {
                      CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000 THEN r.value END AS prev_value
               FROM (SELECT * FROM events WHERE event_type = 'purchase') l
               ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
-                ON l.user_id = r.user_id AND epoch_us(r.ts) < epoch_us(l.ts)"""))
+                ON l.user_id = r.user_id AND epoch_us(r.ts) < epoch_us(l.ts)""")),
+    Q(
+      "qj04_asof_nearest",
+      // nearest as-of: each purchase attributed to the view CLOSEST in
+      // time, before or after (tie -> before) — sensor alignment /
+      // closest-quote semantics. One union + window pass computes both
+      // directions over a single sort; the oracle composes DuckDB's two
+      // directional ASOF joins and picks the closer side.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+        graft.operators.AsOfJoin.asofNearest(
+          purchases, views, Seq("user_id"), "tus", rightPrefix = "near_")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                         FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                    FROM events WHERE event_type = 'view'),
+              b AS (SELECT l.user_id, l.event_id, l.tus,
+                           r.event_id AS b_id, r.tus AS b_tus, r.value AS b_val
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND r.tus <= l.tus),
+              f AS (SELECT l.event_id, r.event_id AS f_id, r.tus AS f_tus,
+                           r.value AS f_val
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND r.tus >= l.tus)
+              SELECT b.user_id, b.event_id, b.tus,
+                     CASE WHEN b_id IS NULL THEN f_id
+                          WHEN f_id IS NULL THEN b_id
+                          WHEN (f_tus - b.tus) < (b.tus - b_tus) THEN f_id
+                          ELSE b_id END AS near_event_id,
+                     CASE WHEN b_id IS NULL THEN f_tus
+                          WHEN f_id IS NULL THEN b_tus
+                          WHEN (f_tus - b.tus) < (b.tus - b_tus) THEN f_tus
+                          ELSE b_tus END AS near_tus,
+                     CASE WHEN b_id IS NULL THEN f_val
+                          WHEN f_id IS NULL THEN b_val
+                          WHEN (f_tus - b.tus) < (b.tus - b_tus) THEN f_val
+                          ELSE b_val END AS near_value
+              FROM b JOIN f ON b.event_id = f.event_id"""))
   )
 }

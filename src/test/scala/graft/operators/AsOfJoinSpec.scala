@@ -88,4 +88,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(ours.exceptAll(naiveFull).isEmpty && naiveFull.exceptAll(ours).isEmpty,
       "asof window decomposition disagrees with naive join+argmax")
   }
+
+  test("nearest picks the closer side; ties go backward") {
+    val left = Seq((1L, 10L, "mid"), (1L, 100L, "high"), (2L, 5L, "solo"))
+      .toDF("k", "ord", "lv")
+    val right = Seq((1L, 7L, "b7"), (1L, 12L, "f12"), (1L, 90L, "b90"))
+      .toDF("k", "ord", "rv")
+    val out = AsOfJoin.asofNearest(left, right, Seq("k"), "ord")
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    assert(out("mid").contains("f12"))  // |12-10| < |10-7|
+    assert(out("high").contains("b90")) // only backward exists nearby
+    assert(out("solo").isEmpty)         // no right rows for key 2
+    // exact tie: backward wins
+    val tieR = Seq((1L, 8L, "back"), (1L, 12L, "fwd")).toDF("k", "ord", "rv")
+    val tie = AsOfJoin.asofNearest(left.filter(col("lv") === "mid"),
+        tieR, Seq("k"), "ord")
+      .select("r_rv").as[Option[String]].head()
+    assert(tie.contains("back"))
+  }
+
+  test("nearest: equal-ord right matches at distance zero; null ords inert") {
+    val left = Seq[(Long, Option[Long], String)](
+        (1L, Some(10L), "eq"), (1L, None, "nullL"))
+      .toDF("k", "ord", "lv")
+    val right = Seq((1L, 10L, "same"), (1L, 11L, "close"))
+      .toDF("k", "ord", "rv")
+    val out = AsOfJoin.asofNearest(left, right, Seq("k"), "ord")
+      .select("lv", "r_rv").as[(String, Option[String])].collect().toMap
+    assert(out("eq").contains("same"))
+    assert(out("nullL").isEmpty)
+    // null-ord RIGHT rows never match either
+    val nullR = Seq[(Long, Option[Long], String)]((1L, None, "nr"))
+      .toDF("k", "ord", "rv")
+    val out2 = AsOfJoin.asofNearest(
+        left.filter(col("lv") === "eq"), nullR, Seq("k"), "ord")
+      .select("r_rv").as[Option[String]].head()
+    assert(out2.isEmpty)
+  }
 }
