@@ -335,6 +335,20 @@ object SimilarityQueries {
           s, idx, emb.filter(col("vec_id") < 5),
           col("embedding"), col("vec_id"), topk = 5, nprobe = 3)
       },
-      Some(graft.operators.similarity.IvfPq.oracleBatchSql(5, 5, 3)))
+      Some(graft.operators.similarity.IvfPq.oracleBatchSql(5, 5, 3))),
+    Q(
+      "qs20_balanced_sample",
+      // cluster-balanced sampling: every k-means cell capped at 40
+      // rows by a deterministic md5 draw — dense embedding regions
+      // can't dominate the mixture. Assignment map-only (centroids as
+      // literals); the cap is one keyed window over narrow rows; the
+      // md5 rank is a scan-stable stand-in for ORDER BY rand().
+      (s, dir) =>
+        graft.operators.similarity.BalancedSample.sample(
+          Tables.load(s, dir, "embeddings"),
+          col("embedding"), col("vec_id"), k = 8, iters = 1, perCell = 40)
+          .select(col("id").as("vec_id"), col("cluster"),
+            col("rank"), col("keep")),
+      Some(graft.operators.similarity.BalancedSample.oracleSql(8, 40)))
   )
 }
