@@ -740,6 +740,18 @@ object TextQueries {
             |   CASE WHEN doc_id % 7 = 0 THEN ' version 2024 build 17' ELSE '' END
             |   AS tx FROM documents) t""".stripMargin
         graft.operators.text.ScriptProfile.oracleSql(planted)
-      })
+      }),
+    Q(
+      "qt32_perplexity_filter",
+      // CCNet-style unigram-LM cross-entropy gate: corpus-trained
+      // top-20 vocabulary (+ OOV floor) broadcast to the token stream;
+      // per-doc CE = mean negative log-prob, keep when <= 3.6. One
+      // libm ln per VOCAB TERM (rounded, qt14 convention), ordered
+      // position fold, 4-dp CE — engine-identical gating.
+      (s, dir) =>
+        graft.operators.text.PerplexityFilter.profile(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          vocabSize = 20, tau = 3.6),
+      Some(graft.operators.text.PerplexityFilter.oracleSql(20, 3.6)))
   )
 }
