@@ -346,6 +346,49 @@ object EventQueries {
               SELECT w_start, event_type, n, delta, rank
               FROM d WHERE rank <= 3""")),
     Q(
+      "qe10_funnel_conversion",
+      // funnel analysis: a view CONVERTS when the same user purchases
+      // within the next hour; hourly view volume vs conversion rate.
+      // Per-user band join (bounded fan-out per key), one distinct on
+      // converted view ids, one hourly rollup — microsecond integer
+      // band arithmetic and an exact count ratio, fully value-oracled.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            date_trunc("hour", col("ts")).as("w_start"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("ptus"))
+        val gap = 3600L * 1000000L
+        val converted = views.join(purchases,
+            views("user_id") === purchases("user_id") &&
+              col("ptus") > col("tus") && col("ptus") <= col("tus") + gap)
+          .select(views("event_id")).distinct()
+          .withColumn("conv", lit(1L))
+        views.join(converted, Seq("event_id"), "left")
+          .groupBy("w_start")
+          .agg(
+            count(lit(1)).as("n_views"),
+            count(col("conv")).as("n_conversions"))
+          .withColumn("cvr", round(
+            col("n_conversions").cast("double") / col("n_views").cast("double"), 4))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                                date_trunc('hour', ts) AS w_start
+                         FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, epoch_us(ts) AS ptus
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT DISTINCT v.event_id
+                    FROM v JOIN p ON v.user_id = p.user_id
+                     AND p.ptus > v.tus AND p.ptus <= v.tus + 3600000000)
+              SELECT w_start, count(*) AS n_views,
+                     count(c.event_id) AS n_conversions,
+                     round(CAST(count(c.event_id) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 4) AS cvr
+              FROM v LEFT JOIN c ON v.event_id = c.event_id
+              GROUP BY w_start""")),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep
