@@ -389,6 +389,33 @@ object EventQueries {
               FROM v LEFT JOIN c ON v.event_id = c.event_id
               GROUP BY w_start""")),
     Q(
+      "qe11_approx_quantiles",
+      // approximate percentile sketch — completes the sketch family
+      // (HLL qt23 cardinality, bloom qd20 membership, CMS qt27
+      // frequency, MinHash qd09 similarity; this one: rank). At 100 TB
+      // the exact percentile sorts every group; the KLL-style sketch
+      // partial-aggregates map-side. Sketch internals aren't
+      // SQL-reproducible, so this is a GATE (qt23 pattern) on the
+      // accuracy contract: every per-type p50/p90 estimate within 5%
+      // of the exact value computed side by side.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.5D)").as("ex50"),
+            expr("percentile(value, 0.9D)").as("ex90"),
+            expr("approx_percentile(value, 0.5D, 1000)").as("ap50"),
+            expr("approx_percentile(value, 0.9D, 1000)").as("ap90"))
+          .agg(
+            (max(abs(col("ap50") - col("ex50")) / abs(col("ex50"))) <= 0.05)
+              .as("p50_bounded"),
+            (max(abs(col("ap90") - col("ex90")) / abs(col("ex90"))) <= 0.05)
+              .as("p90_bounded"),
+            (count(lit(1)) === 5).as("all_types_present"))
+      },
+      Some("SELECT true AS p50_bounded, true AS p90_bounded, " +
+        "true AS all_types_present")),
+    Q(
       "qe08_value_outliers",
       // robust per-type outlier profile: exact quartiles + Tukey-fence
       // count. Quantile interpolation and the fence arithmetic keep
