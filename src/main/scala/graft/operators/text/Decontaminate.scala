@@ -57,6 +57,22 @@ object Decontaminate {
       .withColumn("contaminated", col("dirty_spans") > 0)
   }
 
+  /** Just the contaminated ids — the seed set for transitive
+    * expansion (qp06): a broadcast LEFT SEMI against the benchmark
+    * keys plus an id distinct, skipping [[profile]]'s per-document
+    * span counting entirely. The span stream short-circuits at the
+    * first benchmark hit instead of being counted to the end. */
+  def contaminatedIds(
+      corpus: DataFrame,
+      text: Column,
+      id: Column,
+      benchKeys: DataFrame,
+      n: Int = 8): DataFrame =
+    graft.operators.Parallelism.ensureMin(corpus)
+      .select(id.as("id"), explode(SpanDedup.spanKeys(text, n)).as("g"))
+      .join(broadcast(benchKeys), Seq("g"), "left_semi")
+      .select("id").distinct()
+
   /** The keep-side filter: corpus rows whose document shares NO span
     * with the benchmark set. Anti-join on the contaminated id list —
     * the id list is tiny relative to the corpus, so AQE plans it as a

@@ -94,10 +94,9 @@ object PipelineQueries {
         val split = graft.operators.text.CorpusOps.splitAssign(col("doc_id"))
         val bench = docs.filter(split === "test")
         val train = docs.filter(split === "train")
-        val seeds = graft.operators.text.Decontaminate.profile(
-            train, col("text"), col("doc_id"),
-            graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text")))
-          .filter(col("contaminated")).select("id")
+        val seeds = graft.operators.text.Decontaminate.contaminatedIds(
+          train, col("text"), col("doc_id"),
+          graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text")))
         val edges = graft.operators.dedup.PortableMinHash.pairs(
           train, col("text"), col("doc_id"), 0.3)
         graft.operators.GraphExpand.expand(
