@@ -45,7 +45,9 @@ object ScaleSmoke {
     "qt15_decontaminate",
     "qs11_semantic_prune",
     "qt25_line_dedup",
-    "qs15_topk_ivfpq")
+    "qs15_topk_ivfpq",
+    "qp06_transitive_decon",
+    "qt32_perplexity_filter")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
