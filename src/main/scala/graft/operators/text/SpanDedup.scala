@@ -114,6 +114,102 @@ object SpanDedup {
     df.join(heavy, Seq(idCol), "left_anti")
   }
 
+  /** POSITIONAL span keys — every n-gram window in order, duplicates
+    * kept (the run-structure complement of [[spanKeys]]). */
+  def posSpanKeys(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => md5(concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Longest duplicated RUN per document (the ExactSubstr signal of
+    * Lee et al.'s training-data dedup): how LONG is the longest
+    * contiguous region of corpus-duplicated n-grams, not just what
+    * fraction is duplicated ([[spanProfile]]'s `dup_ratio`). A doc
+    * with `max_run` = r carries a verbatim-shared region of r+n-1
+    * tokens — template pages and quoted blocks score high here while
+    * keeping a low overall ratio in long documents.
+    *
+    * Returns (id, n_pos, dup_pos, max_run). Runs are found with the
+    * gaps-and-islands trick — `pos − row_number()` over the flagged
+    * positions groups each maximal run — pure integer window work both
+    * engines evaluate identically. Scale shape: the positional span
+    * table is token-stream-sized narrow rows; corpus counts use
+    * one-vote-per-doc pair-distinct ([[LineDedup]]'s skew-safe shape);
+    * over-`maxDocs` spans route around the keyed join via a broadcast
+    * hot list exactly as [[spanProfile]] does. */
+  def longestRunProfile(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8,
+      minDocs: Int = 2,
+      maxDocs: Int = 1000000): DataFrame = {
+    require(maxDocs >= minDocs,
+      s"maxDocs ($maxDocs) must be >= minDocs ($minDocs)")
+    import org.apache.spark.sql.expressions.Window
+    val ps = Barrier(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), posexplode(posSpanKeys(text, n)).as(Seq("pos", "g"))))
+    val counts = ps.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+    val hot = counts.filter(col("nd") > maxDocs)
+      .select(col("g"), lit(1).as("hot"))
+    val shared = counts
+      .filter(col("nd") >= minDocs && col("nd") <= maxDocs)
+      .select(col("g"), lit(1).as("sh"))
+    val preFlag = ps.join(broadcast(hot), Seq("g"), "left")
+    val flagged = Barrier(
+      preFlag.filter(col("hot") === 1)
+        .select(col("id"), col("pos"), lit(1).as("fl"))
+        .unionByName(
+          preFlag.filter(col("hot").isNull)
+            .join(shared, Seq("g"), "left")
+            .select(col("id"), col("pos"),
+              when(col("sh") === 1, lit(1)).otherwise(lit(0)).as("fl"))))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val runs = flagged.filter(col("fl") === 1)
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp").agg(count(lit(1)).as("rl"))
+      .groupBy("id").agg(max("rl").as("mx"))
+    flagged.groupBy("id")
+      .agg(count(lit(1)).as("n_pos"), sum("fl").cast("long").as("dup_pos"))
+      .join(runs, Seq("id"), "left")
+      .select(col("id"), col("n_pos"), col("dup_pos"),
+        coalesce(col("mx"), lit(0L)).as("max_run"))
+  }
+
+  /** DuckDB formulation of [[longestRunProfile]]: same positional
+    * spans, one-vote counts, gaps-and-islands runs. */
+  def oracleRunSql(n: Int = 8, minDocs: Int = 2): String =
+    s"""WITH nrm AS (SELECT doc_id,
+       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+       |             FROM documents),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
+       |ps AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |              md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')) AS g
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(1, greatest(len(toks) - ${n - 1}, 1) + 1)) AS i
+       |             FROM tk) z),
+       |cnt AS (SELECT g, count(*) AS nd
+       |        FROM (SELECT DISTINCT doc_id, g FROM ps) d GROUP BY g),
+       |sh AS (SELECT g FROM cnt WHERE nd >= $minDocs),
+       |fl AS (SELECT ps.doc_id, ps.pos,
+       |              CASE WHEN sh.g IS NULL THEN 0 ELSE 1 END AS fl
+       |       FROM ps LEFT JOIN sh ON ps.g = sh.g),
+       |runs AS (SELECT doc_id, count(*) AS rl FROM (
+       |           SELECT doc_id, pos,
+       |                  pos - row_number() OVER (PARTITION BY doc_id
+       |                                           ORDER BY pos) AS grp
+       |           FROM fl WHERE fl = 1) z GROUP BY doc_id, grp),
+       |mr AS (SELECT doc_id, max(rl) AS mx FROM runs GROUP BY doc_id),
+       |agg AS (SELECT doc_id, count(*) AS n_pos, sum(fl)::BIGINT AS dup_pos
+       |        FROM fl GROUP BY doc_id)
+       |SELECT agg.doc_id AS id, n_pos, dup_pos,
+       |       coalesce(mx, 0)::BIGINT AS max_run
+       |FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id""".stripMargin
+
   /** The CTE chain of [[spanProfile]] rooted on `from` (a table or
     * prior CTE with doc_id + text), ending in
     * `span_prof(id, n_spans, shared_spans, dup_ratio)` — spliceable

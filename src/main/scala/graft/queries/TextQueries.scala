@@ -752,6 +752,17 @@ object TextQueries {
         graft.operators.text.PerplexityFilter.profile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           vocabSize = 20, tau = 3.6),
-      Some(graft.operators.text.PerplexityFilter.oracleSql(20, 3.6)))
+      Some(graft.operators.text.PerplexityFilter.oracleSql(20, 3.6))),
+    Q(
+      "qt33_dup_span_runs",
+      // longest duplicated RUN (the ExactSubstr signal): how long is
+      // the longest contiguous corpus-duplicated n-gram region per
+      // doc — template pages score high here while staying low-ratio
+      // in qt13's fraction view. Positional narrow rows, one-vote
+      // corpus counts, gaps-and-islands integer windows.
+      (s, dir) =>
+        graft.operators.text.SpanDedup.longestRunProfile(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
+      Some(graft.operators.text.SpanDedup.oracleRunSql()))
   )
 }

@@ -82,4 +82,36 @@ class SpanDedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(ks.distinct.size == ks.size)
   }
+
+  test("longest run finds the contiguous duplicated region") {
+    // docs 1/2: 13 tokens -> 6 positional 8-grams; positions 1-3 are
+    // the shared prefix windows -> dup_pos 3, one run of 3
+    val p = SpanDedup.longestRunProfile(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(p(1L) == ((1L, 6L, 3L, 3L)))
+    assert(p(2L) == ((2L, 6L, 3L, 3L)))
+    assert(p(3L) == ((3L, 5L, 0L, 0L))) // disjoint: no dup positions
+    assert(p(4L) == ((4L, 1L, 0L, 0L))) // short doc: one whole-span pos
+  }
+
+  test("longest run separates split runs; repeated in-doc spans vote once") {
+    // shared window at positions 1 and 3, gap at 2 -> max_run 1, dup_pos 2
+    val t = Seq(
+      (1L, "a b c d e f g h GAP a b c d e f g h"),
+      (2L, "a b c d e f g h tail x y z w q r s t"))
+      .toDF("doc_id", "text")
+    val p = SpanDedup.longestRunProfile(t, col("text"), col("doc_id"), n = 8)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc1 has 10 positions; shared 8-gram "a..h" occurs at pos 1 and 10
+    assert(p(1L)._3 == 2L && p(1L)._4 == 1L, p(1L).toString)
+  }
+
+  test("run profile: hot-span cap routes around the join, same answer") {
+    val base = SpanDedup.longestRunProfile(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val capped = SpanDedup.longestRunProfile(
+        docs, col("text"), col("doc_id"), maxDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(base == capped)
+  }
 }
