@@ -44,6 +44,66 @@ object Quantize {
         array_min(col("__q")).cast("long").as("q_min"),
         array_max(col("__q")).cast("long").as("q_max"))
 
+  /** Exact top-k over int8 codes — the memory-lean search tier between
+    * full-precision brute force (qs02) and PQ/ADC (qs14): codes are 4×
+    * smaller than float32 and the dot product stays INTEGER (exact on
+    * any engine, no rounding conventions needed) until one final
+    * rescale by the two scales. Map-only scan + TakeOrdered, the qs02
+    * shape at a quarter of the memory bandwidth; zero-scale (all-zero)
+    * vectors score 0 by convention on both engines. */
+  def topKInt8(
+      df: DataFrame,
+      vec: Column,
+      id: Column,
+      queryId: Long,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val coded = df
+      .withColumn("__s", scaleFor(vec))
+      .withColumn("__q", codes(vec, col("__s")))
+      .select(id.as("id"), col("__s"), col("__q"))
+    val q = coded.filter(col("id") === queryId)
+      .select(col("__s").as("qscale"), col("__q").as("qq"))
+    coded.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("qdot",
+        aggregate(
+          zip_with(col("__q"), col("qq"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        when(col("__s") * col("qscale") === 0.0, lit(0.0))
+          .otherwise(round(
+            col("qdot").cast("double") / (col("__s") * col("qscale")), 4)))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("qdot"), col("score"))
+  }
+
+  /** DuckDB twin of [[topKInt8]] (query = corpus row `queryId`). */
+  def oracleTopKSql(queryId: Long, k: Int, dim: Int = 64): String =
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |         CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+       |              THEN 0.0
+       |              ELSE 127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+       |         END AS scale
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, scale,
+       |        list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)) AS qs
+       |      FROM sc),
+       |probe AS (SELECT scale AS qscale, qs AS qqs FROM q WHERE vec_id = $queryId),
+       |z AS (SELECT vec_id,
+       |        CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |          i -> CAST(q.qs[i] AS BIGINT) * CAST(probe.qqs[i] AS BIGINT)))
+       |          AS BIGINT) AS qdot,
+       |        q.scale * probe.qscale AS ss
+       |      FROM q, probe WHERE q.vec_id <> $queryId)
+       |SELECT vec_id AS id, qdot,
+       |       CASE WHEN ss = 0 THEN 0.0
+       |            ELSE round(CAST(qdot AS DOUBLE) / ss, 4) END AS score
+       |FROM z ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+
   /** DuckDB twin of [[profile]] over the `embeddings` table. */
   def oracleSql: String =
     """WITH sc AS (

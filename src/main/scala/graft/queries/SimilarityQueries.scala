@@ -349,6 +349,17 @@ object SimilarityQueries {
           col("embedding"), col("vec_id"), k = 8, iters = 1, perCell = 40)
           .select(col("id").as("vec_id"), col("cluster"),
             col("rank"), col("keep")),
-      Some(graft.operators.similarity.BalancedSample.oracleSql(8, 40)))
+      Some(graft.operators.similarity.BalancedSample.oracleSql(8, 40))),
+    Q(
+      "qs21_topk_int8",
+      // exact top-k over int8 codes: the memory tier between qs02
+      // (full float) and qs14 (PQ/ADC) — integer dot products (exact,
+      // no rounding conventions) with one final rescale; map-only
+      // scan + TakeOrdered at a quarter of the bandwidth.
+      (s, dir) =>
+        Quantize.topKInt8(
+          Tables.load(s, dir, "embeddings"),
+          col("embedding"), col("vec_id"), queryId = 0L, k = 10),
+      Some(Quantize.oracleTopKSql(0L, 10)))
   )
 }
