@@ -34,6 +34,36 @@ object RuleClean {
     * closing quote. */
   private[text] val punctRe = "[.!?\"']$"
 
+  private def lineOk(
+      l: Column, minWords: Int, lineBlacklist: Seq[String]): Column = {
+    val low = lower(l)
+    val punctOk = low.rlike(punctRe)
+    val wordsOk = size(split(trim(l), "\\s+")) >= minWords
+    val blackOk = lineBlacklist
+      .map(b => !low.contains(lit(b)))
+      .reduce(_ && _)
+    punctOk && wordsOk && blackOk
+  }
+
+  private def docBad(text: Column, docBlacklist: Seq[String]): Column =
+    docBlacklist.map(b => lower(text).contains(lit(b))).reduce(_ || _)
+
+  /** The keep/drop verdict as ONE per-row predicate — no join, no
+    * state, so it composes directly with Structured Streaming sources
+    * (a streaming curation chain filters on this before the stateful
+    * dedup stages). */
+  def keepPredicate(
+      text: Column,
+      minWords: Int = 5,
+      lineBlacklist: Seq[String] = Seq("javascript", "cookie", "sign in"),
+      docBlacklist: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 1,
+      segmenter: Column => Column = LineDedup.newlineSegmenter): Column = {
+    require(minWords >= 1 && minKeptLines >= 0, "bad rule thresholds")
+    val kept = filter(segmenter(text), lineOk(_, minWords, lineBlacklist))
+    !docBad(text, docBlacklist) && size(kept) >= minKeptLines
+  }
+
   /** Per-document rule-cleaning profile + reconstruction:
     * (id, n_lines, n_kept, doc_keep, clean_md5) where `clean_md5`
     * hashes the surviving lines re-joined with '\n' (empty-string md5
@@ -51,23 +81,11 @@ object RuleClean {
       segmenter: Column => Column = LineDedup.newlineSegmenter): DataFrame = {
     require(minWords >= 1 && minKeptLines >= 0, "bad rule thresholds")
     val lines = segmenter(text)
-    def lineOk(l: Column): Column = {
-      val low = lower(l)
-      val punctOk = low.rlike(punctRe)
-      val wordsOk = size(split(trim(l), "\\s+")) >= minWords
-      val blackOk = lineBlacklist
-        .map(b => !low.contains(lit(b)))
-        .reduce(_ && _)
-      punctOk && wordsOk && blackOk
-    }
-    val docBad = docBlacklist
-      .map(b => lower(text).contains(lit(b)))
-      .reduce(_ || _)
     df.select(
         id.as("id"),
         lines.as("lines"),
-        filter(lines, lineOk(_)).as("kept"),
-        docBad.as("doc_bad"))
+        filter(lines, lineOk(_, minWords, lineBlacklist)).as("kept"),
+        docBad(text, docBlacklist).as("doc_bad"))
       .select(
         col("id"),
         size(col("lines")).cast("long").as("n_lines"),
@@ -77,7 +95,9 @@ object RuleClean {
         md5(concat_ws("\n", col("kept"))).as("clean_md5"))
   }
 
-  /** The keep-side filter over [[profile]]'s verdict. */
+  /** The keep-side filter: a plain map-only `filter` on
+    * [[keepPredicate]] — original schema preserved, batch or
+    * streaming. */
   def clean(
       df: DataFrame,
       text: Column,
@@ -86,12 +106,9 @@ object RuleClean {
       lineBlacklist: Seq[String] = Seq("javascript", "cookie", "sign in"),
       docBlacklist: Seq[String] = Seq("lorem ipsum", "{"),
       minKeptLines: Int = 1,
-      segmenter: Column => Column = LineDedup.newlineSegmenter): DataFrame = {
-    val verdicts = profile(df, text, col(idCol), minWords, lineBlacklist,
-      docBlacklist, minKeptLines, segmenter)
-      .filter(col("doc_keep")).select(col("id").as(idCol))
-    df.join(verdicts, Seq(idCol), "left_semi")
-  }
+      segmenter: Column => Column = LineDedup.newlineSegmenter): DataFrame =
+    df.filter(keepPredicate(text, minWords, lineBlacklist, docBlacklist,
+      minKeptLines, segmenter))
 
   /** DuckDB formulation of [[profile]] over a planted `t(doc_id, tx)`
     * relation (the qt29 registration plants web-junk lines in-query —

@@ -73,6 +73,38 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
   }
 
+  test("rule cleaning composes into the stream ahead of stateful dedup") {
+    // keepPredicate is one per-row expression (no join/state), so it
+    // legally precedes the streaming dedup stages — the streaming
+    // curation chain: rules -> exact dedup
+    val junky = arrivals.withColumn("text",
+      when(col("doc_id") === 13L,
+        concat(col("text"), lit("\nplease enable javascript now ok.")))
+        .otherwise(concat(col("text"), lit(" and it certainly ends well."))))
+    val dir = stage(junky.withColumn("ts",
+      lit("2026-01-01 10:00:00").cast("timestamp")), twice = false)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val cleaned = stream.filter(
+      graft.operators.text.RuleClean.keepPredicate(col("text"), minWords = 3))
+    val q = IngestPipeline.dedupIngest(cleaned, col("text"), fps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_rules")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingest_rules").select("doc_id").as[Long]
+      .collect().sorted
+    // 13 dies on the javascript line rule (its only punct line is
+    // blacklisted); 2/11/15 survive rules (suffix makes them rule-ok);
+    // 2 then dies as an exact corpus re-ingest... but the suffix made
+    // it novel, so all of 2, 11, 15 land; 13 is the rules casualty
+    assert(got.sameElements(Array(2L, 11L, 15L)), got.mkString(","))
+  }
+
   test("curateIngest appends only novel documents to the sink") {
     val dir = stage(arrivals, twice = false)
     val p = MinHashLSH.Params(
