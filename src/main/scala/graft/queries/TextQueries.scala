@@ -752,7 +752,8 @@ object TextQueries {
         graft.operators.text.PerplexityFilter.profile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           vocabSize = 20, tau = 3.6),
-      Some(graft.operators.text.PerplexityFilter.oracleSql(20, 3.6))),
+      Some(graft.operators.text.PerplexityFilter.oracleSql(20, 3.6)),
+      bench = true),
     Q(
       "qt33_dup_span_runs",
       // longest duplicated RUN (the ExactSubstr signal): how long is
@@ -763,6 +764,7 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.SpanDedup.longestRunProfile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.SpanDedup.oracleRunSql()))
+      Some(graft.operators.text.SpanDedup.oracleRunSql()),
+      bench = true)
   )
 }
