@@ -34,6 +34,32 @@ object RuleClean {
     * closing quote. */
   private[text] val punctRe = "[.!?\"']$"
 
+  /** qt29/qp08 shared in-query web-junk planting (the fixture corpus
+    * is single-line punctuation-free word salad): per doc_id residue,
+    * a rule-passing sentence (%3), a javascript banner (%4), a
+    * too-short punct line (%5), and the two doc-killers (%11 lorem,
+    * %13 curly) — newline-separated so the default segmenter sees
+    * them as lines. One source of truth for both engines. */
+  val plantedLines: Seq[(Int, String)] = Seq(
+    3 -> "this cleaned sentence survives every rule today.",
+    4 -> "please enable javascript and cookies to continue.",
+    5 -> "home about contact.",
+    11 -> "lorem ipsum dolor sit amet consectetur elit.",
+    13 -> "function() { return 0; }")
+
+  /** The planted text as a Spark column. */
+  def plantText(id: Column, text: Column): Column =
+    concat(text +: plantedLines.map { case (m, l) =>
+      when(id % m === 0, lit("\n" + l)).otherwise(lit(""))
+    }: _*)
+
+  /** The planted text as a DuckDB expression over (doc_id, text).
+    * NOTE: callers must keep '||' off line starts under stripMargin. */
+  def plantSqlExpr: String =
+    "text" + plantedLines.map { case (m, l) =>
+      s" || CASE WHEN doc_id % $m = 0 THEN chr(10) || '${l.replace("'", "''")}' ELSE '' END"
+    }.mkString
+
   private def lineOk(
       l: Column, minWords: Int, lineBlacklist: Seq[String]): Column = {
     val low = lower(l)
@@ -109,6 +135,39 @@ object RuleClean {
       segmenter: Column => Column = LineDedup.newlineSegmenter): DataFrame =
     df.filter(keepPredicate(text, minWords, lineBlacklist, docBlacklist,
       minKeptLines, segmenter))
+
+  /** Spliceable keep-verdict CTEs over a `from` relation exposing
+    * (doc_id, text), ending in `rc_keep(doc_id)` — the composable twin
+    * of [[keepPredicate]] for funnel oracles (qp08). */
+  def keepCtes(
+      from: String,
+      minWords: Int = 5,
+      lineBlacklist: Seq[String] = Seq("javascript", "cookie", "sign in"),
+      docBlacklist: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 1): String = {
+    val lineBad = lineBlacklist
+      .map(b => s"contains(lower(l), '${b.replace("'", "''")}')")
+      .mkString(" OR ")
+    val docBadSql = docBlacklist
+      .map(b => s"contains(lower(text), '${b.replace("'", "''")}')")
+      .mkString(" OR ")
+    s"""rc_seg AS (
+       |  SELECT doc_id, text,
+       |         list_filter(list_transform(string_split(text, chr(10)),
+       |                                    l -> trim(l)),
+       |                     l -> l <> '') AS lines
+       |  FROM $from),
+       |rc_k AS (
+       |  SELECT doc_id, text,
+       |         list_filter(lines, l ->
+       |           regexp_matches(lower(l), '${punctRe.replace("'", "''")}')
+       |           AND len(regexp_split_to_array(trim(l), '\\s+')) >= $minWords
+       |           AND NOT ($lineBad)) AS kept
+       |  FROM rc_seg),
+       |rc_keep AS (
+       |  SELECT doc_id FROM rc_k
+       |  WHERE NOT ($docBadSql) AND len(kept) >= $minKeptLines)""".stripMargin
+  }
 
   /** DuckDB formulation of [[profile]] over a planted `t(doc_id, tx)`
     * relation (the qt29 registration plants web-junk lines in-query —

@@ -91,24 +91,36 @@ object CorpusPipeline {
        |FROM kept GROUP BY source""".stripMargin
   }
 
-  /** The DuckDB rendition of the whole pipeline — stage CTEs spliced
-    * around the portable-minhash chain, same constants, same policies. */
-  def oracleSql(minTokens: Int = 20, simThreshold: Double = 0.3): String = {
+  /** The curate-stage CTEs (exact dedup → near-dup keep-first → token
+    * gate) rooted on `from`, ending in `d3` (the curated rows) — the
+    * spliceable core of [[oracleSql]], reused by composed funnels
+    * (qp08). */
+  def curateCtes(
+      from: String = "documents",
+      minTokens: Int = 20,
+      simThreshold: Double = 0.3): String = {
     val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
     // the minhash CTE chain re-rooted on the exact-dedup survivors d1
     val lsh = PortableMinHash.pipelineCtes("d1").replaceFirst("^WITH ", "")
-    s"""WITH keep1 AS (
+    s"""keep1 AS (
        |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id, $norm AS nt0 FROM documents) z
+       |  FROM (SELECT doc_id, $norm AS nt0 FROM $from) z
        |  GROUP BY nt0),
-       |d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+       |d1 AS (SELECT d.* FROM $from d JOIN keep1 USING (doc_id)),
        |$lsh,
        |losers AS (SELECT DISTINCT doc_b FROM est WHERE est_jaccard >= $simThreshold),
        |d3 AS (
        |  SELECT * FROM d1
        |  WHERE doc_id NOT IN (SELECT doc_b FROM losers)
-       |    AND $toks >= $minTokens)
+       |    AND $toks >= $minTokens)""".stripMargin
+  }
+
+  /** The DuckDB rendition of the whole pipeline — stage CTEs spliced
+    * around the portable-minhash chain, same constants, same policies. */
+  def oracleSql(minTokens: Int = 20, simThreshold: Double = 0.3): String = {
+    val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
+    s"""WITH ${curateCtes("documents", minTokens, simThreshold)}
        |SELECT CASE WHEN b < 80 THEN 'train'
        |            WHEN b < 90 THEN 'validation'
        |            ELSE 'test' END AS split,

@@ -139,6 +139,79 @@ object PipelineQueries {
            |        UNION SELECT sb AS src, sa AS dst FROM de),
            |nodes AS (SELECT DISTINCT source AS node FROM documents),
            |${graft.operators.GraphRank.oracleRoundsSql(5)}""".stripMargin
+      }),
+    Q(
+      "qp08_curate_funnel",
+      // the CLI `curate --rules --bench` chain as ONE value-oracled
+      // statement: C4 rule verdicts (on qt29's planted web-junk — the
+      // rules need junk to bite) gate which ORIGINAL docs continue;
+      // then exact dedup -> near-dup keep-first -> token gate (qp01's
+      // chain) -> benchmark decontamination vs the test hash-bucket
+      // (qt15's convention; test docs trivially self-match and drop,
+      // so the final stats cover train/validation survivors). Four
+      // operators, one composed oracle.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.load(s, dir, "documents")
+        val planted = base.select(
+          col("doc_id"),
+          graft.operators.text.RuleClean
+            .plantText(col("doc_id"), col("text")).as("text"))
+        val keepIds = graft.operators.text.RuleClean
+          .clean(planted, col("text"), "doc_id").select("doc_id")
+        val cleaned = base.join(keepIds, Seq("doc_id"), "left_semi")
+        val curated = CorpusPipeline.curate(cleaned)
+        val bench = base.filter(
+          graft.operators.text.CorpusOps.splitAssign(col("doc_id")) === "test")
+        val fin = graft.operators.text.Decontaminate.dropContaminated(
+          curated, col("text"), "doc_id",
+          graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text")))
+        fin.groupBy(graft.operators.text.CorpusOps
+            .splitAssign(col("doc_id")).as("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long")).cast("bigint").as("total_tokens"))
+      },
+      Some {
+        val bucket =
+          "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+        val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
+        s"""WITH pl AS (SELECT doc_id,
+           |              ${graft.operators.text.RuleClean.plantSqlExpr} AS text
+           |            FROM documents),
+           |${graft.operators.text.RuleClean.keepCtes("pl")},
+           |d0 AS (SELECT d.* FROM documents d JOIN rc_keep USING (doc_id)),
+           |${CorpusPipeline.curateCtes("d0")},
+           |bn AS (SELECT doc_id,
+           |         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+           |         $bucket AS b
+           |       FROM documents),
+           |bt AS (SELECT doc_id, string_split(nt, ' ') AS toks
+           |       FROM bn WHERE b >= 90),
+           |bg AS (SELECT DISTINCT
+           |         md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS g
+           |       FROM (SELECT toks,
+           |               unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i
+           |             FROM bt) z),
+           |dn AS (SELECT doc_id,
+           |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |       FROM d3),
+           |dgg AS (SELECT DISTINCT doc_id,
+           |          md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS g
+           |        FROM (SELECT doc_id, toks,
+           |                unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i
+           |              FROM dn) z),
+           |dirty AS (SELECT DISTINCT doc_id FROM dgg JOIN bg USING (g)),
+           |d4 AS (SELECT * FROM d3
+           |       WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+           |SELECT CASE WHEN b < 80 THEN 'train'
+           |            WHEN b < 90 THEN 'validation'
+           |            ELSE 'test' END AS split,
+           |       count(*) AS n_docs,
+           |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
+           |FROM (SELECT *, $bucket AS b FROM d4) x
+           |GROUP BY 1""".stripMargin
       })
   )
 }

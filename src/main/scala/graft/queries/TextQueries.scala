@@ -662,38 +662,14 @@ object TextQueries {
       // (%5), and the two doc-killers (%11, %13). Entirely per-row
       // codegen work — zero shuffles; rule cleaning must run at scan
       // speed, that is its job at 100 TB.
-      (s, dir) => {
-        val tx = concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            lit("\nthis cleaned sentence survives every rule today."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 4 === 0,
-            lit("\nplease enable javascript and cookies to continue."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("\nhome about contact."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            lit("\nlorem ipsum dolor sit amet consectetur elit."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, lit("\nfunction() { return 0; }"))
-            .otherwise(lit("")))
+      (s, dir) =>
         graft.operators.text.RuleClean.profile(
-          Tables.load(s, dir, "documents"), tx, col("doc_id"))
-      },
-      Some {
-        // NOTE: '||' never starts a line — stripMargin would eat its
-        // first pipe (the BpeLearn.fuseSql trap)
-        val planted =
-          """(SELECT doc_id, text ||
-            |   CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this cleaned sentence survives every rule today.' ELSE '' END ||
-            |   CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'please enable javascript and cookies to continue.' ELSE '' END ||
-            |   CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'home about contact.' ELSE '' END ||
-            |   CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elit.' ELSE '' END ||
-            |   CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END
-            |   AS tx FROM documents) t""".stripMargin
-        graft.operators.text.RuleClean.oracleSql(planted)
-      },
+          Tables.load(s, dir, "documents"),
+          graft.operators.text.RuleClean.plantText(col("doc_id"), col("text")),
+          col("doc_id")),
+      Some(graft.operators.text.RuleClean.oracleSql(
+        s"(SELECT doc_id, ${graft.operators.text.RuleClean.plantSqlExpr} AS tx " +
+          "FROM documents) t")),
       bench = true),
     Q(
       "qt30_bm25_topk",
