@@ -381,6 +381,55 @@ object DedupQueries {
             (sum(when(col("hit"), 1).otherwise(0)).cast("double")
               / count(lit(1)).cast("double") <= 0.05).as("fp_rate_bounded")))
       },
-      Some("SELECT true AS no_false_negatives, true AS fp_rate_bounded"))
+      Some("SELECT true AS no_false_negatives, true AS fp_rate_bounded")),
+    Q(
+      "qd22_verified_pairs",
+      // the candidate-VERIFICATION stage every production LSH pipeline
+      // ends with: portable-MinHash candidates re-scored by EXACT
+      // 5-char-shingle Jaccard (the same shingle universe the
+      // signatures estimate), `confirmed` when the exact value clears
+      // the threshold the estimate claimed. Shingle arrays join only
+      // onto the CANDIDATE pairs (bounded by the banded join), never
+      // all pairs; the intersect is the sorted-merge native kernel.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cand = graft.operators.dedup.PortableMinHash.pairs(
+          docs, col("text"), col("doc_id"), 0.25)
+        val sh = docs.select(col("doc_id"),
+          sort_array(graft.operators.TextOps.charShingles(col("text"), 5))
+            .as("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          .withColumn("jaccard",
+            round(NGramJaccard.jaccardSorted(col("sha"), col("shb")), 4))
+          .withColumn("confirmed", col("jaccard") >= 0.25)
+          .select("doc_a", "doc_b", "est_jaccard", "jaccard", "confirmed")
+      },
+      Some {
+        val mh = graft.operators.dedup.PortableMinHash.pipelineCtes()
+        s"""$mh,
+           |shg AS (SELECT doc_id,
+           |          list_distinct(list_transform(
+           |            range(1, greatest(length(nt) - 4, 1) + 1),
+           |            i -> substring(nt, i, 5))) AS sh
+           |        FROM n),
+           |cd AS (SELECT doc_a, doc_b, est_jaccard FROM est
+           |       WHERE est_jaccard >= 0.25),
+           |jx AS (SELECT cd.doc_a, cd.doc_b, cd.est_jaccard,
+           |              len(list_intersect(sa.sh, sb.sh))::BIGINT AS i,
+           |              (len(sa.sh)::BIGINT + len(sb.sh)::BIGINT
+           |               - len(list_intersect(sa.sh, sb.sh))::BIGINT) AS u
+           |       FROM cd JOIN shg sa ON cd.doc_a = sa.doc_id
+           |                 JOIN shg sb ON cd.doc_b = sb.doc_id)
+           |SELECT doc_a, doc_b, est_jaccard,
+           |       round(CASE WHEN u = 0 THEN 1.0
+           |                  ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 4)
+           |         AS jaccard,
+           |       round(CASE WHEN u = 0 THEN 1.0
+           |                  ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 4)
+           |         >= 0.25 AS confirmed
+           |FROM jx""".stripMargin
+      })
   )
 }
