@@ -56,11 +56,8 @@ object VideoCopyDetect {
       .filter(col("shared_frames") >= minShared)
   }
 
-  /** qm09 oracle: DuckDB re-derives the qm03 frame fingerprints from
-    * the same byte slices, then mirrors the distinct → cold-filter →
-    * pair-count chain. */
-  def oracleSql(frameBytes: Int, stride: Int, minShared: Int, maxDocs: Int): String =
-    s"""WITH f AS (
+  private def pairCtes(frameBytes: Int, stride: Int, minShared: Int, maxDocs: Int): String =
+    s"""f AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substring(md5(substring(text, CAST(fr * $frameBytes + 1 AS INT), $frameBytes)), 1, 15)) AS BIGINT) AS fc
        |  FROM (SELECT doc_id, text,
@@ -69,9 +66,35 @@ object VideoCopyDetect {
        |d AS (SELECT DISTINCT doc_id, fc FROM f),
        |cold AS (
        |  SELECT doc_id, fc FROM d
-       |  WHERE fc IN (SELECT fc FROM d GROUP BY fc HAVING count(*) <= $maxDocs))
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
-       |FROM cold a JOIN cold b ON a.fc = b.fc AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2
-       |HAVING count(*) >= $minShared""".stripMargin
+       |  WHERE fc IN (SELECT fc FROM d GROUP BY fc HAVING count(*) <= $maxDocs)),
+       |vp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+       |  FROM cold a JOIN cold b ON a.fc = b.fc AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $minShared)""".stripMargin
+
+  /** qm09 oracle: DuckDB re-derives the qm03 frame fingerprints from
+    * the same byte slices, then mirrors the distinct → cold-filter →
+    * pair-count chain. */
+  def oracleSql(frameBytes: Int, stride: Int, minShared: Int, maxDocs: Int): String =
+    s"""WITH ${pairCtes(frameBytes, stride, minShared, maxDocs)}
+       |SELECT doc_a, doc_b, shared_frames FROM vp""".stripMargin
+
+  /** qm11: duplicate-cluster labels over the video copy-pair graph —
+    * the qm07/qm10/qd16 recursive transitive-closure oracle applied to
+    * the shared-frame edges. */
+  def oracleComponentsSql(frameBytes: Int, stride: Int, minShared: Int, maxDocs: Int): String =
+    s"""WITH RECURSIVE ${pairCtes(frameBytes, stride, minShared, maxDocs)},
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM vp
+       |        UNION SELECT doc_b AS a, doc_a AS b FROM vp),
+       |reach AS (
+       |  SELECT a AS node, b AS other FROM sym
+       |  UNION
+       |  SELECT r.node, s.b AS other FROM reach r JOIN sym s ON r.other = s.a
+       |)
+       |SELECT dd.doc_id,
+       |       least(dd.doc_id, coalesce(m.mn, dd.doc_id)) AS component
+       |FROM documents dd
+       |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |  ON dd.doc_id = m.node""".stripMargin
 }

@@ -289,6 +289,25 @@ object EventQueries {
       Some(graft.operators.multimodal.VideoCopyDetect
         .oracleSql(64, 2, 2, 8))),
     Q(
+      "qm11_video_dup_clusters",
+      // video copy-pair graph -> duplicate clusters: the qm07/qm10
+      // composition completed for the third modality — qm09's
+      // shared-frame edges feed connected components.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = Tables.load(s, dir, "documents")
+        val media = graft.operators.multimodal.Multimodal.asMedia(
+          docs, "doc_id", "text")
+        val edges = graft.operators.multimodal.VideoCopyDetect.pairs(
+          graft.operators.multimodal.Multimodal
+            .frameSampleStub(media, frameBytes = 64, stride = 2).toDF(),
+          col("id"), col("frameChecksum"), minShared = 2, maxDocs = 8)
+        graft.operators.dedup.ConnectedComponents.components(
+          edges, "doc_a", "doc_b", docs.select("doc_id"), "doc_id")
+      },
+      Some(graft.operators.multimodal.VideoCopyDetect
+        .oracleComponentsSql(64, 2, 2, 8))),
+    Q(
       "qm10_audio_dup_clusters",
       // audio pair graph -> duplicate clusters: qm07's composition on
       // the audio surface — contour-hash near-dup edges (qm06's planted
