@@ -32,7 +32,11 @@ object GraphRank {
   /** Run `rounds` mass-propagation rounds over the DIRECTED edge list
     * (symmetrize first for undirected graphs); every node in `nodes`
     * participates (isolated nodes keep their initial mass). Returns
-    * (node, mass). */
+    * (node, mass).
+    *
+    * PRECONDITION: edge endpoints must appear in `nodes` — mass sent
+    * to an unknown destination has no state row to land in and would
+    * leak (conservation is spec-asserted only over closed graphs). */
   def rank(
       nodes: DataFrame,
       nodeCol: String,
