@@ -197,7 +197,7 @@ object Main {
         val afterRules =
           if (args.contains("--rules"))
             graft.operators.Barrier(
-              graft.operators.text.RuleClean.clean(docs, col("text"), "doc_id"))
+              graft.operators.text.RuleClean.clean(docs, col("text")))
           else docs
         val n1 = afterRules.count()
         val curated = graft.operators.Barrier(

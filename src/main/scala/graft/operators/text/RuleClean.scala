@@ -127,7 +127,6 @@ object RuleClean {
   def clean(
       df: DataFrame,
       text: Column,
-      idCol: String,
       minWords: Int = 5,
       lineBlacklist: Seq[String] = Seq("javascript", "cookie", "sign in"),
       docBlacklist: Seq[String] = Seq("lorem ipsum", "{"),

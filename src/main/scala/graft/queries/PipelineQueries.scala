@@ -158,7 +158,7 @@ object PipelineQueries {
           graft.operators.text.RuleClean
             .plantText(col("doc_id"), col("text")).as("text"))
         val keepIds = graft.operators.text.RuleClean
-          .clean(planted, col("text"), "doc_id").select("doc_id")
+          .clean(planted, col("text")).select("doc_id")
         val cleaned = base.join(keepIds, Seq("doc_id"), "left_semi")
         val curated = CorpusPipeline.curate(cleaned)
         val bench = base.filter(

@@ -360,6 +360,32 @@ object SimilarityQueries {
         Quantize.topKInt8(
           Tables.load(s, dir, "embeddings"),
           col("embedding"), col("vec_id"), queryId = 0L, k = 10),
-      Some(Quantize.oracleTopKSql(0L, 10)))
+      Some(Quantize.oracleTopKSql(0L, 10))),
+    Q(
+      "qs22_ivf_nprobe_sweep",
+      // the IVF tuning CONTRACT as a gate (qs08 pattern): recall@10
+      // must be monotone non-decreasing in nprobe, and probing every
+      // cell must recover the exact brute-force top-10 (full probe ≡
+      // full scan). The sweep is what an operator tuning nprobe for a
+      // latency budget relies on; a cell-assignment asymmetry bug
+      // breaks monotonicity long before it breaks single-point recall.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = probe(s, dir)
+        val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+        val bf = SimilaritySearch
+          .bruteForceTopK(emb, col("embedding"), col("vec_id"), p, 10)
+        def missed(nprobe: Int) = bf.join(
+            index.topK(emb, col("embedding"), col("vec_id"), p, 10, nprobe)
+              .select("id"),
+            Seq("id"), "left_anti")
+          .agg(count(lit(1)).as(s"m$nprobe"))
+        missed(1).crossJoin(missed(3)).crossJoin(missed(8))
+          .select(
+            (col("m1") >= col("m3") && col("m3") >= col("m8"))
+              .as("monotone_recall"),
+            (col("m8") === 0).as("full_probe_exact"))
+      },
+      Some("SELECT true AS monotone_recall, true AS full_probe_exact"))
   )
 }

@@ -44,7 +44,7 @@ class RuleCleanSpec extends SparkSpec {
       (1L, "a fine surviving sentence with many words here."),
       (2L, "junk { junk }"),
       (3L, "too short.")).toDF("doc_id", "text")
-    val kept = RuleClean.clean(docs, col("text"), "doc_id")
+    val kept = RuleClean.clean(docs, col("text"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
