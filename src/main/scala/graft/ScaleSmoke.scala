@@ -47,7 +47,8 @@ object ScaleSmoke {
     "qt25_line_dedup",
     "qs15_topk_ivfpq",
     "qp06_transitive_decon",
-    "qt32_perplexity_filter")
+    "qt32_perplexity_filter",
+    "qt33_dup_span_runs")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
