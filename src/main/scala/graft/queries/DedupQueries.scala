@@ -430,6 +430,59 @@ object DedupQueries {
            |                  ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 4)
            |         >= 0.25 AS confirmed
            |FROM jx""".stripMargin
+      }),
+    Q(
+      "qd23_dedup_dashboard",
+      // per-source corpus health: doc counts, exact-dup rate (1 −
+      // distinct-normalized-texts / docs) and within-source near-dup
+      // pair counts — the dashboard a curation run reports per crawl
+      // domain before anyone decides caps or mixing weights. Exact
+      // side is two narrow aggregations; the pair side reuses the
+      // banded portable-MinHash join, grouped where both endpoints
+      // share the source.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val ex = docs
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(graft.operators.TextOps.normalized(col("text")))
+              .as("n_unique"))
+          .withColumn("exact_dup_rate",
+            round(lit(1.0) - col("n_unique").cast("double")
+              / col("n_docs").cast("double"), 4))
+        val src = docs.select(col("doc_id"), col("source"))
+        val nd = graft.operators.dedup.PortableMinHash
+          .pairs(docs, col("text"), col("doc_id"), 0.3)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .filter(col("sa") === col("sb"))
+          .groupBy(col("sa").as("source"))
+          .agg(count(lit(1)).as("near_dup_pairs"))
+        ex.join(nd, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            col("exact_dup_rate"),
+            coalesce(col("near_dup_pairs"), lit(0L)).as("near_dup_pairs"))
+      },
+      Some {
+        val mh = graft.operators.dedup.PortableMinHash.pipelineCtes()
+        s"""$mh,
+           |ex AS (
+           |  SELECT source, count(*) AS n_docs,
+           |         count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |           AS n_unique
+           |  FROM documents GROUP BY source),
+           |nd AS (
+           |  SELECT da.source, count(*) AS near_dup_pairs
+           |  FROM est JOIN documents da ON est.doc_a = da.doc_id
+           |           JOIN documents db ON est.doc_b = db.doc_id
+           |  WHERE est.est_jaccard >= 0.3 AND da.source = db.source
+           |  GROUP BY da.source)
+           |SELECT ex.source, n_docs, n_unique,
+           |       round(1.0 - CAST(n_unique AS DOUBLE)
+           |                   / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
+           |       coalesce(nd.near_dup_pairs, 0) AS near_dup_pairs
+           |FROM ex LEFT JOIN nd ON ex.source = nd.source""".stripMargin
       })
   )
 }

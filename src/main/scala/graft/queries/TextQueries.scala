@@ -740,7 +740,36 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.SpanDedup.longestRunProfile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.SpanDedup.oracleRunSql()),
-      bench = true)
+      Some(graft.operators.text.SpanDedup.oracleRunSql(),),
+      bench = true),
+    Q(
+      "qt34_length_distribution",
+      // per-source token-length distribution: exact p25/p50/p90 (the
+      // qe08 bit-exact quantile convention over integer token counts)
+      // plus min/max — the length profile behind every chunking and
+      // packing decision. One keyed aggregation of narrow rows.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("double").as("nt"))
+        docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          min(col("nt").cast("long")).as("min_tokens"),
+          expr("percentile(nt, 0.25D)").as("p25"),
+          expr("percentile(nt, 0.5D)").as("p50"),
+          expr("percentile(nt, 0.9D)").as("p90"),
+          max(col("nt").cast("long")).as("max_tokens"))
+      },
+      Some("""WITH t AS (SELECT source,
+                           CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS nt
+                         FROM documents)
+              SELECT source, count(*) AS n_docs,
+                     CAST(min(nt) AS BIGINT) AS min_tokens,
+                     quantile_cont(nt, 0.25) AS p25,
+                     quantile_cont(nt, 0.5) AS p50,
+                     quantile_cont(nt, 0.9) AS p90,
+                     CAST(max(nt) AS BIGINT) AS max_tokens
+              FROM t GROUP BY source"""))
   )
 }
