@@ -740,7 +740,7 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.SpanDedup.longestRunProfile(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.SpanDedup.oracleRunSql(),),
+      Some(graft.operators.text.SpanDedup.oracleRunSql()),
       bench = true),
     Q(
       "qt34_length_distribution",
