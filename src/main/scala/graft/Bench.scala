@@ -59,33 +59,51 @@ object Bench {
     // the MIN, machine turbulence widens the SPREAD — round 4's 2.6x
     // q01 "regression" (min 1.73 s under end-of-round load, back to
     // 0.53 s re-measured quiet) was indistinguishable without it.
-    val results: Seq[(String, Seq[Double])] = benchQs.map { q =>
-      val times = (1 to runs).flatMap { _ =>
+    //
+    // Runs are INTERLEAVED (sweep 1 of every query, then sweep 2, ...)
+    // rather than back-to-back per query: round 8's harness bench ran
+    // under a sustained co-scheduled load and, with back-to-back runs,
+    // all 3 runs of one query fell inside the loaded stretch — qd03
+    // recorded min 18.3 s where a quiet re-run of the identical commit
+    // gives 1.2 s. Interleaving spreads each query's samples across the
+    // whole bench window so min-of-N survives any load burst shorter
+    // than a full sweep. Each timed run is also paired with its own
+    // sentinel measurement taken immediately before it; the spread
+    // carries `snt` = the sentinel paired with the reported MIN run,
+    // making "the machine moved" readable per-query from the JSON.
+    val samples = scala.collection.mutable.Map
+      .empty[String, Vector[(Double, Double)]] // query -> (time, pairedSentinel)
+      .withDefaultValue(Vector.empty)
+    (1 to runs).foreach { _ =>
+      benchQs.foreach { q =>
+        val snt = try sentinelRun() catch { case _: Throwable => -1.0 }
         val t0 = System.nanoTime()
         try {
           q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(q.name) = samples(q.name) :+ ((System.nanoTime() - t0) / 1e9, snt)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            None
         }
       }
-      q.name -> times.sorted
     }
+    val results: Seq[(String, Seq[(Double, Double)])] =
+      benchQs.map(q => q.name -> samples(q.name).sortBy(_._1))
     def j(ts: Seq[Double], f: Seq[Double] => Double): String =
       if (ts.isEmpty) "null" else f"${f(ts)}%.3f"
     val qs = results
-      .map { case (k, ts) => "\"" + k + "\":" + j(ts, _.min) }
+      .map { case (k, ts) => "\"" + k + "\":" + j(ts.map(_._1), _.min) }
       .mkString("{", ",", "}")
     val spread = results
       .map { case (k, ts) =>
-        val med = j(ts, s => s(s.size / 2))
-        "\"" + k + "\":{\"min\":" + j(ts, _.min) + ",\"med\":" + med +
-          ",\"max\":" + j(ts, _.max) + "}"
+        val times = ts.map(_._1)
+        val med = j(times, s => s(s.size / 2))
+        val snt = j(ts.headOption.map(_._2).toSeq, _.head)
+        "\"" + k + "\":{\"min\":" + j(times, _.min) + ",\"med\":" + med +
+          ",\"max\":" + j(times, _.max) + ",\"snt\":" + snt + "}"
       }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2.minOption).sum
+    val total = results.flatMap(_._2.map(_._1).minOption).sum
     val failed = results.filter(_._2.isEmpty).map(_._1)
     val failedJson =
       if (failed.isEmpty) ""

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader. One parquet file per table under a scale-factor
   * directory (see TESTDATA.md). Columns arrive lower-cased already; the
@@ -17,11 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it
-    // arrives as an ns-epoch long — convert with exact integer µs
-    // division (values are µs-granularity, so nothing truncates).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // events.ts has shipped as two physical shapes across fixture
+    // generations; normalize both to session-zoned TIMESTAMP so every
+    // downstream consumer (windows, watermarks, unix_micros) sees one
+    // type. The session zone is pinned UTC (build.sbt/GraftSession),
+    // so both conversions denote the identical instant:
+    //  - TIMESTAMP(NANOS): read as ns-epoch long under nanosAsLong —
+    //    exact integer µs division (values are µs-granularity).
+    //  - timestamp[us] without tz metadata: arrives TIMESTAMP_NTZ —
+    //    cast reinterprets the wall-clock as UTC.
+    if (name == "events")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 }
