@@ -196,6 +196,28 @@ object PortableMinHash {
        |         AS keep
        |FROM comp""".stripMargin
 
+  /** [[oracleComponentsSql]] extended with duplicate-aware split
+    * assignment (qp09): the split bucket hashes the COMPONENT label,
+    * not the doc id, so an entire near-dup cluster lands in one split
+    * and train/test leakage through near-duplicates is impossible by
+    * construction. Same md5-bucket arithmetic as qt07's per-doc split
+    * (CorpusOps.splitBucket), evaluated identically by both engines. */
+  def oracleSplitSql(threshold: Double, trainPct: Int = 80, validPct: Int = 10): String =
+    s"""${reachCtes(threshold)},
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |  FROM documents d
+       |  LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |    ON d.doc_id = m.node)
+       |SELECT doc_id, component,
+       |       CASE WHEN b < $trainPct THEN 'train'
+       |            WHEN b < ${trainPct + validPct} THEN 'validation'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, component,
+       |             CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+       |      FROM comp) x""".stripMargin
+
   /** The shared CTE chain (normalize -> shingle-hash -> signature ->
     * bands -> candidates -> estimates) over `from` — parametrized so
     * composite pipelines (CorpusPipeline) can run it on an intermediate

@@ -212,6 +212,29 @@ object PipelineQueries {
            |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
            |FROM (SELECT *, $bucket AS b FROM d4) x
            |GROUP BY 1""".stripMargin
-      })
+      }),
+    Q(
+      "qp09_dup_aware_split",
+      // duplicate-aware train/validation/test split: qd10's pair mining
+      // feeds qd16's components, then the split bucket hashes the
+      // COMPONENT (qt07's md5 arithmetic) — every near-dup cluster
+      // lands whole in one split, so eval can't leak through a
+      // paraphrase of a training doc. Hash-of-component keeps qt07's
+      // stability guarantees (engine/run/reshard-invariant) and its
+      // ~80/10/10 proportions, since components are dominated by
+      // singletons.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val edges = graft.operators.dedup.PortableMinHash.pairs(
+          docs, org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("doc_id"), 0.3)
+        val comp = graft.operators.dedup.ConnectedComponents.components(
+          edges, "doc_a", "doc_b", docs, "doc_id")(s)
+        comp.withColumn(
+          "split",
+          graft.operators.text.CorpusOps.splitAssign(
+            org.apache.spark.sql.functions.col("component")))
+      },
+      Some(graft.operators.dedup.PortableMinHash.oracleSplitSql(0.3)))
   )
 }

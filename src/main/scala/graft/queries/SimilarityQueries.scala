@@ -386,6 +386,35 @@ object SimilarityQueries {
               .as("monotone_recall"),
             (col("m8") === 0).as("full_probe_exact"))
       },
-      Some("SELECT true AS monotone_recall, true AS full_probe_exact"))
+      Some("SELECT true AS monotone_recall, true AS full_probe_exact")),
+    Q(
+      "qs23_hard_negatives",
+      // contrastive hard-negative mining: for each of 5 anchor vectors,
+      // the 5 most-similar corpus vectors with a DIFFERENT label — the
+      // boundary-hugging negatives contrastive training wants. Same
+      // broadcast-probe batch shape and sequential-fold cosine contract
+      // as qs05, so ranks are value-oracled end-to-end; the label
+      // inequality runs before ranking on both engines.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+        graft.operators.similarity.HardNegatives
+          .mine(emb, col("embedding"), col("vec_id"), col("label"),
+            probes, col("embedding"), col("vec_id"), col("label"), k = 5)
+          .select(col("probe_id"), col("corpus_id"), col("corpus_label"), col("rank"))
+      },
+      Some(s"""WITH scored AS (
+                 SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                        c.label AS corpus_label,
+                        ${cosineSql("c.embedding", "p.embedding")} AS cosine
+                 FROM embeddings c,
+                      (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 5) p
+                 WHERE c.label <> p.label)
+               SELECT probe_id, corpus_id, corpus_label, rank FROM (
+                 SELECT probe_id, corpus_id, corpus_label,
+                        row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cosine DESC, corpus_id) AS rank
+                 FROM scored) z
+               WHERE rank <= 5"""))
   )
 }
