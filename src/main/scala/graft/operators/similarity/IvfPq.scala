@@ -41,6 +41,21 @@ object IvfPq {
     encode(df, vec, id, cb)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
 
+  /** Append an increment into a persisted index without touching the
+    * base: new code files land inside the existing cell partitions
+    * (dynamic-partition append), existing files are never rewritten,
+    * and readers keep pruning at the file level. Because the coarse
+    * cells and PQ codebook are FROZEN constants (the externally-
+    * trained-codebook mode), an appended index is bit-identical in
+    * content to a full rebuild over base ∪ increment — qs24 proves
+    * that against the same external oracle as qs15. This is the ANN
+    * side of the qd18 incremental contract: the corpus is encoded
+    * once, each increment costs one map-only encode of ITS rows. */
+  def appendIndex(df: DataFrame, vec: Column, id: Column, dir: String,
+      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): Unit =
+    encode(df, vec, id, cb)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+
   /** ADC top-k against a persisted index: restrict to the `nprobe`
     * cells nearest the probe (partition-pruned scan), then the
     * codes-only ADC scan. */

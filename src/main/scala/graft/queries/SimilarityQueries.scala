@@ -274,6 +274,26 @@ object SimilarityQueries {
       Some(graft.operators.similarity.IvfPq.oracleSql(10, 3)),
       bench = true),
     Q(
+      "qs24_topk_ivfpq_append",
+      // the serving index LIFECYCLE: build on half the corpus, append
+      // the other half (new files inside existing cell partitions,
+      // base files untouched), probe the combined index. The frozen
+      // codebooks make append ≡ full rebuild, so qs15's full-corpus
+      // oracle value-checks the appended index end-to-end — the ANN
+      // twin of qd18/qd19's incremental-dedup contract.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_append").toString
+        graft.operators.similarity.IvfPq.writeIndex(
+          emb.filter(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"), idx)
+        graft.operators.similarity.IvfPq.appendIndex(
+          emb.filter(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"), idx)
+        graft.operators.similarity.IvfPq.topKIndexed(
+          s, idx, probe(s, dir), topk = 10, nprobe = 3)
+      },
+      Some(graft.operators.similarity.IvfPq.oracleSql(10, 3))),
+    Q(
       "qs16_semantic_decontaminate",
       // embedding-space eval-leak detection (the semantic complement
       // of qt15's exact 8-grams): label 9 plays the benchmark, every

@@ -119,6 +119,42 @@ class SimilaritySpec extends SparkSpec {
       "probe vector missing from its own probed-cell scan")
   }
 
+  test("IVF x PQ append: appended index equals full rebuild, base files untouched") {
+    import graft.operators.similarity.IvfPq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_a").toString
+    IvfPq.writeIndex(
+      emb.filter(col("vec_id") % 2 === 0), col("embedding"), col("vec_id"), dir)
+    import scala.jdk.CollectionConverters._
+    def parquetFiles() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => (p, java.nio.file.Files.getLastModifiedTime(p)))
+      .toSeq
+    val baseFiles = parquetFiles()
+    assert(baseFiles.nonEmpty)
+    IvfPq.appendIndex(
+      emb.filter(col("vec_id") % 2 === 1), col("embedding"), col("vec_id"), dir)
+    // base files still present and unmodified (append never rewrites)
+    baseFiles.foreach { case (p, mtime) =>
+      assert(java.nio.file.Files.exists(p), s"append rewrote base file $p")
+      assert(java.nio.file.Files.getLastModifiedTime(p) == mtime,
+        s"append modified base file $p")
+    }
+    // frozen codebooks: append-then-probe == rebuild-then-probe
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivfpq_r").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), rebuilt)
+    val appended = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+    val full = IvfPq.topKIndexed(spark, rebuilt, probe, 10, nprobe = 3)
+    assert(
+      appended.as[(Long, Double)].collect().toSeq ==
+        full.as[(Long, Double)].collect().toSeq,
+      "appended index diverges from full rebuild")
+    // file-level pruning survives the append
+    val plan = appended.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"appended index lost partition pruning:\n$plan")
+  }
+
   test("batch IVFxPQ serving agrees with the single-probe path per probe") {
     import graft.operators.similarity.IvfPq
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_b").toString
