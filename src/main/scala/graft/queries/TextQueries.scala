@@ -771,5 +771,19 @@ object TextQueries {
                      quantile_cont(nt, 0.9) AS p90,
                      CAST(max(nt) AS BIGINT) AS max_tokens
               FROM t GROUP BY source"""))
+,
+    Q(
+      "qt35_discriminative_terms",
+      // corpus comparison: the 20 terms most over-represented in the
+      // English slice vs the rest, by add-one-smoothed rate ratio.
+      // Deliberately log-free: counts are exact BIGINTs and each score
+      // is two IEEE divisions, so every double is bit-identical across
+      // engines (a log-likelihood variant would drift by libm ULPs).
+      (s, dir) =>
+        graft.operators.text.DiscriminativeTerms.topTerms(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("lang") === "en", k = 20),
+      Some(graft.operators.text.DiscriminativeTerms
+        .oracleSql("lang = 'en'", 20)))
   )
 }
