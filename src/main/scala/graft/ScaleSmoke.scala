@@ -48,7 +48,11 @@ object ScaleSmoke {
     "qs15_topk_ivfpq",
     "qp06_transitive_decon",
     "qt32_perplexity_filter",
-    "qt33_dup_span_runs")
+    "qt33_dup_span_runs",
+    // round 9: component-hashed split (CC at scale) and the term-diff
+    // profile (full-corpus explode + term shuffle)
+    "qp09_dup_aware_split",
+    "qt35_discriminative_terms")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"

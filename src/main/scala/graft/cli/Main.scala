@@ -22,6 +22,10 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *   graft curate --table t --into t2       one-command corpus curation
   *                                          ([--rules] [--bench evaltbl]
   *                                          [--min-tokens n] [--threshold x])
+  *   graft ann build  --table t --index d   encode + persist the IVF×PQ
+  *                                          serving index (cell-partitioned)
+  *   graft ann append --table t --index d   idempotent increment append
+  *   graft ann search --index d --probe-id n  probe the persisted index
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
@@ -223,12 +227,64 @@ object Main {
         println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"kept $n3/$n0 -> $into")
         0
+      case "ann" =>
+        // the persisted ANN serving-index lifecycle (the vector-side
+        // sibling of `index`): codes parquet-partitioned by IVF cell,
+        // 32-bit PQ codes, probes read only their nprobe cells' files.
+        // `append` is idempotent (replays anti-join the index's ids) —
+        // the qs24/VectorIngest contract: append ≡ full rebuild.
+        import org.apache.spark.sql.functions.col
+        val vecC = opt("--vec").getOrElse("embedding")
+        val idC = opt("--id").getOrElse("vec_id")
+        (args.lift(1), opt("--index"), opt("--table")) match {
+          case (Some("build"), Some(dir), Some(t)) =>
+            val corpus = catalogFor(cfg.src).read(spark, t)
+            graft.operators.similarity.IvfPq
+              .writeIndex(corpus, col(vecC), col(idC), dir)
+            val n = spark.read.parquet(s"$dir/codes").count()
+            println(s"ANN index built at $dir: $n vectors encoded")
+            println(f"ANN build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("append"), Some(dir), Some(t)) =>
+            val before =
+              try spark.read.parquet(s"$dir/codes").count() catch { case _: Throwable => 0L }
+            val inc = catalogFor(cfg.src).read(spark, t)
+            graft.streaming.VectorIngest
+              .appendBatch(inc, col(vecC), col(idC), dir)
+            val after = spark.read.parquet(s"$dir/codes").count()
+            println(table(Seq(
+              Seq("Index", "Before", "Appended", "Total"),
+              Seq(dir, before.toString, (after - before).toString, after.toString))))
+            println(f"ANN append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("search"), Some(dir), tOpt) =>
+            val k = opt("--k").map(_.toInt).getOrElse(10)
+            val nprobe = opt("--nprobe").map(_.toInt).getOrElse(3)
+            val probeId = opt("--probe-id").map(_.toLong).getOrElse(0L)
+            val probeTable = tOpt.getOrElse("embeddings")
+            val probe = catalogFor(cfg.src).read(spark, probeTable)
+              .filter(col(idC) === probeId)
+              .select(vecC).head().getSeq[Float](0)
+            val hits = graft.operators.similarity.IvfPq
+              .topKIndexed(spark, dir, probe, k, nprobe)
+              .collect()
+            println(table(
+              Seq("Id", "AdcDist") +:
+                hits.map(r => Seq(r.get(0).toString, f"${r.getDouble(1)}%.6f")).toSeq))
+            println(f"ANN search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case _ =>
+            println("usage: graft ann <build|append|search> --index <dir> " +
+              "[--table <vec-table>] [--vec embedding] [--id vec_id] " +
+              "[--k 10] [--nprobe 3] [--probe-id 0] --config cfg.yml")
+            2
+        }
       case "version" =>
         // reference parity: cmd/version.go prints the build version
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|curate|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|search>|curate|version> --config cfg.yml")
         2
     }
     }

@@ -234,6 +234,39 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/docs_rules.parquet").count() == 0)
   }
 
+  test("ann build + append + search lifecycle over the persisted IVFxPQ index") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft_ann_src").toString
+    val idxDir = Files.createTempDirectory("graft_ann_idx").toString + "/ivfpq"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$srcDir
+         |""".stripMargin)
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    emb.filter(col("vec_id") % 2 === 0)
+      .write.parquet(s"$srcDir/vec_base.parquet")
+    emb.filter(col("vec_id") % 2 === 1)
+      .write.parquet(s"$srcDir/vec_inc.parquet")
+    emb.write.parquet(s"$srcDir/embeddings.parquet")
+
+    assert(Main.run(Array("ann", "build", "--table", "vec_base",
+      "--index", idxDir, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("ann", "append", "--table", "vec_inc",
+      "--index", idxDir, "--config", cfg), spark) == 0)
+    // replay: appending the same increment again adds nothing
+    val n = spark.read.parquet(s"$idxDir/codes").count()
+    assert(Main.run(Array("ann", "append", "--table", "vec_inc",
+      "--index", idxDir, "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$idxDir/codes").count() == n)
+    assert(n == emb.count())
+    assert(Main.run(Array("ann", "search", "--index", idxDir,
+      "--probe-id", "0", "--config", cfg), spark) == 0)
+    // bad usage exits 2
+    assert(Main.run(Array("ann", "build", "--config", cfg), spark) == 2)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }

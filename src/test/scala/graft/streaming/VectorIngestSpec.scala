@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.similarity.IvfPq
+
+class VectorIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+
+  test("streamed appends converge to the full-rebuild index; replays are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (first, second) = all.splitAt(all.size / 2)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_vi").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vi_ck").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val df = mem.toDF().toDF("vec_id", "embedding")
+
+    def drain(): Unit = {
+      val q = VectorIngest.appendStream(
+        df, col("embedding"), col("vec_id"), dir, ckpt)
+      q.awaitTermination()
+    }
+    mem.addData(first: _*)
+    drain()
+    // second batch overlaps the first (duplicate ids) — the anti-join
+    // must drop the overlap, modeling an at-least-once replay
+    mem.addData(second ++ first.take(10): _*)
+    drain()
+
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === all.size.toLong, "replayed ids were re-appended")
+    assert(codes.select("id").distinct().count() === all.size.toLong)
+
+    // content-identical to a one-shot rebuild (the qs24 contract)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_vi_r").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), rebuilt)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val streamedTopK = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val rebuiltTopK = IvfPq.topKIndexed(spark, rebuilt, probe, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(streamedTopK === rebuiltTopK, "streamed index diverges from rebuild")
+  }
+
+  test("appendBatch is idempotent when re-run with the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vi_b").toString
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    VectorIngest.appendBatch(half, col("embedding"), col("vec_id"), dir)
+    val n1 = spark.read.parquet(s"$dir/codes").count()
+    VectorIngest.appendBatch(half, col("embedding"), col("vec_id"), dir)
+    assert(spark.read.parquet(s"$dir/codes").count() === n1,
+      "re-running the same batch grew the index")
+  }
+}
