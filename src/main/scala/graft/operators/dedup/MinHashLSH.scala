@@ -57,6 +57,35 @@ object MinHashLSH {
     def rows: Int = numHashes / bands
   }
 
+  /** S-curve collision probability of the banded scheme: a pair with
+    * true Jaccard `s` shares at least one of `b` bands of `r` rows
+    * with probability 1 − (1 − s^r)^b — the standard LSH analysis
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4). */
+  def collisionProb(s: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
+  /** The similarity at which the S-curve crosses steepest ascent,
+    * ≈ (1/b)^(1/r) — the effective threshold the banding enforces. */
+  def bandThreshold(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+
+  /** Choose (bands, rows) for a TARGET threshold: over divisor pairs
+    * b·r = numHashes, pick the banding whose S-curve threshold sits
+    * closest to the target, breaking ties toward MORE bands (higher
+    * recall at the target — the safer error side for dedup, where a
+    * missed duplicate costs training quality and a false candidate
+    * only costs one exact re-check). This makes recall/cost a
+    * parameter instead of caller folklore: callers state the Jaccard
+    * they care about, the planner picks the banding. */
+  def planBands(numHashes: Int, threshold: Double): Params = {
+    require(numHashes > 0 && threshold > 0.0 && threshold < 1.0,
+      s"bad planner inputs ($numHashes, $threshold)")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    val bands = candidates.minBy { b =>
+      (math.abs(bandThreshold(b, numHashes / b) - threshold), -b)
+    }
+    Params(numHashes = numHashes, bands = bands, threshold = threshold)
+  }
+
   /** (id, signature) for every document. */
   def signatures(df: DataFrame, text: Column, id: Column, p: Params): DataFrame =
     graft.operators.Parallelism.ensureMin(df).select(

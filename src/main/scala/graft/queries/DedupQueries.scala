@@ -483,6 +483,36 @@ object DedupQueries {
            |                   / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
            |       coalesce(nd.near_dup_pairs, 0) AS near_dup_pairs
            |FROM ex LEFT JOIN nd ON ex.source = nd.source""".stripMargin
-      })
+      }),
+    Q(
+      "qd24_lsh_planner",
+      // the LSH tuning CONTRACT as a gate (qs22's pattern, for the
+      // banding): for each target Jaccard the planner must (a) pick
+      // the divisor pair whose S-curve threshold is the grid optimum,
+      // and (b) yield a usable S-curve — collision probability
+      // separating ±0.15 around the target by > 0.25, the property
+      // that makes "threshold" a real knob rather than folklore. A
+      // banding asymmetry bug (r and b swapped, off-by-one slice)
+      // flattens the curve and fails (b) long before any fixture
+      // query notices.
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.dedup.MinHashLSH
+        val nh = 48
+        def ok(t: Double): Boolean = {
+          val p = MinHashLSH.planBands(nh, t)
+          val gridBest = (1 to nh).filter(nh % _ == 0)
+            .map(b => math.abs(MinHashLSH.bandThreshold(b, nh / b) - t)).min
+          val argminOk =
+            math.abs(MinHashLSH.bandThreshold(p.bands, p.rows) - t) == gridBest
+          val sep =
+            MinHashLSH.collisionProb(math.min(t + 0.15, 0.99), p.bands, p.rows) -
+              MinHashLSH.collisionProb(math.max(t - 0.15, 0.01), p.bands, p.rows)
+          argminOk && sep > 0.25 && p.bands * p.rows == nh
+        }
+        Seq((ok(0.3), ok(0.5), ok(0.7))).toDF(
+          "plan_03_ok", "plan_05_ok", "plan_07_ok")
+      },
+      Some("SELECT true AS plan_03_ok, true AS plan_05_ok, true AS plan_07_ok"))
   )
 }

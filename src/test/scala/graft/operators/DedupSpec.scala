@@ -174,4 +174,20 @@ class DedupSpec extends SparkSpec {
     val d = df.select(VectorOps.cosine(col("a"), col("a")).as("c")).as[Double].head()
     assert(math.abs(d - 1.0) < 1e-9)
   }
+
+  test("LSH planner picks the grid-optimal banding per target threshold") {
+    import graft.operators.dedup.MinHashLSH
+    // hand-checked S-curve thresholds over divisors of 48:
+    // (1/24)^(1/2)=0.204, (1/12)^(1/4)=0.537, (1/8)^(1/6)=0.707
+    assert(MinHashLSH.planBands(48, 0.3).bands === 24)
+    assert(MinHashLSH.planBands(48, 0.5).bands === 12)
+    assert(MinHashLSH.planBands(48, 0.7).bands === 8)
+    // the default Params banding is what the planner derives for 0.5
+    assert(MinHashLSH.planBands(48, 0.5) ===
+      MinHashLSH.Params(numHashes = 48, bands = 12, threshold = 0.5))
+    // S-curve is monotone in s for any planned banding
+    val p = MinHashLSH.planBands(48, 0.5)
+    val probs = (1 to 9).map(i => MinHashLSH.collisionProb(i / 10.0, p.bands, p.rows))
+    assert(probs === probs.sorted)
+  }
 }
