@@ -125,6 +125,39 @@ object NGramJaccard {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Containment keep-policy: drop every document that appears as the
+    * SMALLER side of a qualifying containment pair — the
+    * quote/excerpt gets dropped, the page quoting it survives. Size
+    * ties (mutual containment of equal-length docs) keep the lower
+    * id, matching the keep-first convention everywhere else. The
+    * policy is per-PAIR, deliberately not transitive: a doc contained
+    * only in an itself-dropped doc is still dropped (its content
+    * survives inside the survivor chain's top), which keeps the rule
+    * oracle-expressible as one CASE over pairs rather than a
+    * fixed-point. Victim set is (bounded pairs)-sized; the final
+    * anti-join is the only corpus-wide operation. */
+  def dropContained(
+      df: DataFrame,
+      text: Column,
+      idCol: String,
+      block: Column,
+      size: Column,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = containmentPairs(df, text, col(idCol), block, n, threshold)
+    val sz = df.select(col(idCol).as("__cid"), size.as("__csz"))
+    val victims = pairs
+      .join(sz.select(col("__cid").as("id_a"), col("__csz").as("sz_a")), "id_a")
+      .join(sz.select(col("__cid").as("id_b"), col("__csz").as("sz_b")), "id_b")
+      .select(
+        when(col("sz_a") < col("sz_b"), col("id_a"))
+          .when(col("sz_b") < col("sz_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b")))
+          .as("__victim"))
+      .distinct()
+    df.join(victims, col(idCol) === col("__victim"), "left_anti")
+  }
+
   private def densePairs(g: DataFrame, threshold: Double): DataFrame = {
     val a = g.select(col("blk"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = g.select(col("blk"), col("id").as("id_b"), col("grams").as("g_b"))

@@ -513,6 +513,45 @@ object DedupQueries {
         Seq((ok(0.3), ok(0.5), ok(0.7))).toDF(
           "plan_03_ok", "plan_05_ok", "plan_07_ok")
       },
-      Some("SELECT true AS plan_03_ok, true AS plan_05_ok, true AS plan_07_ok"))
+      Some("SELECT true AS plan_03_ok, true AS plan_05_ok, true AS plan_07_ok")),
+    Q(
+      "qd25_containment_dedup",
+      // qd21's pairs turned into a retention policy: the SMALLER side
+      // of every qualifying containment pair is dropped (the quoted
+      // excerpt dies, the quoting page survives; equal sizes keep the
+      // lower id). Per-pair, not transitive — oracle-expressible as
+      // one CASE over pairs instead of a fixed point.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        NGramJaccard
+          .dropContained(docs, col("text"), "doc_id", col("source"),
+            col("n_chars"), n = 2, threshold = 0.25)
+          .select("doc_id")
+      },
+      Some {
+        val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        val grams =
+          s"""list_distinct(list_transform(
+             |  range(1, greatest(len(string_split($norm, ' ')) - 1, 1) + 1),
+             |  i -> list_aggregate(list_slice(string_split($norm, ' '), i, i + 1),
+             |                      'string_agg', ' ')))""".stripMargin
+        val cont =
+          "len(list_intersect(a.grams, b.grams))::DOUBLE / least(len(a.grams), len(b.grams))::DOUBLE"
+        s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+           |         sa.n_chars AS za, sb.n_chars AS zb
+           |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+           |  JOIN documents sa ON sa.doc_id = a.doc_id
+           |  JOIN documents sb ON sb.doc_id = b.doc_id
+           |  WHERE $cont >= 0.25),
+           |victims AS (
+           |  SELECT DISTINCT CASE WHEN za < zb THEN ia
+           |                       WHEN zb < za THEN ib
+           |                       ELSE ib END AS v
+           |  FROM pairs)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT v FROM victims)""".stripMargin
+      })
   )
 }

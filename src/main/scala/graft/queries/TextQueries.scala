@@ -773,6 +773,44 @@ object TextQueries {
               FROM t GROUP BY source"""))
 ,
     Q(
+      "qt36_subword_fertility",
+      // tokenizer fertility per language: subword pieces emitted per
+      // whitespace word — THE budget diagnostic for multilingual
+      // corpora (a fertility of 2–4× is why CJK/code corpora blow
+      // token budgets computed from word counts). Composes qt21's
+      // WordPiece recursive-CTE oracle with qt01's word counts; counts
+      // are exact BIGINTs and fertility is one BIGINT→DOUBLE division,
+      // bit-identical cross-engine.
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("lang"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nw"),
+            size(graft.functions.WordPiece.tokens(
+              graft.operators.TextOps.normalized(col("text"))))
+              .cast("long").as("np"))
+          .groupBy("lang")
+          .agg(
+            sum("nw").cast("bigint").as("n_words"),
+            sum("np").cast("bigint").as("n_pieces"))
+          .withColumn("fertility",
+            col("n_pieces").cast("double") / col("n_words").cast("double")),
+      Some(s"""WITH RECURSIVE ${graft.functions.WordPiece.oracleCtes()},
+              |perdoc AS (
+              |  SELECT doc_id, CAST(COALESCE(sum(npieces), 0) AS BIGINT) AS np
+              |  FROM wp GROUP BY doc_id),
+              |words AS (
+              |  SELECT doc_id, lang,
+              |         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw
+              |  FROM documents)
+              |SELECT w.lang,
+              |       CAST(sum(w.nw) AS BIGINT) AS n_words,
+              |       CAST(sum(p.np) AS BIGINT) AS n_pieces,
+              |       CAST(sum(p.np) AS DOUBLE) / CAST(sum(w.nw) AS DOUBLE) AS fertility
+              |FROM words w JOIN perdoc p USING (doc_id)
+              |GROUP BY w.lang""".stripMargin)),
+    Q(
       "qt35_discriminative_terms",
       // corpus comparison: the 20 terms most over-represented in the
       // English slice vs the rest, by add-one-smoothed rate ratio.

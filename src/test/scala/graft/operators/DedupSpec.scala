@@ -175,6 +175,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(d - 1.0) < 1e-9)
   }
 
+  test("containment dedup drops the quoted excerpt, keeps the quoting page") {
+    import graft.operators.dedup.NGramJaccard
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "s", 46L),
+      // doc 2 is doc 1's prefix — fully contained, shorter → dropped
+      (2L, "alpha beta gamma delta", "s", 22L),
+      // docs 3/4: identical text (mutual containment, equal size) →
+      // keep-first: 3 survives, 4 dies
+      (3L, "iota kappa lambda mu", "s", 20L),
+      (4L, "iota kappa lambda mu", "s", 20L),
+      // doc 5: unrelated, survives untouched
+      (5L, "nu xi omicron pi rho sigma", "s", 26L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val kept = NGramJaccard
+      .dropContained(docs, col("text"), "doc_id", col("source"),
+        col("n_chars"), n = 2, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 5L)), kept.mkString(","))
+  }
+
   test("LSH planner picks the grid-optimal banding per target threshold") {
     import graft.operators.dedup.MinHashLSH
     // hand-checked S-curve thresholds over divisors of 48:
