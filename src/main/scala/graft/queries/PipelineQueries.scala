@@ -235,6 +235,54 @@ object PipelineQueries {
           graft.operators.text.CorpusOps.splitAssign(
             org.apache.spark.sql.functions.col("component")))
       },
-      Some(graft.operators.dedup.PortableMinHash.oracleSplitSql(0.3)))
+      Some(graft.operators.dedup.PortableMinHash.oracleSplitSql(0.3))),
+    Q(
+      "qp10_training_manifest",
+      // the artifact a training run actually consumes: per (split,
+      // source) document and token totals plus each source's token
+      // share WITHIN its split — qp09's leakage-proof split joined
+      // back to provenance, aggregated, with one windowed BIGINT sum
+      // for the denominators. Counts exact, share one BIGINT→DOUBLE
+      // division; the qp09 oracle nests as a subquery.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val edges = graft.operators.dedup.PortableMinHash.pairs(
+          docs, col("text"), col("doc_id"), 0.3)
+        val labeled = graft.operators.dedup.ConnectedComponents
+          .components(edges, "doc_a", "doc_b", docs, "doc_id")(s)
+          .withColumn("split",
+            graft.operators.text.CorpusOps.splitAssign(col("component")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("split")
+        labeled
+          .join(docs.select(
+            col("doc_id"),
+            col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nt")), "doc_id")
+          .groupBy("split", "source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nt").cast("bigint").as("n_tokens"))
+          .withColumn("token_share",
+            col("n_tokens").cast("double") /
+              sum("n_tokens").over(w).cast("double"))
+      },
+      Some {
+        val split = graft.operators.dedup.PortableMinHash.oracleSplitSql(0.3)
+        s"""WITH msrc AS (
+           |  SELECT m.split, d.source,
+           |         CAST(length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nt
+           |  FROM ($split) m JOIN documents d USING (doc_id)),
+           |agg AS (
+           |  SELECT split, source, count(*) AS n_docs,
+           |         CAST(sum(nt) AS BIGINT) AS n_tokens
+           |  FROM msrc GROUP BY 1, 2)
+           |SELECT split, source, n_docs, n_tokens,
+           |       CAST(n_tokens AS DOUBLE) /
+           |       CAST(sum(n_tokens) OVER (PARTITION BY split) AS DOUBLE)
+           |         AS token_share
+           |FROM agg""".stripMargin
+      })
   )
 }

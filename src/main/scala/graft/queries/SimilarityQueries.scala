@@ -435,6 +435,50 @@ object SimilarityQueries {
                         row_number() OVER (PARTITION BY probe_id
                                            ORDER BY cosine DESC, corpus_id) AS rank
                  FROM scored) z
-               WHERE rank <= 5"""))
+               WHERE rank <= 5""")),
+    Q(
+      "qs25_pq_quality",
+      // the PQ lossiness CONTRACT as a gate (qs08's pattern for the
+      // third approximate path), stated for PQ's real serving role --
+      // CANDIDATE GENERATION before an exact rerank (qs17's shape):
+      //   self_found  -- the probe's own code must rank into the
+      //                  candidate set (a packing/endianness bug
+      //                  kills this first);
+      //   fit_helps   -- the data-FITTED codebook must recall at
+      //                  least as well as the md5-random one (a
+      //                  broken fit regresses to random and fails);
+      //   fitted_le_5 -- fitted 100-candidate recall misses <= 5 of
+      //                  the exact top-10 (observed 2-4 across SFs on
+      //                  these isotropic fixtures; random 100-subsets
+      //                  would miss ~9.8 of 10 at 100/5000).
+      // qs13/qs14 value-oracle the ADC arithmetic; this gates that
+      // the arithmetic is USEFUL.
+      (s, dir) => {
+        import graft.operators.similarity.ProductQuantizer
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = probe(s, dir)
+        val bf = SimilaritySearch
+          .bruteForceTopK(emb, col("embedding"), col("vec_id"), p, 10)
+        def candRecall(cb: ProductQuantizer.Codebook) = {
+          val ids = ProductQuantizer
+            .adcTopK(ProductQuantizer
+              .encode(emb, col("embedding"), col("vec_id"), cb)
+              .select("id", "pq_code"), p, 100, cb)
+            .select(col("vec_id").as("id"))
+          (bf.join(ids, Seq("id"), "left_anti").agg(count(lit(1)).as("n")),
+           ids.agg(max(when(col("id") === 0, 1).otherwise(0)).as("self")))
+        }
+        val (mdMissed, _) = candRecall(ProductQuantizer.DefaultCodebook)
+        val (fitMissed, fitSelf) = candRecall(
+          ProductQuantizer.fitCodebook(emb, col("embedding"), col("vec_id")))
+        fitMissed.select(col("n").as("fit_n"))
+          .crossJoin(mdMissed.select(col("n").as("md_n")))
+          .crossJoin(fitSelf)
+          .select(
+            (col("self") === 1).as("self_found"),
+            (col("fit_n") <= col("md_n")).as("fit_helps"),
+            (col("fit_n") <= 5).as("fitted_le_5"))
+      },
+      Some("SELECT true AS self_found, true AS fit_helps, true AS fitted_le_5"))
   )
 }
