@@ -199,4 +199,78 @@ object AsOfJoin {
       df.withColumn(s"$rightPrefix$c", when(fresh, col(s"$rightPrefix$c")))
     }
   }
+
+  /** Time-interpolated as-of: each left row gets the right series'
+    * `value` LINEARLY INTERPOLATED at its ordinate — the feature-join
+    * semantics for continuous signals (sensor alignment, price marks,
+    * resampling onto a grid), where "last value" (asofBackward) is a
+    * step-function approximation. Bracketing uses the SAME single
+    * union + sort + two-frame window pass as [[asofNearest]] — one
+    * shuffle, no replication, scale shape unchanged.
+    *
+    * Edge semantics, in precedence order: null left ordinate → null;
+    * no earlier point → first later value (backfill); no later point →
+    * last earlier value (hold); an exact-ordinate hit → that point's
+    * value VERBATIM (short-circuited BEFORE the formula — both
+    * engines' formulas would otherwise divide 0/0 when the same point
+    * brackets both sides); otherwise
+    * `vb + (vf − vb) · ((t − tb) / (tf − tb))` with the ordinate
+    * deltas cast to double in that exact order, so results are
+    * bit-identical to the oracle's rendition. `ord` must be numeric
+    * (cast timestamps to epoch micros first, as qj02/qj04 do). */
+  def asofInterpolate(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      value: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one equality key")
+    val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
+    require(rightPayloadCols.contains(value), s"right side lacks value column $value")
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightPayloadCols.map(right(_)): _*)
+    val nonNullRight = right.where(col(ord).isNotNull)
+    val taggedRight = nonNullRight.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(-1).as("__side"),
+        payload.as("__payload")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(ord).as("__ord"),
+        lit(0).as("__side"),
+        lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    val ordering = Seq(col("__ord").asc, col("__side").asc)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tb = col("__b").getField(ord)
+    val tf = col("__f").getField(ord)
+    val vb = col("__b").getField(value).cast("double")
+    val vf = col("__f").getField(value).cast("double")
+    val frac = (col("__ord") - tb).cast("double") / (tf - tb).cast("double")
+    val matched = taggedLeft
+      .unionByName(taggedRight)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 0)
+      .withColumn(s"$rightPrefix$value",
+        when(col("__ord").isNull, lit(null).cast("double"))
+          .when(col("__b").isNull && col("__f").isNull, lit(null).cast("double"))
+          .when(col("__b").isNull, vf)
+          .when(col("__f").isNull, vb)
+          .when(tb === col("__ord"), vb)
+          .otherwise(vb + (vf - vb) * frac))
+    val leftOut: Seq[Column] = leftCols.map { c =>
+      if (keys.contains(c)) col(c) else col(s"__l_$c").as(c)
+    }
+    matched.select(leftOut :+ col(s"$rightPrefix$value"): _*)
+  }
 }

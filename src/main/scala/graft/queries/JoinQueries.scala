@@ -139,6 +139,51 @@ object JoinQueries {
                           WHEN f_id IS NULL THEN b_val
                           WHEN (f_tus - b.tus) < (b.tus - b_tus) THEN f_val
                           ELSE b_val END AS near_value
+              FROM b JOIN f ON b.event_id = f.event_id""")),
+    Q(
+      "qj05_asof_interpolate",
+      // time-interpolated as-of: each purchase gets the view-value
+      // series LINEARLY INTERPOLATED at its timestamp (hold/backfill
+      // at the edges, verbatim on an exact hit) — the continuous-
+      // signal feature join where last-value is a step-function
+      // approximation. Same single union+sort window pass as qj04;
+      // the oracle composes DuckDB's two directional ASOF joins and
+      // evaluates the identical guarded formula. The exact-hit guard
+      // runs BEFORE the formula on both engines: DuckDB's inclusive
+      // forward ASOF hands the same point to both sides there, and
+      // the unguarded formula would divide 0/0.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("value"))
+        AsOfJoin.asofInterpolate(
+          purchases, views, Seq("user_id"), "tus", "value",
+          rightPrefix = "interp_")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                         FROM events WHERE event_type = 'purchase'),
+              r AS (SELECT user_id, epoch_us(ts) AS tus, value
+                    FROM events WHERE event_type = 'view'),
+              b AS (SELECT l.user_id, l.event_id, l.tus,
+                           r.tus AS b_tus, r.value AS b_val
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND r.tus <= l.tus),
+              f AS (SELECT l.event_id, r.tus AS f_tus, r.value AS f_val
+                    FROM l ASOF LEFT JOIN r
+                      ON l.user_id = r.user_id AND r.tus >= l.tus)
+              SELECT b.user_id, b.event_id, b.tus,
+                     CASE WHEN b_tus IS NULL AND f_tus IS NULL THEN NULL
+                          WHEN b_tus IS NULL THEN f_val
+                          WHEN f_tus IS NULL THEN b_val
+                          WHEN b_tus = b.tus THEN b_val
+                          ELSE b_val + (f_val - b_val) *
+                               (CAST(b.tus - b_tus AS DOUBLE) /
+                                CAST(f_tus - b_tus AS DOUBLE)) END
+                       AS interp_value
               FROM b JOIN f ON b.event_id = f.event_id"""))
   )
 }

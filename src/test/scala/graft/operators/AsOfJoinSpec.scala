@@ -125,4 +125,36 @@ class AsOfJoinSpec extends SparkSpec {
       .select("r_rv").as[Option[String]].head()
     assert(out2.isEmpty)
   }
+
+  test("interpolate: between/exact/hold/backfill/null against hand arithmetic") {
+    // right series on key 1: (10, 1.0), (20, 3.0)
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 3.0)).toDF("k", "ord", "value")
+    val left = Seq[(Long, Option[Long], String)](
+        (1L, Some(15L), "mid"),      // halfway: 1 + 2*0.5 = 2.0
+        (1L, Some(12L), "fifth"),    // 1 + 2*0.2 = 1.4
+        (1L, Some(10L), "exact"),    // verbatim 1.0 (no 0/0)
+        (1L, Some(5L), "before"),    // backfill -> 1.0
+        (1L, Some(25L), "after"),    // hold -> 3.0
+        (1L, None, "nul"),           // null ordinate -> null
+        (2L, Some(15L), "nokey"))    // no right series -> null
+      .toDF("k", "ord", "lv")
+    val out = AsOfJoin.asofInterpolate(left, right, Seq("k"), "ord", "value")
+      .select("lv", "r_value").as[(String, Option[Double])].collect().toMap
+    assert(out("mid").contains(2.0))
+    assert(out("fifth").contains(1.0 + 2.0 * 0.2))
+    assert(out("exact").contains(1.0))
+    assert(out("before").contains(1.0))
+    assert(out("after").contains(3.0))
+    assert(out("nul").isEmpty)
+    assert(out("nokey").isEmpty)
+  }
+
+  test("interpolate plans one shuffle: a single window sort, no join") {
+    val right = Seq((1L, 10L, 1.0)).toDF("k", "ord", "value")
+    val left = Seq((1L, 15L, "x")).toDF("k", "ord", "lv")
+    val plan = AsOfJoin.asofInterpolate(left, right, Seq("k"), "ord", "value")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"interpolation should be join-free:\n$plan")
+    assert(plan.contains("Window"), s"expected a window pass:\n$plan")
+  }
 }
