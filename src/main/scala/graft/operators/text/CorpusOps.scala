@@ -55,6 +55,24 @@ object CorpusOps {
     (BigDecimal(fraction) * BigDecimal(1L << 40)).toLong
   }
 
+  /** Exact-quota deterministic sample: per stratum, the `n` rows with
+    * the SMALLEST 40-bit hash keys (id tiebreak) — "exactly n
+    * uniformly-chosen docs per source", where [[hashSample]]'s
+    * rate-based cousin only hits n in expectation. Hash-rank order
+    * makes membership a pure function of the ids present: stable
+    * across runs/partitionings/engines, and MONOTONE under growth (a
+    * new doc displaces at most the largest-keyed member; survivors
+    * with smaller keys never churn). One window per stratum — the
+    * same shuffle a per-stratum top-k already costs; quotas far above
+    * stratum sizes degrade to identity. */
+  def quotaSample(df: DataFrame, stratum: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, s"bad quota $n")
+    val w = Window.partitionBy(stratum).orderBy(hashKey40(id).asc, id.asc)
+    df.withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= n)
+      .drop("__hr")
+  }
+
   /** Per-source keep-thresholds for token-proportional corpus mixing:
     * source s gets a token target of `budgetTokens · pct_s / 100`
     * (integer arithmetic — percent weights, not float fractions, so

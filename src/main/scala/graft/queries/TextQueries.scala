@@ -773,6 +773,23 @@ object TextQueries {
               FROM t GROUP BY source"""))
 ,
     Q(
+      "qt37_quota_sample",
+      // exact-quota cousin of qt10: exactly 30 docs per source by
+      // hash-rank (qt10's rate-based thresholds hit quotas only in
+      // expectation) — membership is a pure function of the ids
+      // present, stable and monotone under corpus growth.
+      (s, dir) =>
+        graft.operators.text.CorpusOps.quotaSample(
+          Tables.load(s, dir, "documents"), col("source"), col("doc_id"), 30)
+          .select("doc_id", "source"),
+      Some("""SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT),
+                                  doc_id) AS hr
+                FROM documents) x
+              WHERE hr <= 30""")),
+    Q(
       "qt36_subword_fertility",
       // tokenizer fertility per language: subword pieces emitted per
       // whitespace word — THE budget diagnostic for multilingual

@@ -206,4 +206,34 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.capPerSource(scored, "source", col("score"), "doc_id", 0)
     }
   }
+
+  test("quotaSample: exact per-stratum counts, stable, monotone under removal") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf0001, "documents").cache()
+    // sf0.001 sources hold ~25 docs each; n=10 leaves real non-members
+    val n = 10
+    val sample = CorpusOps.quotaSample(docs, col("source"), col("doc_id"), n)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, sz) =>
+      assert(got(src) === math.min(n.toLong, sz), s"source $src")
+    }
+    // partitioning-invariant
+    val again = CorpusOps
+      .quotaSample(docs.repartition(7), col("source"), col("doc_id"), n)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val ids = sample.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === ids)
+    // removing a NON-member never churns the sample
+    val nonMember = docs.select("doc_id").as[Long].collect()
+      .find(id => !ids.contains(id)).get
+    val without = CorpusOps
+      .quotaSample(docs.filter(col("doc_id") =!= nonMember),
+        col("source"), col("doc_id"), n)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(without === ids)
+  }
 }
