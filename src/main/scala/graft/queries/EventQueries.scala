@@ -474,6 +474,51 @@ object EventQueries {
                 GROUP BY e.event_type)
               SELECT s.event_type, med, p25, p75,
                      coalesce(n_outliers, 0) AS n_outliers
-              FROM s LEFT JOIN o ON s.event_type = o.event_type"""))
+              FROM s LEFT JOIN o ON s.event_type = o.event_type""")),
+    Q(
+      "qe12_retention_cohorts",
+      // classic cohort retention: users bucketed by their FIRST active
+      // week, then each cohort's share still active N weeks later.
+      // Weeks are integer epoch-µs floor-divisions (positive epochs,
+      // exact), counts are distinct users, retention one BIGINT→DOUBLE
+      // division — fully value-oracled. Shape: two aggregates over a
+      // narrow (user, week) distinct + one user-keyed join; no event
+      // self-join, nothing quadratic.
+      (s, dir) => {
+        val weekUs = 7L * 86400L * 1000000L
+        val ev = Tables.load(s, dir, "events")
+        val weeks = ev.select(
+          col("user_id"),
+          floor(unix_micros(col("ts")) / lit(weekUs)).cast("long").as("wk"))
+          .distinct()
+        val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val sizes = cohort.groupBy("cohort_wk")
+          .agg(count(lit(1)).as("n_cohort"))
+        weeks.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort_wk")
+          .select(
+            col("cohort_wk"), col("week_offset"), col("n_active"), col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort").cast("double"))
+              .as("retention"))
+      },
+      Some("""WITH weeks AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+                FROM events),
+              cohort AS (
+                SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id),
+              sizes AS (
+                SELECT cohort_wk, count(*) AS n_cohort FROM cohort GROUP BY cohort_wk),
+              act AS (
+                SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+                       count(*) AS n_active
+                FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+                GROUP BY 1, 2)
+              SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
+                     CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+                       AS retention
+              FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk"""))
   )
 }
