@@ -14,6 +14,20 @@ import graft.operators.TextOps
   */
 object NGramJaccard {
 
+  /** Cap on how many documents of one block may share a gram before
+    * that gram is dropped from the inverted index — the same hazard
+    * class `MinHashLSH.maxBucket` / `SpanDedup.maxDocs` /
+    * `PerceptualHash` blocks cap: a boilerplate gram present in B
+    * docs of a block emits B² posting-join rows, and one flood gram
+    * (a shared header line, a license banner) makes the block
+    * quadratic at corpus scale. A gram this common carries no
+    * discriminative signal — it raises every pair's intersection by
+    * the same 1 — so dropping it perturbs similarity marginally while
+    * bounding the join at (#grams)·cap². Far above any fixture
+    * frequency, so oracle results are unchanged; lower it for
+    * boilerplate-heavy corpora. */
+  val DefaultMaxGramFreq = 1000
+
   /** |A ∩ B| / |A ∪ B| over two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -60,7 +74,8 @@ object NGramJaccard {
       id: Column,
       block: Column,
       n: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2,
+      maxGramFreq: Int = DefaultMaxGramFreq): DataFrame = {
     // materialized so gram arrays are built (and sorted) once per doc,
     // not once per pair through the join lineage; localCheckpoint so
     // the blocks are freed when the result is dropped (see MinHashLSH)
@@ -70,25 +85,36 @@ object NGramJaccard {
       graft.functions.ShingleExprs
         .sortedTokenShingles(TextOps.normalized(text), n).as("grams"))
       .transform(Barrier.apply)
-    if (threshold > 0) invertedPairs(g, threshold) else densePairs(g, threshold)
+    if (threshold > 0) invertedPairs(g, threshold, maxGramFreq)
+    else densePairs(g, threshold)
   }
 
   /** The shared inverted-index stage: (id_a, id_b, sz_a, sz_b, inter)
     * for every gram-sharing pair — |A∩B| as an algebraic count, gram
     * arrays never crossing the pair join. */
-  private def invertedCounts(g: DataFrame): DataFrame = {
+  private def invertedCounts(g: DataFrame, maxGramFreq: Int): DataFrame = {
+    require(maxGramFreq > 0, s"bad maxGramFreq=$maxGramFreq")
     val e = g.select(col("blk"), col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
-    val a = e.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = e.select(col("blk"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // flood grams out BEFORE the posting self-join (see DefaultMaxGramFreq):
+    // one aggregate on the join's own keys, then an anti-join — the hot
+    // list is tiny by construction (only grams over the cap)
+    val hot = e.groupBy("blk", "gram")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGramFreq)
+      .select("blk", "gram")
+    val kept = e.join(hot, Seq("blk", "gram"), "left_anti")
+    val a = kept.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = kept.select(col("blk"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("blk", "gram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
   }
 
-  private def invertedPairs(g: DataFrame, threshold: Double): DataFrame =
-    invertedCounts(g)
+  private def invertedPairs(g: DataFrame, threshold: Double,
+      maxGramFreq: Int = DefaultMaxGramFreq): DataFrame =
+    invertedCounts(g, maxGramFreq)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a").cast("long") + col("sz_b") - col("inter")).cast("double"))
@@ -109,7 +135,8 @@ object NGramJaccard {
       id: Column,
       block: Column,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxGramFreq: Int = DefaultMaxGramFreq): DataFrame = {
     require(threshold > 0, "containment needs a positive threshold")
     val g = graft.operators.Parallelism.ensureMin(df).select(
       block.as("blk"),
@@ -117,7 +144,7 @@ object NGramJaccard {
       graft.functions.ShingleExprs
         .sortedTokenShingles(TextOps.normalized(text), n).as("grams"))
       .transform(Barrier.apply)
-    invertedCounts(g)
+    invertedCounts(g, maxGramFreq)
       .withColumn("containment",
         col("inter").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"))

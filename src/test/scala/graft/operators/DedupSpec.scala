@@ -175,6 +175,31 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(d - 1.0) < 1e-9)
   }
 
+  test("inverted-index gram cap drops flood grams, bounding pair expansion") {
+    import graft.operators.dedup.NGramJaccard
+    // every doc shares the flood bigram "x x"; all other grams unique
+    val docs = (1L to 10L).map(i => (i, s"x x u$i v$i")).toDF("doc_id", "text")
+    // default cap (1000) never engages: the flood gram alone links all
+    // 45 pairs at a small positive threshold
+    val uncapped = NGramJaccard.pairsWithinBlock(
+      docs, col("text"), col("doc_id"), lit("b"), n = 2, threshold = 0.01)
+    assert(uncapped.count() === 45)
+    // cap 2 < 10 drops the flood gram BEFORE the posting join; the
+    // remaining grams are unique, so no pair survives at all
+    val capped = NGramJaccard.pairsWithinBlock(
+      docs, col("text"), col("doc_id"), lit("b"), n = 2, threshold = 0.01,
+      maxGramFreq = 2)
+    assert(capped.count() === 0)
+    // non-flood similarity is untouched by the cap: two docs sharing a
+    // below-cap gram still pair
+    val mixed = docs.union(Seq((11L, "x x u1 v1")).toDF("doc_id", "text"))
+    val still = NGramJaccard.pairsWithinBlock(
+      mixed, col("text"), col("doc_id"), lit("b"), n = 2, threshold = 0.01,
+      maxGramFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(still === Set((1L, 11L)))
+  }
+
   test("containment dedup drops the quoted excerpt, keeps the quoting page") {
     import graft.operators.dedup.NGramJaccard
     val docs = Seq(
