@@ -60,6 +60,62 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofInterpolate matches naive per-key bracketing on random series") {
+    val genL = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    val genR = Gen.listOfN(12, Gen.zip(
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)),
+      Gen.choose(-50, 50).map(_.toDouble)))
+    holds(Prop.forAll(genL, genR) { (ls, rsRaw) =>
+      val l = ls.distinct.map { case (k, o) => (k, o, s"l$k-$o") }
+      // unique (key, ord) on the right: the determinism precondition
+      val r = rsRaw.map { case ((k, o), v) => (k, o, v) }
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val got = AsOfJoin.asofInterpolate(
+          l.toDF("k", "ord", "lv"), r.toDF("k", "ord", "value"),
+          Seq("k"), "ord", "value")
+        .select("k", "ord", "r_value")
+        .as[(Long, Long, Option[Double])].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      l.forall { case (k, t, _) =>
+        val s = r.filter(_._1 == k)
+        val before = s.filter(_._2 <= t).sortBy(_._2).lastOption
+        val after = s.filter(_._2 > t).sortBy(_._2).headOption
+        val expect = (before, after) match {
+          case (None, None) => None
+          case (Some(b), _) if b._2 == t => Some(b._3)
+          case (None, Some(f)) => Some(f._3)
+          case (Some(b), None) => Some(b._3)
+          case (Some(b), Some(f)) =>
+            Some(b._3 + (f._3 - b._3) *
+              ((t - b._2).toDouble / (f._2 - b._2).toDouble))
+        }
+        got((k, t)) == expect
+      }
+    })
+  }
+
+  test("quotaSample equals per-stratum smallest hash keys on random ids") {
+    val genIds = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.choose(1, 3)))
+    holds(Prop.forAll(genIds, Gen.choose(1, 6)) { (rows, n) =>
+      val df = rows.distinct.map { case (id, s) => (id, s"s$s") }
+      val sample = graft.operators.text.CorpusOps
+        .quotaSample(df.toDF("id", "src"), col("src"), col("id"), n)
+        .select("src", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def key(id: Long): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        md.take(5).map("%02x".format(_)).mkString // first 10 hex chars
+      }
+      df.groupBy(_._2).forall { case (src, members) =>
+        val expect = members.map(_._1)
+          .sortBy(id => (java.lang.Long.parseLong(key(id), 16), id))
+          .take(n).toSet
+        sample.getOrElse(src, Set.empty) == expect
+      }
+    })
+  }
+
   test("BpeLearn merge table is prefix-stable in nMerges") {
     val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
     val genTexts = Gen.listOfN(4, Gen.listOfN(3, word).map(_.mkString(" ")))
