@@ -218,6 +218,40 @@ object PortableMinHash {
        |             CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
        |      FROM comp) x""".stripMargin
 
+  /** qp11's oracle: over the ≥threshold pair graph, how many pairs
+    * STRADDLE two splits under (a) the naive per-doc split (qt07) and
+    * (b) the duplicate-aware per-component split (qp09)? (b) is zero
+    * by construction — the count is the demonstration, computed by
+    * the oracle rather than asserted. Sums CAST to BIGINT (DuckDB
+    * sums integers into HUGEINT, which the driver's hash renders
+    * engine-differently); zero-pair corpora coalesce to 0. */
+  def oracleLeakageSql(threshold: Double, trainPct: Int = 80, validPct: Int = 10): String = {
+    def splitCase(of: String): String =
+      s"""CASE WHEN CAST(('0x' || substring(md5(CAST($of AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $trainPct THEN 'train'
+         |     WHEN CAST(('0x' || substring(md5(CAST($of AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${trainPct + validPct} THEN 'validation'
+         |     ELSE 'test' END""".stripMargin
+    s"""${reachCtes(threshold)},
+       |comp AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |  FROM documents d
+       |  LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |    ON d.doc_id = m.node),
+       |naive AS (SELECT doc_id, ${splitCase("doc_id")} AS split FROM documents),
+       |aware AS (SELECT doc_id, ${splitCase("component")} AS split FROM comp),
+       |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $threshold)
+       |SELECT count(*) AS n_pairs,
+       |       CAST(coalesce(sum(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS cross_naive,
+       |       CAST(coalesce(sum(CASE WHEN aa.split <> ab.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS cross_dup_aware
+       |FROM pairs p
+       |JOIN naive na ON na.doc_id = p.doc_a
+       |JOIN naive nb ON nb.doc_id = p.doc_b
+       |JOIN aware aa ON aa.doc_id = p.doc_a
+       |JOIN aware ab ON ab.doc_id = p.doc_b""".stripMargin
+  }
+
   /** The shared CTE chain (normalize -> shingle-hash -> signature ->
     * bands -> candidates -> estimates) over `from` — parametrized so
     * composite pipelines (CorpusPipeline) can run it on an intermediate

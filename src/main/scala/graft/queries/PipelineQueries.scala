@@ -283,6 +283,39 @@ object PipelineQueries {
            |       CAST(sum(n_tokens) OVER (PARTITION BY split) AS DOUBLE)
            |         AS token_share
            |FROM agg""".stripMargin
-      })
+      }),
+    Q(
+      "qp11_split_leakage",
+      // the audit that motivates qp09: over the same value-oracled
+      // near-dup pair graph, count pairs STRADDLING two splits under
+      // the naive per-doc split (qt07) vs the duplicate-aware
+      // per-component split (qp09). The dup-aware column is zero by
+      // construction; the naive column is the train/eval leakage a
+      // per-doc split silently ships. Computed, not asserted — the
+      // oracle derives the same three counts.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val split = graft.operators.text.CorpusOps.splitAssign(_: org.apache.spark.sql.Column)
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.dedup.PortableMinHash
+          .pairs(docs, col("text"), col("doc_id"), 0.3)
+        val edges = pairs.select("doc_a", "doc_b")
+        val comp = graft.operators.dedup.ConnectedComponents.components(
+          pairs, "doc_a", "doc_b", docs, "doc_id")(s)
+        val naive = docs.select(col("doc_id"), split(col("doc_id")).as("split"))
+        val aware = comp.select(col("doc_id"), split(col("component")).as("split"))
+        edges
+          .join(naive.select(col("doc_id").as("doc_a"), col("split").as("na")), "doc_a")
+          .join(naive.select(col("doc_id").as("doc_b"), col("split").as("nb")), "doc_b")
+          .join(aware.select(col("doc_id").as("doc_a"), col("split").as("aa")), "doc_a")
+          .join(aware.select(col("doc_id").as("doc_b"), col("split").as("ab")), "doc_b")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+              .cast("bigint").as("cross_naive"),
+            coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)), lit(0L))
+              .cast("bigint").as("cross_dup_aware"))
+      },
+      Some(graft.operators.dedup.PortableMinHash.oracleLeakageSql(0.3)))
   )
 }
