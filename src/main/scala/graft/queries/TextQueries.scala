@@ -773,6 +773,34 @@ object TextQueries {
               FROM t GROUP BY source"""))
 ,
     Q(
+      "qt38_lang_confusion",
+      // the quality report ON the lang-id heuristic itself: label ×
+      // prediction confusion counts over the whole corpus — the
+      // artifact that tells you WHERE the classifier errs (which
+      // true language bleeds into which prediction) rather than just
+      // that it errs. Pure composition of qt03's oracled predictor
+      // with one exact-count aggregate.
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("lang").as("lang_label"),
+            TextAnalysis.langGuess(col("text")).as("lang_pred"))
+          .groupBy("lang_label", "lang_pred")
+          .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT lang_label, lang_pred, count(*) AS n
+               FROM (SELECT lang AS lang_label,
+                            CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                                 WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                                 WHEN fr_hits >= es_hits THEN 'fr'
+                                 ELSE 'es' END AS lang_pred
+                     FROM (SELECT lang,
+                                  ${hitsSql(TextAnalysis.stopEn)} AS en_hits,
+                                  ${hitsSql(TextAnalysis.stopDe)} AS de_hits,
+                                  ${hitsSql(TextAnalysis.stopFr)} AS fr_hits,
+                                  ${hitsSql(TextAnalysis.stopEs)} AS es_hits
+                           FROM documents) h) x
+               GROUP BY lang_label, lang_pred""")),
+    Q(
       "qt37_quota_sample",
       // exact-quota cousin of qt10: exactly 30 docs per source by
       // hash-rank (qt10's rate-based thresholds hit quotas only in
