@@ -49,10 +49,13 @@ object ScaleSmoke {
     "qp06_transitive_decon",
     "qt32_perplexity_filter",
     "qt33_dup_span_runs",
-    // round 9: component-hashed split (CC at scale) and the term-diff
-    // profile (full-corpus explode + term shuffle)
+    // round 9: component-hashed split (CC at scale), the term-diff
+    // profile (full-corpus explode + term shuffle), the capped
+    // containment inverted index, and the pair-graph leakage audit
     "qp09_dup_aware_split",
-    "qt35_discriminative_terms")
+    "qt35_discriminative_terms",
+    "qd25_containment_dedup",
+    "qp11_split_leakage")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
