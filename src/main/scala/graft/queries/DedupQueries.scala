@@ -552,6 +552,28 @@ object DedupQueries {
            |  FROM pairs)
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT v FROM victims)""".stripMargin
-      })
+      }),
+    Q(
+      "qd26_cluster_size_histogram",
+      // "how much duplication is there, and in what shape": the
+      // distribution of near-dup cluster sizes — a corpus dominated
+      // by size-1 components is clean, a fat tail of big clusters
+      // means boilerplate floods. Two exact-count aggregates over
+      // qd16's component labels; the transitive-closure oracle nests
+      // as a subquery.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val edges = PortableMinHash.pairs(docs, col("text"), col("doc_id"), 0.3)
+        ConnectedComponents.components(edges, "doc_a", "doc_b", docs, "doc_id")(s)
+          .groupBy("component")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_components"))
+      },
+      Some(s"""SELECT cluster_size, count(*) AS n_components
+              |FROM (SELECT component, count(*) AS cluster_size
+              |      FROM (${PortableMinHash.oracleComponentsSql(0.3)}) c
+              |      GROUP BY component) s
+              |GROUP BY cluster_size""".stripMargin))
   )
 }
