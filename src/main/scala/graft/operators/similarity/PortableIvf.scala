@@ -118,4 +118,27 @@ object PortableIvf {
        |SELECT vec_id, round(c, 4) AS cosine
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
+
+  /** qs26's oracle: [[oracleSql]]'s cell-restricted scan with the
+    * cross-label filter of hard-negative mining — the scale path for
+    * [[HardNegatives]] (scan nprobe cells, not the corpus), rendered
+    * verbatim in SQL so the restricted ranking value-oracles. */
+  def oracleCrossLabelSql(k: Int, nprobe: Int): String = {
+    val dot = s"""list_reduce(list_transform(range(1, ${dim + 1}),
+                 |  j -> e.embedding[j]::DOUBLE * p.pe[j]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    s"""WITH p AS (SELECT embedding AS pe, label AS pl FROM embeddings WHERE vec_id = 0),
+       |probed AS (SELECT unnest(list_transform(
+       |             list_slice(list_reverse_sort(${scoredListSql("p.pe")}), 1, $nprobe),
+       |             x -> CAST(x[2] AS INT))) AS cell
+       |           FROM p),
+       |scored AS (
+       |  SELECT vec_id,
+       |         CASE WHEN ${normV("e.embedding")} * ${normV("p.pe")} = 0 THEN 0.0
+       |              ELSE ($dot) / (${normV("e.embedding")} * ${normV("p.pe")}) END AS c
+       |  FROM embeddings e, p
+       |  WHERE ${cellSql("e.embedding")} IN (SELECT cell FROM probed)
+       |    AND e.label <> p.pl)
+       |SELECT vec_id, round(c, 4) AS cosine
+       |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
+  }
 }

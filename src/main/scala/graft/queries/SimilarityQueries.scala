@@ -479,6 +479,29 @@ object SimilarityQueries {
             (col("fit_n") <= col("md_n")).as("fit_helps"),
             (col("fit_n") <= 5).as("fitted_le_5"))
       },
-      Some("SELECT true AS self_found, true AS fit_helps, true AS fitted_le_5"))
+      Some("SELECT true AS self_found, true AS fit_helps, true AS fitted_le_5")),
+    Q(
+      "qs26_hard_negatives_ivf",
+      // qs23's mining on its SCALE path: candidates restricted to the
+      // probe's nprobe IVF cells before the cross-label ranking — at
+      // billion-vector scale the mining batch scans nprobe/numCells
+      // of the corpus, not all of it. The portable codebook makes
+      // cell assignment, restriction, label filter and ranking all
+      // SQL-reproducible, so the restricted result value-oracles.
+      (s, dir) => {
+        import graft.operators.similarity.PortableIvf
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = probe(s, dir)
+        val probeLabel = emb.filter(col("vec_id") === 0)
+          .select("label").head().getInt(0)
+        val cand = emb
+          .filter(PortableIvf.cell(col("embedding"))
+            .isin(PortableIvf.probedCells(p, 3): _*))
+          .filter(col("label") =!= probeLabel)
+        SimilaritySearch
+          .bruteForceTopK(cand, col("embedding"), col("vec_id"), p, 5)
+          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      Some(graft.operators.similarity.PortableIvf.oracleCrossLabelSql(5, 3)))
   )
 }
