@@ -270,6 +270,43 @@ object EventQueries {
       Some(PerceptualHash.oracleAllPairsSql(7)),
       bench = true),
     Q(
+      "qm12_image_canonical",
+      // qp04's "which copy do we keep" applied to the image modality:
+      // qm07's dHash dup clusters ranked by the attached document's
+      // n_chars (keep the image whose doc carries the richest text;
+      // id tiebreak) through the same CanonicalSelect window. Oracle
+      // nests the image transitive-closure components and evaluates
+      // the identical full-frame first_value.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val ids = docs.select(col("doc_id").cast("long"))
+        val media = graft.operators.Parallelism.ensureMin(ids).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "image/png", PerceptualHash.plantedPng(id))))
+          .toDF("id", "media_type", "content")
+        val edges = PerceptualHash.pairsWithinBlock(
+          media, expr("id div 2"), maxHamming = 8)
+        val comp = graft.operators.dedup.ConnectedComponents.components(
+          edges, "doc_a", "doc_b", ids, "doc_id")
+        graft.operators.dedup.CanonicalSelect.label(
+          docs.select(col("doc_id"), col("n_chars")), "doc_id",
+          col("n_chars"), comp)
+      },
+      Some(s"""SELECT doc_id, component,
+              |       first_value(doc_id) OVER (
+              |         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              |         AS canonical_id,
+              |       doc_id = first_value(doc_id) OVER (
+              |         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              |         AS keep
+              |FROM (SELECT c.doc_id, c.component, d.n_chars
+              |      FROM (${PerceptualHash.oracleComponentsSql(8)}) c
+              |      JOIN documents d USING (doc_id)) x""".stripMargin)),
+    Q(
       "qm09_video_copy_pairs",
       // content-based video partial-copy detection: videos sharing
       // >= 2 distinct frame fingerprints (the qm03 frame stream) are
