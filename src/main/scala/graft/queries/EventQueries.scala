@@ -513,6 +513,41 @@ object EventQueries {
                      coalesce(n_outliers, 0) AS n_outliers
               FROM s LEFT JOIN o ON s.event_type = o.event_type""")),
     Q(
+      "qe13_interevent_gaps",
+      // inter-arrival profile per event type: percentiles of the gap
+      // between consecutive same-user events — the signal behind rate
+      // limiting, bot detection and session-gap tuning. One per-user
+      // window (lag over the same sort sessionization pays), then the
+      // qt34 percentile contract (both engines linear-interpolate).
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tus")
+        ev.select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+          .withColumn("gap_us",
+            (col("tus") - lag("tus", 1).over(w)).cast("double"))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_us, 0.5D)").as("p50_us"),
+            expr("percentile(gap_us, 0.9D)").as("p90_us"),
+            max(col("gap_us").cast("long")).as("max_us"))
+      },
+      Some("""WITH g AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY epoch_us(ts)) AS DOUBLE)
+                         AS gap_us
+                FROM events)
+              SELECT event_type, count(*) AS n_gaps,
+                     quantile_cont(gap_us, 0.5) AS p50_us,
+                     quantile_cont(gap_us, 0.9) AS p90_us,
+                     CAST(max(gap_us) AS BIGINT) AS max_us
+              FROM g WHERE gap_us IS NOT NULL
+              GROUP BY event_type""")),
+    Q(
       "qe12_retention_cohorts",
       // classic cohort retention: users bucketed by their FIRST active
       // week, then each cohort's share still active N weeks later.

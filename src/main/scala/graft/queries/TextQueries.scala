@@ -773,6 +773,32 @@ object TextQueries {
               FROM t GROUP BY source"""))
 ,
     Q(
+      "qt39_type_token_ratio",
+      // lexical diversity per source: distinct terms / total terms
+      // (type-token ratio) — low TTR flags template/boilerplate-heavy
+      // sources before any pair mining runs. Exact distinct + total
+      // counts on qt11's tokenization contract, one BIGINT→DOUBLE
+      // division.
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .groupBy("source")
+          .agg(
+            countDistinct("term").as("n_types"),
+            count(lit(1)).as("n_tokens"))
+          .withColumn("ttr",
+            col("n_types").cast("double") / col("n_tokens").cast("double")),
+      Some("""SELECT source,
+                     count(DISTINCT term) AS n_types,
+                     count(*) AS n_tokens,
+                     CAST(count(DISTINCT term) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE) AS ttr
+              FROM (SELECT source,
+                           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                    FROM documents) t
+              GROUP BY source""")),
+    Q(
       "qt38_lang_confusion",
       // the quality report ON the lang-id heuristic itself: label ×
       // prediction confusion counts over the whole corpus — the
