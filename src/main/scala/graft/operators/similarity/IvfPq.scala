@@ -74,34 +74,34 @@ object IvfPq {
       probe, topk, cb)
   }
 
-  /** BATCH serving — one pruned scan answers a whole query batch:
-    * every probe's `nprobe` cells are derived driver-side (the probe
-    * set is small by the qs05 broadcast-probe contract), their union
-    * restricts the codes read (still file-pruned on the persisted
-    * index), and each surviving code row joins only the probes that
-    * probed its cell — so per-row work is (probing probes) × m CASE
-    * lookups, and the only shuffle is the per-probe top-k window over
-    * candidate rows. The ADC distance here is computed probe-as-COLUMN
+  /** BATCH serving — one pruned scan answers a whole query batch,
+    * fully DISTRIBUTED: the probes stay a DataFrame end to end (a
+    * mining-scale batch of millions of probes never rides the driver),
+    * each probe's `nprobe` cells derive executor-side from the pure
+    * [[PortableIvf.probedCellsCol]] expression, and the exploded
+    * (probe_id, pv, cell) rows broadcast-join the codes on cell — on a
+    * persisted index the partition-column join equi-key lets dynamic
+    * partition pruning restrict the scan to the probed cells' FILES
+    * (asserted in PlanShapeSpec). Per-row work is (probing probes) × m
+    * CASE lookups, and the only shuffle is the per-probe top-k window
+    * over candidate rows. The ADC distance is computed probe-as-COLUMN
     * (the single-probe path inlines a literal lookup table; a batch
     * can't, so each subspace is a 16-way CASE over codeword sqDists
     * against the probe slice — the identical fixed-order add chain, so
-    * values match the single-probe path and the oracle bit-for-bit). */
+    * values match the single-probe path and the oracle bit-for-bit).
+    * Constructing the result triggers NO Spark job (plan-only). */
   def adcTopKBatch(codes: DataFrame, probes: DataFrame, probeVec: Column,
       probeId: Column, topk: Int, nprobe: Int,
       cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val pr = probes.select(probeId.cast("long"), probeVec)
-      .as[(Long, Seq[Float])].collect().toSeq
-    val probeCells = pr.flatMap { case (pid, v) =>
-      PortableIvf.probedCells(v, nprobe).map(c => (pid, v.map(_.toDouble), c))
-    }
-    val pc = probeCells.toDF("probe_id", "pv", "cell")
-    val allCells = probeCells.map(_._3).distinct
+    val pc = probes
+      .select(
+        probeId.cast("long").as("probe_id"),
+        probeVec.cast("array<double>").as("pv"))
+      .withColumn("cell",
+        explode(PortableIvf.probedCellsCol(col("pv"), nprobe)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adc").asc, col("id").asc)
     codes
-      .filter(col("cell").isin(allCells: _*))
       .join(broadcast(pc), Seq("cell"))
       .withColumn("adc", adcColumn(col("pv"), cb))
       .withColumn("rnk", row_number().over(w))

@@ -72,6 +72,24 @@ object PortableIvf {
       .take(nprobe)
   }
 
+  /** [[probedCells]] as a pure COLUMN over a probe-vector column —
+    * what lets a probe BATCH stay distributed ([[IvfPq.adcTopKBatch]]):
+    * each executor derives its probes' cells locally, no driver
+    * collect. Bit-identical to the driver path: the cosine expression
+    * is the same single-pass fold as [[IvfIndex.cosine]] (independent
+    * accumulators, same index order), and descending sort on
+    * (sim, -cell) reproduces the stable sort's lower-cell tie-break. */
+  def probedCellsCol(v: Column, nprobe: Int): Column = {
+    val scored = array((0 until numCells).map { c =>
+      struct(
+        VectorOps.cosine(v, typedLit(centroidVals(c))).as("sim"),
+        lit(-c).as("ncell"))
+    }: _*)
+    transform(
+      slice(sort_array(scored, asc = false), 1, nprobe),
+      s => -s.getField("ncell"))
+  }
+
   // ---- oracle SQL fragments (shared with IvfPq's composed oracle) ----
 
   private def centroidList(c: Int): String = centroidInts(c).mkString("[", ",", "]")

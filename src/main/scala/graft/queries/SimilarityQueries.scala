@@ -339,12 +339,14 @@ object SimilarityQueries {
       Some(graft.operators.similarity.DiversityPrune.oracleSql(8, 0.25))),
     Q(
       "qs19_topk_ivfpq_batch",
-      // BATCH IVF x PQ serving: one file-pruned scan of the union of
-      // all probes' cells answers the whole query batch — each code
-      // row joins only the probes that probed its cell, the ADC
-      // distance runs probe-as-column (16-way CASE per subspace, same
-      // fixed add chain as the literal-table scan), and the only
-      // shuffle is the per-probe top-k window.
+      // BATCH IVF x PQ serving: one file-pruned scan answers the whole
+      // query batch — per-probe cells derive EXECUTOR-side (pure
+      // probedCellsCol expression; the probes never ride the driver),
+      // each code row joins only the probes that probed its cell, the
+      // ADC distance runs probe-as-column (16-way CASE per subspace,
+      // same fixed add chain as the literal-table scan), and the only
+      // shuffle is the per-probe top-k window. qs27 is the same path
+      // at mining batch size with the plan shape asserted.
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val idx = java.nio.file.Files
@@ -502,6 +504,29 @@ object SimilarityQueries {
           .bruteForceTopK(cand, col("embedding"), col("vec_id"), p, 5)
           .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
-      Some(graft.operators.similarity.PortableIvf.oracleCrossLabelSql(5, 3)))
+      Some(graft.operators.similarity.PortableIvf.oracleCrossLabelSql(5, 3))),
+    Q(
+      "qs27_topk_ivfpq_batch_distributed",
+      // qs19 at MINING scale: a 1,000-probe batch served with the
+      // probes kept distributed end to end — per-probe cells derive
+      // executor-side from the pure probedCellsCol expression (no
+      // driver collect; constructing the plan runs zero jobs,
+      // PlanShapeSpec-asserted), the exploded (probe, cell) rows
+      // broadcast into the partitioned codes scan (dynamic partition
+      // pruning restricts the files read), and the only shuffle is
+      // the per-probe top-k window. Same probe-as-column ADC chain as
+      // qs19, so every distance value-oracles.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_dist").toString
+        graft.operators.similarity.IvfPq.writeIndex(
+          emb, col("embedding"), col("vec_id"), idx)
+        graft.operators.similarity.IvfPq.topKIndexedBatch(
+          s, idx, emb.filter(col("vec_id") < 1000),
+          col("embedding"), col("vec_id"), topk = 3, nprobe = 3)
+      },
+      Some(graft.operators.similarity.IvfPq.oracleBatchSql(1000, 3, 3)),
+      bench = true)
   )
 }

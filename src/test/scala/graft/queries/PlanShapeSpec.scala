@@ -112,6 +112,52 @@ class PlanShapeSpec extends SparkSpec {
       s"span join degraded to nested loop:\n$p")
   }
 
+  test("qe01: hourly window is one shuffle — partial/final hash aggregate") {
+    // r9 bench drift watch: the windowed agg must stay a pure
+    // two-phase aggregate; any extra exchange is plan drift (the
+    // +81% r8→r9 delta was the events.ts fixture change, not plan)
+    val p = plan("qe01_hourly_window")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("qs10: k-means assignment is map-only — no join, no exchange") {
+    // fit() runs bounded driver work up front; the ASSIGN plan itself
+    // must stay a pure projection (centroids ride as literals)
+    val p = plan("qs10_kmeans_assign")
+    assert(!p.contains("Join"), s"assignment plans a join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+  }
+
+  test("qs27: distributed batch ADC — no driver job, DPP-pruned scan, broadcast probes") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.similarity.IvfPq
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val probes = emb.filter(col("vec_id") < 50)
+    // constructing the batch result must run ZERO jobs (the old path
+    // collected the probe batch to the driver here)
+    spark.sparkContext.setJobGroup("qs27-construct", "construction probe")
+    val df = IvfPq.adcTopKBatch(codes, probes,
+      col("embedding"), col("vec_id"), topk = 3, nprobe = 3)
+    Thread.sleep(1000) // status tracker is listener-fed (async)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("qs27-construct")
+    spark.sparkContext.clearJobGroup()
+    assert(jobs.isEmpty, s"plan construction ran ${jobs.length} driver job(s)")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    // the partitioned codes scan must carry a dynamic pruning filter on
+    // cell — file-level restriction to the probed cells at runtime
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"codes scan not dynamically pruned:\n$pf\n$p")
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
