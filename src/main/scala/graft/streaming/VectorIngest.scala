@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.similarity.{IvfPq, ProductQuantizer}
@@ -12,18 +12,35 @@ import graft.operators.similarity.{IvfPq, ProductQuantizer}
   * the same reason as there: the append is a composed batch plan
   * (encode → dynamic-partition append), not a streaming-native sink.
   *
-  * Exactly-once-by-idempotence: parquet appends under foreachBatch are
-  * at-least-once on retry, so each batch anti-joins the index's id
-  * column first — a replayed batch finds its ids already present and
-  * appends nothing. The guard read prunes to the `id` column (codes
-  * are 12-byte rows; the ids-only columnar scan is the cheap part of
-  * the index by construction), and within-batch duplicate ids collapse
-  * to the first row. Because cells and codebook are frozen constants,
-  * the maintained index stays content-identical to a full rebuild over
-  * everything ever ingested (the qs24 contract), and probes keep
-  * file-level cell pruning throughout.
+  * Exactly-once-by-idempotence (single writer): parquet appends under
+  * foreachBatch are at-least-once on retry, so each batch anti-joins
+  * the index's id column first — a replayed batch finds its ids
+  * already present and appends nothing. The contract assumes ONE
+  * writer owns the index directory (the streaming query's own retries
+  * are serial, so they are safe); two concurrent appenders — a stream
+  * plus an out-of-band `ann append`, or two CLI runs — can both pass
+  * the novelty check before either writes and duplicate ids.
+  * Within-batch duplicate ids collapse to one arbitrary row (Spark's
+  * `dropDuplicates` keeps whichever row its scan sees first).
+  *
+  * The novelty check is BLOOM-GATED exactly as [[IngestPipeline]]'s
+  * fingerprint guard: `ann build` persists a bloom over the index's id
+  * strings beside the codes, each append folds its novel ids forward
+  * (executor-side `stat.bloomFilter` + `mergeInPlace` — ids never ride
+  * the driver), and a batch whose ids are ALL bloom-negative is
+  * definitely novel and never reads the ids parquet at all. Only the
+  * bloom-positive rows (true replays + ~fpp noise) probe the index:
+  * they broadcast into ONE ids-only scan, so at 10⁹ vectors a novel
+  * stream costs ~40 bytes of bloom probes per row instead of a
+  * full-index scan per micro-batch. Because cells and codebook are
+  * frozen constants, the maintained index stays content-identical to a
+  * full rebuild over everything ever ingested (the qs24 contract), and
+  * probes keep file-level cell pruning throughout.
   */
 object VectorIngest {
+
+  private def bloomPath(indexDir: String) = s"$indexDir/ids.bloom"
+  private def bloomMetaPath(indexDir: String) = s"$indexDir/ids.bloom.meta"
 
   /** Append each micro-batch's novel vectors into `indexDir`.
     * AvailableNow by default: drain what exists, then stop — the batch
@@ -47,9 +64,28 @@ object VectorIngest {
       .trigger(trigger)
       .start()
 
+  /** Build (or rebuild) the id bloom sidecar from the persisted codes —
+    * called by `ann build`, by the first append into a pre-bloom index
+    * dir, and on saturation. Sized 4× the current ids so appends can
+    * fold forward before fpp decays ([[IngestPipeline.buildIndexDir]]'s
+    * policy). */
+  def writeIdBloom(spark: SparkSession, indexDir: String,
+      fpp: Double = 0.01): Unit = {
+    val ids = spark.read.parquet(s"$indexDir/codes")
+      .select(col("id").cast("string").as("id"))
+      .filter(col("id").isNotNull)
+    val n = math.max(ids.count() * 4, 4L)
+    IngestPipeline.writeBloom(
+      spark, ids.stat.bloomFilter("id", n, fpp), bloomPath(indexDir))
+    IngestPipeline.writeBloomMeta(
+      spark, IngestPipeline.BloomMeta(n, fpp), bloomMetaPath(indexDir))
+  }
+
   /** One batch of the maintenance loop, also usable standalone for
-    * batch increments: dedup within the batch, anti-join the index's
-    * ids, append only the novel rows' codes. */
+    * batch increments: dedup within the batch, bloom-gate the novelty
+    * check (bloom-negative rows never touch the index; positives
+    * broadcast into one ids-only scan), append only the novel rows'
+    * codes, fold their ids into the persisted bloom. */
   def appendBatch(
       batch: DataFrame,
       vec: Column,
@@ -58,14 +94,63 @@ object VectorIngest {
       cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): Unit = {
     val spark = batch.sparkSession
     val rows = batch.select(id.as("id"), vec.as("v")).dropDuplicates("id")
-    val novel =
-      try {
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val fs = codes.getFileSystem(spark.sessionState.newHadoopConf())
+    // the missing-path case is checked EXPLICITLY: any other failure
+    // reading the index (schema mismatch, corrupt listing) must
+    // propagate — swallowing it would skip the idempotence guard and
+    // append duplicate ids
+    if (!fs.exists(codes)) {
+      IvfPq.appendIndex(rows, col("v"), col("id"), indexDir, cb)
+      writeIdBloom(spark, indexDir)
+      return
+    }
+    val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))
+    val novel = bloom match {
+      case Some(bf) =>
+        // null ids can't probe the bloom — route them with the
+        // POSITIVE branch so the anti-join decides (it keeps them,
+        // matching the no-bloom path's null semantics)
+        val hit = coalesce(
+          graft.functions.BloomExprs.mightContain(
+            bf, col("id").cast("string")), lit(true))
+        val hits = rows.filter(hit).select("id")
+        if (hits.isEmpty) rows // all definitely novel: ids never read
+        else {
+          // 100 TB shape: the ids scan is the unbroadcastable side, so
+          // the (tiny) bloom-positive ids broadcast INTO one columnar
+          // ids-only pass; confirmed replays broadcast again for the
+          // final anti-join. The index is never broadcast or shuffled.
+          val confirmed = spark.read.parquet(s"$indexDir/codes")
+            .select("id").join(broadcast(hits), Seq("id"), "left_semi")
+          rows.join(broadcast(confirmed), Seq("id"), "left_anti")
+        }
+      case None =>
+        // legacy index dir without the sidecar: full ids anti-join
         val existing = spark.read.parquet(s"$indexDir/codes").select("id")
         rows.join(existing, Seq("id"), "left_anti")
-      } catch {
-        // first batch: no index yet — everything is novel
-        case _: org.apache.spark.sql.AnalysisException => rows
-      }
-    IvfPq.appendIndex(novel, col("v"), col("id"), indexDir, cb)
+    }
+    // barrier BEFORE the append: the fold below re-reads `novel`, and
+    // un-materialized lineage would re-run the anti-join against the
+    // index that now CONTAINS these rows (yielding nothing to fold)
+    val novelM = graft.operators.Barrier(novel)
+    IvfPq.appendIndex(novelM, col("v"), col("id"), indexDir, cb)
+    bloom match {
+      case Some(bf) =>
+        val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(indexDir))
+        val novelIds = novelM.select(col("id").cast("string").as("id"))
+          .filter(col("id").isNotNull)
+        // fold executor-side with the persisted creation params (the
+        // mergeInPlace compatibility contract); zero-row folds skip
+        meta.filter(_ => !novelIds.isEmpty).foreach(m =>
+          bf.mergeInPlace(novelIds.stat.bloomFilter("id", m.expectedItems, m.fpp)))
+        if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
+          IngestPipeline.writeBloom(spark, bf, bloomPath(indexDir))
+        else writeIdBloom(spark, indexDir) // saturated or paramless: rebuild
+      case None =>
+        // adopt the sidecar for the NEXT append (one full ids pass now
+        // buys bloom-gated appends forever after)
+        writeIdBloom(spark, indexDir)
+    }
   }
 }
