@@ -26,6 +26,10 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *                                          serving index (cell-partitioned)
   *   graft ann append --table t --index d   idempotent increment append
   *   graft ann search --index d --probe-id n  probe the persisted index
+  *   graft ann search --index d --probe-file f [--out d2]  batch search:
+  *                                          a parquet/CSV of probe vectors
+  *                                          answered in one distributed
+  *                                          cell-pruned pass (qs27 path)
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
@@ -241,6 +245,8 @@ object Main {
             val corpus = catalogFor(cfg.src).read(spark, t)
             graft.operators.similarity.IvfPq
               .writeIndex(corpus, col(vecC), col(idC), dir)
+            // the id bloom the append path gates its novelty check on
+            graft.streaming.VectorIngest.writeIdBloom(spark, dir)
             val n = spark.read.parquet(s"$dir/codes").count()
             println(s"ANN index built at $dir: $n vectors encoded")
             println(f"ANN build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -260,23 +266,65 @@ object Main {
           case (Some("search"), Some(dir), tOpt) =>
             val k = opt("--k").map(_.toInt).getOrElse(10)
             val nprobe = opt("--nprobe").map(_.toInt).getOrElse(3)
-            val probeId = opt("--probe-id").map(_.toLong).getOrElse(0L)
-            val probeTable = tOpt.getOrElse("embeddings")
-            val probe = catalogFor(cfg.src).read(spark, probeTable)
-              .filter(col(idC) === probeId)
-              .select(vecC).head().getSeq[Float](0)
-            val hits = graft.operators.similarity.IvfPq
-              .topKIndexed(spark, dir, probe, k, nprobe)
-              .collect()
-            println(table(
-              Seq("Id", "AdcDist") +:
-                hits.map(r => Seq(r.get(0).toString, f"${r.getDouble(1)}%.6f")).toSeq))
-            println(f"ANN search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
-            0
+            opt("--probe-file") match {
+              case Some(pf) =>
+                // BATCH search: a parquet/CSV file of probe vectors,
+                // answered in ONE distributed pass (the qs27 path —
+                // probes never ride the driver, the codes scan stays
+                // cell-pruned). CSV probes carry the vector as a
+                // comma-joined string in the vec column.
+                val probes =
+                  if (pf.endsWith(".csv"))
+                    spark.read.option("header", "true").csv(pf)
+                      .select(col(idC).cast("long").as(idC),
+                        org.apache.spark.sql.functions.split(col(vecC), ";")
+                          .cast("array<float>").as(vecC))
+                  else spark.read.parquet(pf)
+                val hits = graft.operators.similarity.IvfPq
+                  .topKIndexedBatch(spark, dir, probes,
+                    col(vecC).cast("array<float>"), col(idC), k, nprobe)
+                opt("--out") match {
+                  case Some(out) =>
+                    hits.write.mode("overwrite").parquet(out)
+                    println(s"ANN batch search: ${spark.read.parquet(out).count()} " +
+                      s"result rows -> $out")
+                  case None =>
+                    println(table(
+                      Seq("ProbeId", "Id", "AdcDist") +:
+                        hits.orderBy(col("probe_id"), col("adc_dist")).collect()
+                          .map(r => Seq(r.get(0).toString, r.get(1).toString,
+                            f"${r.getDouble(2)}%.6f")).toSeq))
+                }
+                println(f"ANN search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+                0
+              case None =>
+                val probeId = opt("--probe-id").map(_.toLong).getOrElse(0L)
+                val probeTable = tOpt.getOrElse("embeddings")
+                // cast first (an array<double> vec column would CCE on
+                // getSeq[Float]); a missing id gets a usable message
+                catalogFor(cfg.src).read(spark, probeTable)
+                  .filter(col(idC) === probeId)
+                  .select(col(vecC).cast("array<float>"))
+                  .head(1).headOption match {
+                  case None =>
+                    println(s"ann search: probe id $probeId not found in $probeTable")
+                    1
+                  case Some(row) =>
+                    val hits = graft.operators.similarity.IvfPq
+                      .topKIndexed(spark, dir, row.getSeq[Float](0), k, nprobe)
+                      .collect()
+                    println(table(
+                      Seq("Id", "AdcDist") +:
+                        hits.map(r => Seq(r.get(0).toString, f"${r.getDouble(1)}%.6f")).toSeq))
+                    println(f"ANN search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+                    0
+                }
+            }
           case _ =>
             println("usage: graft ann <build|append|search> --index <dir> " +
               "[--table <vec-table>] [--vec embedding] [--id vec_id] " +
-              "[--k 10] [--nprobe 3] [--probe-id 0] --config cfg.yml")
+              "[--k 10] [--nprobe 3] [--probe-id 0] " +
+              "[--probe-file probes.parquet|.csv [--out dir]] --config cfg.yml")
             2
         }
       case "version" =>

@@ -263,6 +263,25 @@ class MainSpec extends SparkSpec {
     assert(n == emb.count())
     assert(Main.run(Array("ann", "search", "--index", idxDir,
       "--probe-id", "0", "--config", cfg), spark) == 0)
+    // a missing probe id is a usable error, not a stack trace
+    assert(Main.run(Array("ann", "search", "--index", idxDir,
+      "--probe-id", "999999", "--config", cfg), spark) == 1)
+    // batch search from a probe FILE (the distributed qs27 path):
+    // 3 probes, one result table with k rows per probe
+    val probeFile = s"$srcDir/probes.parquet"
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .write.parquet(probeFile)
+    val outDir = Files.createTempDirectory("graft_ann_out").toString + "/hits"
+    assert(Main.run(Array("ann", "search", "--index", idxDir,
+      "--probe-file", probeFile, "--k", "5", "--out", outDir,
+      "--config", cfg), spark) == 0)
+    val hits = spark.read.parquet(outDir)
+    assert(hits.count() == 15L, "3 probes x k=5 result rows")
+    assert(hits.select("probe_id").distinct().count() == 3L)
+    // printed (no --out) variant also works
+    assert(Main.run(Array("ann", "search", "--index", idxDir,
+      "--probe-file", probeFile, "--k", "2", "--config", cfg), spark) == 0)
     // bad usage exits 2
     assert(Main.run(Array("ann", "build", "--config", cfg), spark) == 2)
   }
