@@ -172,6 +172,59 @@ final class JdbcCatalog(val endpoint: Endpoint, schema: Option[String] = None)
       maxSlices: Int): DataFrame =
     graft.sync.PartitionedReader.read(spark, endpoint, table, pageSize, maxSlices)
 
+  /** Discovered views minus the exclusion list — the reference's S13
+    * object-migration surface (readme.md:10,81 advertises view
+    * migration; cmd/root.go:166-180 left it commented out). Same
+    * DatabaseMetaData route as [[allTables]] with type=VIEW. */
+  def listViews(exclude: Seq[String] = Seq.empty): Seq[String] = withConn { conn =>
+    val rs = conn.getMetaData
+      .getTables(null, schema.orNull, "%", Array("VIEW"))
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (rs.next()) buf += rs.getString("TABLE_NAME").toLowerCase
+    rs.close()
+    val ex = exclude.map(_.toLowerCase).toSet
+    buf.sorted.toSeq.filterNot(ex.contains)
+  }
+
+  /** The view's CREATE statement, normalized to a replayable
+    * `CREATE VIEW <name> AS <select>` — the `show create view` step of
+    * the reference's S13 surface. Three probes, most-specific first:
+    * MySQL-wire `SHOW CREATE VIEW` (verbatim DDL, the reference's own
+    * source of truth), Derby's SYS.SYSVIEWS (stores the full CREATE
+    * text), and standard INFORMATION_SCHEMA.VIEWS (H2/PostgreSQL —
+    * usually just the SELECT body, wrapped here). None => the dialect
+    * hides view text; the caller reports it skipped. */
+  def viewDefinition(view: String): Option[String] = withConn { conn =>
+    def rows(sql: String, col: Int): Option[String] = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        try { if (rs.next()) Option(rs.getString(col)) else None }
+        finally rs.close()
+      } catch { case _: java.sql.SQLException => None }
+      finally st.close()
+    }
+    def wrap(defn: String): String = {
+      val d = defn.trim.stripSuffix(";").trim
+      if (d.toLowerCase.startsWith("create")) d
+      else s"CREATE VIEW $view AS $d"
+    }
+    val probes = Seq(
+      // MySQL-wire: column 2 of SHOW CREATE VIEW is the DDL
+      () => if (graft.sync.Jobs.isMySqlWire(endpoint.url))
+        rows(s"SHOW CREATE VIEW `$view`", 2) else None,
+      // Derby system catalog
+      () => rows(
+        s"""SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v
+           |JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
+           |WHERE LOWER(t.TABLENAME) = '${view.toLowerCase}'""".stripMargin, 1),
+      // ANSI information schema
+      () => rows(
+        s"""SELECT VIEW_DEFINITION FROM INFORMATION_SCHEMA.VIEWS
+           |WHERE LOWER(TABLE_NAME) = '${view.toLowerCase}'""".stripMargin, 1))
+    probes.iterator.flatMap(_.apply()).buffered.headOption.map(wrap)
+  }
+
   /** Run DDL/SQL directly on the endpoint (truncate, CREATE TABLE
     * replay — the reference's S11/S12 driver-side statements). */
   def execute(sql: String): Unit = withConn { conn =>

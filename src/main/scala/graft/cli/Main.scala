@@ -14,7 +14,9 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *   graft sync --delta --config cfg.yml    checksum-diff repair sync
   *   graft compare      --config cfg.yml    row-count compare
   *   graft compare --content --config ...   one-pass checksum compare
-  *   graft create-table --config cfg.yml    DDL-only
+  *   graft create-table [--views] --config   DDL-only; --views also
+  *                                          replays view DDL after the
+  *                                          tables (S13's view leg)
   *   graft index build  --table t --index d sign the corpus once (LSH
   *                                          index + exact fingerprints)
   *   graft index append --table t --index d curate one increment against
@@ -124,19 +126,32 @@ object Main {
         println(f"Compare finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
         failed.size
       case "create-table" =>
+        var failures = 0
         (catalogFor(cfg.src), cfg.dest) match {
           case (src: JdbcCatalog, dest) if !dest.url.startsWith("parquet:") =>
             // verbatim DDL replay is MySQL-dialect work; portable path:
             // create empty tables from source schemas via the JDBC writer
             val sink = sinkFor(dest, cfg)
-            catalogFor(cfg.src).listTables(cfg.exclude).foreach { t =>
+            src.listTables(cfg.exclude).foreach { t =>
               sink.overwrite(src.read(spark, t).limit(0), t)
+            }
+            // --views: replay view DDL AFTER the tables (S13's view leg,
+            // readme.md:10,81) — discovery order + one retry pass for
+            // view-on-view definitions
+            if (args.contains("--views")) {
+              val results = graft.sync.DdlReplay.replayViews(
+                src, new JdbcCatalog(dest), src.listViews(cfg.exclude))
+              println(table(
+                Seq("View", "Result") +:
+                  results.map { case (v, r) =>
+                    Seq(v, r.fold(e => s"FAILED $e", _ => "OK")) }))
+              failures += results.count(_._2.isLeft)
             }
           case _ =>
             println("create-table requires JDBC endpoints on both sides")
         }
         println(f"Table create finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        0
+        failures
       case "index" =>
         // the persisted LSH-index lifecycle (the 100 TB operating mode:
         // sign the corpus ONCE, curate every later increment against

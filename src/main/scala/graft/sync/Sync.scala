@@ -655,4 +655,47 @@ object DdlReplay {
         s"drop table if exists `$table` cascade")
     else if (exists) Seq(s"DROP TABLE $table")
     else Seq.empty
+
+  /** Replay a set of views AFTER their base tables exist — the view
+    * leg of the reference's S13 object migration (advertised
+    * readme.md:10,81; left commented out in cmd/root.go:166-180).
+    *
+    * Two phases, both dependency-order-free:
+    *   1. DROP every target view being replaced, looping while any
+    *      drop makes progress — dialects that track dependencies
+    *      (Derby) refuse to drop a view another view reads, so
+    *      dependents fall in an earlier iteration and unblock their
+    *      bases in the next;
+    *   2. CREATE in discovery order with one retry pass, so a view
+    *      defined over another view that happened to sort later still
+    *      lands (each pass creates at least one view of a well-formed
+    *      chain; real schemas nest a couple of levels, not dozens).
+    * A still-failing view is reported, not thrown. Returns per-view
+    * results: Right(()) = created, Left(reason) = skipped/failed. */
+  def replayViews(
+      source: JdbcCatalog,
+      target: JdbcCatalog,
+      views: Seq[String]): Seq[(String, Either[String, Unit])] = {
+    var toDrop = views.filter(target.tableExists)
+    var progress = true
+    while (toDrop.nonEmpty && progress) {
+      val remaining = toDrop.filterNot { v =>
+        try { target.execute(s"DROP VIEW $v"); true }
+        catch { case _: java.sql.SQLException => false }
+      }
+      progress = remaining.size < toDrop.size
+      toDrop = remaining
+    }
+    val defs = views.map(v => v -> source.viewDefinition(v)).toMap
+    def attempt(v: String): Either[String, Unit] = defs(v) match {
+      case None => Left("view definition not readable from source dialect")
+      case Some(sql) =>
+        try { target.execute(sql); Right(()) }
+        catch { case e: java.sql.SQLException => Left(e.getMessage) }
+    }
+    views.map(v => v -> attempt(v)).map {
+      case (v, Left(_)) if defs(v).nonEmpty => v -> attempt(v) // retry pass
+      case done => done
+    }
+  }
 }

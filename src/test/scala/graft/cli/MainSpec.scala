@@ -286,6 +286,28 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("ann", "build", "--config", cfg), spark) == 2)
   }
 
+  test("create-table --views replays view DDL onto the target (S13)") {
+    val srcUrl = "jdbc:derby:memory:cliviewsrc;create=true"
+    val dstUrl = "jdbc:derby:memory:cliviewdst;create=true"
+    val src = new graft.catalog.JdbcCatalog(graft.config.Endpoint(srcUrl))
+    graft.sync.DdlReplay.replay(src, Seq(
+      "CREATE TABLE vt_base (id INT NOT NULL PRIMARY KEY, v VARCHAR(16))",
+      "INSERT INTO vt_base VALUES (1, 'a')",
+      "CREATE VIEW vt_view AS SELECT id, UPPER(v) AS vv FROM vt_base"))
+    val cfg = writeCfg(
+      s"""src:
+         |  url: $srcUrl
+         |dest:
+         |  url: $dstUrl
+         |""".stripMargin)
+    assert(Main.run(Array("create-table", "--views", "--config", cfg), spark) == 0)
+    val dst = new graft.catalog.JdbcCatalog(graft.config.Endpoint(dstUrl))
+    assert(dst.listViews().contains("vt_view"))
+    dst.execute("INSERT INTO vt_base VALUES (9, 'z')")
+    assert(dst.rowCount(spark, "vt_view") == 1,
+      "replayed view must read the target's own base table")
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }

@@ -121,6 +121,39 @@ class JdbcDerbySpec extends SparkSpec {
     assert(sink.readBack(spark, "nation").count() == 25)
   }
 
+  test("view replay: discovery, definition read, dependency-safe replay (S13)") {
+    val srcUrl = "jdbc:derby:memory:graftvsrc;create=true"
+    val dstUrl = "jdbc:derby:memory:graftvdst;create=true"
+    val src = new JdbcCatalog(Endpoint(srcUrl))
+    val dst = new JdbcCatalog(Endpoint(dstUrl))
+    val baseDdl = "CREATE TABLE base_t (id INT NOT NULL PRIMARY KEY, v VARCHAR(16))"
+    DdlReplay.replay(src, Seq(
+      baseDdl,
+      "INSERT INTO base_t VALUES (1, 'a')",
+      "INSERT INTO base_t VALUES (2, 'b')",
+      "CREATE VIEW v_upper AS SELECT id, UPPER(v) AS vv FROM base_t",
+      // sorts BEFORE its base view — exercises the create retry pass
+      "CREATE VIEW a_on_view AS SELECT vv FROM v_upper WHERE id > 1"))
+    assert(src.listViews() == Seq("a_on_view", "v_upper"))
+    assert(src.listViews(Seq("a_on_view")) == Seq("v_upper"))
+    // views are NOT base tables (create-table's limit(0) path must
+    // never materialize them as tables)
+    assert(!src.listTables().contains("v_upper"))
+
+    DdlReplay.replayTable(dst, "base_t", baseDdl)
+    val r1 = DdlReplay.replayViews(src, dst, src.listViews())
+    assert(r1.forall(_._2.isRight), r1.toString)
+    dst.execute("INSERT INTO base_t VALUES (5, 'x')")
+    assert(dst.rowCount(spark, "v_upper") == 1)
+    assert(dst.rowCount(spark, "a_on_view") == 1)
+
+    // idempotent re-replay: Derby refuses to drop a view a dependent
+    // reads, so the drop phase must fell a_on_view first
+    val r2 = DdlReplay.replayViews(src, dst, src.listViews())
+    assert(r2.forall(_._2.isRight), r2.toString)
+    assert(dst.rowCount(spark, "a_on_view") == 1)
+  }
+
   test("custom-SQL mode pushes each configured SELECT to the source verbatim") {
     DdlReplay.replay(target, Seq(
       "CREATE TABLE src_n (k INT NOT NULL PRIMARY KEY, v VARCHAR(32))"))
