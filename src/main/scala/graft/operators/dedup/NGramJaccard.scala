@@ -23,9 +23,15 @@ object NGramJaccard {
     * quadratic at corpus scale. A gram this common carries no
     * discriminative signal — it raises every pair's intersection by
     * the same 1 — so dropping it perturbs similarity marginally while
-    * bounding the join at (#grams)·cap². Far above any fixture
-    * frequency, so oracle results are unchanged; lower it for
-    * boilerplate-heavy corpora. */
+    * bounding the join at (#grams)·cap². Scores above the cap are the
+    * jaccard/containment of the FILTERED gram sets (per-doc sizes are
+    * corrected in [[invertedCounts]]), so the cap's effect is
+    * one-sided — boilerplate is ignored, never half-counted — and the
+    * uncapped DuckDB oracles (qd07/qd21/qd25) agree exactly as long
+    * as no fixture gram crosses the cap, which this default
+    * guarantees by two orders of magnitude. Lower it for
+    * boilerplate-heavy corpora (and expect capped blocks to diverge
+    * from a capless engine — documented on the oracle queries). */
   val DefaultMaxGramFreq = 1000
 
   /** |A ∩ B| / |A ∪ B| over two (distinct-element) array columns. */
@@ -91,7 +97,17 @@ object NGramJaccard {
 
   /** The shared inverted-index stage: (id_a, id_b, sz_a, sz_b, inter)
     * for every gram-sharing pair — |A∩B| as an algebraic count, gram
-    * arrays never crossing the pair join. */
+    * arrays never crossing the pair join.
+    *
+    * Sizes are recomputed over the KEPT grams (per-doc flood count
+    * subtracted — the flood side is tiny by construction, so the
+    * correction is a broadcast join), which makes every downstream
+    * score exactly the jaccard/containment of the FILTERED gram sets:
+    * self-consistent (a pair of identical docs scores 1.0 even when
+    * they share flood grams) and one-sided (boilerplate is ignored,
+    * never half-counted into the denominator). A pair whose overlap
+    * is ONLY flood grams still never materializes — by design: pairing
+    * docs on shared boilerplate is LineDedup/SpanDedup's job. */
   private def invertedCounts(g: DataFrame, maxGramFreq: Int): DataFrame = {
     require(maxGramFreq > 0, s"bad maxGramFreq=$maxGramFreq")
     val e = g.select(col("blk"), col("id"), size(col("grams")).as("sz"),
@@ -103,7 +119,13 @@ object NGramJaccard {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxGramFreq)
       .select("blk", "gram")
+    // per-doc flood-gram counts: only docs that CONTAIN a flood gram
+    // appear, so this side broadcasts
+    val floodCnt = e.join(hot, Seq("blk", "gram"), "left_semi")
+      .groupBy("blk", "id").agg(count(lit(1)).as("__fn"))
     val kept = e.join(hot, Seq("blk", "gram"), "left_anti")
+      .join(broadcast(floodCnt), Seq("blk", "id"), "left")
+      .withColumn("sz", col("sz") - coalesce(col("__fn"), lit(0)))
     val a = kept.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = kept.select(col("blk"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
     a.join(b, Seq("blk", "gram"))

@@ -48,9 +48,13 @@ object DiscriminativeTerms {
     val counts = toks.groupBy("term").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
       sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
-    val totals = toks.agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+    // n_a = Σ c_a exactly: fold the totals over the per-term counts so
+    // the corpus is tokenized ONCE — both consumers of `counts` share
+    // the same term-keyed exchange (ReusedExchange, plan-asserted in
+    // DiscriminativeTermsSpec), not a second explode pass
+    val totals = counts.agg(
+      sum(col("c_a")).as("n_a"),
+      sum(col("c_b")).as("n_b"))
     counts
       .crossJoin(broadcast(totals))
       .filter(col("c_a") + col("c_b") >= minCount)

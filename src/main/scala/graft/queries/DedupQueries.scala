@@ -100,7 +100,12 @@ object DedupQueries {
       },
       // exact token-2-gram Jaccard is SQL-expressible: build the same
       // distinct-gram sets in DuckDB list functions; int/int division
-      // through DOUBLE matches Spark's cast order bit-for-bit
+      // through DOUBLE matches Spark's cast order bit-for-bit.
+      // NOTE: this oracle (like qd21/qd25's) has NO flood-gram cap —
+      // engines agree exactly because no fixture gram approaches
+      // DefaultMaxGramFreq; on a corpus where a gram crosses the cap,
+      // Spark scores the FILTERED gram sets (NGramJaccard scaladoc)
+      // and a capless engine would diverge on those blocks by design
       Some {
         val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
         val grams =
@@ -123,7 +128,8 @@ object DedupQueries {
       // directional overlap: containment = |A∩B| / min(|A|,|B|) — the
       // quote/excerpt/superset detector Jaccard structurally misses
       // (a paragraph quoted in a 100x longer page has Jaccard ~1%,
-      // containment 1.0). Same inverted-index shape as qd07.
+      // containment 1.0). Same inverted-index shape as qd07 — and the
+      // same capless-oracle caveat (see qd07's note).
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         NGramJaccard
@@ -520,7 +526,11 @@ object DedupQueries {
       // of every qualifying containment pair is dropped (the quoted
       // excerpt dies, the quoting page survives; equal sizes keep the
       // lower id). Per-pair, not transitive — oracle-expressible as
-      // one CASE over pairs instead of a fixed point.
+      // one CASE over pairs instead of a fixed point. Capless-oracle
+      // caveat as qd07: above DefaultMaxGramFreq the Spark side scores
+      // filtered gram sets, and a pure-boilerplate excerpt (ALL its
+      // grams flooded) is retained — flood-text removal is
+      // LineDedup/SpanDedup's job, not containment's.
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         NGramJaccard

@@ -135,6 +135,38 @@ private[sync] object RangeBounds {
   }
 }
 
+/** The delta-repair DELETE statements as PURE renderers, split out of
+  * the JDBC choreography so both dialect branches are decidable by
+  * unit test (`DeltaSyncSpec`): the live Derby specs exercise the
+  * generic scratch-table branch end-to-end; no second embedded JDBC
+  * engine ships in this environment (zero egress), so the MySQL branch
+  * and the generic statements' SQL-standard shape (CREATE TABLE AS ..
+  * WITH NO DATA + EXISTS-join DELETE — valid on H2/PostgreSQL/Derby)
+  * are pinned here as strings. */
+private[sync] object DeltaRepairSql {
+
+  /** MySQL-wire branch: ONE server-side DELETE over the dialect md5
+    * hash-key rendition — the repair range never leaves the server. */
+  def mysqlHashRangeDelete(
+      table: String, pkCols: Seq[String],
+      lo: Option[Long], hi: Option[Long]): String =
+    s"DELETE FROM $table WHERE ${RangeBounds.predicate(s"(${HashKey.mysqlSql(pkCols)})", lo, hi)}"
+
+  /** Generic branch step 1: clone the PK columns' exact target types
+    * (a Spark-CREATED scratch would map strings to CLOB, which the
+    * server can't compare against the target's VARCHAR keys). */
+  def scratchClone(table: String, scratch: String, pkCols: Seq[String]): String =
+    s"CREATE TABLE $scratch AS SELECT ${pkCols.mkString(", ")} " +
+      s"FROM $table WITH NO DATA"
+
+  /** Generic branch step 2 (after the executor-side key load): one
+    * server-side keyed DELETE joining the scratch against the target. */
+  def scratchKeyedDelete(table: String, scratch: String, pkCols: Seq[String]): String = {
+    val joinOn = pkCols.map(c => s"d.$c = $table.$c").mkString(" AND ")
+    s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $scratch d WHERE $joinOn)"
+  }
+}
+
 final case class ParquetSink(dir: String) extends Sink {
   override def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
@@ -294,10 +326,8 @@ final case class JdbcSink(
     val conn = java.sql.DriverManager.getConnection(endpoint.url, p)
     try {
       if (endpoint.url.startsWith("jdbc:mysql")) {
-        val keySql = HashKey.mysqlSql(pkCols)
         val st = conn.createStatement()
-        try st.executeUpdate(
-          s"DELETE FROM $table WHERE ${RangeBounds.predicate(s"($keySql)", lo, hi)}")
+        try st.executeUpdate(DeltaRepairSql.mysqlHashRangeDelete(table, pkCols, lo, hi))
         finally st.close()
       } else {
         import org.apache.spark.sql.functions.col
@@ -311,16 +341,9 @@ final case class JdbcSink(
         try {
           try st.executeUpdate(s"DROP TABLE $scratch")
           catch { case _: java.sql.SQLException => () } // leftover from a failed run
-          // clone the PK columns' exact target types: a Spark-CREATED
-          // scratch would map strings to CLOB, which the server can't
-          // compare against the target's VARCHAR keys
-          st.executeUpdate(
-            s"CREATE TABLE $scratch AS SELECT ${pkCols.mkString(", ")} " +
-              s"FROM $table WITH NO DATA")
+          st.executeUpdate(DeltaRepairSql.scratchClone(table, scratch, pkCols))
           doomed.write.mode("append").jdbc(endpoint.url, scratch, wp)
-          val joinOn = pkCols.map(c => s"d.$c = $table.$c").mkString(" AND ")
-          st.executeUpdate(
-            s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $scratch d WHERE $joinOn)")
+          st.executeUpdate(DeltaRepairSql.scratchKeyedDelete(table, scratch, pkCols))
           st.executeUpdate(s"DROP TABLE $scratch")
         } finally st.close()
       }

@@ -200,6 +200,33 @@ class DedupSpec extends SparkSpec {
     assert(still === Set((1L, 11L)))
   }
 
+  test("cap scores the FILTERED gram sets: no half-counted flood denominators") {
+    import graft.operators.dedup.NGramJaccard
+    // docs 1/2 identical; every doc shares the flood prefix "shared
+    // header text"; docs 3..10 diverge after it. maxGramFreq=3 floods
+    // the two prefix grams out.
+    val docs = (
+      Seq((1L, "shared header text alpha beta"),
+          (2L, "shared header text alpha beta")) ++
+      (3L to 10L).map(i => (i, s"shared header text uniq$i tail$i")))
+      .toDF("doc_id", "text")
+    val pairs = NGramJaccard.pairsWithinBlock(
+      docs, col("text"), col("doc_id"), lit("b"), n = 2, threshold = 0.5,
+      maxGramFreq = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // sizes corrected for dropped grams: the identical pair scores 1.0
+    // of its KEPT grams (the uncorrected form scored 2/(4+4-2) = 0.33
+    // and fell below threshold)
+    assert(pairs === Seq((1L, 2L, 1.0)),
+      s"identical docs must score 1.0 under the cap: $pairs")
+    // containment agrees: 1.0 of the filtered sets
+    val cont = NGramJaccard.containmentPairs(
+      docs, col("text"), col("doc_id"), lit("b"), n = 2, threshold = 0.5,
+      maxGramFreq = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 1.0)), cont.toString)
+  }
+
   test("containment dedup drops the quoted excerpt, keeps the quoting page") {
     import graft.operators.dedup.NGramJaccard
     val docs = Seq(

@@ -126,6 +126,27 @@ class DeltaSyncSpec extends SparkSpec {
       srcCat.read(spark, "cdlt"), sink.readBack(spark, "cdlt")))
   }
 
+  test("repair DELETE rendering is pinned for both dialect branches") {
+    // the MySQL branch can't run here (no MySQL server, zero egress) —
+    // pin its exact statement so the server-side md5 rendition is
+    // decidable; the generic statements are SQL-standard shapes the
+    // live Derby specs execute (valid on H2/PostgreSQL too)
+    assert(DeltaRepairSql.mysqlHashRangeDelete(
+      "t", Seq("region", "seq"), Some(100L), Some(200L)) ==
+      "DELETE FROM t WHERE (CAST(CONV(SUBSTRING(MD5(CONCAT_WS('|', region, seq)), " +
+        "1, 15), 16, 10) AS UNSIGNED)) >= 100 AND " +
+        "(CAST(CONV(SUBSTRING(MD5(CONCAT_WS('|', region, seq)), 1, 15), 16, 10) " +
+        "AS UNSIGNED)) < 200")
+    // unbounded-below ranges must sweep NULL hash keys too
+    assert(DeltaRepairSql.mysqlHashRangeDelete("t", Seq("k"), None, Some(5L))
+      .endsWith("< 5 OR (CAST(CONV(SUBSTRING(MD5(CONCAT_WS('|', k)), 1, 15), 16, 10) AS UNSIGNED)) IS NULL"))
+    assert(DeltaRepairSql.scratchClone("t", "t_doomed", Seq("region", "seq")) ==
+      "CREATE TABLE t_doomed AS SELECT region, seq FROM t WITH NO DATA")
+    assert(DeltaRepairSql.scratchKeyedDelete("t", "t_doomed", Seq("region", "seq")) ==
+      "DELETE FROM t WHERE EXISTS (SELECT 1 FROM t_doomed d " +
+        "WHERE d.region = t.region AND d.seq = t.seq)")
+  }
+
   test("parquet targets repair by rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_pq").toString
     val psink = ParquetSink(dir)
