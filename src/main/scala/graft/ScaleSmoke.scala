@@ -64,6 +64,44 @@ object ScaleSmoke {
     translate(c, az + AZ, az.drop(s) + az.take(s) + AZ.drop(s) + AZ.take(s))
   }
 
+  /** Replicate the FULL fixture so the real bench harness can run at
+    * ~sf1 (10 × sf0.1): key columns shift into disjoint per-replica
+    * ranges with FOREIGN KEYS shifted consistently (orders→customer,
+    * lineitem→orders, events→user), so each replica joins within
+    * itself — the join fan-out scales the way real data would.
+    * Dimension tables (nation/region/supplier/part) stay single-copy:
+    * they are broadcast dims whose size is scale-invariant in TPC-H
+    * terms too. documents/embeddings reuse [[buildBig]]'s decorrelated
+    * replication. */
+  def buildBenchBig(spark: SparkSession, baseDir: String, bigDir: String,
+      replicas: Int): Unit = {
+    val done = new java.io.File(s"$bigDir/_BENCH_BUILT")
+    if (done.exists()) return
+    buildBig(spark, baseDir, bigDir, replicas)
+    val S = 100000000L
+    def replicate(table: String, shifted: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until replicas)
+        .map { i =>
+          df.select(df.columns.toIndexedSeq.map(c =>
+            if (shifted.contains(c)) (col(c) + lit(i.toLong * S)).as(c)
+            else col(c)): _*)
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/$table.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
+    }
+    done.createNewFile()
+    ()
+  }
+
   /** Build the replicated corpus once; skip when present. */
   def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
       replicas: Int): Unit = {
@@ -107,6 +145,14 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_BENCH_BUILD=1: materialize the FULL ~sf1 fixture and
+    // exit — `graft.Bench` then runs against it via SPARK_GRAFT_SF_DIR
+    if (sys.env.get("SPARK_GRAFT_BENCH_BUILD").contains("1")) {
+      buildBenchBig(spark, baseDir, bigDir, replicas)
+      println(s"""{"metric":"bench_fixture","dir":"$bigDir","replicas":$replicas}""")
+      spark.stop()
+      return
+    }
     buildBig(spark, baseDir, bigDir, replicas)
 
     def time(q: queries.Q, dir: String): Double = {

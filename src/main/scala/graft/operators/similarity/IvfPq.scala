@@ -97,13 +97,20 @@ object IvfPq {
       .select(
         probeId.cast("long").as("probe_id"),
         probeVec.cast("array<double>").as("pv"))
+      // the m×k ADC lookup table rides the BROADCAST side, computed
+      // once per probe — the per-candidate cost is m array lookups,
+      // exactly the single-probe literal-table scan's shape (the
+      // earlier 16-way-CASE-per-subspace form re-derived every
+      // codeword sqDist per candidate row and cost ~5× at bench scale)
+      .withColumn("adc_tab", adcTableCol(col("pv"), cb))
       .withColumn("cell",
         explode(PortableIvf.probedCellsCol(col("pv"), nprobe)))
+      .select("probe_id", "cell", "adc_tab")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adc").asc, col("id").asc)
     codes
       .join(broadcast(pc), Seq("cell"))
-      .withColumn("adc", adcColumn(col("pv"), cb))
+      .withColumn("adc", adcLookup(col("adc_tab")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topk)
       .select(col("probe_id"), col("id").as("vec_id"),
@@ -117,22 +124,29 @@ object IvfPq {
     adcTopKBatch(spark.read.parquet(s"$dir/codes"), probes, probeVec, probeId,
       topk, nprobe, cb)
 
-  /** ADC distance with the probe as a COLUMN (`pv`: array<double>):
-    * per subspace, a 16-way CASE on the packed code nibble picks the
-    * sqDist of the probe slice against that codeword; subspaces sum in
-    * fixed order — the same operation sequence as the literal-table
-    * scan and the oracle's CASE chain. */
-  private def adcColumn(pv: Column, cb: ProductQuantizer.Codebook): Column = {
+  /** The probe's m×k ADC lookup table as an array-of-arrays column:
+    * adc_tab[s][c] = sqDist(probe slice s, codeword c) — each entry
+    * the same sequential fold as the literal table and the oracle's
+    * CASE chain, computed ONCE per probe. */
+  private def adcTableCol(pv: Column, cb: ProductQuantizer.Codebook): Column = {
     import ProductQuantizer.{dsub, k, m}
+    array((0 until m).map { s =>
+      val sub = slice(pv, s * dsub + 1, dsub)
+      array((0 until k).map(c =>
+        graft.functions.VectorExprs.sqDist(sub, typedLit(cb.cents(s)(c)))): _*)
+    }: _*)
+  }
+
+  /** Per-candidate ADC from the precomputed table: unpack each 4-bit
+    * code nibble, index the table, sum subspaces in the same fixed
+    * s = 0..m−1 order as every other ADC formulation — so values are
+    * bit-identical to the single-probe scan and the oracle. */
+  private def adcLookup(tab: Column): Column = {
+    import ProductQuantizer.m
     (0 until m)
       .map { s =>
-        val codeS = expr(s"pq_code div ${1L << (4 * s)}") % 16
-        val sub = slice(pv, s * dsub + 1, dsub)
-        val first = when(codeS === 0,
-          graft.functions.VectorExprs.sqDist(sub, typedLit(cb.cents(s)(0))))
-        (1 until k).foldLeft(first)((acc, c) =>
-          acc.when(codeS === c,
-            graft.functions.VectorExprs.sqDist(sub, typedLit(cb.cents(s)(c)))))
+        val codeS = (expr(s"pq_code div ${1L << (4 * s)}") % 16).cast("int")
+        element_at(element_at(tab, s + 1), codeS + 1)
       }
       .reduce(_ + _)
   }
