@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one explode feeding ONE term-keyed shuffle with
   * map-side partial aggregation (conditional sums, not two passes);
-  * the corpus-level totals are a single 1-row aggregate broadcast
-  * into the score projection; top-k is TakeOrdered, never a full
-  * sort. Nothing here is quadratic and the only wide exchange is the
-  * term groupBy any word-count already pays.
+  * the per-term counts materialize once (Barrier) and the corpus
+  * totals fold over THEM (n_a = Σ c_a exactly) as a 1-row aggregate
+  * broadcast into the score projection; top-k is TakeOrdered, never a
+  * full sort. Nothing here is quadratic and the only wide exchange is
+  * the term groupBy any word-count already pays.
   *
   * Reference scope: no analog (the reference pushes SQL strings to
   * MySQL, mysqlDataSyncTool cmd/root.go:395-424); LLM-pipeline
@@ -45,13 +46,18 @@ object DiscriminativeTerms {
     val toks = docs.select(
       explode(split(lower(trim(text)), "\\s+")).as("term"),
       inA.cast("boolean").as("in_a"))
-    val counts = toks.groupBy("term").agg(
-      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
-      sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b"))
     // n_a = Σ c_a exactly: fold the totals over the per-term counts so
-    // the corpus is tokenized ONCE — both consumers of `counts` share
-    // the same term-keyed exchange (ReusedExchange, plan-asserted in
-    // DiscriminativeTermsSpec), not a second explode pass
+    // the corpus is tokenized ONCE. The counts table is materialized
+    // behind a Barrier (term-cardinality rows — the aggregate any
+    // word count already produces) because AQE's exchange reuse is
+    // context-dependent (a cached input splits the two consumers into
+    // separate cache stages and re-runs the explode); the barrier
+    // makes single-tokenization unconditional and plan-decidable
+    // (DiscriminativeTermsSpec asserts NO Generate in the final plan).
+    val counts = graft.operators.Barrier(
+      toks.groupBy("term").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("c_b")))
     val totals = counts.agg(
       sum(col("c_a")).as("n_a"),
       sum(col("c_b")).as("n_b"))

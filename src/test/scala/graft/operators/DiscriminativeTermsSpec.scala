@@ -48,16 +48,10 @@ class DiscriminativeTermsSpec extends SparkSpec {
       s"totals not broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k did not plan as TakeOrdered:\n$plan")
-    // the corpus is tokenized ONCE: totals fold over the counts
-    // aggregate, so the second consumer reuses the term exchange.
-    // AQE dedups stages at RUNTIME — execute, then read the final
-    // adaptive plan
-    val df = DiscriminativeTerms
-      .topTerms(docs, col("text"), col("lang") === "en", k = 20)
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange") || fin.contains("ReusedQueryStage") ||
-      fin.linesIterator.count(_.contains("Generate")) == 1,
-      s"totals did not reuse the counts exchange (corpus exploded twice):\n$fin")
+    // the corpus is tokenized ONCE: both consumers read the
+    // materialized counts barrier, so the result plan carries NO
+    // Generate (explode) at all — unconditional, cache-context-proof
+    assert(!plan.contains("Generate"),
+      s"corpus re-tokenized past the counts barrier:\n$plan")
   }
 }
