@@ -58,4 +58,49 @@ object HardNegatives {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** [[mine]] on its SCALE path for a whole mining batch at once — the
+    * production configuration: every probe's candidates restrict to
+    * its `nprobe` IVF cells (qs26's restriction) AND the batch stays
+    * distributed end to end (qs27's shape — per-probe cells derive
+    * executor-side from [[PortableIvf.probedCellsCol]], no driver
+    * collect). Each corpus row computes its cell map-only, joins only
+    * the probes that probed its cell, label inequality runs before
+    * ranking, and the only shuffle is the per-probe top-k window. At
+    * a billion vectors a mining batch therefore scans
+    * nprobe/numCells of the corpus once — not |batch| passes and not
+    * the full corpus. Exact cosine on the restricted candidates (the
+    * rerank-quality score contrastive mining wants); same sequential
+    * fold as qs02, so every value oracles. */
+  def mineIvfBatch(
+      corpus: DataFrame,
+      corpusVec: Column,
+      corpusId: Column,
+      corpusLabel: Column,
+      probes: DataFrame,
+      probeVec: Column,
+      probeId: Column,
+      probeLabel: Column,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val p = probes.select(
+        probeId.cast("long").as("probe_id"),
+        probeLabel.as("probe_label"),
+        probeVec.cast("array<double>").as("pv"))
+      .withColumn("cell",
+        explode(PortableIvf.probedCellsCol(col("pv"), nprobe)))
+    val c = corpus.select(
+      corpusId.as("corpus_id"), corpusLabel.as("corpus_label"),
+      corpusVec.as("cv"), PortableIvf.cell(corpusVec).as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(broadcast(p), Seq("cell"))
+      .filter(col("corpus_label") =!= col("probe_label"))
+      .select(
+        col("probe_id"),
+        col("corpus_id"),
+        col("corpus_label"),
+        VectorOps.cosine(col("cv"), col("pv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

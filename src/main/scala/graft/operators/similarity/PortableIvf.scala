@@ -137,6 +137,38 @@ object PortableIvf {
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** qs28's oracle: the qs26 cross-label cell restriction generalized
+    * to a probe TABLE (the qs19/qs27 batch structure) — per-probe
+    * probed cells, exact cosine on the restricted candidates, label
+    * inequality before ranking, per-probe window top-k. */
+  def oracleCrossLabelBatchSql(maxProbeId: Int, k: Int, nprobe: Int): String = {
+    val dot = s"""list_reduce(list_transform(range(1, ${dim + 1}),
+                 |  j -> e.embedding[j]::DOUBLE * p.pe[j]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl
+       |           FROM embeddings WHERE vec_id < $maxProbeId),
+       |probed AS (SELECT probe_id, unnest(list_transform(
+       |             list_slice(list_reverse_sort(${scoredListSql("p.pe")}), 1, $nprobe),
+       |             x -> CAST(x[2] AS INT))) AS cell
+       |           FROM p),
+       |cells AS (SELECT vec_id, label, embedding,
+       |                 ${cellSql("embedding")} AS cell
+       |          FROM embeddings),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id AS corpus_id, e.label AS corpus_label,
+       |         CASE WHEN ${normV("e.embedding")} * ${normV("p.pe")} = 0 THEN 0.0
+       |              ELSE ($dot) / (${normV("e.embedding")} * ${normV("p.pe")}) END AS c
+       |  FROM cells e
+       |  JOIN probed q ON e.cell = q.cell
+       |  JOIN p ON p.probe_id = q.probe_id
+       |  WHERE e.label <> p.pl)
+       |SELECT probe_id, corpus_id, corpus_label, round(c, 4) AS cosine, rank FROM (
+       |  SELECT probe_id, corpus_id, corpus_label, c,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY c DESC, corpus_id) AS rank
+       |  FROM scored) z
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** qs26's oracle: [[oracleSql]]'s cell-restricted scan with the
     * cross-label filter of hard-negative mining — the scale path for
     * [[HardNegatives]] (scan nprobe cells, not the corpus), rendered

@@ -527,6 +527,27 @@ object SimilarityQueries {
           col("embedding"), col("vec_id"), topk = 3, nprobe = 3)
       },
       Some(graft.operators.similarity.IvfPq.oracleBatchSql(1000, 3, 3)),
-      bench = true)
+      bench = true),
+    Q(
+      "qs28_hard_negatives_ivf_batch",
+      // the PRODUCTION mining configuration: qs23's cross-label
+      // ranking × qs26's IVF cell restriction × qs27's distributed
+      // batch shape — a whole mining batch served by ONE map-only
+      // cell-restricted corpus pass (cells derive executor-side on
+      // both sides; probes broadcast; only shuffle is the per-probe
+      // window), exact cosine on the restricted candidates. Every
+      // stage was oracled alone; composed here value-exact.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.similarity.HardNegatives
+          .mineIvfBatch(emb, col("embedding"), col("vec_id"), col("label"),
+            emb.filter(col("vec_id") < 25),
+            col("embedding"), col("vec_id"), col("label"),
+            k = 5, nprobe = 3)
+          .select(col("probe_id"), col("corpus_id"), col("corpus_label"),
+            round(col("cosine"), 4).as("cosine"), col("rank"))
+      },
+      Some(graft.operators.similarity.PortableIvf
+        .oracleCrossLabelBatchSql(25, 5, 3)))
   )
 }
