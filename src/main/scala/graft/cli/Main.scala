@@ -27,6 +27,9 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   *   graft ann build  --table t --index d   encode + persist the IVF×PQ
   *                                          serving index (cell-partitioned)
   *   graft ann append --table t --index d   idempotent increment append
+  *   graft ann compact --index d            collapse append-accumulated
+  *                                          small files (content + cell
+  *                                          pruning unchanged)
   *   graft ann search --index d --probe-id n  probe the persisted index
   *   graft ann search --index d --probe-file f [--out d2]  batch search:
   *                                          a parquet/CSV of probe vectors
@@ -278,6 +281,16 @@ object Main {
               Seq(dir, before.toString, (after - before).toString, after.toString))))
             println(f"ANN append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
             0
+          case (Some("compact"), Some(dir), _) =>
+            // collapse append-accumulated small files per cell — the
+            // out-of-band maintenance job long-lived serving indexes
+            // need (content and cell pruning unchanged)
+            val (bf, af) = graft.operators.similarity.IvfPq.compactIndex(spark, dir)
+            println(table(Seq(
+              Seq("Index", "FilesBefore", "FilesAfter"),
+              Seq(dir, bf.toString, af.toString))))
+            println(f"ANN compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
           case (Some("search"), Some(dir), tOpt) =>
             val k = opt("--k").map(_.toInt).getOrElse(10)
             val nprobe = opt("--nprobe").map(_.toInt).getOrElse(3)
@@ -336,7 +349,7 @@ object Main {
                 }
             }
           case _ =>
-            println("usage: graft ann <build|append|search> --index <dir> " +
+            println("usage: graft ann <build|append|compact|search> --index <dir> " +
               "[--table <vec-table>] [--vec embedding] [--id vec_id] " +
               "[--k 10] [--nprobe 3] [--probe-id 0] " +
               "[--probe-file probes.parquet|.csv [--out dir]] --config cfg.yml")

@@ -56,6 +56,41 @@ object IvfPq {
     encode(df, vec, id, cb)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
 
+  /** Compact the codes after accumulated appends: every
+    * [[appendIndex]] lands NEW files inside the cell partitions, so a
+    * long-lived index degrades toward one tiny file per (append ×
+    * cell) — at 10⁴ appends that is open/footer overhead dominating
+    * the probe scan. Rewrite clusters each cell into one task's
+    * output (repartition on the partition column — one shuffle of
+    * 12-byte rows), writes beside the live tree, then swaps
+    * directories; content and the file-level pruning layout are
+    * unchanged (spec-asserted), only the file count collapses. Same
+    * single-writer contract as [[graft.streaming.VectorIngest]]: run
+    * it as the out-of-band maintenance job, not under a live writer.
+    * Returns (files before, files after). */
+  def compactIndex(spark: SparkSession, dir: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
+    val fs = codes.getFileSystem(conf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles(codes)
+    spark.read.parquet(codes.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(codes, old) || !fs.rename(tmp, codes))
+      throw new java.io.IOException(s"compact swap failed under $dir")
+    fs.delete(old, true)
+    (before, parquetFiles(codes))
+  }
+
   /** ADC top-k against a persisted index: restrict to the `nprobe`
     * cells nearest the probe (partition-pruned scan), then the
     * codes-only ADC scan. */

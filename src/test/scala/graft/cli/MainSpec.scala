@@ -282,6 +282,12 @@ class MainSpec extends SparkSpec {
     // printed (no --out) variant also works
     assert(Main.run(Array("ann", "search", "--index", idxDir,
       "--probe-file", probeFile, "--k", "2", "--config", cfg), spark) == 0)
+    // compact the appended files; search still answers identically
+    assert(Main.run(Array("ann", "compact", "--index", idxDir,
+      "--config", cfg), spark) == 0)
+    assert(Main.run(Array("ann", "search", "--index", idxDir,
+      "--probe-id", "0", "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$idxDir/codes").count() == n)
     // bad usage exits 2
     assert(Main.run(Array("ann", "build", "--config", cfg), spark) == 2)
   }

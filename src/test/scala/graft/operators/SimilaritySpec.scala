@@ -155,6 +155,27 @@ class SimilaritySpec extends SparkSpec {
       s"appended index lost partition pruning:\n$plan")
   }
 
+  test("compact collapses append-accumulated files; content and pruning survive") {
+    import graft.operators.similarity.IvfPq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_c").toString
+    // 5 appends: every cell accumulates one file per append
+    (0 until 5).foreach { i =>
+      IvfPq.appendIndex(emb.filter(col("vec_id") % 5 === i),
+        col("embedding"), col("vec_id"), dir)
+    }
+    val beforeTopK = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val (nb, na) = IvfPq.compactIndex(spark, dir)
+    assert(na < nb, s"compact did not reduce files: $nb -> $na")
+    val afterTopK = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(afterTopK === beforeTopK, "compact changed the index content")
+    val plan = IvfPq.topKIndexed(spark, dir, probe, 10, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"compact lost partition pruning:\n$plan")
+  }
+
   test("batch IVFxPQ serving agrees with the single-probe path per probe") {
     import graft.operators.similarity.IvfPq
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_b").toString
