@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.RollingMinHash
 import graft.operators.TextOps
-import graft.operators.text.{CorpusOps, Decontaminate, PiiScrub, TextAnalysis}
+import graft.operators.text.{CorpusOps, Decontaminate, PiiScrub, TextAnalysis, UnigramLm}
 
 /** Text-analysis inventory over `documents`. These are all per-row
   * expressions, so (unlike aggregates over doubles) raw double outputs
@@ -772,6 +772,72 @@ object TextQueries {
                      CAST(max(nt) AS BIGINT) AS max_tokens
               FROM t GROUP BY source"""))
 ,
+    Q(
+      "qt40_unigram_seed",
+      // unigram-LM tokenizer SEEDING (SentencePiece step 1): candidate
+      // pieces = all substrings (len 1..6) of corpus words weighted by
+      // word frequency, cut to the top 120 by (cnt DESC, piece ASC) —
+      // a total order, so the cut is deterministic in both engines.
+      // One word-vocab aggregation + one piece aggregation; TakeOrdered
+      // (no global sort shuffle) for the cut.
+      (s, dir) =>
+        UnigramLm.seed(
+          Tables.load(s, dir, "documents"), col("text"), maxLen = 6, topN = 120),
+      Some(UnigramLm.seedOracleSql(maxLen = 6, topN = 120))),
+    Q(
+      "qt41_minseg_tokens",
+      // optimal-path subword segmentation under the qt40 seed vocab ∪
+      // all single chars: fewest pieces, ties to larger total piece
+      // weight then longer piece — the integer-exact PORTABLE TWIN of
+      // the unigram Viterbi (same DP kernel shape, BIGINT scores), so
+      // the full piece stream value-oracles cross-engine where the
+      // float-scored path (qt42) cannot: DuckDB re-runs the identical
+      // DP as recursive CTEs. Per-doc piece count + md5 of the stream,
+      // the qt21 WordPiece contract.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = UnigramLm.seedVocab(docs, col("text"), maxLen = 6, topN = 120)
+        val toks = graft.functions.SubwordSegment
+          .minsegTokens(TextOps.normalized(col("text")), vocab, 6)
+        docs.select(col("doc_id"), toks.as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("bigint").as("n_pieces"),
+            md5(concat_ws(" ", col("toks"))).as("pieces_md5"))
+      },
+      Some(UnigramLm.minsegOracleSql(maxLen = 6, topN = 120)),
+      bench = true),
+    Q(
+      "qt42_unigram_learn",
+      // unigram-LM TRAINING (hard-EM with add-alpha smoothing, prune
+      // to target between phases) — float-scored, so gate-oracled like
+      // qd17/qs08: the penalized objective J must be monotonically
+      // non-increasing within each fixed-vocab EM phase (a theorem of
+      // hard-EM coordinate descent the implementation must not break),
+      // segmentation must round-trip every corpus word (coverage), and
+      // the pruned vocab must meet its target. qt41 is the
+      // value-oracled twin of the segmentation kernel itself.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val r = UnigramLm.learn(
+          Tables.load(s, dir, "documents"), col("text"), UnigramLm.Config())
+        def monotone(phase: Int): Boolean = {
+          val js = r.rounds.filter(_.phase == phase).sortBy(_.round).map(_.obj)
+          js.zip(js.drop(1)).forall { case (a, b) => b <= a + 1e-9 }
+        }
+        Seq((
+          monotone(1),
+          monotone(2),
+          r.roundtripViolations == 0L,
+          r.vocab.size <= UnigramLm.Config().seedSize,
+          r.rounds.size.toLong))
+          .toDF("phase1_monotone", "phase2_monotone", "roundtrip_ok",
+            "vocab_bounded", "rounds_run")
+      },
+      Some("""SELECT true AS phase1_monotone, true AS phase2_monotone,
+                     true AS roundtrip_ok, true AS vocab_bounded,
+                     CAST(4 AS BIGINT) AS rounds_run""")),
     Q(
       "qt39_type_token_ratio",
       // lexical diversity per source: distinct terms / total terms
