@@ -137,6 +137,33 @@ object PortableIvf {
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** qs29's oracle: per-cell load factor + append drift over the
+    * portable codebook (base = even vec_ids, increment = odd — the
+    * qs24 append convention); the cell frame densifies empty cells. */
+  def balanceOracleSql: String =
+    s"""WITH a AS (
+       |  SELECT ${cellSql("embedding")} AS cell,
+       |         (vec_id % 2 = 0) AS is_base
+       |  FROM embeddings),
+       |h AS (
+       |  SELECT cell,
+       |         count(*) FILTER (WHERE is_base)::BIGINT AS base_n,
+       |         count(*) FILTER (WHERE NOT is_base)::BIGINT AS inc_n
+       |  FROM a GROUP BY cell),
+       |g AS (
+       |  SELECT gs.cell, COALESCE(h.base_n, 0) AS base_n,
+       |         COALESCE(h.inc_n, 0) AS inc_n
+       |  FROM range(0, $numCells) gs(cell)
+       |  LEFT JOIN h ON h.cell = gs.cell)
+       |SELECT cell, base_n, inc_n,
+       |       CAST((base_n + inc_n) * $numCells AS DOUBLE) /
+       |       CAST(sum(base_n + inc_n) OVER () AS DOUBLE) AS load_factor,
+       |       CAST(inc_n * $numCells AS DOUBLE) /
+       |       CAST(sum(inc_n) OVER () AS DOUBLE) -
+       |       CAST(base_n * $numCells AS DOUBLE) /
+       |       CAST(sum(base_n) OVER () AS DOUBLE) AS drift
+       |FROM g""".stripMargin
+
   /** qs28's oracle: the qs26 cross-label cell restriction generalized
     * to a probe TABLE (the qs19/qs27 batch structure) — per-probe
     * probed cells, exact cosine on the restricted candidates, label

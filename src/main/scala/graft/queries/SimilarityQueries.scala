@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.similarity.{IvfIndex, Quantize, SimilaritySearch}
+import graft.operators.similarity.{IvfIndex, PortableIvf, Quantize, SimilaritySearch}
 
 /** Similarity-search inventory over `embeddings`. The exact queries
   * (brute force, batch top-k) ARE oracled: both engines fold the dot
@@ -505,6 +505,44 @@ object SimilarityQueries {
           .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
       },
       Some(graft.operators.similarity.PortableIvf.oracleCrossLabelSql(5, 3))),
+    Q(
+      "qs29_ivf_balance",
+      // index-health monitoring for the qs24 append lifecycle: per-cell
+      // load factor (cell size × numCells / corpus — the skew signal
+      // that schedules `ann compact`/recluster) and append DRIFT (the
+      // increment's cell share minus the base's — frozen codebooks
+      // mean drift here is data drift, the retrain trigger). Base =
+      // even vec_ids, increment = odd (qs24's convention). One
+      // map-only cell assignment + an 8-row histogram; totals via
+      // window over the 8-row frame, never a second corpus pass.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val nc = PortableIvf.numCells
+        val h = emb
+          .select(
+            PortableIvf.cell(col("embedding")).as("cell"),
+            (col("vec_id") % 2 === 0).as("is_base"))
+          .groupBy("cell")
+          .agg(
+            sum(when(col("is_base"), 1L).otherwise(0L)).cast("bigint").as("base_n"),
+            sum(when(!col("is_base"), 1L).otherwise(0L)).cast("bigint").as("inc_n"))
+        val frame = s.range(nc).select(col("id").as("cell"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        frame
+          .join(broadcast(h), frame("cell") === h("cell").cast("bigint"), "left")
+          .select(frame("cell"),
+            coalesce(col("base_n"), lit(0L)).as("base_n"),
+            coalesce(col("inc_n"), lit(0L)).as("inc_n"))
+          .select(col("cell"), col("base_n"), col("inc_n"),
+            (((col("base_n") + col("inc_n")) * nc).cast("double") /
+              sum(col("base_n") + col("inc_n")).over(w).cast("double"))
+              .as("load_factor"),
+            ((col("inc_n") * nc).cast("double") /
+              sum("inc_n").over(w).cast("double") -
+              (col("base_n") * nc).cast("double") /
+                sum("base_n").over(w).cast("double")).as("drift"))
+      },
+      Some(PortableIvf.balanceOracleSql)),
     Q(
       "qs27_topk_ivfpq_batch_distributed",
       // qs19 at MINING scale: a 1,000-probe batch served with the

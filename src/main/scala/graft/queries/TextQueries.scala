@@ -839,6 +839,58 @@ object TextQueries {
                      true AS roundtrip_ok, true AS vocab_bounded,
                      CAST(4 AS BIGINT) AS rounds_run""")),
     Q(
+      "qt43_vocab_growth",
+      // Heaps-law vocabulary growth curve: cumulative distinct-type
+      // count vs cumulative token count over 10 md5-stable corpus
+      // slices (qt07's hash idiom, so the curve is reproducible and
+      // monotone under re-runs) — the diagnostic that sizes tokenizer
+      // vocabularies and detects template-heavy corpora (flat curve)
+      // before training. Shape: types collapse to their FIRST bucket
+      // (one vocab-sized aggregation), then cumulative sums run over
+      // the 10-row bucket frame — never over tokens.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val b = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 10).as("b")
+        val toks = docs.select(b,
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        val vh = toks.groupBy("tok").agg(min("b").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nv"))
+        val th = toks.groupBy("b").agg(count(lit(1)).as("nt"))
+        val frame = s.range(10).select(col("id").as("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+        frame
+          .join(broadcast(vh), frame("bucket") === vh("b"), "left")
+          .join(broadcast(th), frame("bucket") === th("b"), "left")
+          .select(col("bucket"),
+            coalesce(col("nv"), lit(0L)).as("nv"),
+            coalesce(col("nt"), lit(0L)).as("nt"))
+          .select(col("bucket"),
+            sum("nv").over(w).cast("bigint").as("cum_types"),
+            sum("nt").over(w).cast("bigint").as("cum_tokens"))
+          .withColumn("ttr",
+            col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+      },
+      Some("""WITH toks AS (
+                SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                FROM documents),
+              vh AS (SELECT b, count(*)::BIGINT AS nv
+                     FROM (SELECT tok, min(b) AS b FROM toks GROUP BY tok) m
+                     GROUP BY b),
+              th AS (SELECT b, count(*)::BIGINT AS nt FROM toks GROUP BY b),
+              g AS (SELECT gs.bucket, COALESCE(vh.nv, 0) AS nv, COALESCE(th.nt, 0) AS nt
+                    FROM range(0, 10) gs(bucket)
+                    LEFT JOIN vh ON vh.b = gs.bucket
+                    LEFT JOIN th ON th.b = gs.bucket)
+              SELECT bucket,
+                     CAST(sum(nv) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+                     CAST(sum(nt) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+                     CAST(sum(nv) OVER (ORDER BY bucket) AS DOUBLE) /
+                     CAST(sum(nt) OVER (ORDER BY bucket) AS DOUBLE) AS ttr
+              FROM g""")),
+    Q(
       "qt39_type_token_ratio",
       // lexical diversity per source: distinct terms / total terms
       // (type-token ratio) — low TTR flags template/boilerplate-heavy
