@@ -116,6 +116,84 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("MinSegTokens is the brute-force optimum (pure kernel, many trials)") {
+    // pure-JVM kernel: no Spark job per trial, so the trial count can
+    // be high. Alphabet includes 'd' with NO single-char vocab entry —
+    // words become coverable only when a multi-char piece bridges 'd',
+    // exercising both the bridge and the skip branch.
+    import org.apache.spark.unsafe.types.UTF8String
+    val genPiece = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genVocab = for {
+      ps <- Gen.listOfN(8, genPiece)
+      ws <- Gen.listOfN(8, Gen.choose(1L, 20L))
+    } yield (ps.zip(ws).toMap + ("a" -> 1L) + ("b" -> 2L)).toSeq
+    val genWord = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    def brute(w: String, vocab: Map[String, Long]): Option[(Int, Long)] = {
+      def segs(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(3, w.length - i)).flatMap { l =>
+          val p = w.substring(i, i + l)
+          if (vocab.contains(p)) segs(i + l).map(p :: _) else Nil
+        }
+      val all = segs(0)
+      if (all.isEmpty) None
+      else Some(all.map(s => (s.size, s.map(vocab).sum))
+        .minBy { case (n, c) => (n, -c) })
+    }
+    val pureParams = Parameters.default.withMinSuccessfulTests(200)
+    val r = check(pureParams, Prop.forAll(genVocab, genWord) { (entries, w) =>
+      val vocab = entries.toMap
+      val v = new graft.functions.MinSegVocab(entries, 3)
+      val a = v.tokenize(UTF8String.fromString(w))
+      val got = (0 until a.numElements())
+        .map(i => a.getUTF8String(i).toString)
+      brute(w, vocab) match {
+        case None => got.isEmpty
+        case Some((bn, bc)) =>
+          got.mkString("") == w && got.size == bn && got.map(vocab).sum == bc
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("Unigram Viterbi path dominates every other valid segmentation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val genEntry = for {
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+      s <- Gen.choose(-8.0, -0.5)
+    } yield (cs.mkString, s)
+    val genVocab = Gen.listOfN(10, genEntry)
+      .map(es => (es.toMap + ("a" -> -1.0) + ("b" -> -2.0) + ("c" -> -3.0)).toSeq)
+    val genWord = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def allSegs(w: String, vocab: Map[String, Double]): Seq[List[String]] = {
+      def segs(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(3, w.length - i)).flatMap { l =>
+          val p = w.substring(i, i + l)
+          if (vocab.contains(p)) segs(i + l).map(p :: _) else Nil
+        }
+      segs(0)
+    }
+    val pureParams = Parameters.default.withMinSuccessfulTests(200)
+    val r = check(pureParams, Prop.forAll(genVocab, genWord) { (entries, w) =>
+      val vocab = entries.toMap
+      val v = new graft.functions.UnigramVocab(entries, 3)
+      val a = v.tokenize(UTF8String.fromString(w))
+      val got = (0 until a.numElements())
+        .map(i => a.getUTF8String(i).toString)
+      val best = got.map(vocab).sum
+      got.mkString("") == w &&
+        allSegs(w, vocab).forall(s => s.map(vocab).sum <= best + 1e-9)
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("BpeLearn merge table is prefix-stable in nMerges") {
     val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
     val genTexts = Gen.listOfN(4, Gen.listOfN(3, word).map(_.mkString(" ")))

@@ -131,6 +131,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
   }
 
+  test("qt41: segmentation is a shuffle-free projection over a pruned scan") {
+    // seedVocab runs its own bounded jobs up front; the SEGMENTATION
+    // plan itself (the query's returned frame) must stay map-only —
+    // the DP kernel rides as a reference object, like qs10's centroids
+    val p = plan("qt41_minseg_tokens")
+    assert(!p.contains("Exchange"), s"segmentation shuffles:\n$p")
+    assert(!p.contains("Join"), s"segmentation plans a join:\n$p")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("source") && !schema.contains("lang"),
+      s"scan reads more than doc_id/text: $schema")
+  }
+
+  test("qt43: growth-curve joins broadcast; cumsum runs over the bucket frame") {
+    val p = plan("qt43_vocab_growth")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"10-row histogram join regressed to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frame join degraded to nested loop:\n$p")
+  }
+
+  test("qs29: balance monitor is one corpus pass — map-only assignment into an 8-row histogram") {
+    val p = plan("qs29_ivf_balance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"cell-frame join regressed:\n$p")
+    // exactly one scan of embeddings: assignment and base/inc flags
+    // compute in the same projection
+    val scans = p.linesIterator.count(l => l.contains("embeddings.parquet"))
+    assert(scans == 1, s"expected one embeddings scan, got $scans:\n$p")
+  }
+
   test("qs27: distributed batch ADC — no driver job, DPP-pruned scan, broadcast probes") {
     import org.apache.spark.sql.functions.col
     import graft.operators.similarity.IvfPq
