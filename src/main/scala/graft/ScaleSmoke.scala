@@ -55,7 +55,13 @@ object ScaleSmoke {
     "qp09_dup_aware_split",
     "qt35_discriminative_terms",
     "qd25_containment_dedup",
-    "qp11_split_leakage")
+    "qp11_split_leakage",
+    // round 10: the tokenizer-training pair — seeding + min-seg apply
+    // (substring aggregation, Viterbi projection) and full hard-EM
+    // (vocab-sized rounds over the word vocabulary: cost should grow
+    // with DISTINCT words, well below the data ratio)
+    "qt41_minseg_tokens",
+    "qt42_unigram_learn")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"

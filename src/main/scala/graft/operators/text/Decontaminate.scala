@@ -112,6 +112,69 @@ object Decontaminate {
        |WHERE e.b < 80
        |GROUP BY 1""".stripMargin
 
+  /** The BENCHMARK-side report — qt15 inverted: per eval document, how
+    * many of its spans are burned (occur in ≥1 corpus document) and
+    * how many corpus documents touch it. qt15 says which TRAIN docs to
+    * drop; this says which EVAL items no longer measure anything and
+    * must be re-drawn — the eval-integrity half of decontamination.
+    *
+    * Scale shape: the benchmark span set is still the broadcast side;
+    * the corpus span stream hits it in one broadcast join and ONLY the
+    * matches (tiny: true leaks) reach the per-eval-doc rollup, so the
+    * corpus never shuffles and the aggregated side is leak-sized, not
+    * corpus-sized. */
+  def benchmarkReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8): DataFrame = {
+    val bSpans = bench
+      .select(id.as("id"), explode(SpanDedup.spanKeys(text, n)).as("g"))
+    val hits = graft.operators.Parallelism.ensureMin(corpus)
+      .select(id.as("tid"), explode(SpanDedup.spanKeys(text, n)).as("g"))
+      .join(broadcast(bSpans), Seq("g"))
+    val agg = hits.groupBy("id").agg(
+      countDistinct("g").as("burned_spans"),
+      countDistinct("tid").as("corpus_docs"))
+    bench
+      .select(id.as("id"), size(SpanDedup.spanKeys(text, n)).cast("bigint").as("n_spans"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        col("n_spans"),
+        coalesce(col("burned_spans"), lit(0L)).as("burned_spans"),
+        coalesce(col("corpus_docs"), lit(0L)).as("corpus_docs"))
+      .withColumn("burned", col("burned_spans") > 0)
+  }
+
+  /** DuckDB formulation of qt44: eval = 'test' bucket, corpus =
+    * 'train' bucket (qt15's split), per-eval-doc burned-span and
+    * touching-corpus-doc counts over the same md5 span keys. */
+  def benchmarkReportOracleSql(n: Int = 8): String =
+    s"""WITH nrm AS (SELECT doc_id,
+       |               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+       |               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+       |             FROM documents),
+       |tk AS (SELECT doc_id, b, string_split(nt, ' ') AS toks FROM nrm),
+       |gs AS (SELECT doc_id, b,
+       |              list_distinct(list_transform(
+       |                range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+       |                i -> md5(list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')))) AS g
+       |       FROM tk),
+       |e AS (SELECT doc_id, b, unnest(g) AS g FROM gs),
+       |hits AS (SELECT be.doc_id AS id, be.g, te.doc_id AS tid
+       |         FROM e be JOIN e te ON be.g = te.g
+       |         WHERE be.b >= 90 AND te.b < 80),
+       |agg AS (SELECT id, count(DISTINCT g)::BIGINT AS burned_spans,
+       |               count(DISTINCT tid)::BIGINT AS corpus_docs
+       |        FROM hits GROUP BY id)
+       |SELECT gs.doc_id AS id, CAST(len(gs.g) AS BIGINT) AS n_spans,
+       |       COALESCE(agg.burned_spans, 0) AS burned_spans,
+       |       COALESCE(agg.corpus_docs, 0) AS corpus_docs,
+       |       COALESCE(agg.burned_spans, 0) > 0 AS burned
+       |FROM gs LEFT JOIN agg ON agg.id = gs.doc_id
+       |WHERE gs.b >= 90""".stripMargin
+
   /** Oracle for qp06 (transitive decontamination): the qt15 seed set
     * (train docs sharing an 8-gram with the test bucket) expanded
     * `maxHops` links over the portable-MinHash near-dup graph of the

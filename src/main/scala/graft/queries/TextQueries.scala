@@ -891,6 +891,23 @@ object TextQueries {
                      CAST(sum(nt) OVER (ORDER BY bucket) AS DOUBLE) AS ttr
               FROM g""")),
     Q(
+      "qt44_contamination_report",
+      // qt15 INVERTED — the eval-integrity half of decontamination:
+      // per eval (test-bucket) document, how many of its 8-gram spans
+      // are burned by the train bucket and how many train docs touch
+      // it. qt15 drops train docs; this flags which EVAL items no
+      // longer measure anything and must be re-drawn. The corpus span
+      // stream broadcast-joins the eval keys, so only true leaks reach
+      // the per-eval-doc rollup.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Decontaminate.benchmarkReport(
+          docs.filter(CorpusOps.splitAssign(col("doc_id")) === "train"),
+          docs.filter(CorpusOps.splitAssign(col("doc_id")) === "test"),
+          col("text"), col("doc_id"))
+      },
+      Some(Decontaminate.benchmarkReportOracleSql())),
+    Q(
       "qt39_type_token_ratio",
       // lexical diversity per source: distinct terms / total terms
       // (type-token ratio) — low TTR flags template/boilerplate-heavy
