@@ -1,6 +1,6 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.GraftSession
 import graft.catalog.{Catalog, JdbcCatalog, ParquetCatalog}
@@ -355,12 +355,139 @@ object Main {
               "[--probe-file probes.parquet|.csv [--out dir]] --config cfg.yml")
             2
         }
+      case "tokenize" =>
+        // the tokenizer lifecycle productized (train a vocabulary, apply
+        // it corpus-wide) — the CLI face of BpeLearn/UnigramLm and the
+        // WordPiece/Bpe/SubwordSegment kernels. Vocabularies are
+        // parquet artifacts: bpe (rank, sym_a, sym_b), unigram
+        // (piece, score), seed (piece, cnt — the min-seg weight table).
+        import org.apache.spark.sql.functions.{col, concat_ws, size}
+        val t = opt("--table").getOrElse("documents")
+        val txtC = opt("--text").getOrElse("text")
+        val idC = opt("--id").getOrElse("doc_id")
+        def usage: Int = {
+          println("usage: graft tokenize <train|apply> --algo <bpe|unigram|seed|wordpiece|minseg> " +
+            "[--table t] [--text text] [--id doc_id] " +
+            "train: --out <vocab-dir> [--merges 20] [--vocab-size 80] [--seed-size 120] [--max-len 6] " +
+            "apply: --vocab <vocab-dir> [--into t_tokens] --config cfg.yml")
+          2
+        }
+        def norm = graft.operators.TextOps.normalized(col(txtC))
+        (args.lift(1), opt("--algo")) match {
+          case (Some("train"), Some("bpe")) => opt("--out") match {
+            case None => println("tokenize train needs --out <vocab-dir>"); 2
+            case Some(out) =>
+              val docs = catalogFor(cfg.src).read(spark, t)
+              val nMerges = opt("--merges").map(_.toInt).getOrElse(20)
+              val m = graft.operators.text.BpeLearn.learn(docs, col(txtC), nMerges)
+              m.write.mode("overwrite").parquet(out)
+              println(s"BPE merge table: ${m.count()} merges -> $out")
+              println(f"Tokenize train finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+          }
+          case (Some("train"), Some("unigram")) => opt("--out") match {
+            case None => println("tokenize train needs --out <vocab-dir>"); 2
+            case Some(out) =>
+              import spark.implicits._
+              val docs = catalogFor(cfg.src).read(spark, t)
+              val cfgU = graft.operators.text.UnigramLm.Config(
+                maxLen = opt("--max-len").map(_.toInt).getOrElse(6),
+                seedSize = opt("--seed-size").map(_.toInt).getOrElse(120),
+                targetVocab = opt("--vocab-size").map(_.toInt).getOrElse(80))
+              val r = graft.operators.text.UnigramLm.learn(docs, col(txtC), cfgU)
+              r.vocab.toDF("piece", "score").coalesce(1)
+                .write.mode("overwrite").parquet(out)
+              println(table(
+                Seq("Phase", "Round", "Vocab", "NLL", "Objective") +:
+                  r.rounds.map(x => Seq(x.phase.toString, x.round.toString,
+                    x.vocabSize.toString, f"${x.nll}%.1f", f"${x.obj}%.1f"))))
+              println(s"Unigram vocab: ${r.vocab.size} pieces -> $out " +
+                s"(round-trip violations: ${r.roundtripViolations})")
+              println(f"Tokenize train finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              if (r.roundtripViolations == 0L) 0 else 1
+          }
+          case (Some("train"), Some("seed")) => opt("--out") match {
+            case None => println("tokenize train needs --out <vocab-dir>"); 2
+            case Some(out) =>
+              val docs = catalogFor(cfg.src).read(spark, t)
+              val seed = graft.operators.text.UnigramLm.seed(docs, col(txtC),
+                maxLen = opt("--max-len").map(_.toInt).getOrElse(6),
+                topN = opt("--seed-size").map(_.toInt).getOrElse(120))
+              seed.coalesce(1).write.mode("overwrite").parquet(out)
+              println(s"Seed vocab: ${spark.read.parquet(out).count()} pieces -> $out")
+              println(f"Tokenize train finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+          }
+          case (Some("apply"), Some(algo)) =>
+            import spark.implicits._
+            val docs = catalogFor(cfg.src).read(spark, t)
+            val into = opt("--into").getOrElse(s"${t}_tokens")
+            // vocab artifacts are vocab-sized by design — the bounded
+            // driver collect class; max piece length derives from the
+            // artifact so apply needs no extra knob
+            def loadVocab(cols: Seq[String]): Option[Seq[Row]] =
+              opt("--vocab") match {
+                case None =>
+                  println(s"tokenize apply --algo $algo needs --vocab <vocab-dir>"); None
+                case Some(dir) =>
+                  val df = spark.read.parquet(dir)
+                  if (cols.forall(df.columns.contains))
+                    Some(df.select(cols.map(col): _*).collect().toSeq)
+                  else {
+                    println(s"tokenize apply: $dir lacks columns ${cols.mkString("/")} " +
+                      s"(has ${df.columns.mkString(", ")})")
+                    None
+                  }
+              }
+            val toks: Option[org.apache.spark.sql.Column] = algo match {
+              case "wordpiece" => opt("--vocab") match {
+                case None => Some(graft.functions.WordPiece.tokens(norm))
+                case Some(_) => loadVocab(Seq("piece"))
+                  .map(rs => graft.functions.WordPiece.tokens(norm, rs.map(_.getString(0))))
+              }
+              case "bpe" => opt("--vocab") match {
+                case None => Some(graft.functions.Bpe.tokens(norm))
+                case Some(_) => loadVocab(Seq("rank", "sym_a", "sym_b")).map { rs =>
+                  val merges = rs.sortBy(_.getInt(0))
+                    .map(r => (r.getString(1), r.getString(2)))
+                  graft.functions.Bpe.tokens(norm, merges)
+                }
+              }
+              case "unigram" => loadVocab(Seq("piece", "score")).map { rs =>
+                val entries = rs.map(r => (r.getString(0), r.getDouble(1)))
+                graft.functions.SubwordSegment.unigramTokens(
+                  norm, entries, entries.map(_._1.length).max)
+              }
+              case "minseg" => loadVocab(Seq("piece", "cnt")).map { rs =>
+                val entries = rs.map(r => (r.getString(0), r.getLong(1)))
+                graft.functions.SubwordSegment.minsegTokens(
+                  norm, entries, entries.map(_._1.length).max)
+              }
+              case other =>
+                println(s"tokenize apply: unknown algo '$other' " +
+                  "(wordpiece|bpe|unigram|minseg)")
+                None
+            }
+            toks match {
+              case None => 2
+              case Some(tk) =>
+                val res = docs.select(col(idC),
+                  size(tk).cast("bigint").as("n_pieces"),
+                  concat_ws(" ", tk).as("pieces"))
+                sinkFor(cfg.dest, cfg).overwrite(res, into)
+                val n = res.count()
+                println(s"Tokenized $n documents ($algo) -> $into")
+                println(f"Tokenize apply finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+                0
+            }
+          case _ => usage
+        }
       case "version" =>
         // reference parity: cmd/version.go prints the build version
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|search>|curate|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

@@ -314,6 +314,54 @@ class MainSpec extends SparkSpec {
       "replayed view must read the target's own base table")
   }
 
+  test("tokenize train + apply lifecycle (unigram, minseg, bpe)") {
+    import org.apache.spark.sql.functions.col
+    val outDir = Files.createTempDirectory("graft_tok_out").toString
+    val uniDir = Files.createTempDirectory("graft_tok").toString + "/uni"
+    val seedDir = Files.createTempDirectory("graft_tok").toString + "/seed"
+    val bpeDir = Files.createTempDirectory("graft_tok").toString + "/bpe"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+
+    // train all three vocab artifacts off the fixture corpus
+    assert(Main.run(Array("tokenize", "train", "--algo", "unigram",
+      "--out", uniDir, "--vocab-size", "60", "--seed-size", "100",
+      "--config", cfg), spark) == 0)
+    assert(Main.run(Array("tokenize", "train", "--algo", "seed",
+      "--out", seedDir, "--seed-size", "80", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("tokenize", "train", "--algo", "bpe",
+      "--out", bpeDir, "--merges", "5", "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(uniDir).columns.toSet == Set("piece", "score"))
+    assert(spark.read.parquet(bpeDir).count() == 5)
+
+    // apply each; outputs land as (id, n_pieces, pieces) tables
+    assert(Main.run(Array("tokenize", "apply", "--algo", "unigram",
+      "--vocab", uniDir, "--into", "uni_toks", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("tokenize", "apply", "--algo", "minseg",
+      "--vocab", seedDir, "--into", "seed_toks", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("tokenize", "apply", "--algo", "bpe",
+      "--vocab", bpeDir, "--into", "bpe_toks", "--config", cfg), spark) == 0)
+    val uni = spark.read.parquet(s"$outDir/uni_toks.parquet")
+    assert(uni.count() == 500)
+    // coverage: every document segments (unigram seeds all chars)
+    assert(uni.filter(col("n_pieces") === 0).count() == 0)
+
+    // usable errors: missing --vocab, wrong-shape vocab, unknown algo
+    assert(Main.run(Array("tokenize", "apply", "--algo", "unigram",
+      "--config", cfg), spark) == 2)
+    assert(Main.run(Array("tokenize", "apply", "--algo", "minseg",
+      "--vocab", uniDir, "--config", cfg), spark) == 2)
+    assert(Main.run(Array("tokenize", "apply", "--algo", "nope",
+      "--vocab", uniDir, "--config", cfg), spark) == 2)
+    assert(Main.run(Array("tokenize", "train", "--algo", "unigram",
+      "--config", cfg), spark) == 2)
+    assert(Main.run(Array("tokenize"), spark) == 2)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
