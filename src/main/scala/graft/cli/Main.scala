@@ -431,12 +431,14 @@ object Main {
                   println(s"tokenize apply --algo $algo needs --vocab <vocab-dir>"); None
                 case Some(dir) =>
                   val df = spark.read.parquet(dir)
-                  if (cols.forall(df.columns.contains))
-                    Some(df.select(cols.map(col): _*).collect().toSeq)
-                  else {
+                  if (!cols.forall(df.columns.contains)) {
                     println(s"tokenize apply: $dir lacks columns ${cols.mkString("/")} " +
                       s"(has ${df.columns.mkString(", ")})")
                     None
+                  } else {
+                    val rs = df.select(cols.map(col): _*).collect().toSeq
+                    if (rs.isEmpty) { println(s"tokenize apply: $dir is empty"); None }
+                    else Some(rs)
                   }
               }
             val toks: Option[org.apache.spark.sql.Column] = algo match {
@@ -448,18 +450,22 @@ object Main {
               case "bpe" => opt("--vocab") match {
                 case None => Some(graft.functions.Bpe.tokens(norm))
                 case Some(_) => loadVocab(Seq("rank", "sym_a", "sym_b")).map { rs =>
-                  val merges = rs.sortBy(_.getInt(0))
+                  // getAs[Number]: user-supplied artifacts may carry
+                  // int32 or int64 rank — either loads
+                  val merges = rs.sortBy(_.getAs[Number](0).intValue())
                     .map(r => (r.getString(1), r.getString(2)))
                   graft.functions.Bpe.tokens(norm, merges)
                 }
               }
               case "unigram" => loadVocab(Seq("piece", "score")).map { rs =>
-                val entries = rs.map(r => (r.getString(0), r.getDouble(1)))
+                val entries = rs.map(r =>
+                  (r.getString(0), r.getAs[Number](1).doubleValue()))
                 graft.functions.SubwordSegment.unigramTokens(
                   norm, entries, entries.map(_._1.length).max)
               }
               case "minseg" => loadVocab(Seq("piece", "cnt")).map { rs =>
-                val entries = rs.map(r => (r.getString(0), r.getLong(1)))
+                val entries = rs.map(r =>
+                  (r.getString(0), r.getAs[Number](1).longValue()))
                 graft.functions.SubwordSegment.minsegTokens(
                   norm, entries, entries.map(_._1.length).max)
               }
@@ -471,9 +477,11 @@ object Main {
             toks match {
               case None => 2
               case Some(tk) =>
-                val res = docs.select(col(idC),
+                // Barrier'd so the count and the sink write share one
+                // tokenization pass (the curate-funnel discipline)
+                val res = graft.operators.Barrier(docs.select(col(idC),
                   size(tk).cast("bigint").as("n_pieces"),
-                  concat_ws(" ", tk).as("pieces"))
+                  concat_ws(" ", tk).as("pieces")))
                 sinkFor(cfg.dest, cfg).overwrite(res, into)
                 val n = res.count()
                 println(s"Tokenized $n documents ($algo) -> $into")

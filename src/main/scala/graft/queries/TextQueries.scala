@@ -19,6 +19,17 @@ object TextQueries {
     l.map(s => s"'$s'").mkString("[", ", ", "]")
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** qt02's per-row quality score, shared by the qt45 dataset card —
+    * operation-ordered to match TextAnalysis.qualityScore exactly. */
+  private def qualitySql: String =
+    s"""least(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+       |                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
+       |                      + least(CAST(${hitsSql(TextAnalysis.stopEn)} AS DOUBLE)
+       |                              / greatest(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2""".stripMargin
   private def hitsSql(list: Seq[String]): String =
     s"length(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
       s"t -> list_contains(${stops(list)}, t)))"
@@ -53,14 +64,7 @@ object TextQueries {
                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
                       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
                       ${hitsSql(TextAnalysis.stopEn)} AS en_stop_hits,
-                      least(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
-                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
-                      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                                     / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0, 1.0)) * 0.2
-                      + least(CAST(${hitsSql(TextAnalysis.stopEn)} AS DOUBLE)
-                              / greatest(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
-                        AS quality
+                      $qualitySql AS quality
                FROM documents""")),
     Q(
       "qt03_lang_id",
@@ -907,6 +911,76 @@ object TextQueries {
           col("text"), col("doc_id"))
       },
       Some(Decontaminate.benchmarkReportOracleSql())),
+    Q(
+      "qt45_dataset_card",
+      // the per-source DATASET CARD — the release artifact every
+      // curated corpus ships with: volume (docs/tokens/chars), exact
+      // duplication rate, mean quality, language spread and dominance,
+      // one row per source. Float discipline per the Registry rules:
+      // the per-row quality double (qt02's oracled expression) rides
+      // through a DECIMAL(18,9) cast so the SUM is order-exact; every
+      // rate is a single division of exact integers/decimals. Two
+      // aggregations (per-source, per source×lang top-1) + a tiny join.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("source"), col("lang"),
+          md5(TextOps.normalized(col("text"))).as("fp"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"),
+          TextAnalysis.qualityScore(col("text")).cast("decimal(18,9)").as("q"))
+        val perSource = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("toks").cast("bigint").as("total_tokens"),
+          sum("chars").cast("bigint").as("total_chars"),
+          (count(lit(1)) - countDistinct("fp")).cast("bigint").as("exact_dup_docs"),
+          countDistinct("lang").cast("bigint").as("n_langs"),
+          sum("q").as("qsum"))
+        val topLang = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("ln"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("source").orderBy(col("ln").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_n"))
+        perSource.join(topLang, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("total_chars"), col("exact_dup_docs"),
+            (col("exact_dup_docs").cast("double") / col("n_docs").cast("double"))
+              .as("dup_rate"),
+            (col("qsum").cast("double") / col("n_docs").cast("double"))
+              .as("avg_quality"),
+            col("n_langs"), col("top_lang"),
+            (col("top_n").cast("double") / col("n_docs").cast("double"))
+              .as("top_lang_share"))
+      },
+      Some(s"""WITH b AS (
+                 SELECT source, lang,
+                        md5($normSql) AS fp,
+                        CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+                        CAST(length(text) AS BIGINT) AS chars,
+                        CAST($qualitySql AS DECIMAL(18,9)) AS q
+                 FROM documents),
+               ps AS (
+                 SELECT source, count(*) AS n_docs,
+                        CAST(sum(toks) AS BIGINT) AS total_tokens,
+                        CAST(sum(chars) AS BIGINT) AS total_chars,
+                        CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+                        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                        sum(q) AS qsum
+                 FROM b GROUP BY source),
+               lt AS (
+                 SELECT source, lang AS top_lang, ln AS top_n FROM (
+                   SELECT source, lang, count(*) AS ln,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY count(*) DESC, lang) AS rn
+                   FROM documents GROUP BY source, lang) z
+                 WHERE rn = 1)
+               SELECT ps.source, n_docs, total_tokens, total_chars, exact_dup_docs,
+                      CAST(exact_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+                      CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_quality,
+                      n_langs, top_lang,
+                      CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
+               FROM ps JOIN lt ON lt.source = ps.source""")),
     Q(
       "qt39_type_token_ratio",
       // lexical diversity per source: distinct terms / total terms
