@@ -355,6 +355,34 @@ object Main {
               "[--probe-file probes.parquet|.csv [--out dir]] --config cfg.yml")
             2
         }
+      case "card" =>
+        // the per-source dataset card (qt45) as a one-command release
+        // step: recompute in one corpus pass after curate/append, write
+        // it beside the corpus, print it
+        import org.apache.spark.sql.functions.col
+        val t = opt("--table").getOrElse("documents")
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val need = Seq(opt("--text").getOrElse("text"),
+          opt("--source").getOrElse("source"), opt("--lang").getOrElse("lang"))
+        if (!need.forall(docs.columns.contains)) {
+          println(s"card: $t lacks columns ${need.mkString("/")} " +
+            s"(has ${docs.columns.mkString(", ")})")
+          2
+        } else {
+          val c = graft.operators.Barrier(graft.operators.text.DatasetCard
+            .card(docs, col(need(0)), col(need(1)), col(need(2))))
+          sinkFor(cfg.dest, cfg).overwrite(c, opt("--into").getOrElse(s"${t}_card"))
+          println(table(
+            Seq("Source", "Docs", "Tokens", "DupRate", "AvgQuality", "TopLang") +:
+              c.orderBy(col("source")).collect().map(r =>
+                Seq(r.getAs[String]("source"), r.getAs[Long]("n_docs").toString,
+                  r.getAs[Long]("total_tokens").toString,
+                  f"${r.getAs[Double]("dup_rate")}%.4f",
+                  f"${r.getAs[Double]("avg_quality")}%.4f",
+                  r.getAs[String]("top_lang"))).toSeq))
+          println(f"Card finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          0
+        }
       case "tokenize" =>
         // the tokenizer lifecycle productized (train a vocabulary, apply
         // it corpus-wide) — the CLI face of BpeLearn/UnigramLm and the

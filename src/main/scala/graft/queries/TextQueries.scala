@@ -921,38 +921,10 @@ object TextQueries {
       // through a DECIMAL(18,9) cast so the SUM is order-exact; every
       // rate is a single division of exact integers/decimals. Two
       // aggregations (per-source, per source×lang top-1) + a tiny join.
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val base = docs.select(col("source"), col("lang"),
-          md5(TextOps.normalized(col("text"))).as("fp"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
-          length(col("text")).cast("long").as("chars"),
-          TextAnalysis.qualityScore(col("text")).cast("decimal(18,9)").as("q"))
-        val perSource = base.groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum("toks").cast("bigint").as("total_tokens"),
-          sum("chars").cast("bigint").as("total_chars"),
-          (count(lit(1)) - countDistinct("fp")).cast("bigint").as("exact_dup_docs"),
-          countDistinct("lang").cast("bigint").as("n_langs"),
-          sum("q").as("qsum"))
-        val topLang = docs.groupBy("source", "lang")
-          .agg(count(lit(1)).as("ln"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("source").orderBy(col("ln").desc, col("lang"))))
-          .filter(col("rn") === 1)
-          .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_n"))
-        perSource.join(topLang, Seq("source"))
-          .select(col("source"), col("n_docs"), col("total_tokens"),
-            col("total_chars"), col("exact_dup_docs"),
-            (col("exact_dup_docs").cast("double") / col("n_docs").cast("double"))
-              .as("dup_rate"),
-            (col("qsum").cast("double") / col("n_docs").cast("double"))
-              .as("avg_quality"),
-            col("n_langs"), col("top_lang"),
-            (col("top_n").cast("double") / col("n_docs").cast("double"))
-              .as("top_lang_share"))
-      },
+      (s, dir) =>
+        graft.operators.text.DatasetCard.card(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("source"), col("lang")),
       Some(s"""WITH b AS (
                  SELECT source, lang,
                         md5($normSql) AS fp,

@@ -362,6 +362,21 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("tokenize"), spark) == 2)
   }
 
+  test("card writes the per-source dataset card and rejects shapeless tables") {
+    val outDir = Files.createTempDirectory("graft_card_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+    assert(Main.run(Array("card", "--config", cfg), spark) == 0)
+    val card = spark.read.parquet(s"$outDir/documents_card.parquet")
+    assert(card.columns.contains("dup_rate") && card.count() > 0)
+    // events has no text/source/lang -> usable error, exit 2
+    assert(Main.run(Array("card", "--table", "events", "--config", cfg), spark) == 2)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
