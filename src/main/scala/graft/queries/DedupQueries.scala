@@ -181,6 +181,38 @@ object DedupQueries {
       // seeds, same hash family, same banding) — see PortableMinHash
       Some(PortableMinHash.oracleSql(0.3))),
     Q(
+      "qd27_source_overlap_matrix",
+      // provenance overlap: near-dup PAIR counts per ordered source
+      // pair — the matrix that catches mirror sites and cross-licensed
+      // re-publishes (qd09 compares corpus-level sketches; this counts
+      // the actual duplicate mass between each source pair). The pair
+      // set is leak-sized, so it broadcasts into the (doc -> source)
+      // side twice and the corpus never shuffles; least/greatest
+      // canonicalizes the pair so (A,B) and (B,A) accumulate together.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = PortableMinHash.pairs(docs, col("text"), col("doc_id"), 0.3)
+          .select("doc_a", "doc_b")
+        val src = docs.select(col("doc_id"), col("source"))
+        val withA = src.join(broadcast(pairs), src("doc_id") === pairs("doc_a"))
+          .select(col("source").as("sa"), col("doc_b"))
+        src.join(broadcast(withA), src("doc_id") === withA("doc_b"))
+          .select(
+            least(col("sa"), col("source")).as("src_a"),
+            greatest(col("sa"), col("source")).as("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""${PortableMinHash.pipelineCtes()},
+              |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.3),
+              |j AS (SELECT least(da.source, db.source) AS src_a,
+              |             greatest(da.source, db.source) AS src_b
+              |      FROM p
+              |      JOIN documents da ON da.doc_id = p.doc_a
+              |      JOIN documents db ON db.doc_id = p.doc_b)
+              |SELECT src_a, src_b, count(*) AS n_pairs
+              |FROM j GROUP BY src_a, src_b""".stripMargin)),
+    Q(
       "qd18_incremental_pairs",
       // incremental ingest: even doc ids play the signed corpus index,
       // odd ids the daily increment; pairs come from ONE streaming scan

@@ -237,6 +237,51 @@ object PipelineQueries {
       },
       Some(graft.operators.dedup.PortableMinHash.oracleSplitSql(0.3))),
     Q(
+      "qp13_linearize_orders",
+      // the lakehouse -> corpus bridge: render relational rows as
+      // training text (structured-data pretraining / RAG corpus
+      // generation). Fact-dim joins (customer keyed, nation broadcast)
+      // feed one per-row codegen'd template concat — corpus generation
+      // at scan speed, no shuffle beyond the key join. Float discipline:
+      // the price rides through round+DECIMAL(12,2) so both engines
+      // render the identical string; dates render via DATE cast.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val nation = Tables.load(s, dir, "nation")
+        val joined = orders
+          .join(customer, orders("o_custkey") === customer("c_custkey"))
+          .join(broadcast(nation),
+            customer("c_nationkey") === nation("n_nationkey"))
+        val text = concat(
+          lit("Customer "), col("c_name"),
+          lit(" from "), col("n_name"),
+          lit(" placed order "), col("o_orderkey").cast("string"),
+          lit(" ("), col("o_orderpriority"),
+          lit(") totaling $"),
+          round(col("o_totalprice"), 2).cast("decimal(12,2)").cast("string"),
+          lit(" on "), col("o_orderdate").cast("date").cast("string"),
+          lit("."))
+        joined.select(
+          col("o_orderkey").as("doc_id"),
+          text.as("text"),
+          graft.operators.text.TextAnalysis.tokenCount(text)
+            .cast("long").as("n_tokens"))
+      },
+      Some("""SELECT doc_id, text,
+                     CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM (
+                SELECT o_orderkey AS doc_id,
+                       'Customer ' || c_name || ' from ' || n_name ||
+                       ' placed order ' || CAST(o_orderkey AS VARCHAR) ||
+                       ' (' || o_orderpriority || ') totaling $' ||
+                       CAST(CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS VARCHAR) ||
+                       ' on ' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '.' AS text
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey) t""")),
+    Q(
       "qp10_training_manifest",
       // the artifact a training run actually consumes: per (split,
       // source) document and token totals plus each source's token
