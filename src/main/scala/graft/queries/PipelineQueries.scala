@@ -282,6 +282,50 @@ object PipelineQueries {
                 JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey) t""")),
     Q(
+      "qp14_dedup_adjusted_budget",
+      // mixture planning on HONEST token budgets: per source, raw vs
+      // dedup-adjusted doc/token totals (tokens surviving qd15's
+      // portable keep-first near-dedup) and the retention ratio —
+      // naive budgets overweight boilerplate-heavy sources; every
+      // temperature/quota mix should consume the adjusted column.
+      // Shape: the dedup survivors' ids join the (doc, source, tokens)
+      // projection once; one grouped aggregation, exact BIGINTs, one
+      // division.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val kept = graft.operators.dedup.PortableMinHash
+          .dedupKeepFirst(docs, col("text"), "doc_id", 0.3)
+          .select(col("doc_id"), lit(1L).as("kept"))
+        docs.select(col("doc_id"), col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nt"))
+          .join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nt").cast("bigint").as("raw_tokens"),
+            count(col("kept")).as("kept_docs"),
+            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
+              .cast("bigint").as("kept_tokens"))
+          .withColumn("retention",
+            col("kept_tokens").cast("double") / col("raw_tokens").cast("double"))
+      },
+      Some(s"""${graft.operators.dedup.PortableMinHash.pipelineCtes()},
+              |kept AS (SELECT doc_id FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_b FROM est WHERE est_jaccard >= 0.3)),
+              |base AS (SELECT d.doc_id, d.source,
+              |                CAST(length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nt,
+              |                (d.doc_id IN (SELECT doc_id FROM kept)) AS is_kept
+              |         FROM documents d)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(nt) AS BIGINT) AS raw_tokens,
+              |       CAST(count(*) FILTER (WHERE is_kept) AS BIGINT) AS kept_docs,
+              |       CAST(sum(CASE WHEN is_kept THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+              |       CAST(sum(CASE WHEN is_kept THEN nt ELSE 0 END) AS DOUBLE) /
+              |       CAST(sum(nt) AS DOUBLE) AS retention
+              |FROM base GROUP BY source""".stripMargin)),
+    Q(
       "qp10_training_manifest",
       // the artifact a training run actually consumes: per (split,
       // source) document and token totals plus each source's token
