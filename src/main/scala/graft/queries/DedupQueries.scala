@@ -186,17 +186,21 @@ object DedupQueries {
       // pair — the matrix that catches mirror sites and cross-licensed
       // re-publishes (qd09 compares corpus-level sketches; this counts
       // the actual duplicate mass between each source pair). The pair
-      // set is leak-sized, so it broadcasts into the (doc -> source)
-      // side twice and the corpus never shuffles; least/greatest
-      // canonicalizes the pair so (A,B) and (B,A) accumulate together.
+      // set is usually leak-sized — but NOT bounded in code on a
+      // dup-heavy corpus, so the joins carry no broadcast hint: AQE
+      // broadcasts the pair side when it is small and falls back to a
+      // uniform id-keyed shuffle when it is not (a forced broadcast
+      // here would be a driver OOM on exactly the corpora this matrix
+      // exists to diagnose). least/greatest canonicalizes the pair so
+      // (A,B) and (B,A) accumulate together.
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val pairs = PortableMinHash.pairs(docs, col("text"), col("doc_id"), 0.3)
           .select("doc_a", "doc_b")
         val src = docs.select(col("doc_id"), col("source"))
-        val withA = src.join(broadcast(pairs), src("doc_id") === pairs("doc_a"))
+        val withA = src.join(pairs, src("doc_id") === pairs("doc_a"))
           .select(col("source").as("sa"), col("doc_b"))
-        src.join(broadcast(withA), src("doc_id") === withA("doc_b"))
+        src.join(withA, src("doc_id") === withA("doc_b"))
           .select(
             least(col("sa"), col("source")).as("src_a"),
             greatest(col("sa"), col("source")).as("src_b"))
