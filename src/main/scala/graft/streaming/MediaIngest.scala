@@ -1,0 +1,189 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.multimodal.PerceptualHash
+
+/** Streaming MEDIA ingest with perceptual-duplicate rejection — the
+  * image/audio sibling of [[IngestPipeline.curateIngest]] (text) and
+  * [[VectorIngest]] (vectors): a stream of (id, content) payloads is
+  * admitted only if its dHash is farther than `maxHamming` from every
+  * hash already in the persisted index; survivors' hashes append so
+  * later batches see them.
+  *
+  * Index layout: `dir/hashes` parquet (id, dhash) — 16 bytes a row;
+  * payload bytes NEVER enter the index or any join.
+  *
+  * Novelty check shape (the 100 TB discipline): the banded-prefix
+  * pigeonhole ([[PerceptualHash.pairs]]) says any pair within Hamming
+  * `maxHamming <= bands-1` agrees on at least one whole band of the
+  * 64-bit hash, so the check needs only band-key EQUALITY:
+  *   1. BLOOM GATE — `build` persists a bloom over the index's
+  *      "band:key" strings and every append folds its survivors
+  *      forward; a batch whose band keys are ALL bloom-negative
+  *      cannot collide on any band and is admitted without reading
+  *      the index at all (exact duplicates share every band, so the
+  *      gate covers them a fortiori).
+  *   2. One columnar scan otherwise — the batch's (band, key, dhash)
+  *      rows are tiny and BROADCAST into a single pass over the index
+  *      hashes (band keys derived on the fly with bit arithmetic);
+  *      popcount confirms candidates, confirmed-dup batch ids
+  *      broadcast back for the final anti-join. The index is never
+  *      shuffled or broadcast.
+  *
+  * Idempotence: a replayed batch carries identical bytes, hence
+  * identical dHashes, hence exact (Hamming 0) collisions — replays
+  * append nothing (at-least-once foreachBatch is safe; single-writer
+  * assumption as in [[VectorIngest]]). Within-batch exact duplicates
+  * collapse to one arbitrary representative per dhash; two NOVEL
+  * near-duplicates arriving in the same batch both land (the same
+  * guard-freshness caveat as the text path — a compaction job's
+  * business, not a per-batch plan's). Undecodable payloads drop out:
+  * they cannot be deduplicated and a quarantine sink is the caller's
+  * policy decision.
+  */
+object MediaIngest {
+
+  private def bloomPath(dir: String) = s"$dir/bands.bloom"
+  private def bloomMetaPath(dir: String) = s"$dir/bands.bloom.meta"
+
+  val DefaultBands = 4
+  val DefaultMaxHamming = 3
+
+  /** "band:key" strings of a 64-bit hash column — the band width is
+    * 64/bands bits; pure bit arithmetic, derivable on any scan. */
+  private[streaming] def bandKeyCol(dh: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    array((0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        shiftrightunsigned(dh, b * width).bitwiseAND(lit(mask)))
+    }: _*)
+  }
+
+  /** (id, dhash) of decodable payloads, one representative per hash. */
+  private def hashed(media: DataFrame, maxDecodeBytes: Int)(
+      implicit spark: SparkSession): DataFrame =
+    PerceptualHash.dHashes(media, maxDecodeBytes)
+      .filter(col("dhash").isNotNull)
+      .dropDuplicates("dhash")
+
+  /** Build (or rebuild) the index: hashes parquet + band-key bloom. */
+  def buildIndexDir(
+      media: DataFrame,
+      dir: String,
+      maxDecodeBytes: Int = 1 << 22,
+      bands: Int = DefaultBands): Unit = {
+    implicit val spark: SparkSession = media.sparkSession
+    hashed(media, maxDecodeBytes)
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    writeBandBloom(spark, dir, bands)
+  }
+
+  /** Rebuild the band-key bloom from the persisted hashes, sized 4×
+    * current so appends fold forward before fpp decays. */
+  def writeBandBloom(spark: SparkSession, dir: String,
+      bands: Int = DefaultBands, fpp: Double = 0.01): Unit = {
+    val keys = spark.read.parquet(s"$dir/hashes")
+      .select(explode(bandKeyCol(col("dhash"), bands)).as("bk"))
+    val n = math.max(keys.count() * 4, 4L)
+    IngestPipeline.writeBloom(
+      spark, keys.stat.bloomFilter("bk", n, fpp), bloomPath(dir))
+    IngestPipeline.writeBloomMeta(
+      spark, IngestPipeline.BloomMeta(n, fpp), bloomMetaPath(dir))
+  }
+
+  /** One micro-batch (also the batch-increment API): returns the
+    * admitted (id, dhash) rows, already Barrier'd and appended to the
+    * index — callers append the matching payload rows to their sink. */
+  def appendBatch(
+      batch: DataFrame,
+      indexDir: String,
+      maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxDecodeBytes: Int = 1 << 22): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    implicit val spark: SparkSession = batch.sparkSession
+    // Barrier: the decode is the expensive stage and `rows` feeds the
+    // gate probe, the key explode, the anti-join and the index append —
+    // un-materialized lineage would re-decode the batch per consumer
+    val rows = graft.operators.Barrier(hashed(batch, maxDecodeBytes))
+    val hashesPath = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+    val fs = hashesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // missing-path checked explicitly; any OTHER index read failure
+    // propagates (swallowing it would drop the dedup guard entirely)
+    if (!fs.exists(hashesPath)) {
+      rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
+      writeBandBloom(spark, indexDir, bands)
+      return rows
+    }
+    val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))
+    val batchKeys = rows.select(col("dhash").as("dh_b"),
+      explode(bandKeyCol(col("dhash"), bands)).as("bk"))
+    val novel = bloom match {
+      case Some(bf) if rows
+          // a row is a POSSIBLE collision if ANY of its band keys hits
+          .filter(exists(bandKeyCol(col("dhash"), bands),
+            k => graft.functions.BloomExprs.mightContain(bf, k))).isEmpty =>
+        rows // every band key definitely absent: admit without a scan
+      case _ =>
+        // one columnar pass over the 16-byte hash rows: batch keys
+        // broadcast in, candidates popcount-confirm, dup hashes
+        // broadcast back for the anti-join
+        val dupHashes = spark.read.parquet(s"$indexDir/hashes")
+          .select(explode(bandKeyCol(col("dhash"), bands)).as("bk"),
+            col("dhash").as("dh_i"))
+          .join(broadcast(batchKeys), Seq("bk"))
+          .filter(bit_count(col("dh_i").bitwiseXOR(col("dh_b"))) <= maxHamming)
+          .select(col("dh_b").as("dhash")).distinct()
+        rows.join(broadcast(dupHashes), Seq("dhash"), "left_anti")
+    }
+    val novelM = graft.operators.Barrier(novel)
+    novelM.write.mode("append").parquet(s"$indexDir/hashes")
+    bloom match {
+      case Some(bf) =>
+        val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(indexDir))
+        val novelKeys = novelM
+          .select(explode(bandKeyCol(col("dhash"), bands)).as("bk"))
+        meta.filter(_ => !novelKeys.isEmpty).foreach(m =>
+          bf.mergeInPlace(novelKeys.stat.bloomFilter("bk", m.expectedItems, m.fpp)))
+        if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
+          IngestPipeline.writeBloom(spark, bf, bloomPath(indexDir))
+        else writeBandBloom(spark, indexDir, bands)
+      case None =>
+        writeBandBloom(spark, indexDir, bands) // adopt for next append
+    }
+    novelM
+  }
+
+  /** Streaming wrapper: admitted payload rows append to `sink.table`;
+    * AvailableNow by default (drain-then-stop). */
+  def ingest(
+      stream: DataFrame,
+      indexDir: String,
+      sink: graft.sync.Sink,
+      table: String,
+      checkpointDir: String,
+      idCol: String = "id",
+      maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val admitted = appendBatch(batch, indexDir, maxHamming, bands)
+        sink.append(
+          batch.join(broadcast(admitted.select(col("id").as(idCol))),
+            Seq(idCol), "left_semi"),
+          table)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.multimodal.PerceptualHash
+
+class MediaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Media frame of planted PNGs: ids 2k and 2k+1 share a pixel group
+    * (near-identical, small Hamming); different groups are unrelated. */
+  private def media(ids: Seq[Long]) =
+    ids.toDF("id")
+      .as[Long]
+      .mapPartitions(_.map(id => (id, "image/png", PerceptualHash.plantedPng(id))))
+      .toDF("id", "media_type", "content")
+
+  test("appendBatch rejects exact replays and near-duplicate images") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    // corpus: even ids from three groups
+    val first = MediaIngest.appendBatch(media(Seq(0L, 2L, 4L)), dir)
+    assert(first.count() == 3)
+    // increment: 1 near-dups 0 (same group), 0 replays exactly,
+    // 100 is a novel group
+    val admitted = MediaIngest.appendBatch(media(Seq(1L, 0L, 100L)), dir)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(100L),
+      s"expected only the novel group to land, got $admitted")
+    assert(spark.read.parquet(s"$dir/hashes").count() == 4)
+    // replaying the increment appends nothing (idempotence by content)
+    assert(MediaIngest.appendBatch(media(Seq(100L)), dir).count() == 0)
+    assert(spark.read.parquet(s"$dir/hashes").count() == 4)
+  }
+
+  test("bloom-all-negative batch is admitted without scanning the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_neg").toString
+    MediaIngest.buildIndexDir(media(Seq(0L, 2L, 4L)), dir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = MediaIngest.appendBatch(media(Seq(500L)), dir).count()
+      assert(n == 1)
+      Thread.sleep(2000) // listener bus is async
+      val offenders = plans.synchronized {
+        plans.filter(_.linesIterator.exists(l =>
+          l.contains("FileScan") && l.contains(s"$dir/hashes"))).toSeq
+      }
+      assert(offenders.isEmpty,
+        s"all-negative batch read the index:\n${offenders.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+    assert(spark.read.parquet(s"$dir/hashes").count() == 4)
+  }
+
+  test("streamed ingest admits only perceptually-novel payloads to the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mi_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_mi_out").toString
+    val sink = graft.sync.ParquetSink(out)
+
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().toDF("id").as[Long]
+      .mapPartitions(_.map(id => (id, "image/png", PerceptualHash.plantedPng(id))))
+      .toDF("id", "media_type", "content")
+    def drain(): Unit =
+      MediaIngest.ingest(stream, dir, sink, "imgs", ckpt).awaitTermination()
+
+    mem.addData(0L, 2L)
+    drain()
+    // 3 near-dups 2; 6 novel; 0 replay
+    mem.addData(3L, 6L, 0L)
+    drain()
+    val landed = sink.readBack(spark, "imgs").select("id").as[Long].collect().toSet
+    assert(landed == Set(0L, 2L, 6L), s"sink holds $landed")
+    // undecodable payloads drop out instead of crashing the batch
+    val junk = Seq((900L, "image/png", Array[Byte](1, 2, 3)))
+      .toDF("id", "media_type", "content")
+    assert(MediaIngest.appendBatch(junk, dir).count() == 0)
+  }
+}
