@@ -355,6 +355,61 @@ object Main {
               "[--probe-file probes.parquet|.csv [--out dir]] --config cfg.yml")
             2
         }
+      case "media" =>
+        // the perceptual-dedup media lifecycle (MediaIngest): build a
+        // dHash index from a media-shaped table (id, content), then
+        // admit increments through the banded-Hamming novelty guard —
+        // the image/audio face of `index` (text) and `ann` (vectors)
+        import org.apache.spark.sql.functions.col
+        val idC = opt("--id").getOrElse("id")
+        val maxHamming = opt("--max-hamming").map(_.toInt).getOrElse(
+          graft.streaming.MediaIngest.DefaultMaxHamming)
+        def mediaFrame(t: String) = {
+          val df = catalogFor(cfg.src).read(spark, t)
+          if (!df.columns.contains(idC) || !df.columns.contains("content")) {
+            println(s"media: $t lacks columns $idC/content " +
+              s"(has ${df.columns.mkString(", ")})")
+            None
+          } else Some(df.select(col(idC).cast("long").as("id"),
+            col("content").cast("binary").as("content")))
+        }
+        (args.lift(1), opt("--index"), opt("--table")) match {
+          case (Some("build"), Some(dir), Some(t)) => mediaFrame(t) match {
+            case None => 2
+            case Some(m) =>
+              graft.streaming.MediaIngest.buildIndexDir(m, dir)
+              val n = spark.read.parquet(s"$dir/hashes").count()
+              println(s"Media index built at $dir: $n distinct hashes")
+              println(f"Media build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+          }
+          case (Some("append"), Some(dir), Some(t)) => mediaFrame(t) match {
+            case None => 2
+            case Some(m) =>
+              val into = opt("--into").getOrElse(t)
+              val sink = sinkFor(cfg.dest, cfg)
+              val admitted = graft.streaming.MediaIngest
+                .appendBatch(m, dir, maxHamming)
+              val src = catalogFor(cfg.src).read(spark, t)
+              sink.append(
+                src.join(
+                  org.apache.spark.sql.functions.broadcast(
+                    admitted.select(col("id").as(idC))),
+                  Seq(idC), "left_semi"),
+                into)
+              val in = m.count()
+              val kept = admitted.count()
+              println(table(Seq(
+                Seq("Object", "Incoming", "Admitted", "Rejected"),
+                Seq(into, in.toString, kept.toString, (in - kept).toString))))
+              println(f"Media append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+          }
+          case _ =>
+            println("usage: graft media <build|append> --table <media-table> --index <dir> " +
+              "[--id id] [--into <dest-table>] [--max-hamming 3] --config cfg.yml")
+            2
+        }
       case "card" =>
         // the per-source dataset card (qt45) as a one-command release
         // step: recompute in one corpus pass after curate/append, write

@@ -377,6 +377,40 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("card", "--table", "events", "--config", cfg), spark) == 2)
   }
 
+  test("media build + append admit only perceptually-novel images") {
+    import spark.implicits._
+    import graft.operators.multimodal.PerceptualHash
+    val srcDir = Files.createTempDirectory("graft_media_src").toString
+    val outDir = Files.createTempDirectory("graft_media_out").toString
+    val idxDir = Files.createTempDirectory("graft_media_idx").toString + "/ph"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+    def png(ids: Seq[Long]) = ids.toDF("id").as[Long]
+      .mapPartitions(_.map(id => (id, PerceptualHash.plantedPng(id))))
+      .toDF("id", "content")
+    png(Seq(0L, 2L, 4L)).write.parquet(s"$srcDir/corpus.parquet")
+    // 1 near-dups 0, 0 replays, 100 is novel
+    png(Seq(1L, 0L, 100L)).write.parquet(s"$srcDir/increment.parquet")
+
+    assert(Main.run(Array("media", "build", "--table", "corpus",
+      "--index", idxDir, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("media", "append", "--table", "increment",
+      "--index", idxDir, "--into", "admitted", "--config", cfg), spark) == 0)
+    val landed = spark.read.parquet(s"$outDir/admitted.parquet")
+      .select("id").as[Long].collect().toSet
+    assert(landed == Set(100L), s"sink holds $landed")
+    // usable error on a shapeless table, and usage on bad subcommand
+    png(Seq(9L)).select(org.apache.spark.sql.functions.col("id"))
+      .write.parquet(s"$srcDir/noimg.parquet")
+    assert(Main.run(Array("media", "build", "--table", "noimg",
+      "--index", idxDir, "--config", cfg), spark) == 2)
+    assert(Main.run(Array("media", "frob", "--config", cfg), spark) == 2)
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
