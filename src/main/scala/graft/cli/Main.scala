@@ -405,8 +405,15 @@ object Main {
               println(f"Media append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
               0
           }
+          case (Some("compact"), Some(dir), _) =>
+            val (bf, af) = graft.streaming.MediaIngest.compactIndex(spark, dir)
+            println(table(Seq(
+              Seq("Index", "FilesBefore", "FilesAfter"),
+              Seq(dir, bf.toString, af.toString))))
+            println(f"Media compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
           case _ =>
-            println("usage: graft media <build|append> --table <media-table> --index <dir> " +
+            println("usage: graft media <build|append|compact> --table <media-table> --index <dir> " +
               "[--id id] [--into <dest-table>] [--max-hamming 3] --config cfg.yml")
             2
         }

@@ -159,6 +159,36 @@ object MediaIngest {
     novelM
   }
 
+  /** Collapse append-accumulated small hash files and rebuild the
+    * band bloom at fresh 4× headroom — the out-of-band maintenance a
+    * long-lived admission index needs (the `ann compact` discipline).
+    * Returns (files before, files after). Content is unchanged: the
+    * rewrite is a coalesce of the same (id, dhash) rows. */
+  def compactIndex(spark: SparkSession, dir: String,
+      bands: Int = DefaultBands): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hashes = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    val fs = hashes.getFileSystem(conf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(hashes)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__compact")
+    val n = math.max(1L, spark.read.parquet(s"$dir/hashes").count() / 4000000L)
+    spark.read.parquet(s"$dir/hashes")
+      .coalesce(math.min(n, Int.MaxValue.toLong).toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
+    if (!fs.rename(hashes, old))
+      throw new java.io.IOException(s"compact: cannot stage $hashes aside")
+    if (!fs.rename(tmp, hashes)) {
+      fs.rename(old, hashes) // restore; the index must never vanish
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+    writeBandBloom(spark, dir, bands)
+    (before, dataFiles(hashes))
+  }
+
   /** Streaming wrapper: admitted payload rows append to `sink.table`;
     * AvailableNow by default (drain-then-stop). */
   def ingest(

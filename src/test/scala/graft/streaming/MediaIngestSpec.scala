@@ -61,6 +61,28 @@ class MediaIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hashes").count() == 4)
   }
 
+  test("compact collapses append-accumulated files; guard behavior unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_c").toString
+    MediaIngest.buildIndexDir(media(Seq(0L, 2L)), dir)
+    MediaIngest.appendBatch(media(Seq(10L)), dir)
+    MediaIngest.appendBatch(media(Seq(20L)), dir)
+    val before = spark.read.parquet(s"$dir/hashes").as[(Long, Long)]
+      .collect().toSet
+    val (bf, af) = MediaIngest.compactIndex(spark, dir)
+    assert(af < bf, s"compact did not shrink files ($bf -> $af)")
+    assert(spark.read.parquet(s"$dir/hashes").as[(Long, Long)]
+      .collect().toSet == before, "compact changed index content")
+    // the rebuilt bloom + index still reject a replay and admit novelty
+    assert(MediaIngest.appendBatch(media(Seq(10L)), dir).count() == 0)
+    // pick a genuinely-far id (planted groups can collide in dHash)
+    val existing = before.map(_._2)
+    val novelId = (30L to 90L by 2).find { i =>
+      val h = PerceptualHash.dHash64(PerceptualHash.plantedPng(i)).get
+      existing.forall(e => java.lang.Long.bitCount(e ^ h) > 3)
+    }.get
+    assert(MediaIngest.appendBatch(media(Seq(novelId)), dir).count() == 1)
+  }
+
   test("streamed ingest admits only perceptually-novel payloads to the sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
