@@ -300,7 +300,9 @@ object Main {
                 // answered in ONE distributed pass (the qs27 path —
                 // probes never ride the driver, the codes scan stays
                 // cell-pruned). CSV probes carry the vector as a
-                // comma-joined string in the vec column.
+                // SEMICOLON-joined string in the vec column (';' so the
+                // field needs no CSV quoting; a comma-joined vector
+                // would silently parse to [null] after the float cast).
                 val probes =
                   if (pf.endsWith(".csv"))
                     spark.read.option("header", "true").csv(pf)
@@ -364,6 +366,10 @@ object Main {
         val idC = opt("--id").getOrElse("id")
         val maxHamming = opt("--max-hamming").map(_.toInt).getOrElse(
           graft.streaming.MediaIngest.DefaultMaxHamming)
+        // exact recall needs maxHamming < bands (the banded pigeonhole);
+        // a usable CLI error beats appendBatch's require() stack trace
+        val badHamming =
+          maxHamming < 0 || maxHamming >= graft.streaming.MediaIngest.DefaultBands
         def mediaFrame(t: String) = {
           val df = catalogFor(cfg.src).read(spark, t)
           if (!df.columns.contains(idC) || !df.columns.contains("content")) {
@@ -374,6 +380,10 @@ object Main {
             col("content").cast("binary").as("content")))
         }
         (args.lift(1), opt("--index"), opt("--table")) match {
+          case _ if badHamming =>
+            println(s"media: --max-hamming must be in [0, " +
+              s"${graft.streaming.MediaIngest.DefaultBands - 1}], got $maxHamming")
+            2
           case (Some("build"), Some(dir), Some(t)) => mediaFrame(t) match {
             case None => 2
             case Some(m) =>
@@ -388,17 +398,20 @@ object Main {
             case Some(m) =>
               val into = opt("--into").getOrElse(t)
               val sink = sinkFor(cfg.dest, cfg)
-              val admitted = graft.streaming.MediaIngest
-                .appendBatch(m, dir, maxHamming)
+              // payloads before the hash commit — a rerun after a crash
+              // in between re-admits (at-least-once duplicates) instead
+              // of dropping the payloads forever (see MediaIngest)
+              val a = graft.streaming.MediaIngest.admitBatch(m, dir, maxHamming)
               val src = catalogFor(cfg.src).read(spark, t)
               sink.append(
                 src.join(
                   org.apache.spark.sql.functions.broadcast(
-                    admitted.select(col("id").as(idC))),
+                    a.admitted.select(col("id").as(idC))),
                   Seq(idC), "left_semi"),
                 into)
+              a.commit()
               val in = m.count()
-              val kept = admitted.count()
+              val kept = a.admitted.count()
               println(table(Seq(
                 Seq("Object", "Incoming", "Admitted", "Rejected"),
                 Seq(into, in.toString, kept.toString, (in - kept).toString))))
@@ -499,12 +512,19 @@ object Main {
           case (Some("train"), Some("seed")) => opt("--out") match {
             case None => println("tokenize train needs --out <vocab-dir>"); 2
             case Some(out) =>
+              import spark.implicits._
               val docs = catalogFor(cfg.src).read(spark, t)
-              val seed = graft.operators.text.UnigramLm.seed(docs, col(txtC),
+              // seedVocab, not seed: the artifact feeds `apply --algo
+              // minseg`, which needs every corpus character present or
+              // words with a below-top-N char silently emit no pieces
+              val seed = graft.operators.text.UnigramLm.seedVocab(
+                docs, col(txtC),
                 maxLen = opt("--max-len").map(_.toInt).getOrElse(6),
                 topN = opt("--seed-size").map(_.toInt).getOrElse(120))
-              seed.coalesce(1).write.mode("overwrite").parquet(out)
-              println(s"Seed vocab: ${spark.read.parquet(out).count()} pieces -> $out")
+              seed.toDF("piece", "cnt").coalesce(1)
+                .write.mode("overwrite").parquet(out)
+              println(s"Seed vocab: ${seed.size} pieces " +
+                s"(top-N plus single-char coverage) -> $out")
               println(f"Tokenize train finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
               0
           }

@@ -100,8 +100,10 @@ object NGramJaccard {
     * arrays never crossing the pair join.
     *
     * Sizes are recomputed over the KEPT grams (per-doc flood count
-    * subtracted — the flood side is tiny by construction, so the
-    * correction is a broadcast join), which makes every downstream
+    * subtracted; the correction join carries no broadcast hint — the
+    * flood-doc side is corpus-sized on boilerplate-heavy data, so AQE
+    * picks broadcast vs a uniform (blk, id)-keyed shuffle), which
+    * makes every downstream
     * score exactly the jaccard/containment of the FILTERED gram sets:
     * self-consistent (a pair of identical docs scores 1.0 even when
     * they share flood grams) and one-sided (boilerplate is ignored,
@@ -119,12 +121,16 @@ object NGramJaccard {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxGramFreq)
       .select("blk", "gram")
-    // per-doc flood-gram counts: only docs that CONTAIN a flood gram
-    // appear, so this side broadcasts
+    // per-doc flood-gram counts: one row per doc CONTAINING a flood
+    // gram — on a boilerplate-heavy corpus that is close to EVERY doc,
+    // so no broadcast hint (a forced broadcast would OOM the driver on
+    // exactly the corpora the cap targets); AQE broadcasts when the
+    // flood is genuinely rare and shuffles on the uniform (blk, id)
+    // key when it is not
     val floodCnt = e.join(hot, Seq("blk", "gram"), "left_semi")
       .groupBy("blk", "id").agg(count(lit(1)).as("__fn"))
     val kept = e.join(hot, Seq("blk", "gram"), "left_anti")
-      .join(broadcast(floodCnt), Seq("blk", "id"), "left")
+      .join(floodCnt, Seq("blk", "id"), "left")
       .withColumn("sz", col("sz") - coalesce(col("__fn"), lit(0)))
     val a = kept.select(col("blk"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = kept.select(col("blk"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))

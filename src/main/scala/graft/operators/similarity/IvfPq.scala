@@ -85,8 +85,12 @@ object IvfPq {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     fs.delete(old, true)
-    if (!fs.rename(codes, old) || !fs.rename(tmp, codes))
-      throw new java.io.IOException(s"compact swap failed under $dir")
+    if (!fs.rename(codes, old))
+      throw new java.io.IOException(s"compact: cannot stage $codes aside")
+    if (!fs.rename(tmp, codes)) {
+      fs.rename(old, codes) // restore; the serving index must never vanish
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
     fs.delete(old, true)
     (before, parquetFiles(codes))
   }
@@ -128,23 +132,26 @@ object IvfPq {
   def adcTopKBatch(codes: DataFrame, probes: DataFrame, probeVec: Column,
       probeId: Column, topk: Int, nprobe: Int,
       cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame = {
-    val pc = probes
-      .select(
-        probeId.cast("long").as("probe_id"),
-        probeVec.cast("array<double>").as("pv"))
-      // the m×k ADC lookup table rides the BROADCAST side, computed
-      // once per probe — the per-candidate cost is m array lookups,
-      // exactly the single-probe literal-table scan's shape (the
-      // earlier 16-way-CASE-per-subspace form re-derived every
-      // codeword sqDist per candidate row and cost ~5× at bench scale)
-      .withColumn("adc_tab", adcTableCol(col("pv"), cb))
-      .withColumn("cell",
-        explode(PortableIvf.probedCellsCol(col("pv"), nprobe)))
-      .select("probe_id", "cell", "adc_tab")
+    val pv = probes.select(
+      probeId.cast("long").as("probe_id"),
+      probeVec.cast("array<double>").as("pv"))
+    // two broadcast relations instead of one: the exploded (probe_id,
+    // cell) rows drive the partition-pruned cell join, and the m×k ADC
+    // lookup table — computed once per probe, the per-candidate cost
+    // is m array lookups, exactly the single-probe literal-table
+    // scan's shape (the earlier 16-way-CASE-per-subspace form
+    // re-derived every codeword sqDist per candidate and cost ~5× at
+    // bench scale) — attaches AFTER by probe_id, so the broadcast
+    // carries ONE table per probe, not nprobe exploded copies (~1 KB
+    // × nprobe × batch saved at mining scale)
+    val cells = pv.select(col("probe_id"),
+      explode(PortableIvf.probedCellsCol(col("pv"), nprobe)).as("cell"))
+    val tabs = pv.select(col("probe_id"), adcTableCol(col("pv"), cb).as("adc_tab"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adc").asc, col("id").asc)
     codes
-      .join(broadcast(pc), Seq("cell"))
+      .join(broadcast(cells), Seq("cell"))
+      .join(broadcast(tabs), Seq("probe_id"))
       .withColumn("adc", adcLookup(col("adc_tab")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topk)

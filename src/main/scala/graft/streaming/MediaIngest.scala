@@ -94,15 +94,22 @@ object MediaIngest {
       spark, IngestPipeline.BloomMeta(n, fpp), bloomMetaPath(dir))
   }
 
-  /** One micro-batch (also the batch-increment API): returns the
-    * admitted (id, dhash) rows, already Barrier'd and appended to the
-    * index — callers append the matching payload rows to their sink. */
-  def appendBatch(
+  /** The admission decision split from its index commit: `admitted` is
+    * the Barrier'd novel (id, dhash) set; `commit()` appends those
+    * hashes to the index and folds the bloom forward. Callers that
+    * also persist PAYLOADS (the streaming sink, CLI append) must write
+    * them BETWEEN the two — sink first, commit second — so an
+    * at-least-once replay re-admits at worst a duplicate payload row
+    * instead of finding its own hashes already indexed and dropping
+    * the payload forever. */
+  final case class Admission(admitted: DataFrame, commit: () => Unit)
+
+  def admitBatch(
       batch: DataFrame,
       indexDir: String,
       maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxDecodeBytes: Int = 1 << 22): DataFrame = {
+      maxDecodeBytes: Int = 1 << 22): Admission = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
@@ -115,11 +122,11 @@ object MediaIngest {
     val fs = hashesPath.getFileSystem(spark.sessionState.newHadoopConf())
     // missing-path checked explicitly; any OTHER index read failure
     // propagates (swallowing it would drop the dedup guard entirely)
-    if (!fs.exists(hashesPath)) {
-      rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
-      writeBandBloom(spark, indexDir, bands)
-      return rows
-    }
+    if (!fs.exists(hashesPath))
+      return Admission(rows, () => {
+        rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
+        writeBandBloom(spark, indexDir, bands)
+      })
     val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))
     val batchKeys = rows.select(col("dhash").as("dh_b"),
       explode(bandKeyCol(col("dhash"), bands)).as("bk"))
@@ -142,21 +149,35 @@ object MediaIngest {
         rows.join(broadcast(dupHashes), Seq("dhash"), "left_anti")
     }
     val novelM = graft.operators.Barrier(novel)
-    novelM.write.mode("append").parquet(s"$indexDir/hashes")
-    bloom match {
-      case Some(bf) =>
-        val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(indexDir))
-        val novelKeys = novelM
-          .select(explode(bandKeyCol(col("dhash"), bands)).as("bk"))
-        meta.filter(_ => !novelKeys.isEmpty).foreach(m =>
-          bf.mergeInPlace(novelKeys.stat.bloomFilter("bk", m.expectedItems, m.fpp)))
-        if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
-          IngestPipeline.writeBloom(spark, bf, bloomPath(indexDir))
-        else writeBandBloom(spark, indexDir, bands)
-      case None =>
-        writeBandBloom(spark, indexDir, bands) // adopt for next append
-    }
-    novelM
+    Admission(novelM, () => {
+      novelM.write.mode("append").parquet(s"$indexDir/hashes")
+      bloom match {
+        case Some(bf) =>
+          val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(indexDir))
+          val novelKeys = novelM
+            .select(explode(bandKeyCol(col("dhash"), bands)).as("bk"))
+          meta.filter(_ => !novelKeys.isEmpty).foreach(m =>
+            bf.mergeInPlace(novelKeys.stat.bloomFilter("bk", m.expectedItems, m.fpp)))
+          if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
+            IngestPipeline.writeBloom(spark, bf, bloomPath(indexDir))
+          else writeBandBloom(spark, indexDir, bands)
+        case None =>
+          writeBandBloom(spark, indexDir, bands) // adopt for next append
+      }
+    })
+  }
+
+  /** Admission + immediate commit — the pure-index batch API (no
+    * payload sink involved, so the ordering concern above is moot). */
+  def appendBatch(
+      batch: DataFrame,
+      indexDir: String,
+      maxHamming: Int = DefaultMaxHamming,
+      bands: Int = DefaultBands,
+      maxDecodeBytes: Int = 1 << 22): DataFrame = {
+    val a = admitBatch(batch, indexDir, maxHamming, bands, maxDecodeBytes)
+    a.commit()
+    a.admitted
   }
 
   /** Collapse append-accumulated small hash files and rebuild the
@@ -178,6 +199,9 @@ object MediaIngest {
       .coalesce(math.min(n, Int.MaxValue.toLong).toInt)
       .write.mode("overwrite").parquet(tmp.toString)
     val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
+    // a crashed prior compact can leave the stage-aside dir behind —
+    // clear it or every later rename(hashes, old) fails forever
+    if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(hashes, old))
       throw new java.io.IOException(s"compact: cannot stage $hashes aside")
     if (!fs.rename(tmp, hashes)) {
@@ -207,12 +231,17 @@ object MediaIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val admitted = appendBatch(batch, indexDir, maxHamming, bands)
+        // payloads FIRST, hash commit SECOND: a replay after a crash in
+        // between re-admits the batch (its hashes are not yet indexed)
+        // and re-appends at-least-once duplicates to the keyed sink —
+        // never the reverse window, where already-indexed hashes would
+        // reject the replay and drop the payloads forever
+        val a = admitBatch(batch, indexDir, maxHamming, bands)
         sink.append(
-          batch.join(broadcast(admitted.select(col("id").as(idCol))),
+          batch.join(broadcast(a.admitted.select(col("id").as(idCol))),
             Seq(idCol), "left_semi"),
           table)
-        ()
+        a.commit()
       }
       .trigger(trigger)
       .start()

@@ -716,9 +716,21 @@ object DdlReplay {
         try { target.execute(sql); Right(()) }
         catch { case e: java.sql.SQLException => Left(e.getMessage) }
     }
-    views.map(v => v -> attempt(v)).map {
-      case (v, Left(_)) if defs(v).nonEmpty => v -> attempt(v) // retry pass
-      case done => done
+    // loop until a full pass makes no progress (same discipline as the
+    // drop phase): a k-level view-on-view chain discovered in inverted
+    // order needs k passes, not exactly two
+    val results = scala.collection.mutable.Map.empty[String, Either[String, Unit]]
+    var pending = views
+    var creating = true
+    while (pending.nonEmpty && creating) {
+      val next = pending.filter { v =>
+        val r = attempt(v)
+        results(v) = r
+        r.isLeft && defs(v).nonEmpty // unreadable defs never retry
+      }
+      creating = next.size < pending.size
+      pending = next
     }
+    views.map(v => v -> results(v))
   }
 }

@@ -299,7 +299,12 @@ class MainSpec extends SparkSpec {
     graft.sync.DdlReplay.replay(src, Seq(
       "CREATE TABLE vt_base (id INT NOT NULL PRIMARY KEY, v VARCHAR(16))",
       "INSERT INTO vt_base VALUES (1, 'a')",
-      "CREATE VIEW vt_view AS SELECT id, UPPER(v) AS vv FROM vt_base"))
+      "CREATE VIEW vt_view AS SELECT id, UPPER(v) AS vv FROM vt_base",
+      // a 3-level chain whose alphabetical discovery order is INVERTED
+      // (a <- b <- c): one retry pass can't build it, the loop must
+      "CREATE VIEW vw_c AS SELECT id FROM vt_base",
+      "CREATE VIEW vw_b AS SELECT id FROM vw_c",
+      "CREATE VIEW vw_a AS SELECT id FROM vw_b"))
     val cfg = writeCfg(
       s"""src:
          |  url: $srcUrl
@@ -309,6 +314,8 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("create-table", "--views", "--config", cfg), spark) == 0)
     val dst = new graft.catalog.JdbcCatalog(graft.config.Endpoint(dstUrl))
     assert(dst.listViews().contains("vt_view"))
+    assert(Seq("vw_a", "vw_b", "vw_c").forall(dst.listViews().contains),
+      s"inverted 3-level view chain not fully replayed: ${dst.listViews()}")
     dst.execute("INSERT INTO vt_base VALUES (9, 'z')")
     assert(dst.rowCount(spark, "vt_view") == 1,
       "replayed view must read the target's own base table")
