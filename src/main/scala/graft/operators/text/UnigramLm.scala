@@ -215,6 +215,31 @@ object UnigramLm {
     * order as the kernel; the backward walk re-materializes the piece
     * stream. Runs over DISTINCT words, then joins back per document. */
   def minsegOracleSql(maxLen: Int, topN: Int): String =
+    s"""${minsegCtes(maxLen, topN)}
+       |SELECT t.doc_id,
+       |       CAST(COALESCE(sum(s.np), 0) AS BIGINT) AS n_pieces,
+       |       md5(COALESCE(string_agg(array_to_string(s.pieces, ' '), ' ' ORDER BY t.wi), '')) AS pieces_md5
+       |FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, ws
+       |      FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |            FROM documents) q) t
+       |LEFT JOIN seg s ON s.w = t.ws[t.wi]
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** qt46 oracle: the vocabulary USAGE profile — per piece, total uses
+    * and document frequency under the same min-seg segmentation. */
+  def pieceProfileOracleSql(maxLen: Int, topN: Int): String =
+    s"""${minsegCtes(maxLen, topN)},
+       |pieces_flat AS (
+       |  SELECT t.doc_id, unnest(s.pieces) AS piece
+       |  FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, ws
+       |        FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
+       |              FROM documents) q) t
+       |  JOIN seg s ON s.w = t.ws[t.wi])
+       |SELECT piece, count(*) AS n_uses,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+       |FROM pieces_flat GROUP BY piece""".stripMargin
+
+  private def minsegCtes(maxLen: Int, topN: Int): String =
     s"""WITH RECURSIVE ${wordsSql},
        |${candSql(maxLen)},
        |vocab AS (
@@ -253,13 +278,5 @@ object UnigramLm {
        |  UNION ALL
        |  SELECT w, bls, i - bls[i], list_prepend(substring(w, i - bls[i] + 1, bls[i]), pieces)
        |  FROM walk WHERE i > 0),
-       |seg AS (SELECT w, pieces, len(pieces) AS np FROM walk WHERE i = 0)
-       |SELECT t.doc_id,
-       |       CAST(COALESCE(sum(s.np), 0) AS BIGINT) AS n_pieces,
-       |       md5(COALESCE(string_agg(array_to_string(s.pieces, ' '), ' ' ORDER BY t.wi), '')) AS pieces_md5
-       |FROM (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, ws
-       |      FROM (SELECT doc_id, string_split($normSql, ' ') AS ws
-       |            FROM documents) q) t
-       |LEFT JOIN seg s ON s.w = t.ws[t.wi]
-       |GROUP BY t.doc_id""".stripMargin
+       |seg AS (SELECT w, pieces, len(pieces) AS np FROM walk WHERE i = 0)""".stripMargin
 }

@@ -812,6 +812,26 @@ object TextQueries {
       Some(UnigramLm.minsegOracleSql(maxLen = 6, topN = 120)),
       bench = true),
     Q(
+      "qt46_piece_profile",
+      // the artifact shipped WITH a trained vocabulary: per-piece total
+      // uses and document frequency under the qt41 segmentation — what
+      // drives prune decisions and spots pieces that exist only inside
+      // one boilerplate template (high uses, low doc_freq). One explode
+      // over the codegen'd DP projection into one piece-keyed
+      // aggregation; the full recursive DP oracle nests as the prefix.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vocab = UnigramLm.seedVocab(docs, col("text"), maxLen = 6, topN = 120)
+        docs.select(col("doc_id"),
+            explode(graft.functions.SubwordSegment
+              .minsegTokens(TextOps.normalized(col("text")), vocab, 6)).as("piece"))
+          .groupBy("piece")
+          .agg(
+            count(lit(1)).as("n_uses"),
+            countDistinct("doc_id").cast("bigint").as("doc_freq"))
+      },
+      Some(UnigramLm.pieceProfileOracleSql(maxLen = 6, topN = 120))),
+    Q(
       "qt42_unigram_learn",
       // unigram-LM TRAINING (hard-EM with add-alpha smoothing, prune
       // to target between phases) — float-scored, so gate-oracled like
