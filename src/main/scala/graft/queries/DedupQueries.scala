@@ -9,8 +9,12 @@ import graft.operators.dedup._
   * `embeddings` corpora. Exact variants are DuckDB-oracled, as are the
   * portable sketch pipelines (qd10-qd14: md5-family MinHash/SimHash,
   * blocked cosine, merged signatures). The production FNV/seeded-LSH
-  * paths (qd03-qd06, qd08-qd09) keep rows-only checks — their hash
-  * families are faster but not SQL-reproducible — with value-level
+  * paths (qd03-qd04, qd08-qd09) keep rows-only checks — their hash
+  * families are faster but not SQL-reproducible at oracle-budget cost
+  * (the FNV SimHash path qd05/qd06 IS now value-oracled via HUGEINT
+  * limb arithmetic; MinHash's 48-member splitmix64 family is also
+  * expressible but runs minutes in DuckDB, past the gate's budget) —
+  * with value-level
   * assertions in DedupSpec and algorithm-level oracles via their
   * portable twins — plus qd17, an in-Spark estimate-vs-exact quality
   * gate on the FNV MinHash path pinned by a constant oracle.
@@ -72,22 +76,28 @@ object DedupQueries {
       None),
     Q(
       "qd05_simhash_fingerprints",
+      // the PRODUCTION FNV-1a SimHash path, now fully value-oracled:
+      // DuckDB re-derives the 64-bit wraparound FNV fold in HUGEINT
+      // limb arithmetic (see SimHashDedup.oracleFingerprintsSql) — no
+      // longer a rows-only check
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         SimHashDedup
           .fingerprints(docs, col("text"), col("doc_id"))
           .select(col("id").as("doc_id"), col("sh").as("simhash"))
       },
-      None),
+      Some(SimHashDedup.oracleFingerprintsSql)),
     Q(
       "qd06_simhash_pairs",
+      // same banding, bucket join, pair dedup and popcount filter over
+      // the FNV fingerprints — value-oracled end to end
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         SimHashDedup
           .candidatePairs(docs, col("text"), col("doc_id"), maxHamming = 16)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       },
-      None),
+      Some(SimHashDedup.oraclePairsSql(16))),
     Q(
       "qd07_ngram_jaccard_pairs",
       (s, dir) => {
