@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
   * tables. Queries without an oracle get the driver's weaker rows-only
   * check — reserved for ops whose hash family or seeds SQL can't
-  * reproduce (FNV MinHash/SimHash, seeded hyperplane LSH, k-means IVF).
+  * reproduce within the oracle budget (FNV MinHash, seeded hyperplane
+  * LSH, k-means IVF; the FNV SimHash and rolling-polynomial paths ARE
+  * value-oracled via HUGEINT wraparound arithmetic as of round 10).
   * Each of those has a PORTABLE twin (qd10-qd15) running the same
   * pipeline on md5-based primitives both engines compute bit-identically,
   * so every algorithm is value-verified even where the production

@@ -99,18 +99,23 @@ object TextQueries {
                FROM documents""")),
     Q(
       "qt05_rolling_fingerprint",
+      // the PRODUCTION wraparound polynomial hash, now value-oracled:
+      // DuckDB re-derives the mod-2^64 prefix-hash identity in HUGEINT
+      // limb arithmetic (RollingMinHash.oracleSql) — no longer rows-only
       (s, dir) =>
         Tables.load(s, dir, "documents").select(
           col("doc_id"),
           RollingMinHash(TextOps.normalized(col("text")), 32).as("fp_rolling")),
-      None),
+      Some(RollingMinHash.oracleSql(32))),
     Q(
       "qt09_rolling_portable",
       (s, dir) =>
         // portable rolling fingerprint: min 5-char-window md5 hash —
-        // the winnowing-style document fingerprint, value-oracled
-        // (unlike qt05's wraparound polynomial hash, which SQL can't
-        // reproduce). Native kernel: the interpreted HOF formulation
+        // the winnowing-style document fingerprint (qt05's wraparound
+        // polynomial hash is ALSO value-oracled as of round 10 via the
+        // HUGEINT prefix-hash identity; this md5 variant remains the
+        // engine-portable primitive downstream composed oracles nest).
+        // Native kernel: the interpreted HOF formulation
         // cost ~40 ms/doc (19.7 s verify at sf0.1)
         Tables.load(s, dir, "documents").select(
           col("doc_id"),
