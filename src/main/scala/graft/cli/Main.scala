@@ -46,6 +46,15 @@ object Main {
 
   def catalogFor(e: Endpoint): Catalog =
     if (e.url.startsWith("parquet:")) new ParquetCatalog(e.url.stripPrefix("parquet:"))
+    // file-format sources beyond the fixture's parquet: csv (header +
+    // schema inference), json lines, orc — FileCatalog handles each, so
+    // any sync/curate/index/tokenize run can read them directly
+    else if (e.url.startsWith("csv:"))
+      new graft.catalog.FileCatalog(e.url.stripPrefix("csv:"), "csv")
+    else if (e.url.startsWith("json:"))
+      new graft.catalog.FileCatalog(e.url.stripPrefix("json:"), "json")
+    else if (e.url.startsWith("orc:"))
+      new graft.catalog.FileCatalog(e.url.stripPrefix("orc:"), "orc")
     else new JdbcCatalog(e)
 
   def sinkFor(e: Endpoint, cfg: SyncConfig): Sink =

@@ -418,6 +418,36 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("media", "frob", "--config", cfg), spark) == 2)
   }
 
+  test("csv and json sources sync through the same CLI surface") {
+    import spark.implicits._
+    val csvDir = Files.createTempDirectory("graft_csv_src").toString
+    val jsonDir = Files.createTempDirectory("graft_json_src").toString
+    val outDir = Files.createTempDirectory("graft_file_out").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+      .coalesce(1).write.option("header", "true").csv(s"$csvDir/people.csv")
+    Seq((10L, 1.5), (20L, 2.5)).toDF("k", "v")
+      .coalesce(1).write.json(s"$jsonDir/metrics.json")
+
+    val csvCfg = writeCfg(
+      s"""src:
+         |  url: csv:$csvDir
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", csvCfg), spark) == 0)
+    assert(spark.read.parquet(s"$outDir/people.parquet").count() == 3)
+
+    val jsonCfg = writeCfg(
+      s"""src:
+         |  url: json:$jsonDir
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", jsonCfg), spark) == 0)
+    assert(spark.read.parquet(s"$outDir/metrics.parquet")
+      .select("k").as[Long].collect().toSet == Set(10L, 20L))
+  }
+
   test("unknown command exits 2") {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
