@@ -59,6 +59,15 @@ object Main {
 
   def sinkFor(e: Endpoint, cfg: SyncConfig): Sink =
     if (e.url.startsWith("parquet:")) ParquetSink(e.url.stripPrefix("parquet:"))
+    // file-format DESTINATIONS: json = JSON-lines (the standard
+    // LLM-corpus delivery format), csv with headers — a curate or
+    // tokenize run can ship its output as jsonl directly
+    else if (e.url.startsWith("json:"))
+      graft.sync.FileSink(e.url.stripPrefix("json:"), "json")
+    else if (e.url.startsWith("csv:"))
+      graft.sync.FileSink(e.url.stripPrefix("csv:"), "csv")
+    else if (e.url.startsWith("orc:"))
+      graft.sync.FileSink(e.url.stripPrefix("orc:"), "orc")
     else JdbcSink(e, cfg.batchRowSize, cfg.maxParallel)
 
   private def table(rows: Seq[Seq[String]]): String = {

@@ -167,15 +167,29 @@ private[sync] object DeltaRepairSql {
   }
 }
 
-final case class ParquetSink(dir: String) extends Sink {
+final case class FileSink(dir: String, format: String = "parquet") extends Sink {
+  private def path(table: String) = s"$dir/$table.$format"
+  // csv keeps headers both ways (the FileCatalog convention, so a sink
+  // dir reads back as a source dir); json is JSON-lines — the standard
+  // LLM-corpus delivery format
+  private def writeOpts: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    case _     => Map.empty
+  }
+  private def readOpts: Map[String, String] = format match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _     => Map.empty
+  }
   override def overwrite(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+    df.write.mode(SaveMode.Overwrite).options(writeOpts)
+      .format(format).save(path(table))
   override def append(df: DataFrame, table: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(s"$dir/$table.parquet")
+    df.write.mode(SaveMode.Append).options(writeOpts)
+      .format(format).save(path(table))
   override def readBack(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+    spark.read.options(readOpts).format(format).load(path(table))
   override def exists(spark: SparkSession, table: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val p = new org.apache.hadoop.fs.Path(path(table))
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
   /** Plain parquet has no row-level delete: keep-rows ∪ replacement is
@@ -218,6 +232,12 @@ final case class ParquetSink(dir: String) extends Sink {
   * `batchsize` is its batchRowSize. `truncate=true` keeps the target
   * table's DDL (the reference never re-creates on data load either).
   */
+/** The fixture/test parquet sink — [[FileSink]] with its default
+  * format, kept as a named constructor for the many call sites. */
+object ParquetSink {
+  def apply(dir: String): FileSink = FileSink(dir)
+}
+
 final case class JdbcSink(
     endpoint: Endpoint,
     batchRowSize: Int = 1000,

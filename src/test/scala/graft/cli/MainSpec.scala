@@ -446,6 +446,20 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("sync", "--config", jsonCfg), spark) == 0)
     assert(spark.read.parquet(s"$outDir/metrics.parquet")
       .select("k").as[Long].collect().toSet == Set(10L, 20L))
+
+    // jsonl DESTINATION: curate ships its output as JSON-lines directly
+    val jlOut = Files.createTempDirectory("graft_jl_out").toString
+    val jlCfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: json:$jlOut
+         |exclude: lineitem orders events embeddings part customer supplier region nation
+         |""".stripMargin)
+    assert(Main.run(Array("curate", "--table", "documents",
+      "--into", "docs_clean", "--config", jlCfg), spark) == 0)
+    val jl = spark.read.json(s"$jlOut/docs_clean.json")
+    assert(jl.count() > 0 && jl.columns.contains("text"))
   }
 
   test("unknown command exits 2") {
