@@ -3,9 +3,9 @@ package graft.cli
 import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.GraftSession
-import graft.catalog.{Catalog, JdbcCatalog, ParquetCatalog}
+import graft.catalog.{Catalog, JdbcCatalog}
 import graft.config.{Endpoint, SyncConfig}
-import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
+import graft.sync.{Compare, JdbcSink, Sink, Sync}
 
 /** CLI mirroring the reference's cobra surface (cmd/root.go:36-45,
   * compare.go, create.go):
@@ -44,31 +44,29 @@ import graft.sync.{Compare, JdbcSink, ParquetSink, Sink, Sync}
   */
 object Main {
 
-  def catalogFor(e: Endpoint): Catalog =
-    if (e.url.startsWith("parquet:")) new ParquetCatalog(e.url.stripPrefix("parquet:"))
-    // file-format sources beyond the fixture's parquet: csv (header +
-    // schema inference), json lines, orc — FileCatalog handles each, so
-    // any sync/curate/index/tokenize run can read them directly
-    else if (e.url.startsWith("csv:"))
-      new graft.catalog.FileCatalog(e.url.stripPrefix("csv:"), "csv")
-    else if (e.url.startsWith("json:"))
-      new graft.catalog.FileCatalog(e.url.stripPrefix("json:"), "json")
-    else if (e.url.startsWith("orc:"))
-      new graft.catalog.FileCatalog(e.url.stripPrefix("orc:"), "orc")
-    else new JdbcCatalog(e)
+  /** File-format endpoint schemes (scheme == Spark format name):
+    * `parquet:` is the fixture/round-trip format; csv (headers both
+    * ways) and json (= JSON-lines, the standard LLM-corpus delivery
+    * format) widen sources AND destinations; orc likewise. ONE list —
+    * catalogFor, sinkFor and the JDBC guards all derive from it. */
+  private val FileFormats = Seq("parquet", "csv", "json", "orc")
 
-  def sinkFor(e: Endpoint, cfg: SyncConfig): Sink =
-    if (e.url.startsWith("parquet:")) ParquetSink(e.url.stripPrefix("parquet:"))
-    // file-format DESTINATIONS: json = JSON-lines (the standard
-    // LLM-corpus delivery format), csv with headers — a curate or
-    // tokenize run can ship its output as jsonl directly
-    else if (e.url.startsWith("json:"))
-      graft.sync.FileSink(e.url.stripPrefix("json:"), "json")
-    else if (e.url.startsWith("csv:"))
-      graft.sync.FileSink(e.url.stripPrefix("csv:"), "csv")
-    else if (e.url.startsWith("orc:"))
-      graft.sync.FileSink(e.url.stripPrefix("orc:"), "orc")
-    else JdbcSink(e, cfg.batchRowSize, cfg.maxParallel)
+  private def fileFormat(url: String): Option[(String, String)] =
+    FileFormats.collectFirst {
+      case f if url.startsWith(s"$f:") => (f, url.stripPrefix(s"$f:"))
+    }
+
+  def isFileEndpoint(url: String): Boolean = fileFormat(url).nonEmpty
+
+  def catalogFor(e: Endpoint): Catalog = fileFormat(e.url) match {
+    case Some((f, dir)) => new graft.catalog.FileCatalog(dir, f)
+    case None => new JdbcCatalog(e)
+  }
+
+  def sinkFor(e: Endpoint, cfg: SyncConfig): Sink = fileFormat(e.url) match {
+    case Some((f, dir)) => graft.sync.FileSink(dir, f)
+    case None => JdbcSink(e, cfg.batchRowSize, cfg.maxParallel)
+  }
 
   private def table(rows: Seq[Seq[String]]): String = {
     if (rows.isEmpty) return ""
@@ -149,7 +147,9 @@ object Main {
       case "create-table" =>
         var failures = 0
         (catalogFor(cfg.src), cfg.dest) match {
-          case (src: JdbcCatalog, dest) if !dest.url.startsWith("parquet:") =>
+          // ANY file-scheme destination is out (json:/csv:/orc: would
+          // otherwise fall into JdbcCatalog and die in getConnection)
+          case (src: JdbcCatalog, dest) if !isFileEndpoint(dest.url) =>
             // verbatim DDL replay is MySQL-dialect work; portable path:
             // create empty tables from source schemas via the JDBC writer
             val sink = sinkFor(dest, cfg)
@@ -157,7 +157,8 @@ object Main {
               sink.overwrite(src.read(spark, t).limit(0), t)
             }
             // --views: replay view DDL AFTER the tables (S13's view leg,
-            // readme.md:10,81) — discovery order + one retry pass for
+            // readme.md:10,81) — discovery order, re-passed until no
+            // progress, so view-on-view chains of any depth build
             // view-on-view definitions
             if (args.contains("--views")) {
               val results = graft.sync.DdlReplay.replayViews(
@@ -384,8 +385,9 @@ object Main {
         val idC = opt("--id").getOrElse("id")
         val maxHamming = opt("--max-hamming").map(_.toInt).getOrElse(
           graft.streaming.MediaIngest.DefaultMaxHamming)
-        // exact recall needs maxHamming < bands (the banded pigeonhole);
-        // a usable CLI error beats appendBatch's require() stack trace
+        // exact recall needs maxHamming < bands (admitBatch's require,
+        // the banded pigeonhole); a usable CLI error beats its stack
+        // trace — checked only where maxHamming is actually consumed
         val badHamming =
           maxHamming < 0 || maxHamming >= graft.streaming.MediaIngest.DefaultBands
         def mediaFrame(t: String) = {
@@ -398,7 +400,7 @@ object Main {
             col("content").cast("binary").as("content")))
         }
         (args.lift(1), opt("--index"), opt("--table")) match {
-          case _ if badHamming =>
+          case (Some("append"), _, _) if badHamming =>
             println(s"media: --max-hamming must be in [0, " +
               s"${graft.streaming.MediaIngest.DefaultBands - 1}], got $maxHamming")
             2

@@ -121,13 +121,13 @@ object IvfPq {
     * (probe_id, pv, cell) rows broadcast-join the codes on cell — on a
     * persisted index the partition-column join equi-key lets dynamic
     * partition pruning restrict the scan to the probed cells' FILES
-    * (asserted in PlanShapeSpec). Per-row work is (probing probes) × m
-    * CASE lookups, and the only shuffle is the per-probe top-k window
-    * over candidate rows. The ADC distance is computed probe-as-COLUMN
-    * (the single-probe path inlines a literal lookup table; a batch
-    * can't, so each subspace is a 16-way CASE over codeword sqDists
-    * against the probe slice — the identical fixed-order add chain, so
-    * values match the single-probe path and the oracle bit-for-bit).
+    * (asserted in PlanShapeSpec). Each probe's m×k ADC lookup table is
+    * computed ONCE on the broadcast side (one table per probe — it
+    * attaches by probe_id after the cell join, not nprobe exploded
+    * copies), so per-candidate work is m array lookups summed in the
+    * identical fixed s = 0..m−1 order as the single-probe literal
+    * table and the oracle — values match bit-for-bit. The only
+    * shuffle is the per-probe top-k window over candidate rows.
     * Constructing the result triggers NO Spark job (plan-only). */
   def adcTopKBatch(codes: DataFrame, probes: DataFrame, probeVec: Column,
       probeId: Column, topk: Int, nprobe: Int,

@@ -167,6 +167,16 @@ private[sync] object DeltaRepairSql {
   }
 }
 
+/** File-directory sink, one `<table>.<format>` dir per table.
+  *
+  * Format contract: parquet/orc embed their schema and support the
+  * FULL Sink surface (round-trip reads, incremental watermarks,
+  * `compare --content`, delta repair). csv/json are DELIVERY formats
+  * (ship a curated corpus as JSON-lines or headers-on csv): reads back
+  * through schema INFERENCE, so an empty table cannot be re-read
+  * (inference has nothing to infer) and decimal/date types widen on a
+  * round trip — point incremental/repair/compare pipelines at
+  * parquet/orc, not at a delivery dir. */
 final case class FileSink(dir: String, format: String = "parquet") extends Sink {
   private def path(table: String) = s"$dir/$table.$format"
   // csv keeps headers both ways (the FileCatalog convention, so a sink
@@ -709,7 +719,8 @@ object DdlReplay {
     *      (Derby) refuse to drop a view another view reads, so
     *      dependents fall in an earlier iteration and unblock their
     *      bases in the next;
-    *   2. CREATE in discovery order with one retry pass, so a view
+    *   2. CREATE in discovery order, re-passing until a full pass
+    *      makes no progress (k-level chains need k passes), so a view
     *      defined over another view that happened to sort later still
     *      lands (each pass creates at least one view of a well-formed
     *      chain; real schemas nest a couple of levels, not dozens).

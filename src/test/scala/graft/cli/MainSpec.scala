@@ -416,6 +416,12 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("media", "build", "--table", "noimg",
       "--index", idxDir, "--config", cfg), spark) == 2)
     assert(Main.run(Array("media", "frob", "--config", cfg), spark) == 2)
+    // --max-hamming beyond the banded-recall bound: usable error, not
+    // admitBatch's require() stack trace; the boundary value is fine
+    assert(Main.run(Array("media", "append", "--table", "increment",
+      "--index", idxDir, "--max-hamming", "4", "--config", cfg), spark) == 2)
+    assert(Main.run(Array("media", "append", "--table", "increment",
+      "--index", idxDir, "--max-hamming", "3", "--config", cfg), spark) == 0)
   }
 
   test("csv and json sources sync through the same CLI surface") {
@@ -460,6 +466,31 @@ class MainSpec extends SparkSpec {
       "--into", "docs_clean", "--config", jlCfg), spark) == 0)
     val jl = spark.read.json(s"$jlOut/docs_clean.json")
     assert(jl.count() > 0 && jl.columns.contains("text"))
+
+    // csv DESTINATION and orc BOTH directions round-trip through sync
+    val csvOut = Files.createTempDirectory("graft_csv_out").toString
+    assert(Main.run(Array("sync", "--config", writeCfg(
+      s"""src:
+         |  url: csv:$csvDir
+         |dest:
+         |  url: csv:$csvOut
+         |""".stripMargin)), spark) == 0)
+    assert(spark.read.option("header", "true").csv(s"$csvOut/people.csv").count() == 3)
+    val orcDir = Files.createTempDirectory("graft_orc_src").toString
+    val orcOut = Files.createTempDirectory("graft_orc_out").toString
+    Seq((7L, "x"), (8L, "y")).toDF("id", "name")
+      .write.orc(s"$orcDir/pairs.orc")
+    assert(Main.run(Array("sync", "--config", writeCfg(
+      s"""src:
+         |  url: orc:$orcDir
+         |dest:
+         |  url: orc:$orcOut
+         |""".stripMargin)), spark) == 0)
+    assert(spark.read.orc(s"$orcOut/pairs.orc").count() == 2)
+
+    // create-table refuses file-scheme destinations with the friendly
+    // message instead of a JDBC driver stack trace
+    assert(Main.run(Array("create-table", "--config", jlCfg), spark) == 0)
   }
 
   test("unknown command exits 2") {
