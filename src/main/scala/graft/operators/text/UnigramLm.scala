@@ -48,8 +48,9 @@ object UnigramLm {
   final case class Round(
       phase: Int, round: Int, vocabSize: Int, nll: Double, obj: Double)
 
-  /** (word, n) corpus word vocabulary — the only pass over text. */
-  private def wordVocab(df: DataFrame, text: Column): DataFrame =
+  /** (word, n) corpus word vocabulary — the only pass over text; also
+    * the word-level frame qt47's fertility curve aggregates over. */
+  def wordVocab(df: DataFrame, text: Column): DataFrame =
     df.select(explode(TextOps.tokens(text)).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -238,6 +239,65 @@ object UnigramLm {
        |SELECT piece, count(*) AS n_uses,
        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
        |FROM pieces_flat GROUP BY piece""".stripMargin
+
+  /** qt47 oracle: the vocab-size TUNING CURVE — min-seg fertility at
+    * several top-N cuts in ONE chain: instead of duplicating the DP
+    * CTEs per variant, `topn` rides every CTE as a key column (the cut
+    * becomes a rank <= topn filter over the once-computed candidate
+    * ranking; the recursion carries (topn, w) state). */
+  def fertilityCurveOracleSql(maxLen: Int, topNs: Seq[Int]): String = {
+    require(topNs.nonEmpty)
+    val tns = topNs.map(n => s"($n)").mkString(", ")
+    s"""WITH RECURSIVE ${wordsSql},
+       |${candSql(maxLen)},
+       |tns(topn) AS (VALUES $tns),
+       |ranked AS (
+       |  SELECT piece, cnt,
+       |         rank() OVER (ORDER BY cnt DESC, piece) AS rnk
+       |  FROM cand),
+       |vocab AS (
+       |  SELECT tns.topn, piece, cnt FROM ranked, tns
+       |  WHERE rnk <= tns.topn OR len(piece) = 1),
+       |wm AS (
+       |  SELECT v.topn, t.w,
+       |         list(struct_pack(e := t.i + t.l - 1, l := t.l, c := v.cnt)) AS ms
+       |  FROM (SELECT w, i, l, substring(w, i, l) AS piece
+       |        FROM (SELECT DISTINCT w FROM words) dw,
+       |             unnest(range(1, len(w) + 1)) AS ti(i),
+       |             unnest(range(1, ${maxLen + 1})) AS tl(l)
+       |        WHERE i + l <= len(w) + 1) t
+       |  JOIN vocab v ON v.piece = t.piece
+       |  GROUP BY v.topn, t.w),
+       |dp AS (
+       |  SELECT topn, w, ms, 0 AS pos, CAST([] AS BIGINT[]) AS nps,
+       |         CAST([] AS BIGINT[]) AS css, CAST([] AS BIGINT[]) AS bls
+       |  FROM wm
+       |  UNION ALL
+       |  SELECT topn, w, ms, pos + 1,
+       |         list_append(nps, best.np), list_append(css, -best.ncs),
+       |         list_append(bls, -best.nl)
+       |  FROM (
+       |    SELECT topn, w, ms, pos, nps, css, bls,
+       |           list_sort(list_transform(
+       |             list_filter(ms, m -> m.e = pos + 1),
+       |             m -> struct_pack(
+       |               np := CASE WHEN m.l = pos + 1 THEN 1 ELSE nps[pos + 1 - m.l] + 1 END,
+       |               ncs := -(CASE WHEN m.l = pos + 1 THEN 0 ELSE css[pos + 1 - m.l] END + m.c),
+       |               nl := -m.l)))[1] AS best
+       |    FROM dp WHERE pos < len(w)) z),
+       |seg AS (
+       |  -- fertility needs only the final-position piece COUNT, so the
+       |  -- backward walk is skipped entirely: np = nps[last]
+       |  SELECT topn, w, nps[len(nps)] AS np
+       |  FROM dp WHERE pos = len(w))
+       |SELECT CAST(seg.topn AS BIGINT) AS top_n,
+       |       CAST(sum(seg.np * words.n) AS BIGINT) AS total_pieces,
+       |       CAST(sum(words.n) AS BIGINT) AS total_words,
+       |       CAST(sum(seg.np * words.n) AS DOUBLE) /
+       |       CAST(sum(words.n) AS DOUBLE) AS pieces_per_word
+       |FROM seg JOIN words ON words.w = seg.w
+       |GROUP BY seg.topn""".stripMargin
+  }
 
   private def minsegCtes(maxLen: Int, topN: Int): String =
     s"""WITH RECURSIVE ${wordsSql},

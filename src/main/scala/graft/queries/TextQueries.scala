@@ -837,6 +837,36 @@ object TextQueries {
       },
       Some(UnigramLm.pieceProfileOracleSql(maxLen = 6, topN = 120))),
     Q(
+      "qt47_vocab_size_curve",
+      // the vocab-size TUNING CURVE: min-seg fertility (pieces per
+      // word) at three top-N cuts — the tradeoff table that picks a
+      // vocabulary size before committing to a full unigram train.
+      // Word-level: the corpus collapses once to (word, freq) and each
+      // variant is one codegen'd DP projection over DISTINCT words —
+      // cost scales with the vocabulary, never re-reading text. The
+      // oracle runs ONE parameterized DP chain with topn as a key
+      // column instead of three copied pipelines.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val words = UnigramLm.wordVocab(docs, col("text"))
+          .transform(graft.operators.Barrier.apply)
+        Seq(40, 80, 120).map { topN =>
+          val vocab = UnigramLm.seedVocab(docs, col("text"), maxLen = 6, topN = topN)
+          words.select(
+            lit(topN.toLong).as("top_n"),
+            (size(graft.functions.SubwordSegment.minsegTokens(col("w"), vocab, 6))
+              .cast("long") * col("n")).as("wp"),
+            col("n"))
+        }.reduce(_ unionByName _)
+          .groupBy("top_n")
+          .agg(
+            sum("wp").cast("bigint").as("total_pieces"),
+            sum("n").cast("bigint").as("total_words"))
+          .withColumn("pieces_per_word",
+            col("total_pieces").cast("double") / col("total_words").cast("double"))
+      },
+      Some(UnigramLm.fertilityCurveOracleSql(6, Seq(40, 80, 120)))),
+    Q(
       "qt42_unigram_learn",
       // unigram-LM TRAINING (hard-EM with add-alpha smoothing, prune
       // to target between phases) — float-scored, so gate-oracled like
