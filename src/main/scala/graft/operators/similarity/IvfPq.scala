@@ -114,44 +114,54 @@ object IvfPq {
   }
 
   /** BATCH serving — one pruned scan answers a whole query batch,
-    * fully DISTRIBUTED: the probes stay a DataFrame end to end (a
-    * mining-scale batch of millions of probes never rides the driver),
-    * each probe's `nprobe` cells derive executor-side from the pure
+    * fully DISTRIBUTED: the probes stay a DataFrame end to end, each
+    * probe's `nprobe` cells derive executor-side from the pure
     * [[PortableIvf.probedCellsCol]] expression, and the exploded
-    * (probe_id, pv, cell) rows broadcast-join the codes on cell — on a
+    * (probe_id, cell) rows join the codes on cell. At SERVING batch
+    * size (plan-estimated probe payload under `thresholdBytes` —
+    * see [[ProbeBatch]]) the probe side broadcasts, and on a
     * persisted index the partition-column join equi-key lets dynamic
     * partition pruning restrict the scan to the probed cells' FILES
-    * (asserted in PlanShapeSpec). Each probe's m×k ADC lookup table is
-    * computed ONCE on the broadcast side (one table per probe — it
-    * attaches by probe_id after the cell join, not nprobe exploded
-    * copies), so per-candidate work is m array lookups summed in the
-    * identical fixed s = 0..m−1 order as the single-probe literal
-    * table and the oracle — values match bit-for-bit. The only
-    * shuffle is the per-probe top-k window over candidate rows.
-    * Constructing the result triggers NO Spark job (plan-only). */
+    * (asserted in PlanShapeSpec). Above the gate — a MINING batch,
+    * where a broadcast would be a multi-GB driver collect — the hint
+    * is dropped: the probes repartition by the join key, AQE picks a
+    * shuffled join, and the codes scan widens to all cells (which a
+    * batch probing every cell touches regardless). Each probe's m×k
+    * ADC lookup table is computed ONCE on the probe side (one table
+    * per probe — it attaches by probe_id after the cell join, not
+    * nprobe exploded copies), so per-candidate work is m array
+    * lookups summed in the identical fixed s = 0..m−1 order as the
+    * single-probe literal table and the oracle — values match
+    * bit-for-bit. The only other shuffle is the per-probe top-k
+    * window over candidate rows. Constructing the result triggers NO
+    * Spark job (plan-only) on either side of the gate. */
   def adcTopKBatch(codes: DataFrame, probes: DataFrame, probeVec: Column,
       probeId: Column, topk: Int, nprobe: Int,
-      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame = {
+      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook,
+      thresholdBytes: Long = ProbeBatch.DefaultThresholdBytes): DataFrame = {
     val pv = probes.select(
       probeId.cast("long").as("probe_id"),
       probeVec.cast("array<double>").as("pv"))
-    // two broadcast relations instead of one: the exploded (probe_id,
-    // cell) rows drive the partition-pruned cell join, and the m×k ADC
-    // lookup table — computed once per probe, the per-candidate cost
-    // is m array lookups, exactly the single-probe literal-table
-    // scan's shape (the earlier 16-way-CASE-per-subspace form
-    // re-derived every codeword sqDist per candidate and cost ~5× at
-    // bench scale) — attaches AFTER by probe_id, so the broadcast
-    // carries ONE table per probe, not nprobe exploded copies (~1 KB
-    // × nprobe × batch saved at mining scale)
+    // two probe-side relations instead of one: the exploded (probe_id,
+    // cell) rows drive the (partition-pruned, when broadcast) cell
+    // join, and the m×k ADC lookup table — computed once per probe,
+    // the per-candidate cost is m array lookups, exactly the
+    // single-probe literal-table scan's shape (the earlier
+    // 16-way-CASE-per-subspace form re-derived every codeword sqDist
+    // per candidate and cost ~5× at bench scale) — attaches AFTER by
+    // probe_id, so the probe side carries ONE table per probe, not
+    // nprobe exploded copies (~1 KB × nprobe × batch saved)
     val cells = pv.select(col("probe_id"),
       explode(PortableIvf.probedCellsCol(col("pv"), nprobe)).as("cell"))
     val tabs = pv.select(col("probe_id"), adcTableCol(col("pv"), cb).as("adc_tab"))
+    // gate once on the raw probe estimate: cells ≈ 12 B × nprobe and
+    // the ADC table ≈ m×k×8 B per probe — ~5× the ~0.5 KB raw row
+    val small = ProbeBatch.fitsBroadcast(pv, thresholdBytes, expansion = 5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adc").asc, col("id").asc)
     codes
-      .join(broadcast(cells), Seq("cell"))
-      .join(broadcast(tabs), Seq("probe_id"))
+      .join(ProbeBatch.hinted(cells, small), Seq("cell"))
+      .join(ProbeBatch.hinted(tabs, small), Seq("probe_id"))
       .withColumn("adc", adcLookup(col("adc_tab")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topk)
@@ -162,9 +172,10 @@ object IvfPq {
   /** [[adcTopKBatch]] against a persisted index dir. */
   def topKIndexedBatch(spark: SparkSession, dir: String, probes: DataFrame,
       probeVec: Column, probeId: Column, topk: Int, nprobe: Int,
-      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook): DataFrame =
+      cb: ProductQuantizer.Codebook = ProductQuantizer.DefaultCodebook,
+      thresholdBytes: Long = ProbeBatch.DefaultThresholdBytes): DataFrame =
     adcTopKBatch(spark.read.parquet(s"$dir/codes"), probes, probeVec, probeId,
-      topk, nprobe, cb)
+      topk, nprobe, cb, thresholdBytes)
 
   /** The probe's m×k ADC lookup table as an array-of-arrays column:
     * adc_tab[s][c] = sqDist(probe slice s, codeword c) — each entry

@@ -183,6 +183,20 @@ object UnigramLm {
   }
 
   // ---- DuckDB oracles ----
+  //
+  // FULL-COVERAGE PRECONDITION (all min-seg DP oracles below): every
+  // vocab these CTEs build unions in ALL single-char pieces of the
+  // corpus (`len(piece) = 1`), so each DP position always has a
+  // reachable predecessor and every word segments. The recursive DP
+  // deliberately omits the kernel's unreachable-predecessor skip, and
+  // the qt47 rollup INNER-joins seg to words — both correct ONLY
+  // under that coverage. Reusing these builders with a user-supplied
+  // vocab that misses a corpus character would make NULL np values
+  // flow through list_sort and drop uncoverable words from
+  // total_words while the Spark side counts them as 0 pieces —
+  // silent divergence. If such reuse is ever needed, add a
+  // reachability guard to the candidate filter (`m.l = pos + 1 OR
+  // nps[pos + 1 - m.l] IS NOT NULL`) and LEFT-join the qt47 rollup.
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 

@@ -341,8 +341,10 @@ object SimilarityQueries {
       "qs19_topk_ivfpq_batch",
       // BATCH IVF x PQ serving: one file-pruned scan answers the whole
       // query batch — per-probe cells derive EXECUTOR-side (pure
-      // probedCellsCol expression; the probes never ride the driver),
-      // each code row joins only the probes that probed its cell, the
+      // probedCellsCol expression; constructing the plan runs no
+      // driver job, and past the ProbeBatch size gate the probe side
+      // is not even broadcast), each code row joins only the probes
+      // that probed its cell, the
       // ADC distance runs probe-as-column (16-way CASE per subspace,
       // same fixed add chain as the literal-table scan), and the only
       // shuffle is the per-probe top-k window. qs27 is the same path

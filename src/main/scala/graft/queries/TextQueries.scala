@@ -885,11 +885,16 @@ object TextQueries {
           val js = r.rounds.filter(_.phase == phase).sortBy(_.round).map(_.obj)
           js.zip(js.drop(1)).forall { case (a, b) => b <= a + 1e-9 }
         }
+        // the REAL prune bound: all single-char pieces survive for
+        // coverage, multi-char pieces fill up to targetVocab — so the
+        // vocab must fit max(targetVocab, #single-char pieces); a
+        // seedSize bound would be trivially true (vocab ⊆ seed)
+        val singleChars = r.vocab.count(_._1.length == 1)
         Seq((
           monotone(1),
           monotone(2),
           r.roundtripViolations == 0L,
-          r.vocab.size <= UnigramLm.Config().seedSize,
+          r.vocab.size <= math.max(UnigramLm.Config().targetVocab, singleChars),
           r.rounds.size.toLong))
           .toDF("phase1_monotone", "phase2_monotone", "roundtrip_ok",
             "vocab_bounded", "rounds_run")

@@ -95,14 +95,19 @@ object MediaIngest {
   }
 
   /** The admission decision split from its index commit: `admitted` is
-    * the Barrier'd novel (id, dhash) set; `commit()` appends those
-    * hashes to the index and folds the bloom forward. Callers that
-    * also persist PAYLOADS (the streaming sink, CLI append) must write
+    * the Barrier'd novel (id, dhash) set; `candidates` is the
+    * Barrier'd DECODABLE distinct-hash set the guard evaluated (so
+    * callers can report decode failures / within-batch exact-dup
+    * collapse separately from perceptual rejections — they differ by
+    * candidates − admitted); `commit()` appends the admitted hashes
+    * to the index and folds the bloom forward. Callers that also
+    * persist PAYLOADS (the streaming sink, CLI append) must write
     * them BETWEEN the two — sink first, commit second — so an
     * at-least-once replay re-admits at worst a duplicate payload row
     * instead of finding its own hashes already indexed and dropping
     * the payload forever. */
-  final case class Admission(admitted: DataFrame, commit: () => Unit)
+  final case class Admission(admitted: DataFrame, candidates: DataFrame,
+      commit: () => Unit)
 
   def admitBatch(
       batch: DataFrame,
@@ -123,7 +128,7 @@ object MediaIngest {
     // missing-path checked explicitly; any OTHER index read failure
     // propagates (swallowing it would drop the dedup guard entirely)
     if (!fs.exists(hashesPath))
-      return Admission(rows, () => {
+      return Admission(rows, rows, () => {
         rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
         writeBandBloom(spark, indexDir, bands)
       })
@@ -149,7 +154,7 @@ object MediaIngest {
         rows.join(broadcast(dupHashes), Seq("dhash"), "left_anti")
     }
     val novelM = graft.operators.Barrier(novel)
-    Admission(novelM, () => {
+    Admission(novelM, rows, () => {
       novelM.write.mode("append").parquet(s"$indexDir/hashes")
       bloom match {
         case Some(bf) =>
@@ -178,6 +183,41 @@ object MediaIngest {
     val a = admitBatch(batch, indexDir, maxHamming, bands, maxDecodeBytes)
     a.commit()
     a.admitted
+  }
+
+  /** Driver-side twin of [[bandKeyCol]] for one hash — the audit path
+    * probes a SINGLE payload, so its band keys derive in plain Scala
+    * and check against the bloom without any Spark job. */
+  private[streaming] def bandKeys(h: Long, bands: Int): Seq[String] = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    (0 until bands).map(b => s"$b:${(h >>> (b * width)) & mask}")
+  }
+
+  /** Audit/debug probe for the admission index: decode ONE payload,
+    * dHash it, and report every indexed neighbor within Hamming
+    * `maxHamming` as (id, dhash, hamming), nearest first — the "why
+    * was / wasn't this admitted" query every perceptual index needs.
+    * None = undecodable payload. The same bloom gate as [[admitBatch]]
+    * short-circuits a guaranteed miss without reading the index
+    * (valid only while `maxHamming < bands`, the banded pigeonhole;
+    * a wider audit radius skips the gate and scans — exact either
+    * way, since the scan is a full popcount filter, not banded). */
+  def searchIndex(spark: SparkSession, dir: String, payload: Array[Byte],
+      maxHamming: Int = DefaultMaxHamming, bands: Int = DefaultBands,
+      maxDecodeBytes: Int = 1 << 22): Option[DataFrame] = {
+    import spark.implicits._
+    PerceptualHash.dHash64(payload, maxDecodeBytes).map { h =>
+      val gateMiss = maxHamming < bands &&
+        IngestPipeline.readBloom(spark, bloomPath(dir)).exists(bf =>
+          bandKeys(h, bands).forall(k => !bf.mightContainString(k)))
+      if (gateMiss) Seq.empty[(Long, Long, Int)].toDF("id", "dhash", "hamming")
+      else spark.read.parquet(s"$dir/hashes")
+        .withColumn("hamming",
+          bit_count(col("dhash").bitwiseXOR(lit(h))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .orderBy(col("hamming"), col("id"))
+    }
   }
 
   /** Collapse append-accumulated small hash files and rebuild the
@@ -236,7 +276,12 @@ object MediaIngest {
         // and re-appends at-least-once duplicates to the keyed sink —
         // never the reverse window, where already-indexed hashes would
         // reject the replay and drop the payloads forever
-        val a = admitBatch(batch, indexDir, maxHamming, bands)
+        // admitBatch decodes select("id", "content"), so a custom id
+        // column is renamed into place first — without this the idCol
+        // parameter would advertise support the decode step lacks
+        val keyed =
+          if (idCol == "id") batch else batch.withColumnRenamed(idCol, "id")
+        val a = admitBatch(keyed, indexDir, maxHamming, bands)
         sink.append(
           batch.join(broadcast(a.admitted.select(col("id").as(idCol))),
             Seq(idCol), "left_semi"),

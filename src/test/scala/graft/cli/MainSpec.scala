@@ -424,6 +424,55 @@ class MainSpec extends SparkSpec {
       "--index", idxDir, "--max-hamming", "3", "--config", cfg), spark) == 0)
   }
 
+  test("media search finds a planted near-dup and cleanly misses a stranger") {
+    import spark.implicits._
+    import graft.operators.multimodal.PerceptualHash
+    val srcDir = Files.createTempDirectory("graft_msrch_src").toString
+    val idxDir = Files.createTempDirectory("graft_msrch_idx").toString + "/ph"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$srcDir
+         |""".stripMargin)
+    Seq(0L, 2L, 4L).toDF("id").as[Long]
+      .mapPartitions(_.map(id => (id, PerceptualHash.plantedPng(id))))
+      .toDF("id", "content")
+      .write.parquet(s"$srcDir/corpus.parquet")
+    assert(Main.run(Array("media", "build", "--table", "corpus",
+      "--index", idxDir, "--config", cfg), spark) == 0)
+    // planted near-dup: 1 shares 0's pixel group (small Hamming)
+    val hitFile = Files.createTempFile("graft_msrch_hit", ".png")
+    Files.write(hitFile, PerceptualHash.plantedPng(1L))
+    val hits = graft.streaming.MediaIngest.searchIndex(
+      spark, idxDir, PerceptualHash.plantedPng(1L)).get
+    assert(hits.select("id").as[Long].collect().contains(0L),
+      "planted near-dup did not surface its group representative")
+    assert(Main.run(Array("media", "search", "--index", idxDir,
+      "--file", hitFile.toString, "--config", cfg), spark) == 0)
+    // clean miss: an id whose hash is far from every indexed one
+    val indexed = spark.read.parquet(s"$idxDir/hashes")
+      .select("dhash").as[Long].collect().toSet
+    val farId = (30L to 200L by 2).find { i =>
+      val h = PerceptualHash.dHash64(PerceptualHash.plantedPng(i)).get
+      indexed.forall(e => java.lang.Long.bitCount(e ^ h) > 3)
+    }.get
+    val missFile = Files.createTempFile("graft_msrch_miss", ".png")
+    Files.write(missFile, PerceptualHash.plantedPng(farId))
+    assert(graft.streaming.MediaIngest.searchIndex(
+      spark, idxDir, PerceptualHash.plantedPng(farId)).get.isEmpty,
+      "stranger payload surfaced neighbors")
+    assert(Main.run(Array("media", "search", "--index", idxDir,
+      "--file", missFile.toString, "--config", cfg), spark) == 0)
+    // undecodable payload: usable error, exit 1; missing --file: usage
+    val junkFile = Files.createTempFile("graft_msrch_junk", ".bin")
+    Files.write(junkFile, Array[Byte](1, 2, 3))
+    assert(Main.run(Array("media", "search", "--index", idxDir,
+      "--file", junkFile.toString, "--config", cfg), spark) == 1)
+    assert(Main.run(Array("media", "search", "--index", idxDir,
+      "--config", cfg), spark) == 2)
+  }
+
   test("csv and json sources sync through the same CLI surface") {
     import spark.implicits._
     val csvDir = Files.createTempDirectory("graft_csv_src").toString

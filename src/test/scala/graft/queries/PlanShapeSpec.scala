@@ -189,6 +189,58 @@ class PlanShapeSpec extends SparkSpec {
       s"codes scan not dynamically pruned:\n$pf\n$p")
   }
 
+  test("qs27/qs28 mining scale: above the gate the probe side is NOT broadcast") {
+    // the serving-path test above asserts the broadcast + DPP shape;
+    // this one asserts the GATE — past the ProbeBatch threshold the
+    // batch paths must not hint broadcast (a broadcast relation is
+    // built by collecting to the driver: multi-GB at mining scale).
+    // autoBroadcastJoinThreshold is disabled so the tiny fixture
+    // can't be planner-broadcast on its own; a forced hint would
+    // still surface as BroadcastHashJoin, so its absence proves the
+    // hint is gone. Construction must still run zero driver jobs.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.similarity.{HardNegatives, IvfPq}
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_gate").toString
+    IvfPq.writeIndex(emb, col("embedding"), col("vec_id"), dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val probes = emb.filter(col("vec_id") < 50)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sparkContext.setJobGroup("qs27-gate-construct", "gate probe")
+      val adc = IvfPq.adcTopKBatch(codes, probes,
+        col("embedding"), col("vec_id"), topk = 3, nprobe = 3,
+        thresholdBytes = 0L)
+      val mined = HardNegatives.mineIvfBatch(
+        emb, col("embedding"), col("vec_id"), col("label"),
+        probes, col("embedding"), col("vec_id"), col("label"),
+        k = 3, nprobe = 3, thresholdBytes = 0L)
+      val pAdc = adc.queryExecution.executedPlan.toString
+      val pMin = mined.queryExecution.executedPlan.toString
+      Thread.sleep(1000) // status tracker is listener-fed (async)
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("qs27-gate-construct")
+      spark.sparkContext.clearJobGroup()
+      assert(jobs.isEmpty,
+        s"gated plan construction ran ${jobs.length} driver job(s)")
+      for ((label, p) <- Seq("adcTopKBatch" -> pAdc, "mineIvfBatch" -> pMin)) {
+        assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+          s"$label still broadcasts the probe side above the gate:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$label lost its shuffled join:\n$p")
+      }
+      // and the gate must not change ANSWERS: the shuffled plan returns
+      // the same rows as the broadcast plan
+      val served = IvfPq.adcTopKBatch(codes, probes,
+        col("embedding"), col("vec_id"), topk = 3, nprobe = 3)
+      assert(served.exceptAll(adc).isEmpty && adc.exceptAll(served).isEmpty,
+        "gated plan diverges from the broadcast plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -110,4 +110,32 @@ class MediaIngestSpec extends SparkSpec {
       .toDF("id", "media_type", "content")
     assert(MediaIngest.appendBatch(junk, dir).count() == 0)
   }
+
+  test("streamed ingest honors a custom id column name") {
+    // admitBatch decodes select("id", "content"); ingest must rename
+    // the stream's key into place or a non-default idCol fails at
+    // decode (round-10 advice item)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_id").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mi_idck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_mi_idout").toString
+    val sink = graft.sync.ParquetSink(out)
+
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().toDF("k").as[Long]
+      .mapPartitions(_.map(id => (id, PerceptualHash.plantedPng(id))))
+      .toDF("media_id", "content")
+    mem.addData(0L, 6L)
+    MediaIngest.ingest(stream, dir, sink, "imgs", ckpt, idCol = "media_id")
+      .awaitTermination()
+    val landed = sink.readBack(spark, "imgs")
+      .select("media_id").as[Long].collect().toSet
+    assert(landed == Set(0L, 6L), s"sink holds $landed")
+    // a near-dup of 0 under the custom key is still rejected
+    mem.addData(1L)
+    MediaIngest.ingest(stream, dir, sink, "imgs", ckpt, idCol = "media_id")
+      .awaitTermination()
+    assert(sink.readBack(spark, "imgs").count() == 2)
+  }
 }
