@@ -28,6 +28,8 @@ import graft.functions.{CosineSim, DeflateRatio, DotProduct, MinHashSignature, P
   *   - sorted_token_shingles(text string, n int) -> array<string>
   *   - sorted_intersect_count(a, b array<string>) -> bigint
   *   - deflate_ratio(text string) -> double
+  *   - next_fit_bin(len bigint, capacity bigint) OVER (...) -> bigint
+  *     (window aggregate — sequence-packing bin numbers)
   *   - wordpiece_tokens(text string) -> array<string> (built-in vocab;
   *     custom vocabs go through the Column API, where the vocab is a
   *     driver value — SQL literals are the wrong vehicle for 30k rows)
@@ -76,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           make(children.head)
         }))
     inject2("vec_dot", classOf[DotProduct], DotProduct(_, _))
+    // window function: registry resolution is the supported SQL path
+    // for custom window aggregates (`next_fit_bin(len, cap) OVER
+    // (PARTITION BY .. ORDER BY .. ROWS UNBOUNDED PRECEDING)`) — the
+    // analyzer wires the frame from the function's own spec.
+    inject2("next_fit_bin", classOf[graft.functions.NextFitBin],
+      graft.functions.NextFitBin(_, _))
     inject2("vec_cosine", classOf[CosineSim], CosineSim(_, _))
     inject2("vec_sqdist", classOf[SquaredDistance], SquaredDistance(_, _))
     inject2("sig_match_fraction", classOf[SigMatchFraction], SigMatchFraction(_, _))

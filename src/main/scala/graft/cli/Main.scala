@@ -24,6 +24,10 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *   graft curate --table t --into t2       one-command corpus curation
   *                                          ([--rules] [--bench evaltbl]
   *                                          [--min-tokens n] [--threshold x])
+  *   graft pack --table t                   sequence-pack into fixed-
+  *                                          capacity token sequences
+  *                                          ([--capacity n] [--shards n]
+  *                                          [--materialize])
   *   graft ann build  --table t --index d   encode + persist the IVF×PQ
   *                                          serving index (cell-partitioned)
   *   graft ann append --table t --index d   idempotent increment append
@@ -293,6 +297,55 @@ object Main {
           Seq("decontaminated", n3.toString))))
         println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"kept $n3/$n0 -> $into")
+        0
+      case "pack" =>
+        // sequence-pack a documents-shaped table into fixed-capacity
+        // token sequences (qp15-qp17 productized): writes the per-doc
+        // assignment table `<t>_packed`, prints the per-shard
+        // efficiency report, and with --materialize also writes the
+        // concatenated sequences (`<t>_sequences`: shard, seq, text,
+        // n_docs, seq_tokens). The assignment crosses a Barrier so the
+        // stats, the write, and the materialization never recompute
+        // the window.
+        import org.apache.spark.sql.functions.{col, concat_ws, count, lit, struct, sum, transform, array_sort, collect_list}
+        val t = opt("--table").getOrElse("documents")
+        val into = opt("--into").getOrElse(s"${t}_packed")
+        val capacity = opt("--capacity").map(_.toInt).getOrElse(2048)
+        val shards = opt("--shards").map(_.toInt).getOrElse(32)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val asg = graft.operators.Barrier(
+          graft.operators.text.SequencePack.assign(
+            docs, col("text"), col("doc_id"), capacity, shards))
+        sinkFor(cfg.dest, cfg).overwrite(asg, into)
+        val st = graft.operators.text.SequencePack.stats(asg, capacity)
+          .orderBy("shard").collect()
+        println(table(
+          Seq(Seq("Shard", "Docs", "Seqs", "Tokens", "Util bp", "Lower bound")) ++
+            st.map(r => Seq(
+              r.getAs[Long]("shard").toString, r.getAs[Long]("n_docs").toString,
+              r.getAs[Long]("n_seqs").toString,
+              r.getAs[Long]("packed_tokens").toString,
+              r.getAs[Long]("util_bp").toString,
+              r.getAs[Long]("lower_bound_seqs").toString))))
+        if (args.contains("--materialize")) {
+          // the trainer-facing table carries the TEXT, not the md5 —
+          // same capacity-bounded groupBy as qp17's verified shape
+          val seqs = asg
+            .join(docs.select(col("doc_id"), col("text").as("__text")), Seq("doc_id"))
+            .groupBy("shard", "seq")
+            .agg(
+              concat_ws(" ",
+                transform(
+                  array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+                  s => s.getField("__text"))).as("text"),
+              count(lit(1)).as("n_docs"),
+              sum(col("len")).as("seq_tokens"))
+          sinkFor(cfg.dest, cfg).overwrite(seqs, s"${t}_sequences")
+          println(s"materialized sequences -> ${t}_sequences")
+        }
+        println(f"Pack finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"${st.map(_.getAs[Long]("n_docs")).sum} docs -> " +
+          s"${st.map(_.getAs[Long]("n_seqs")).sum} sequences (capacity $capacity, $shards shards) -> $into")
         0
       case "ann" =>
         // the persisted ANN serving-index lifecycle (the vector-side
@@ -698,7 +751,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

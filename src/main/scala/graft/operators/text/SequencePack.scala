@@ -1,0 +1,145 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PackExprs
+
+/** Sequence packing — the step between a curated corpus and a training
+  * run: concatenate documents into fixed-capacity token sequences
+  * (context windows) so padding waste is bounded. Exact bin packing is
+  * NP-hard and inherently serial; the scalable compromise every
+  * large-corpus trainer uses is next-fit WITHIN independent shards:
+  * documents hash (md5, engine-reproducible) into `shards` streams,
+  * each stream packs serially in doc_id order, shards pack in
+  * parallel. Next-fit wastes at most one partially-filled tail bin of
+  * capacity per shard versus the per-shard optimum's lower bound
+  * ceil(sum(len)/capacity) — [[stats]] reports exactly that gap.
+  *
+  * 100 TB shape: one hash shuffle of narrow (id, len) rows into
+  * `shards` window partitions; the serial scan inside each partition
+  * is a code-generated two-slot running aggregate
+  * ([[graft.functions.NextFitBin]]), so throughput is the window
+  * sort's. Document TEXT never moves — the assignment table joins
+  * back by id at write time. Shard count = target parallelism
+  * (thousands at cluster scale), independent of data volume.
+  *
+  * Oversize documents (len > capacity) are counted AT capacity — the
+  * "truncate to context length" convention — so every sequence's
+  * token budget is honest.
+  */
+object SequencePack {
+
+  /** Per-document sequence assignment: (doc_id, shard, len, seq) with
+    * seq the 1-based sequence number within the shard. */
+  def assign(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      capacity: Int,
+      shards: Int): DataFrame = {
+    val len = least(
+      TextAnalysis.tokenCount(text).cast("long"), lit(capacity.toLong))
+    val shard =
+      conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % shards
+    docs
+      .select(id.as("doc_id"), shard.as("shard"), len.as("len"))
+      .withColumn(
+        "seq",
+        PackExprs.nextFitBinOver(
+          col("len"), lit(capacity.toLong),
+          partitionBy = Seq(col("shard")), orderBy = Seq(col("doc_id"))))
+  }
+
+  /** Per-shard packing efficiency over an [[assign]] result: sequence
+    * count vs the ceil(sum/capacity) lower bound, and utilization in
+    * basis points (integer arithmetic — engine-exact). */
+  def stats(assigned: DataFrame, capacity: Int): DataFrame =
+    assigned
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("seq")).as("n_seqs"),
+        sum(col("len")).as("packed_tokens"))
+      .selectExpr(
+        "shard", "n_docs", "n_seqs", "packed_tokens",
+        s"(10000L * packed_tokens) div (n_seqs * ${capacity}L) AS util_bp",
+        s"(packed_tokens + ${capacity - 1}L) div ${capacity}L AS lower_bound_seqs")
+
+  /** The materialized training sequences: join the narrow assignment
+    * back to the text by id and concatenate each sequence's documents
+    * in doc_id order. Output stays narrow — (shard, seq, n_docs,
+    * seq_tokens, seq_md5) with the md5 standing in for the sequence
+    * text, so the value oracle covers every byte of every sequence
+    * without shipping the corpus through the compare. At scale this is
+    * the only point where text moves: one id-equi join (the
+    * assignment side is ids+lens only) and one capacity-bounded
+    * groupBy — each group holds at most `capacity` tokens by
+    * construction, so collect_list cannot blow up a task. */
+  def materialize(
+      assigned: DataFrame,
+      docs: DataFrame,
+      text: Column,
+      id: Column): DataFrame =
+    assigned
+      .join(docs.select(id.as("doc_id"), text.as("__text")), Seq("doc_id"))
+      .groupBy("shard", "seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("seq_tokens"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+            s => s.getField("__text")))).as("seq_md5"))
+
+  /** Shared oracle fragment: the packed assignment as a recursive CTE
+    * (DuckDB walks each shard serially, exactly the kernel's
+    * semantics). Ends with a `pack` CTE of (shard, rn, doc_id, len,
+    * fill, seq). */
+  private def packCtes(capacity: Int, shards: Int): String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $shards AS shard,
+       |         LEAST(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $capacity) AS len
+       |  FROM documents),
+       |ord AS (
+       |  SELECT base.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |  FROM base),
+       |pack AS (
+       |  SELECT shard, rn, doc_id, len, len AS fill, CAST(1 AS BIGINT) AS seq
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.shard, o.rn, o.doc_id, o.len,
+       |         CASE WHEN p.fill + o.len > $capacity THEN o.len ELSE p.fill + o.len END,
+       |         CASE WHEN p.fill + o.len > $capacity THEN p.seq + 1 ELSE p.seq END
+       |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+
+  /** qp15: full per-document assignment, value-oracled. */
+  def oracleAssignSql(capacity: Int, shards: Int): String =
+    s"""${packCtes(capacity, shards)}
+       |SELECT doc_id, shard, len, seq FROM pack""".stripMargin
+
+  /** qp17: materialized sequences, value-oracled byte-for-byte via the
+    * per-sequence md5. */
+  def oracleMaterializeSql(capacity: Int, shards: Int): String =
+    s"""${packCtes(capacity, shards)}
+       |SELECT p.shard, p.seq,
+       |       count(*) AS n_docs,
+       |       CAST(sum(p.len) AS BIGINT) AS seq_tokens,
+       |       md5(string_agg(d.text, ' ' ORDER BY p.doc_id)) AS seq_md5
+       |FROM pack p JOIN documents d USING (doc_id)
+       |GROUP BY p.shard, p.seq""".stripMargin
+
+  /** qp16: per-shard efficiency, value-oracled. */
+  def oracleStatsSql(capacity: Int, shards: Int): String =
+    s"""${packCtes(capacity, shards)}
+       |SELECT shard,
+       |       count(*) AS n_docs,
+       |       max(seq) AS n_seqs,
+       |       CAST(sum(len) AS BIGINT) AS packed_tokens,
+       |       (10000 * CAST(sum(len) AS BIGINT)) // (max(seq) * $capacity) AS util_bp,
+       |       (CAST(sum(len) AS BIGINT) + ${capacity - 1}) // $capacity AS lower_bound_seqs
+       |FROM pack
+       |GROUP BY shard""".stripMargin
+}

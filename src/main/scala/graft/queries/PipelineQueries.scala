@@ -405,6 +405,56 @@ object PipelineQueries {
             coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)), lit(0L))
               .cast("bigint").as("cross_dup_aware"))
       },
-      Some(graft.operators.dedup.PortableMinHash.oracleLeakageSql(0.3)))
+      Some(graft.operators.dedup.PortableMinHash.oracleLeakageSql(0.3))),
+    Q(
+      "qp15_sequence_packing",
+      // next-fit packing of the corpus into 512-token training
+      // sequences across 8 md5 shards — packs WHOLE documents (qt08's
+      // cumsum-div-capacity bin is the doc-SPLITTING approximation;
+      // this one never splits). The running (fill, bin) state
+      // is a custom declarative window aggregate
+      // (graft.functions.NextFitBin, the row_number pattern), so the
+      // serial scan inside each shard is codegen'd; DuckDB re-walks
+      // every shard with a recursive CTE and value-oracles each
+      // document's sequence number.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.SequencePack.assign(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), capacity = 512, shards = 8)
+      },
+      Some(graft.operators.text.SequencePack.oracleAssignSql(512, 8)),
+      bench = true),
+    Q(
+      "qp16_packing_efficiency",
+      // the packing's report card: per shard, sequences used vs the
+      // ceil(tokens/capacity) lower bound and utilization in basis
+      // points (integer arithmetic) — the padding-waste number a
+      // training-budget owner actually reads.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.SequencePack.stats(
+          graft.operators.text.SequencePack.assign(
+            Tables.load(s, dir, "documents"),
+            col("text"), col("doc_id"), capacity = 512, shards = 8),
+          capacity = 512)
+      },
+      Some(graft.operators.text.SequencePack.oracleStatsSql(512, 8))),
+    Q(
+      "qp17_packed_sequences",
+      // the deliverable a trainer actually reads: each sequence's
+      // documents concatenated in doc_id order, value-oracled
+      // byte-for-byte through the per-sequence md5 — text moves
+      // exactly once (the id-equi join), every group is
+      // capacity-bounded by construction.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.text.SequencePack.materialize(
+          graft.operators.text.SequencePack.assign(
+            docs, col("text"), col("doc_id"), capacity = 512, shards = 8),
+          docs, col("text"), col("doc_id"))
+      },
+      Some(graft.operators.text.SequencePack.oracleMaterializeSql(512, 8)))
   )
 }

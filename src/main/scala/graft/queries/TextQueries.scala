@@ -1134,6 +1134,31 @@ object TextQueries {
           Tables.load(s, dir, "documents"),
           col("text"), col("lang") === "en", k = 20),
       Some(graft.operators.text.DiscriminativeTerms
-        .oracleSql("lang = 'en'", 20)))
+        .oracleSql("lang = 'en'", 20))),
+    Q(
+      "qt48_portable_hll",
+      // engine-reproducible HyperLogLog, per source: qt23 can only
+      // GATE Spark's built-in HLL++ (xxHash64 registers), this one
+      // VALUE-oracles the whole sketch — md5-derived registers, the
+      // float-order problem solved by carrying the register sum as the
+      // exact integer S = sum(2^(52-M_j)), and one identical float
+      // expression for the raw estimate in both engines. rel bound
+      // 0.15 ~ 3x the m=512 rsd (1.04/sqrt(512) = 4.6%).
+      (s, dir) =>
+        graft.operators.text.PortableHll.profile(
+          Tables.load(s, dir, "documents"), col("text"), relErrBound = 0.15),
+      Some(graft.operators.text.PortableHll.oracleProfileSql(0.15))),
+    Q(
+      "qt49_hll_merge",
+      // the property that makes qt48 a 100 TB counter: shard sketches
+      // merge by register-wise max with ZERO loss. Derived end to end
+      // — terms split into two md5 half-streams, each half sketched
+      // independently, merged, and compared register-sum-for-
+      // register-sum against the whole-stream sketch; DuckDB re-walks
+      // the same three sketches.
+      (s, dir) =>
+        graft.operators.text.PortableHll.mergeProfile(
+          Tables.load(s, dir, "documents"), col("text")),
+      Some(graft.operators.text.PortableHll.oracleMergeSql))
   )
 }

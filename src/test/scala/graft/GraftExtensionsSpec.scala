@@ -91,6 +91,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.startsWith(Seq("the", "sing", "##er")), viaSql.mkString(" "))
   }
 
+  test("next_fit_bin works as a SQL window function over the registry") {
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 5L))
+      .toDF("id", "len")
+    df.createOrReplaceTempView("ext_pack")
+    val bins = spark
+      .sql("""SELECT id, next_fit_bin(len, 5L) OVER (ORDER BY id) AS bin
+              FROM ext_pack ORDER BY id""")
+      .as[(Long, Long)].collect().map(_._2).toSeq
+    // serial next-fit at capacity 5: 3 | 4 | 2 | 5 | 5
+    assert(bins == Seq(1L, 2L, 3L, 4L, 5L), bins)
+    // and against the Column API kernel
+    val viaCol = graft.operators.text.SequencePack
+      .assign(
+        df.select(col("id").as("doc_id"),
+          // synthesize text with len tokens so assign re-derives len
+          concat_ws(" ", transform(sequence(lit(1), col("len")), _ => lit("w")))
+            .as("text")),
+        col("text"), col("doc_id"), capacity = 5, shards = 1)
+      .orderBy("doc_id").select("seq").as[Long].collect().toSeq
+    assert(viaCol == bins)
+  }
+
   test("non-literal k is rejected with a clear message") {
     val df = Seq(("t", 3)).toDF("text", "k")
     df.createOrReplaceTempView("ext_docs4")

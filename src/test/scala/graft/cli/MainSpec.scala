@@ -234,6 +234,33 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/docs_rules.parquet").count() == 0)
   }
 
+  test("pack assigns every doc, honors capacity, and materializes sequences") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = Files.createTempDirectory("graft_cli_pack").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("pack", "--table", "documents",
+      "--capacity", "256", "--shards", "4", "--materialize",
+      "--config", cfg), spark) == 0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val asg = spark.read.parquet(s"$out/documents_packed.parquet")
+    assert(asg.count() == docs.count(), "a document was dropped")
+    // no sequence over capacity
+    assert(asg.groupBy("shard", "seq").agg(sum("len").as("t"))
+      .where(col("t") > 256).count() == 0L)
+    val seqs = spark.read.parquet(s"$out/documents_sequences.parquet")
+    assert(seqs.columns.toSet ==
+      Set("shard", "seq", "text", "n_docs", "seq_tokens"))
+    // sequence rows match assignment groups, doc counts conserve
+    assert(seqs.count() ==
+      asg.select("shard", "seq").distinct().count())
+    assert(seqs.agg(sum("n_docs")).head.getLong(0) == docs.count())
+  }
+
   test("ann build + append + search lifecycle over the persisted IVFxPQ index") {
     import org.apache.spark.sql.functions.col
     val srcDir = Files.createTempDirectory("graft_ann_src").toString

@@ -241,6 +241,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("qp15: packing is one shard shuffle feeding a running window") {
+    // next-fit packs with exactly ONE exchange (hash by shard into the
+    // window) over narrow (id, shard, len) rows — document text never
+    // shuffles; the running (fill, bin) kernel shows up as the
+    // next_fit_bin window aggregate in a Window node, never a sort
+    // of the whole corpus text.
+    val p = plan("qp15_sequence_packing")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+    assert(p.contains("next_fit_bin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"packing scan reads unused columns: $schema")
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
