@@ -61,7 +61,13 @@ object ScaleSmoke {
     // (vocab-sized rounds over the word vocabulary: cost should grow
     // with DISTINCT words, well below the data ratio)
     "qt41_minseg_tokens",
-    "qt42_unigram_learn")
+    "qt42_unigram_learn",
+    // round 11: whole-doc sequence packing (serial window kernel per
+    // shard — wall cost should track rows through ONE narrow shuffle)
+    // and the portable HLL (register-table shuffle is sketch-sized,
+    // so cost should track the scan, far below the data ratio)
+    "qp15_sequence_packing",
+    "qt48_portable_hll")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
