@@ -95,11 +95,11 @@ object PortableHll {
     * source is the diversity/novelty signal worth approximating at
     * scale; the fixture's whitespace-token vocabulary is only ~31
     * strings, far too small to exercise a cardinality sketch. */
-  def grams(text: Column): Column = {
+  def grams(text: Column, n: Int = 5): Column = {
     val toks = graft.operators.TextOps.tokens(text)
     transform(
-      sequence(lit(1), greatest(size(toks) - lit(4), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(5))))
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
   /** qt48: per-source sketch vs exact distinct, fully value-oracled
@@ -147,6 +147,110 @@ object PortableHll {
       .join(whole, Seq("source"))
       .withColumn("merge_exact", col("merged_s") === col("whole_s"))
       .select("source", "merged_s", "whole_s", "merged_zeros", "merge_exact")
+  }
+
+  /** qd28: ESTIMATED pairwise source overlap by inclusion-exclusion on
+    * merged sketches — the 100 TB path to "which crawl sources share
+    * content": per-source sketches are ≤ m rows each, a pair's union
+    * sketch is a register-wise max, and est(A∩B) = est(A) + est(B) −
+    * est(A∪B) — no corpus ever joins corpus (qd27 computes the EXACT
+    * matrix through a full fingerprint shuffle; this reads 20 tiny
+    * sketches). The exact side here is the verification gate, exactly
+    * the [[PortableCms.profile]] pattern: production reads the
+    * sketches alone. Intersection error scales with the UNION (the
+    * known inclusion-exclusion weakness — a small true overlap
+    * between big sources drowns in sketch noise), so the contract is
+    * |est − exact| ≤ bound·|A∪B|, not a ratio to the intersection.
+    * Token 3-grams: the fixture's sources genuinely share 3-grams
+    * while 5-grams are disjoint. */
+  def overlapProfile(docs: DataFrame, text: Column, unionRelBound: Double): DataFrame = {
+    val dt = docs
+      .select(col("source"), explode(grams(text, 3)).as("term"))
+      .distinct()
+    val card = dt.groupBy("source").agg(count(lit(1)).as("c"))
+    val s = estimate(registers(dt, col("term"), Seq("source")), Seq("source"))
+      .select(col("source"), col("raw_est"))
+    val pairs = card.select(col("source").as("source_a"), col("c").as("ca"))
+      .crossJoin(card.select(col("source").as("source_b"), col("c").as("cb")))
+      .where(col("source_a") < col("source_b"))
+    val regs = registers(dt, col("term"), Seq("source"))
+    val ur = pairs.select("source_a", "source_b")
+      .join(regs.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .unionByName(
+        pairs.select("source_a", "source_b")
+          .join(regs.withColumnRenamed("source", "source_b"), Seq("source_b"))
+          .select("source_a", "source_b", "register", "m_j"))
+      .groupBy("source_a", "source_b", "register")
+      .agg(max(col("m_j")).as("m_j"))
+    val us = estimate(ur, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("raw_est").as("est_u"))
+    val inter = dt.select(col("source").as("source_a"), col("term"))
+      .join(dt.select(col("source").as("source_b"), col("term")), Seq("term"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("exact_inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_union", col("ca") + col("cb") - col("exact_inter"))
+      .join(s.select(col("source").as("source_a"), col("raw_est").as("est_a")), Seq("source_a"))
+      .join(s.select(col("source").as("source_b"), col("raw_est").as("est_b")), Seq("source_b"))
+      .join(us, Seq("source_a", "source_b"))
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_u"))
+      .withColumn(
+        "within",
+        abs(col("est_inter") - col("exact_inter").cast("double"))
+          <= lit(unionRelBound) * col("exact_union").cast("double"))
+      .select(
+        "source_a", "source_b", "exact_inter", "exact_union",
+        "est_inter", "within")
+  }
+
+  def oracleOverlapSql(unionRelBound: Double): String = {
+    val est =
+      "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))" +
+        " * CAST(262144.0 AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)"
+    s"""WITH dt AS (
+       |  SELECT DISTINCT source, array_to_string(toks[s:s+2], ' ') AS term
+       |  FROM (SELECT source,
+       |               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents),
+       |       unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS x(s)),
+       |card AS (SELECT source, count(*) AS c FROM dt GROUP BY source),
+       |hh AS (SELECT source, CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM dt),
+       |regs AS (SELECT source, h & 511 AS register,
+       |                max(CASE WHEN (h >> 9) = 0 THEN 52
+       |                         ELSE 52 - length(bin(h >> 9)) END) AS m_j
+       |         FROM hh GROUP BY source, register),
+       |sest AS (SELECT source,
+       |                $est / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(52 - m_j AS INTEGER)) AS BIGINT)
+       |                  + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw_est
+       |         FROM regs GROUP BY source),
+       |pairs AS (SELECT a.source AS source_a, a.c AS ca, b.source AS source_b, b.c AS cb
+       |          FROM card a JOIN card b ON a.source < b.source),
+       |ur AS (SELECT p.source_a, p.source_b, r.register, max(r.m_j) AS m_j
+       |       FROM pairs p JOIN regs r ON r.source = p.source_a OR r.source = p.source_b
+       |       GROUP BY p.source_a, p.source_b, r.register),
+       |uest AS (SELECT source_a, source_b,
+       |                $est / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(52 - m_j AS INTEGER)) AS BIGINT)
+       |                  + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS est_u
+       |         FROM ur GROUP BY source_a, source_b),
+       |xi AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+       |       FROM dt a JOIN dt b ON a.term = b.term AND a.source < b.source
+       |       GROUP BY a.source, b.source),
+       |j AS (SELECT p.source_a, p.source_b,
+       |             COALESCE(xi.inter, 0) AS exact_inter,
+       |             p.ca + p.cb - COALESCE(xi.inter, 0) AS exact_union,
+       |             (ea.raw_est + eb.raw_est) - u.est_u AS est_inter
+       |      FROM pairs p
+       |      LEFT JOIN xi ON xi.source_a = p.source_a AND xi.source_b = p.source_b
+       |      JOIN sest ea ON ea.source = p.source_a
+       |      JOIN sest eb ON eb.source = p.source_b
+       |      JOIN uest u ON u.source_a = p.source_a AND u.source_b = p.source_b)
+       |SELECT source_a, source_b, exact_inter, exact_union, est_inter,
+       |       abs(est_inter - CAST(exact_inter AS DOUBLE))
+       |         <= CAST($unionRelBound AS DOUBLE) * CAST(exact_union AS DOUBLE) AS within
+       |FROM j""".stripMargin
   }
 
   private val termsSql =

@@ -630,6 +630,21 @@ object DedupQueries {
               |FROM (SELECT component, count(*) AS cluster_size
               |      FROM (${PortableMinHash.oracleComponentsSql(0.3)}) c
               |      GROUP BY component) s
-              |GROUP BY cluster_size""".stripMargin))
+              |GROUP BY cluster_size""".stripMargin)),
+    Q(
+      "qd28_source_overlap_sketch",
+      // qd27's estimated sibling: pairwise source 3-gram overlap by
+      // inclusion-exclusion on merged PortableHll sketches — at scale
+      // the exact matrix shuffles every fingerprint, the sketch path
+      // reads 20 tiny register tables and never joins corpus to
+      // corpus. The exact side here is the verification gate (the
+      // PortableCms.profile pattern); the contract is union-relative
+      // error (the known inclusion-exclusion weakness on small true
+      // intersections), every double value-oracled bit-for-bit.
+      (s, dir) =>
+        graft.operators.text.PortableHll.overlapProfile(
+          Tables.load(s, dir, "documents"),
+          col("text"), unionRelBound = 0.15),
+      Some(graft.operators.text.PortableHll.oracleOverlapSql(0.15)))
   )
 }

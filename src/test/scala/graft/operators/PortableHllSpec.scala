@@ -56,6 +56,22 @@ class PortableHllSpec extends SparkSpec {
     }
   }
 
+  test("overlap sketch bounds inclusion-exclusion error by the union") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val out = PortableHll.overlapProfile(docs, col("text"), unionRelBound = 0.15)
+      .collect()
+    // all source pairs present (20 sources -> 190 ordered pairs)
+    assert(out.length == 190, s"expected 190 pairs, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("within"),
+        s"${r.getAs[String]("source_a")}x${r.getAs[String]("source_b")}: " +
+          s"est ${r.getAs[Double]("est_inter")} vs exact ${r.getAs[Long]("exact_inter")}")
+      assert(r.getAs[Long]("exact_union") >= r.getAs[Long]("exact_inter"))
+    }
+    // the sketch must actually see the fixture's real overlap signal
+    assert(out.map(_.getAs[Long]("exact_inter")).max > 0L)
+  }
+
   test("raw estimate tracks exact distinct on the fixture") {
     val docs = graft.Tables.load(spark, sf001, "documents")
     val out = PortableHll.profile(docs, col("text"), relErrBound = 0.15)
