@@ -46,8 +46,16 @@ def decimal_cols(describe_sql):
     return [(r[0], r[1]) for r in desc
             if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()]
 
+import time
+
+def emit(line):
+    # incremental + unbuffered: a multi-hour sf0.1 sweep must show
+    # which oracle it is on (and what each one cost) while running
+    print(line, flush=True)
+
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
+    t0 = time.time()
     try:
         got_dec = decimal_cols(
             f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -56,6 +64,7 @@ for name, sql in sorted(oracle.items()):
             fails.append((name,
                 f"DECIMAL-typed result column (driver hash hazard): "
                 f"spark={got_dec} oracle={exp_dec}"))
+            emit(f"FAIL {name}: {fails[-1][1]}")
             continue
         got_rel = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -66,9 +75,11 @@ for name, sql in sorted(oracle.items()):
         exp = exp_rel.fetchall()
     except Exception as e:
         fails.append((name, f"ERROR {e}"))
+        emit(f"FAIL {name}: ERROR {e} [{time.time()-t0:.1f}s]")
         continue
     if sorted(c.lower() for c in got_cols) != sorted(c.lower() for c in exp_cols):
         fails.append((name, f"schema: got {sorted(got_cols)} exp {sorted(exp_cols)}"))
+        emit(f"FAIL {name}: {fails[-1][1]}")
         continue
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i].lower())
     ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i].lower())
@@ -76,16 +87,14 @@ for name, sql in sorted(oracle.items()):
     erows = sorted(tuple(norm(r[i]) for i in ei) for r in exp)
     if len(grows) != len(erows):
         fails.append((name, f"rows: got {len(grows)} exp {len(erows)}"))
+        emit(f"FAIL {name}: {fails[-1][1]} [{time.time()-t0:.1f}s]")
     elif grows != erows:
         diff = next(i for i in range(len(grows)) if grows[i] != erows[i])
         fails.append((name, f"values differ, first at sorted-row {diff}:\n  got {grows[diff]}\n  exp {erows[diff]}"))
+        emit(f"FAIL {name}: {fails[-1][1]}")
     else:
         passes.append((name, len(grows)))
-
-for n, r in passes:
-    print(f"PASS {n} ({r} rows)")
-for n, m in fails:
-    print(f"FAIL {n}: {m}")
+        emit(f"PASS {name} ({len(grows)} rows) [{time.time()-t0:.1f}s]")
 rows_only = set()
 for d in glob.glob(f"{outdir}/*/"):
     qn = os.path.basename(d.rstrip("/"))
