@@ -176,7 +176,14 @@ object ScaleSmoke {
       once() // warmup: footers + codegen
       math.min(once(), once())
     }
-    val rows = Heavy.map { name =>
+    // SPARK_GRAFT_SMOKE_ONLY=qp15,... subsets (the Bench/Verify
+    // convention): new entries can be ratio-checked without re-timing
+    // the whole Heavy list
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = Heavy
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
+      .map { name =>
       val q = Registry.byName(name)
       val base = time(q, baseDir)
       val big = time(q, bigDir)

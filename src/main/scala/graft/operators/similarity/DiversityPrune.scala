@@ -79,7 +79,7 @@ object DiversityPrune {
        |                            ORDER BY dist, vec_id) AS rank,
        |         count(*) OVER (PARTITION BY cluster) AS cell_n
        |  FROM kma)
-       |SELECT vec_id, cluster, round(dist, 4) AS dist, rank,
+       |SELECT vec_id, cluster, (floor((dist) * 10000.0) / 10000.0) AS dist, rank,
        |       rank > CAST(floor($dropFrac * cell_n) AS BIGINT) AS keep
        |FROM ranked""".stripMargin
 }

@@ -166,7 +166,7 @@ object IvfPq {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topk)
       .select(col("probe_id"), col("id").as("vec_id"),
-        round(col("adc"), 4).as("adc_dist"))
+        graft.operators.PortableRound.floorTo(col("adc"), 4).as("adc_dist"))
   }
 
   /** [[adcTopKBatch]] against a persisted index dir. */
@@ -225,7 +225,7 @@ object IvfPq {
        |  FROM codes z
        |  JOIN probed q ON z.cell = q.cell
        |  JOIN p ON p.probe_id = q.probe_id)
-       |SELECT probe_id, vec_id, round(adc, 4) AS adc_dist FROM (
+       |SELECT probe_id, vec_id, (floor((adc) * 10000.0) / 10000.0) AS adc_dist FROM (
        |  SELECT probe_id, vec_id, adc,
        |         row_number() OVER (PARTITION BY probe_id
        |                            ORDER BY adc, vec_id) AS rnk
@@ -248,7 +248,7 @@ object IvfPq {
        |  SELECT vec_id, ${PortableIvf.cellSql("embedding")} AS cell,
        |       $codeCols
        |  FROM embeddings)
-       |SELECT vec_id, round(adc, 4) AS adc_dist FROM (
+       |SELECT vec_id, (floor((adc) * 10000.0) / 10000.0) AS adc_dist FROM (
        |  SELECT z.vec_id, $chain AS adc
        |  FROM codes z, p
        |  WHERE z.cell IN (SELECT cell FROM probed)) z2

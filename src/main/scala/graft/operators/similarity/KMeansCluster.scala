@@ -155,5 +155,5 @@ object KMeansCluster {
   /** DuckDB formulation of the qs10 query (per-vector assignments). */
   def oracleSql(k: Int, dim: Int = 64): String =
     s"""WITH ${oracleCtes(k, dim)}
-       |SELECT vec_id, cluster, round(dist, 4) AS dist FROM kma""".stripMargin
+       |SELECT vec_id, cluster, (floor((dist) * 10000.0) / 10000.0) AS dist FROM kma""".stripMargin
 }

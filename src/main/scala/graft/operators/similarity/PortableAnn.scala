@@ -90,7 +90,7 @@ object PortableAnn {
        |         CASE WHEN $na * $nb = 0 THEN 0.0 ELSE ($dot) / ($na * $nb) END AS c
        |  FROM embeddings e, p
        |  WHERE $restricted)
-       |SELECT vec_id, round(c, 4) AS cosine
+       |SELECT vec_id, (floor((c) * 10000.0) / 10000.0) AS cosine
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 }

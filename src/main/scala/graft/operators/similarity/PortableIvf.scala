@@ -133,7 +133,7 @@ object PortableIvf {
        |              ELSE ($dot) / (${normV("e.embedding")} * ${normV("p.pe")}) END AS c
        |  FROM embeddings e, p
        |  WHERE ${cellSql("e.embedding")} IN (SELECT cell FROM probed))
-       |SELECT vec_id, round(c, 4) AS cosine
+       |SELECT vec_id, (floor((c) * 10000.0) / 10000.0) AS cosine
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 
@@ -188,7 +188,7 @@ object PortableIvf {
        |  JOIN probed q ON e.cell = q.cell
        |  JOIN p ON p.probe_id = q.probe_id
        |  WHERE e.label <> p.pl)
-       |SELECT probe_id, corpus_id, corpus_label, round(c, 4) AS cosine, rank FROM (
+       |SELECT probe_id, corpus_id, corpus_label, (floor((c) * 10000.0) / 10000.0) AS cosine, rank FROM (
        |  SELECT probe_id, corpus_id, corpus_label, c,
        |         row_number() OVER (PARTITION BY probe_id
        |                            ORDER BY c DESC, corpus_id) AS rank
@@ -215,7 +215,7 @@ object PortableIvf {
        |  FROM embeddings e, p
        |  WHERE ${cellSql("e.embedding")} IN (SELECT cell FROM probed)
        |    AND e.label <> p.pl)
-       |SELECT vec_id, round(c, 4) AS cosine
+       |SELECT vec_id, (floor((c) * 10000.0) / 10000.0) AS cosine
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 }

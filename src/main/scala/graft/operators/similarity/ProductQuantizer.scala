@@ -146,7 +146,7 @@ object ProductQuantizer {
       .select(col("id").as("vec_id"), score.as("adc"))
       .orderBy(col("adc").asc, col("vec_id"))
       .limit(topk)
-      .select(col("vec_id"), round(col("adc"), 4).as("adc_dist"))
+      .select(col("vec_id"), graft.operators.PortableRound.floorTo(col("adc"), 4).as("adc_dist"))
   }
 
   // ---- oracle SQL ----
@@ -210,7 +210,7 @@ object ProductQuantizer {
        |codes AS (
        |  SELECT vec_id, $codeCols
        |  FROM embeddings)
-       |SELECT vec_id, round(adc, 4) AS adc_dist FROM (
+       |SELECT vec_id, (floor((adc) * 10000.0) / 10000.0) AS adc_dist FROM (
        |  SELECT z.vec_id, $chain AS adc
        |  FROM codes z, p) z2
        |ORDER BY adc, vec_id LIMIT $topk""".stripMargin

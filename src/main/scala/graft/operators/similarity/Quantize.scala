@@ -38,7 +38,7 @@ object Quantize {
       .withColumn("__q", codes(vec, col("__scale")))
       .select(
         id.as("id"),
-        round(col("__scale"), 6).as("scale"),
+        graft.operators.PortableRound.floorTo(col("__scale"), 6).as("scale"),
         aggregate(col("__q"), lit(0L),
           (acc, x) => acc + x.cast("long")).as("q_sum"),
         array_min(col("__q")).cast("long").as("q_min"),
@@ -73,8 +73,7 @@ object Quantize {
           lit(0L), (acc, x) => acc + x))
       .withColumn("score",
         when(col("__s") * col("qscale") === 0.0, lit(0.0))
-          .otherwise(round(
-            col("qdot").cast("double") / (col("__s") * col("qscale")), 4)))
+          .otherwise(graft.operators.PortableRound.floorTo(col("qdot").cast("double") / (col("__s") * col("qscale")), 4)))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
       .select(col("id"), col("qdot"), col("score"))
@@ -101,7 +100,7 @@ object Quantize {
        |      FROM q, probe WHERE q.vec_id <> $queryId)
        |SELECT vec_id AS id, qdot,
        |       CASE WHEN ss = 0 THEN 0.0
-       |            ELSE round(CAST(qdot AS DOUBLE) / ss, 4) END AS score
+       |            ELSE (floor((CAST(qdot AS DOUBLE) / ss) * 10000.0) / 10000.0) END AS score
        |FROM z ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
 
   /** DuckDB twin of [[profile]] over the `embeddings` table. */
@@ -116,7 +115,7 @@ object Quantize {
       |q AS (SELECT vec_id, scale,
       |        list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)) AS qs
       |      FROM sc)
-      |SELECT vec_id AS id, round(scale, 6) AS scale,
+      |SELECT vec_id AS id, (floor((scale) * 1000000.0) / 1000000.0) AS scale,
       |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
       |       CAST(list_min(qs) AS BIGINT) AS q_min,
       |       CAST(list_max(qs) AS BIGINT) AS q_max

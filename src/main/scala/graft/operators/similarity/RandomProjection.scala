@@ -55,14 +55,14 @@ object RandomProjection {
       df: DataFrame, vec: Column, id: Column, kOut: Int, dim: Int): DataFrame =
     project(df, vec, id, kOut, dim)
       .select(col("id"), posexplode(col("proj")).as(Seq("j", "y")))
-      .select(col("id"), col("j"), (round(col("y"), 4) + lit(0.0)).as("y"))
+      .select(col("id"), col("j"), (graft.operators.PortableRound.floorTo(col("y"), 4) + lit(0.0)).as("y"))
 
   /** DuckDB rendition over `embeddings(vec_id, embedding[dim])` —
     * the same md5-parity matrix, the same sequential fold, the same
     * scale factor (interpolated from the identical double). */
   def oracleSql(kOut: Int, dim: Int = 64): String = {
     val factor = 1.0 / math.sqrt(kOut.toDouble)
-    s"""SELECT vec_id, CAST(j AS INT) AS j, round(y * $factor, 4) + 0.0 AS y FROM (
+    s"""SELECT vec_id, CAST(j AS INT) AS j, (floor((y * $factor) * 10000.0) / 10000.0) + 0.0 AS y FROM (
        |  SELECT e.vec_id, jj.j,
        |         list_reduce(list_transform(range(1, ${dim + 1}),
        |           i -> e.embedding[i]::DOUBLE *

@@ -48,7 +48,7 @@ object Rerank {
       .select(col("vec_id"), VectorOps.cosine(col("__v"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(topk)
-      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
   }
 
   // ---- oracle SQL ----
@@ -79,7 +79,7 @@ object Rerank {
        |    SELECT z.vec_id, $chain AS adc
        |    FROM codes z, p) z
        |  ORDER BY adc, vec_id LIMIT $coarseK)
-       |SELECT vec_id, round(c, 4) AS cosine FROM (
+       |SELECT vec_id, (floor((c) * 10000.0) / 10000.0) AS cosine FROM (
        |  SELECT e.vec_id, ${cosineSql("e.embedding", "p.pe")} AS c
        |  FROM embeddings e JOIN cand USING (vec_id), p) z2
        |ORDER BY c DESC, vec_id LIMIT $topk""".stripMargin

@@ -46,7 +46,7 @@ object SemanticDecon {
       .agg(max(VectorOps.cosine(col("v"), col("bv"))).as("mc"))
       .select(
         col("id"),
-        round(col("mc"), 4).as("max_cos"),
+        graft.operators.PortableRound.floorTo(col("mc"), 4).as("max_cos"),
         (col("mc") >= tau).as("contaminated"))
 
   /** The keep-side filter: corpus rows whose embedding stays below
@@ -82,6 +82,6 @@ object SemanticDecon {
        |      WHERE label <> $benchLabel),
        |m AS (SELECT c.vec_id AS id, max(${cosineSql("c.v", "b.bv", dim)}) AS mc
        |      FROM c CROSS JOIN b GROUP BY c.vec_id)
-       |SELECT id, round(mc, 4) AS max_cos, mc >= $tau AS contaminated
+       |SELECT id, (floor((mc) * 10000.0) / 10000.0) AS max_cos, mc >= $tau AS contaminated
        |FROM m""".stripMargin
 }

@@ -68,7 +68,7 @@ object Bm25 {
         array_sort(collect_list(struct(col("term"), col("c")))),
         lit(0.0),
         (acc, x) => acc + x.getField("c")).as("raw"))
-      .select(col("id"), round(col("raw"), 4).as("score"))
+      .select(col("id"), graft.operators.PortableRound.floorTo(col("raw"), 4).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -102,8 +102,8 @@ object Bm25 {
        |          (tf.tf * ${k1 + 1}) /
        |          (tf.tf + $k1 * (${1 - b} + $b * (tf.dl / st.avgdl))) AS c
        |      FROM tf JOIN dfq USING (term), st),
-       |s AS (SELECT doc_id, round(list_reduce(list_prepend(0.0,
-       |               list(c ORDER BY term)), (a, x) -> a + x), 4) AS score
+       |s AS (SELECT doc_id, (floor((list_reduce(list_prepend(0.0,
+       |               list(c ORDER BY term)), (a, x) -> a + x)) * 10000.0) / 10000.0) AS score
        |      FROM c GROUP BY doc_id)
        |SELECT doc_id AS id, score FROM s
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin

@@ -260,7 +260,8 @@ object CorpusOps {
         count(lit(1)).as("n_tokens"),
         count(col("iv")).as("in_vocab"))
       .withColumn("oov_rate",
-        round(lit(1.0) - col("in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
+        graft.operators.PortableRound.floorTo(
+          lit(1.0) - col("in_vocab").cast("double") / col("n_tokens").cast("double"), 4))
   }
 
   /** Greedy sequential packing: within each `part` (shard), walking in

@@ -22,10 +22,11 @@ import graft.operators.TextOps
   * aggregation (partial map-side, vocabulary-sized) and the per-doc
   * rollup of narrow (id, pos, logp) rows.
   *
-  * Portable: log-probs are `round(ln(p), 6)` (one libm call per VOCAB
-  * TERM, not per token — the qt14 rounding convention), per-doc
+  * Portable: log-probs floor-scale to 6 dp (one libm call per VOCAB
+  * TERM, not per token; [[graft.operators.PortableRound]] — floor on
+  * the shared double has no cross-engine tie semantics), per-doc
   * summation is an ORDERED fold over token position, and the final CE
-  * rounds to 4 dp, so both engines rank and gate identically.
+  * floor-scales to 4 dp, so both engines rank and gate identically.
   */
 object PerplexityFilter {
 
@@ -46,8 +47,8 @@ object PerplexityFilter {
     val voc = cnt.orderBy(col("n").desc, col("term")).limit(vocabSize)
       .crossJoin(broadcast(tot))
       .select(col("term"),
-        round(log(col("n").cast("double") / col("total")), 6).as("lp"))
-    val oov = tot.select(round(log(lit(1.0) / col("total")), 6).as("olp"))
+        graft.operators.PortableRound.floorTo(log(col("n").cast("double") / col("total")), 6).as("lp"))
+    val oov = tot.select(graft.operators.PortableRound.floorTo(log(lit(1.0) / col("total")), 6).as("olp"))
     toks
       .join(broadcast(voc), Seq("term"), "left")
       .crossJoin(broadcast(oov))
@@ -61,7 +62,7 @@ object PerplexityFilter {
           (acc, x) => acc + x.getField("lp")).as("sumlp"))
       .select(
         col("id"), col("n_tokens"),
-        round(-col("sumlp") / col("n_tokens").cast("double"), 4).as("ce"))
+        graft.operators.PortableRound.floorTo(-col("sumlp") / col("n_tokens").cast("double"), 4).as("ce"))
       .withColumn("keep", col("ce") <= tau)
   }
 
@@ -77,16 +78,16 @@ object PerplexityFilter {
        |             FROM n) z),
        |cnt AS (SELECT term, count(*) AS n FROM tk GROUP BY term),
        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM cnt),
-       |voc AS (SELECT term, round(ln(CAST(n AS DOUBLE) / total), 6) AS lp
+       |voc AS (SELECT term, (floor((ln(CAST(n AS DOUBLE) / total)) * 1000000.0) / 1000000.0) AS lp
        |        FROM (SELECT term, n FROM cnt ORDER BY n DESC, term
        |              LIMIT $vocabSize) z, tot),
-       |ov AS (SELECT round(ln(1.0 / total), 6) AS olp FROM tot),
+       |ov AS (SELECT (floor((ln(1.0 / total)) * 1000000.0) / 1000000.0) AS olp FROM tot),
        |j AS (SELECT tk.doc_id, tk.pos, coalesce(voc.lp, ov.olp) AS lp
        |      FROM tk LEFT JOIN voc USING (term), ov),
        |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |             round(-(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+       |             (floor((-(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
        |                                 (a, x) -> a + x))
-       |                   / CAST(count(*) AS DOUBLE), 4) AS ce
+       |                   / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS ce
        |      FROM j GROUP BY doc_id)
        |SELECT doc_id AS id, n_tokens, ce, ce <= $tau AS keep FROM s""".stripMargin
 }

@@ -28,7 +28,10 @@ import graft.operators.TextOps
 object QualityClassifier {
 
   /** (doc_id, n_grams, score, keep): score = raw / (1000 · n_grams)
-    * ∈ [-1, 1] (0 when the doc has no bigram), keep = score >= tau. */
+    * ∈ [-1, 1] (0 when the doc has no bigram), keep = score >= tau.
+    * The reported score is floor-scaled to 6 places
+    * ([[graft.operators.PortableRound]]) — round() diverged across
+    * engines on the exact tie 1011/16000 at sf0.1 (qp05, doc 1248). */
   def score(df: DataFrame, text: Column, id: Column, tau: Double): DataFrame = {
     val toks = TextOps.tokens(text)
     val n = greatest(size(toks) - 1, lit(0)).cast("bigint")
@@ -42,7 +45,7 @@ object QualityClassifier {
       .select(
         col("doc_id"),
         col("n_grams"),
-        round(col("__s"), 6).as("score"),
+        graft.operators.PortableRound.floorTo(col("__s"), 6).as("score"),
         (col("__s") >= tau).as("keep"))
   }
 
@@ -73,8 +76,8 @@ object QualityClassifier {
        |           g -> $weight)) AS raw
        |  FROM t)
        |SELECT doc_id, n_grams,
-       |       round(CASE WHEN n_grams = 0 THEN 0.0
-       |                  ELSE CAST(raw AS DOUBLE) / (1000.0 * n_grams) END, 6)
+       |       ${graft.operators.PortableRound.floorToSql(
+         "CASE WHEN n_grams = 0 THEN 0.0 ELSE CAST(raw AS DOUBLE) / (1000.0 * n_grams) END", 6)}
        |         AS score,
        |       (CASE WHEN n_grams = 0 THEN 0.0
        |             ELSE CAST(raw AS DOUBLE) / (1000.0 * n_grams) END) >= $tau

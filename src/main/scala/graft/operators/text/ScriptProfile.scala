@@ -54,7 +54,7 @@ object ScriptProfile {
           .when(col("n_greek") >= col("n_latin"), lit("greek"))
           .otherwise(lit("latin")).as("dominant"),
         when(col("len") === 0, lit(1.0d))
-          .otherwise(round(
+          .otherwise(graft.operators.PortableRound.floorTo(
             col("na").cast("double") / col("len").cast("double"), 4))
           .as("ascii_ratio"))
   }
@@ -86,7 +86,7 @@ object ScriptProfile {
        |            WHEN n_greek >= n_latin THEN 'greek'
        |            ELSE 'latin' END AS dominant,
        |       CASE WHEN len = 0 THEN 1.0
-       |            ELSE round(na::DOUBLE / len::DOUBLE, 4) END AS ascii_ratio
+       |            ELSE ${graft.operators.PortableRound.floorToSql("na::DOUBLE / len::DOUBLE", 4)} END AS ascii_ratio
        |FROM c""".stripMargin
   }
 }

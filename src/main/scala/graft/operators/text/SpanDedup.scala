@@ -95,7 +95,8 @@ object SpanDedup {
         count(lit(1)).as("n_spans"),
         count(col("sh")).as("shared_spans"))
       .withColumn("dup_ratio",
-        round(col("shared_spans").cast("double") / col("n_spans"), 4))
+        graft.operators.PortableRound.floorTo(
+          col("shared_spans").cast("double") / col("n_spans"), 4))
   }
 
   /** Documents whose duplicated-span ratio stays at or below
@@ -230,7 +231,7 @@ object SpanDedup {
        |sd_s AS (SELECT g FROM sd_e GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
        |span_prof AS (
        |  SELECT sd_e.doc_id AS id, count(*) AS n_spans, count(sd_s.g) AS shared_spans,
-       |         round(count(sd_s.g)::DOUBLE / count(*), 4) AS dup_ratio
+       |         ${graft.operators.PortableRound.floorToSql("count(sd_s.g)::DOUBLE / count(*)", 4)} AS dup_ratio
        |  FROM sd_e LEFT JOIN sd_s ON sd_e.g = sd_s.g
        |  GROUP BY sd_e.doc_id)""".stripMargin
 

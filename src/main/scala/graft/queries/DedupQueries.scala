@@ -60,7 +60,7 @@ object DedupQueries {
           .candidatePairs(docs, col("text"), col("doc_id"),
             MinHashLSH.Params(shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            round(col("est_jaccard"), 4).as("est_jaccard"))
+            graft.operators.PortableRound.floorTo(col("est_jaccard"), 4).as("est_jaccard"))
       },
       None,
       bench = true),
@@ -106,7 +106,8 @@ object DedupQueries {
           .pairsWithinBlock(docs, col("text"), col("doc_id"), col("source"),
             n = 2, threshold = 0.12)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            round(col("jaccard"), 4).as("jaccard"))
+            graft.operators.PortableRound.floorTo(col("jaccard"), 4)
+              .as("jaccard"))
       },
       // exact token-2-gram Jaccard is SQL-expressible: build the same
       // distinct-gram sets in DuckDB list functions; int/int division
@@ -129,7 +130,8 @@ object DedupQueries {
              |     ELSE len(list_intersect(a.grams, b.grams))::DOUBLE / $union::DOUBLE
              |END""".stripMargin
         s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jac, 4) AS jaccard
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       ${graft.operators.PortableRound.floorToSql(jac, 4)} AS jaccard
            |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE $jac >= 0.12""".stripMargin
       }),
@@ -146,7 +148,8 @@ object DedupQueries {
           .containmentPairs(docs, col("text"), col("doc_id"), col("source"),
             n = 2, threshold = 0.25)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-            round(col("containment"), 4).as("containment"))
+            graft.operators.PortableRound.floorTo(col("containment"), 4)
+              .as("containment"))
       },
       Some {
         val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -158,7 +161,8 @@ object DedupQueries {
         val cont =
           "len(list_intersect(a.grams, b.grams))::DOUBLE / least(len(a.grams), len(b.grams))::DOUBLE"
         s"""WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($cont, 4) AS containment
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       ${graft.operators.PortableRound.floorToSql(cont, 4)} AS containment
            |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE $cont >= 0.25""".stripMargin
       }),
@@ -241,7 +245,7 @@ object DedupQueries {
         MinHashLSH.pairsAgainstIndex(
           index, docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"), p)
           .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
-            round(col("est_jaccard"), 4).as("est_jaccard"))
+            graft.operators.PortableRound.floorTo(col("est_jaccard"), 4).as("est_jaccard"))
       },
       None,
       bench = true),
@@ -307,11 +311,11 @@ object DedupQueries {
           .withColumn("cosine",
             graft.operators.similarity.VectorOps.cosine(col("e_a"), col("e_b")))
           .filter(col("cosine") >= 0.2)
-          .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+          .select(col("vec_a"), col("vec_b"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-              |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cosine
+              |       (floor((${cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0) AS cosine
               |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
               |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.2""".stripMargin)),
     Q(
@@ -398,7 +402,7 @@ object DedupQueries {
           .candidatePairs(emb, col("embedding"), col("vec_id"), dim = 64,
             threshold = 0.35, nbits = 4, numTables = 4)
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
-            round(col("cosine"), 4).as("cosine"))
+            graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       None),
     Q(
@@ -454,7 +458,8 @@ object DedupQueries {
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
           .withColumn("jaccard",
-            round(NGramJaccard.jaccardSorted(col("sha"), col("shb")), 4))
+            graft.operators.PortableRound.floorTo(
+              NGramJaccard.jaccardSorted(col("sha"), col("shb")), 4))
           .withColumn("confirmed", col("jaccard") >= 0.25)
           .select("doc_a", "doc_b", "est_jaccard", "jaccard", "confirmed")
       },
@@ -475,11 +480,11 @@ object DedupQueries {
            |       FROM cd JOIN shg sa ON cd.doc_a = sa.doc_id
            |                 JOIN shg sb ON cd.doc_b = sb.doc_id)
            |SELECT doc_a, doc_b, est_jaccard,
-           |       round(CASE WHEN u = 0 THEN 1.0
-           |                  ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 4)
+           |       ${graft.operators.PortableRound.floorToSql(
+                      "CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END", 4)}
            |         AS jaccard,
-           |       round(CASE WHEN u = 0 THEN 1.0
-           |                  ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END, 4)
+           |       ${graft.operators.PortableRound.floorToSql(
+                      "CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) END", 4)}
            |         >= 0.25 AS confirmed
            |FROM jx""".stripMargin
       }),
@@ -501,8 +506,9 @@ object DedupQueries {
             countDistinct(graft.operators.TextOps.normalized(col("text")))
               .as("n_unique"))
           .withColumn("exact_dup_rate",
-            round(lit(1.0) - col("n_unique").cast("double")
-              / col("n_docs").cast("double"), 4))
+            graft.operators.PortableRound.floorTo(
+              lit(1.0) - col("n_unique").cast("double")
+                / col("n_docs").cast("double"), 4))
         val src = docs.select(col("doc_id"), col("source"))
         val nd = graft.operators.dedup.PortableMinHash
           .pairs(docs, col("text"), col("doc_id"), 0.3)
@@ -531,8 +537,8 @@ object DedupQueries {
            |  WHERE est.est_jaccard >= 0.3 AND da.source = db.source
            |  GROUP BY da.source)
            |SELECT ex.source, n_docs, n_unique,
-           |       round(1.0 - CAST(n_unique AS DOUBLE)
-           |                   / CAST(n_docs AS DOUBLE), 4) AS exact_dup_rate,
+           |       ${graft.operators.PortableRound.floorToSql(
+                      "1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS exact_dup_rate,
            |       coalesce(nd.near_dup_pairs, 0) AS near_dup_pairs
            |FROM ex LEFT JOIN nd ON ex.source = nd.source""".stripMargin
       }),

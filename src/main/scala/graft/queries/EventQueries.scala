@@ -427,7 +427,7 @@ object EventQueries {
           .agg(
             count(lit(1)).as("n_views"),
             count(col("conv")).as("n_conversions"))
-          .withColumn("cvr", round(
+          .withColumn("cvr", graft.operators.PortableRound.floorTo(
             col("n_conversions").cast("double") / col("n_views").cast("double"), 4))
       },
       Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -440,8 +440,8 @@ object EventQueries {
                      AND p.ptus > v.tus AND p.ptus <= v.tus + 3600000000)
               SELECT w_start, count(*) AS n_views,
                      count(c.event_id) AS n_conversions,
-                     round(CAST(count(c.event_id) AS DOUBLE)
-                           / CAST(count(*) AS DOUBLE), 4) AS cvr
+                     (floor((CAST(count(c.event_id) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS cvr
               FROM v LEFT JOIN c ON v.event_id = c.event_id
               GROUP BY w_start""")),
     Q(

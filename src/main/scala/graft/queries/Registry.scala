@@ -19,6 +19,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - aggregate floating columns through DECIMAL casts (order-exact),
   *     or keep double arithmetic strictly per-row (bit-exact across
   *     engines for identical operation order);
+  *   - NEVER `round()` a reported double — project through
+  *     [[graft.operators.PortableRound.floorTo]] instead. Spark rounds
+  *     the double's shortest DECIMAL repr (BigDecimal HALF_UP), DuckDB
+  *     rounds the BINARY value; on an exact decimal tie they disagree
+  *     (found live at sf0.1: quality score 1011/16000 = 0.0631875 →
+  *     0.063188 vs 0.063187, qp05/qt26). floor over the shared double
+  *     has no tie semantics at all;
   *   - alias every computed column identically in Spark and SQL;
   *   - no ordering dependence: results are compared as bags.
   */

@@ -52,13 +52,13 @@ object SimilarityQueries {
         val emb = Tables.load(s, dir, "embeddings")
         SimilaritySearch
           .bruteForceTopK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       Some(s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
                scored AS (
                  SELECT vec_id, ${cosineSql("e.embedding", "p.pe")} AS c
                  FROM embeddings e, p)
-               SELECT vec_id, round(c, 4) AS cosine
+               SELECT vec_id, (floor((c) * 10000.0) / 10000.0) AS cosine
                FROM scored ORDER BY c DESC, vec_id LIMIT 10"""),
       bench = true),
     Q(
@@ -68,7 +68,7 @@ object SimilarityQueries {
         SimilaritySearch
           .annTopK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10,
             dim = 64, nbits = 4, numTables = 4)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       None),
     Q(
@@ -78,7 +78,7 @@ object SimilarityQueries {
         val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
         index
           .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10, nprobe = 3)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       None),
     Q(
@@ -87,7 +87,7 @@ object SimilarityQueries {
         val emb = Tables.load(s, dir, "embeddings")
         graft.operators.similarity.PortableAnn
           .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       Some(graft.operators.similarity.PortableAnn.oracleSql(10))),
     Q(
@@ -96,7 +96,7 @@ object SimilarityQueries {
         val emb = Tables.load(s, dir, "embeddings")
         graft.operators.similarity.PortableIvf
           .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10, nprobe = 3)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       Some(graft.operators.similarity.PortableIvf.oracleSql(10, 3))),
     Q(
@@ -173,7 +173,7 @@ object SimilarityQueries {
           .assign(emb, col("embedding"), col("vec_id"), cents)
           .select(
             col("id").as("vec_id"), col("cluster"),
-            round(col("dist"), 4).as("dist"))
+            graft.operators.PortableRound.floorTo(col("dist"), 4).as("dist"))
       },
       Some(graft.operators.similarity.KMeansCluster.oracleSql(8)),
       bench = true),
@@ -335,7 +335,7 @@ object SimilarityQueries {
           k = 8, iters = 1, dropFrac = 0.25)
           .select(
             col("id").as("vec_id"), col("cluster"),
-            round(col("dist"), 4).as("dist"), col("rank"), col("keep")),
+            graft.operators.PortableRound.floorTo(col("dist"), 4).as("dist"), col("rank"), col("keep")),
       Some(graft.operators.similarity.DiversityPrune.oracleSql(8, 0.25))),
     Q(
       "qs19_topk_ivfpq_batch",
@@ -504,7 +504,7 @@ object SimilarityQueries {
           .filter(col("label") =!= probeLabel)
         SimilaritySearch
           .bruteForceTopK(cand, col("embedding"), col("vec_id"), p, 5)
-          .select(col("id").as("vec_id"), round(col("cosine"), 4).as("cosine"))
+          .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
       Some(graft.operators.similarity.PortableIvf.oracleCrossLabelSql(5, 3))),
     Q(
@@ -585,7 +585,7 @@ object SimilarityQueries {
             col("embedding"), col("vec_id"), col("label"),
             k = 5, nprobe = 3)
           .select(col("probe_id"), col("corpus_id"), col("corpus_label"),
-            round(col("cosine"), 4).as("cosine"), col("rank"))
+            graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"), col("rank"))
       },
       Some(graft.operators.similarity.PortableIvf
         .oracleCrossLabelBatchSql(25, 5, 3)))

@@ -292,7 +292,7 @@ object TextQueries {
           .join(dfd, "term")
           .crossJoin(broadcast(n))
           .withColumn("score",
-            round(col("tf") * log(col("n_docs").cast("double") / col("dfd")), 4))
+            graft.operators.PortableRound.floorTo(col("tf") * log(col("n_docs").cast("double") / col("dfd")), 4))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("score").desc, col("term"))
         scored
@@ -309,7 +309,7 @@ object TextQueries {
               dfd AS (SELECT term, count(DISTINCT doc_id) AS dfd FROM tk GROUP BY 1),
               n AS (SELECT count(*) AS n_docs FROM documents),
               sc AS (SELECT source, tf.term AS term, tf, dfd,
-                            round(tf * ln(n_docs::DOUBLE / dfd), 4) AS score
+                            (floor((tf * ln(n_docs::DOUBLE / dfd)) * 10000.0) / 10000.0) AS score
                      FROM tf JOIN dfd ON tf.term = dfd.term, n),
               r AS (SELECT *, row_number() OVER (PARTITION BY source
                                 ORDER BY score DESC, term) AS rn
@@ -397,8 +397,8 @@ object TextQueries {
                |          ORDER BY n DESC, term LIMIT 50) z)
                |SELECT tk.doc_id AS id, count(*) AS n_tokens,
                |       count(voc.term) AS in_vocab,
-               |       round(1.0 - CAST(count(voc.term) AS DOUBLE)
-               |                   / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+               |       (floor((1.0 - CAST(count(voc.term) AS DOUBLE)
+               |                   / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS oov_rate
                |FROM tk LEFT JOIN voc ON tk.term = voc.term
                |GROUP BY tk.doc_id""".stripMargin)),
     Q(

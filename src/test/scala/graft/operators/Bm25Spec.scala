@@ -30,8 +30,7 @@ class Bm25Spec extends SparkSpec {
         }
       }
       if (cs.isEmpty) None
-      else Some(id -> BigDecimal(cs.foldLeft(0.0)(_ + _))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else Some(id -> math.floor(cs.foldLeft(0.0)(_ + _) * 1e4) / 1e4)
     }
   }
 

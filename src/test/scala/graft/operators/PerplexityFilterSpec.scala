@@ -11,10 +11,8 @@ class PerplexityFilterSpec extends SparkSpec {
   /** Driver-side re-derivation with the same conventions. */
   private def ref(
       texts: Seq[(Long, String)], v: Int): Map[Long, (Long, Double)] = {
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def r4(x: Double) = BigDecimal(x)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = math.floor(x * 1e6) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4) / 1e4
     val toks = texts.map { case (id, t) =>
       id -> t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).toSeq
     }

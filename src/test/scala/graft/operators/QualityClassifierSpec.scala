@@ -49,8 +49,7 @@ class QualityClassifierSpec extends SparkSpec {
       assert(row.getLong(1) == n, s"n_grams for '$t'")
       val exp =
         if (n == 0) 0.0
-        else BigDecimal(expectedRaw(t).toDouble / (1000.0 * n))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else math.floor(expectedRaw(t).toDouble / (1000.0 * n) * 1e6) / 1e6
       assert(row.getDouble(2) == exp, s"score for '$t'")
     }
   }

@@ -40,9 +40,11 @@ class PlanShapeSpec extends SparkSpec {
     // embedding would quantize three times per row. The floor() kernel
     // appears exactly once in the plan when the __q intermediate holds.
     val p = plan("qs09_quantize_profile")
-    val floors = "(?i)floor\\(".r.findAllIn(p).size
+    // count the QUANTIZE kernel (floor(x*scale + 0.5)) specifically —
+    // the scale column's own floor-scaled projection also prints FLOOR
+    val floors = "\\+ 0\\.5\\)".r.findAllIn(p).size
     assert(floors == 1,
-      s"quantize transform duplicated ($floors floor() sites):\n$p")
+      s"quantize transform duplicated ($floors kernel sites):\n$p")
   }
 
   test("q23: dimension joins broadcast; fact side never pre-shuffles") {
