@@ -19,6 +19,59 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("NextFitBin equals the serial next-fit reference on random lengths") {
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.choose(0L, 12L)), Gen.choose(4L, 12L))
+    holds(Prop.forAll(gen) { case (lens, cap) =>
+      // lens beyond cap are truncated by the OPERATOR contract; the
+      // kernel itself is fed the already-clamped lengths
+      val clamped = lens.map(math.min(_, cap))
+      val df = clamped.zipWithIndex
+        .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "len")
+      val got = df
+        .withColumn("seq", graft.functions.PackExprs.nextFitBinOver(
+          col("len"), lit(cap), partitionBy = Seq(lit(1)),
+          orderBy = Seq(col("doc_id"))))
+        .orderBy("doc_id").select("seq").as[Long].collect().toSeq
+      var fill = 0L; var bin = 1L
+      val ref = clamped.map { l =>
+        if (fill + l > cap) { bin += 1; fill = l } else fill += l
+        bin
+      }
+      got == ref
+    })
+  }
+
+  test("PortableHll registers: merge == union stream, for random term sets") {
+    val genTerms = Gen.listOfN(25, Gen.alphaNumStr.map(_.take(6)))
+    holds(Prop.forAll(genTerms, genTerms) { (as, bs) =>
+      def regs(ts: Seq[String]) =
+        graft.operators.text.PortableHll.registers(
+          ts.toDF("term").withColumn("g", lit(1)), col("term"), Seq("g"))
+      val merged = graft.operators.text.PortableHll
+        .mergeRegisters(regs(as).unionByName(regs(bs)), Seq("g"))
+        .select("register", "m_j").as[(Long, Long)].collect().toSet
+      val whole = regs(as ++ bs)
+        .select("register", "m_j").as[(Long, Long)].collect().toSet
+      merged == whole
+    })
+  }
+
+  test("floorTo matches the scala reference for random doubles incl. ties") {
+    // mix plain doubles with constructed decimal-tie rationals — the
+    // qp05 class round() diverged on
+    val genPlain = Gen.choose(-2.0, 2.0)
+    val genTie = Gen.zip(Gen.choose(-20000L, 20000L), Gen.oneOf(16000L, 32000L, 2000L))
+      .map { case (a, b) => a.toDouble / b.toDouble }
+    holds(Prop.forAll(Gen.listOfN(12, Gen.oneOf(genPlain, genTie))) { xs =>
+      val got = xs.toDF("x")
+        .select(graft.operators.PortableRound.floorTo(col("x"), 4).as("y"))
+        .as[Double].collect().toSeq
+      val ref = xs.map(x => math.floor(x * 1e4) / 1e4)
+      got == ref
+    })
+  }
+
   test("GraphRank mass conservation, exact, randomized") {
     val genEdges = Gen.listOfN(10,
       Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
