@@ -95,14 +95,17 @@ object SequencePack {
 
   /** Shared oracle fragment: the packed assignment as a recursive CTE
     * (DuckDB walks each shard serially, exactly the kernel's
-    * semantics). Ends with a `pack` CTE of (shard, rn, doc_id, len,
-    * fill, seq). */
-  private def packCtes(capacity: Int, shards: Int): String =
-    s"""WITH RECURSIVE base AS (
+    * semantics), ending with a `pack` CTE of (shard, rn, doc_id, len,
+    * fill, seq). Body only, no WITH prefix, re-rootable on any
+    * documents-shaped relation — composed funnels (qp18) splice it
+    * after their own stage CTEs. */
+  private[graft] def packCtesBody(
+      capacity: Int, shards: Int, from: String): String =
+    s"""base AS (
        |  SELECT doc_id,
        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $shards AS shard,
        |         LEAST(CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $capacity) AS len
-       |  FROM documents),
+       |  FROM $from),
        |ord AS (
        |  SELECT base.*, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
        |  FROM base),
@@ -114,6 +117,9 @@ object SequencePack {
        |         CASE WHEN p.fill + o.len > $capacity THEN o.len ELSE p.fill + o.len END,
        |         CASE WHEN p.fill + o.len > $capacity THEN p.seq + 1 ELSE p.seq END
        |  FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+
+  private def packCtes(capacity: Int, shards: Int): String =
+    s"WITH RECURSIVE ${packCtesBody(capacity, shards, "documents")}"
 
   /** qp15: full per-document assignment, value-oracled. */
   def oracleAssignSql(capacity: Int, shards: Int): String =

@@ -455,6 +455,31 @@ object PipelineQueries {
             docs, col("text"), col("doc_id"), capacity = 512, shards = 8),
           docs, col("text"), col("doc_id"))
       },
-      Some(graft.operators.text.SequencePack.oracleMaterializeSql(512, 8)))
+      Some(graft.operators.text.SequencePack.oracleMaterializeSql(512, 8))),
+    Q(
+      "qp18_curate_pack",
+      // the full pre-training journey under ONE composed oracle:
+      // curate (exact dedup -> near-dup keep-first -> token gate),
+      // then sequence-pack the SURVIVORS -- per-shard packing
+      // efficiency of the corpus a trainer actually sees. DuckDB
+      // splices the curate CTE chain in front of the recursive pack
+      // walk, re-rooted on the survivor set d3.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val curated = CorpusPipeline.curate(Tables.load(s, dir, "documents"))
+        graft.operators.text.SequencePack.stats(
+          graft.operators.text.SequencePack.assign(
+            curated, col("text"), col("doc_id"), capacity = 512, shards = 8),
+          capacity = 512)
+      },
+      Some {
+        s"""WITH RECURSIVE ${CorpusPipeline.curateCtes("documents")},
+           |${graft.operators.text.SequencePack.packCtesBody(512, 8, "d3")}
+           |SELECT shard, count(*) AS n_docs, max(seq) AS n_seqs,
+           |       CAST(sum(len) AS BIGINT) AS packed_tokens,
+           |       (10000 * CAST(sum(len) AS BIGINT)) // (max(seq) * 512) AS util_bp,
+           |       (CAST(sum(len) AS BIGINT) + 511) // 512 AS lower_bound_seqs
+           |FROM pack GROUP BY shard""".stripMargin
+      })
   )
 }
