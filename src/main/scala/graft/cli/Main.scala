@@ -24,6 +24,9 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *   graft curate --table t --into t2       one-command corpus curation
   *                                          ([--rules] [--bench evaltbl]
   *                                          [--min-tokens n] [--threshold x])
+  *   graft compact --table t [--target-mb n] rewrite a file-endpoint
+  *                                          table to target-size files
+  *                                          (staged swap)
   *   graft pack --table t                   sequence-pack into fixed-
   *                                          capacity token sequences
   *                                          ([--capacity n] [--shards n]
@@ -347,6 +350,31 @@ object Main {
           s"${st.map(_.getAs[Long]("n_docs")).sum} docs -> " +
           s"${st.map(_.getAs[Long]("n_seqs")).sum} sequences (capacity $capacity, $shards shards) -> $into")
         0
+      case "compact" =>
+        // table maintenance for file endpoints: appends (watermark
+        // sync, curate/pack increments) accumulate small files, and a
+        // scan's task count is file-bound at scale. Rewrites the table
+        // toward --target-mb per file through the staged swap
+        // (FileSink.compactTable; `index|ann|media compact` are the
+        // index-dir siblings). Refused for csv:/json: (delivery
+        // formats re-read through schema inference) and JDBC (row
+        // stores have no file problem).
+        val t = opt("--table").getOrElse("documents")
+        val targetMb = opt("--target-mb").map(_.toInt).getOrElse(128)
+        refuseDelivery("compact", cfg.src.url).getOrElse {
+          fileFormat(cfg.src.url) match {
+            case Some((f, d)) =>
+              val (before, after) = graft.sync.FileSink(d, f)
+                .compactTable(spark, t, targetMb.toLong * 1024 * 1024)
+              println(s"compacted $t: $before -> $after data files " +
+                s"(target $targetMb MB)")
+              println(f"Compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+            case None =>
+              println("compact operates on parquet:/orc: file endpoints")
+              1
+          }
+        }
       case "ann" =>
         // the persisted ANN serving-index lifecycle (the vector-side
         // sibling of `index`): codes parquet-partitioned by IVF cell,
@@ -751,7 +779,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

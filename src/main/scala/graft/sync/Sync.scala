@@ -235,6 +235,51 @@ final case class FileSink(dir: String, format: String = "parquet") extends Sink 
     val merged = graft.operators.Barrier(keep.unionByName(df))
     overwrite(merged, table)
   }
+
+  /** Table maintenance: rewrite the table toward `targetBytes` per
+    * data file — appends (incremental sync, curate increments) and
+    * highly parallel writes accumulate small files, and at scale a
+    * scan's task count is file-bound. Sized from the table's CURRENT
+    * byte footprint, rewritten through the same staged swap as the
+    * index compactions (write aside → rename out → rename in →
+    * restore on failure): a crash leaves either the old or the new
+    * table, never neither. Returns (files before, files after). */
+  def compactTable(
+      spark: SparkSession, table: String, targetBytes: Long): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path(table))
+    val fs = live.getFileSystem(conf)
+    require(fs.exists(live), s"no such table: ${path(table)}")
+    def dataFiles(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) { n += 1; b += f.getLen }
+      }
+      (n, b)
+    }
+    val (before, bytes) = dataFiles(live)
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path(table) + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path(table) + "_old")
+    // the rewrite lands in the staging dir while the live dir is still
+    // in place, so the read lineage stays valid without a Barrier
+    readBack(spark, table)
+      .repartition(parts)
+      .write.mode(SaveMode.Overwrite).options(writeOpts)
+      .format(format).save(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot stage $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore; the table must never vanish
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+    (before, dataFiles(live)._1)
+  }
 }
 
 /** JDBC sink: truncate-overwrite with batched writes. `numPartitions`

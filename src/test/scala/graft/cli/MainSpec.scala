@@ -234,6 +234,36 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/docs_rules.parquet").count() == 0)
   }
 
+  test("compact collapses a fragmented table without changing content") {
+    val dir = Files.createTempDirectory("graft_cli_compact").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.repartition(37).write.parquet(s"$dir/documents.parquet")
+    def files() = new java.io.File(s"$dir/documents.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files() == 37)
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$dir
+         |dest:
+         |  url: parquet:$dir
+         |""".stripMargin)
+    assert(Main.run(Array("compact", "--table", "documents",
+      "--target-mb", "128", "--config", cfg), spark) == 0)
+    assert(files() == 1, s"expected 1 file after compact, got ${files()}")
+    val after = spark.read.parquet(s"$dir/documents.parquet")
+    assert(after.exceptAll(docs).isEmpty && docs.exceptAll(after).isEmpty,
+      "compact changed table content")
+    // delivery formats are refused up front
+    val csvCfg = writeCfg(
+      s"""src:
+         |  url: csv:$dir
+         |dest:
+         |  url: csv:$dir
+         |""".stripMargin)
+    assert(Main.run(Array("compact", "--table", "documents",
+      "--config", csvCfg), spark) == 1)
+  }
+
   test("pack assigns every doc, honors capacity, and materializes sequences") {
     import org.apache.spark.sql.functions.{col, sum}
     val out = Files.createTempDirectory("graft_cli_pack").toString
