@@ -30,7 +30,9 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *   graft pack --table t                   sequence-pack into fixed-
   *                                          capacity token sequences
   *                                          ([--capacity n] [--shards n]
-  *                                          [--materialize])
+  *                                          [--materialize]; [--append]
+  *                                          continues a persisted
+  *                                          packing prefix-stably)
   *   graft ann build  --table t --index d   encode + persist the IVF×PQ
   *                                          serving index (cell-partitioned)
   *   graft ann append --table t --index d   idempotent increment append
@@ -301,6 +303,13 @@ object Main {
         println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"kept $n3/$n0 -> $into")
         0
+      case "pack" if args.contains("--append") && args.contains("--materialize") =>
+        // an appended increment shares tail sequences with already-
+        // materialized rows; a partial re-materialization would ship
+        // truncated sequence text — repack + materialize instead
+        println("pack --append cannot --materialize (tail sequences " +
+          "would materialize partially); run a full pack --materialize")
+        1
       case "pack" =>
         // sequence-pack a documents-shaped table into fixed-capacity
         // token sequences (qp15-qp17 productized): writes the per-doc
@@ -316,10 +325,21 @@ object Main {
         val capacity = opt("--capacity").map(_.toInt).getOrElse(2048)
         val shards = opt("--shards").map(_.toInt).getOrElse(32)
         val docs = catalogFor(cfg.src).read(spark, t)
+        val sink = sinkFor(cfg.dest, cfg)
         val asg = graft.operators.Barrier(
-          graft.operators.text.SequencePack.assign(
-            docs, col("text"), col("doc_id"), capacity, shards))
-        sinkFor(cfg.dest, cfg).overwrite(asg, into)
+          if (args.contains("--append") && sink.exists(spark, into))
+            // continue the persisted packing: next-fit is prefix-stable,
+            // so appended sequences land exactly where a one-shot
+            // repack would put them (SequencePackSpec's equality)
+            graft.operators.text.SequencePack.appendAssign(
+              sink.readBack(spark, into), docs,
+              col("text"), col("doc_id"), capacity, shards)
+          else
+            graft.operators.text.SequencePack.assign(
+              docs, col("text"), col("doc_id"), capacity, shards))
+        if (args.contains("--append") && sink.exists(spark, into))
+          sink.append(asg, into)
+        else sink.overwrite(asg, into)
         val st = graft.operators.text.SequencePack.stats(asg, capacity)
           .orderBy("shard").collect()
         println(table(
@@ -346,9 +366,10 @@ object Main {
           sinkFor(cfg.dest, cfg).overwrite(seqs, s"${t}_sequences")
           println(s"materialized sequences -> ${t}_sequences")
         }
+        val verb = if (args.contains("--append")) "appended" else "packed"
         println(f"Pack finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
-          s"${st.map(_.getAs[Long]("n_docs")).sum} docs -> " +
-          s"${st.map(_.getAs[Long]("n_seqs")).sum} sequences (capacity $capacity, $shards shards) -> $into")
+          s"$verb ${st.map(_.getAs[Long]("n_docs")).sum} docs " +
+          s"(max seq ${st.map(_.getAs[Long]("n_seqs")).max}, capacity $capacity, $shards shards) -> $into")
         0
       case "compact" =>
         // table maintenance for file endpoints: appends (watermark

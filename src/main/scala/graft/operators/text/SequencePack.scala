@@ -37,20 +37,13 @@ object SequencePack {
       text: Column,
       id: Column,
       capacity: Int,
-      shards: Int): DataFrame = {
-    val len = least(
-      TextAnalysis.tokenCount(text).cast("long"), lit(capacity.toLong))
-    val shard =
-      conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % shards
-    docs
-      .select(id.as("doc_id"), shard.as("shard"), len.as("len"))
+      shards: Int): DataFrame =
+    assignInput(docs, text, id, capacity, shards)
       .withColumn(
         "seq",
         PackExprs.nextFitBinOver(
           col("len"), lit(capacity.toLong),
           partitionBy = Seq(col("shard")), orderBy = Seq(col("doc_id"))))
-  }
 
   /** Per-shard packing efficiency over an [[assign]] result: sequence
     * count vs the ceil(sum/capacity) lower bound, and utilization in
@@ -66,6 +59,74 @@ object SequencePack {
         "shard", "n_docs", "n_seqs", "packed_tokens",
         s"(10000L * packed_tokens) div (n_seqs * ${capacity}L) AS util_bp",
         s"(packed_tokens + ${capacity - 1}L) div ${capacity}L AS lower_bound_seqs")
+
+  /** Incremental packing: continue an existing [[assign]] table with
+    * new documents WITHOUT touching a single existing row — the
+    * `index append` / `ann append` / `media append` sibling for the
+    * packing lifecycle. Next-fit is PREFIX-STABLE (packing docs
+    * 1..n and then appending n+1..m in order equals packing 1..m in
+    * one shot, per shard), so the continuation needs only each
+    * shard's tail state: (max seq, fill of that seq). The trick that
+    * reuses the unmodified window kernel: one synthetic GHOST row per
+    * shard, ordered before every new doc, carrying the tail fill as
+    * its length — the kernel consumes it into bin 1, so a new doc
+    * landing in bin 1 joins the tail sequence (seq = maxSeq) and bin
+    * b > 1 opens seq maxSeq + b − 1. Ghosts are dropped on the way
+    * out. Tail state is a `shards`-row aggregate (broadcast join);
+    * the increment shuffles once, the EXISTING assignment is never
+    * read beyond that aggregate.
+    *
+    * New doc_ids must sort after the already-packed ids of their
+    * shard (the append-only id convention every increment path in
+    * this repo assumes); ids are not re-checked against the existing
+    * table. */
+  def appendAssign(
+      existing: DataFrame,
+      newDocs: DataFrame,
+      text: Column,
+      id: Column,
+      capacity: Int,
+      shards: Int): DataFrame = {
+    val tail = existing
+      .groupBy("shard")
+      .agg(max(col("seq")).as("__max_seq"))
+      .join(
+        existing.groupBy("shard", "seq").agg(sum(col("len")).as("__f")),
+        Seq("shard"))
+      .where(col("seq") === col("__max_seq"))
+      .select(col("shard"), col("__max_seq"), col("__f").as("__tail_fill"))
+    val inc = assignInput(newDocs, text, id, capacity, shards)
+      .join(broadcast(tail), Seq("shard"), "left")
+      .na.fill(Map("__max_seq" -> 1L, "__tail_fill" -> 0L))
+    // ghost rows: doc_id null sorts FIRST in the ascending window
+    val ghosts = inc
+      .select(col("shard"), col("__max_seq"), col("__tail_fill"))
+      .distinct()
+      .select(
+        lit(null).cast("bigint").as("doc_id"), col("shard"),
+        col("__tail_fill").as("len"), col("__max_seq"), col("__tail_fill"))
+    inc.unionByName(ghosts)
+      .withColumn(
+        "__bin",
+        PackExprs.nextFitBinOver(
+          col("len"), lit(capacity.toLong),
+          partitionBy = Seq(col("shard")), orderBy = Seq(col("doc_id"))))
+      .where(col("doc_id").isNotNull)
+      .select(
+        col("doc_id"), col("shard"), col("len"),
+        (col("__max_seq") + col("__bin") - lit(1L)).as("seq"))
+  }
+
+  private def assignInput(
+      docs: DataFrame, text: Column, id: Column,
+      capacity: Int, shards: Int): DataFrame = {
+    val len = least(
+      TextAnalysis.tokenCount(text).cast("long"), lit(capacity.toLong))
+    val shard =
+      conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % shards
+    docs.select(id.as("doc_id"), shard.as("shard"), len.as("len"))
+  }
 
   /** The materialized training sequences: join the narrow assignment
     * back to the text by id and concatenate each sequence's documents

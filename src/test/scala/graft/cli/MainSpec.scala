@@ -291,6 +291,35 @@ class MainSpec extends SparkSpec {
     assert(seqs.agg(sum("n_docs")).head.getLong(0) == docs.count())
   }
 
+  test("pack --append continues the persisted packing prefix-stably") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_cli_packa_src").toString
+    val out = Files.createTempDirectory("graft_cli_packa").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.parquet(s"$src/d1.parquet")
+    docs.filter(col("doc_id") >= 250).write.parquet(s"$src/d2.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("pack", "--table", "d1", "--into", "packed",
+      "--capacity", "256", "--shards", "4", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("pack", "--table", "d2", "--into", "packed",
+      "--append", "--capacity", "256", "--shards", "4", "--config", cfg),
+      spark) == 0)
+    val combined = spark.read.parquet(s"$out/packed.parquet")
+    val oneShot = graft.operators.text.SequencePack.assign(
+      docs, col("text"), col("doc_id"), capacity = 256, shards = 4)
+    assert(combined.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(combined).isEmpty,
+      "CLI append diverges from a one-shot repack")
+    // --append --materialize is refused (partial sequence text)
+    assert(Main.run(Array("pack", "--table", "d2", "--into", "packed",
+      "--append", "--materialize", "--config", cfg), spark) == 1)
+  }
+
   test("ann build + append + search lifecycle over the persisted IVFxPQ index") {
     import org.apache.spark.sql.functions.col
     val srcDir = Files.createTempDirectory("graft_ann_src").toString

@@ -60,6 +60,39 @@ class SequencePackSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("seq")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("appendAssign continues packing exactly where a one-shot run lands") {
+    // next-fit is prefix-stable: pack the id-lower half, append the
+    // id-upper half, and the combined table must equal packing the
+    // whole corpus in one shot — the rebuild-equality contract every
+    // append path in this repo carries (qs24's sibling)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val first = docs.filter(col("doc_id") < 250)
+    val second = docs.filter(col("doc_id") >= 250)
+    val base = SequencePack.assign(first, col("text"), col("doc_id"),
+      capacity = 128, shards = 4)
+    val appended = SequencePack.appendAssign(base, second,
+      col("text"), col("doc_id"), capacity = 128, shards = 4)
+    val combined = base.unionByName(appended)
+    val oneShot = SequencePack.assign(docs, col("text"), col("doc_id"),
+      capacity = 128, shards = 4)
+    assert(combined.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(combined).isEmpty,
+      "append-continued packing diverges from the one-shot packing")
+  }
+
+  test("appendAssign into an empty base starts sequences at 1") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .limit(20)
+    val empty = SequencePack.assign(docs.limit(0), col("text"), col("doc_id"),
+      capacity = 128, shards = 4)
+    val appended = SequencePack.appendAssign(empty, docs,
+      col("text"), col("doc_id"), capacity = 128, shards = 4)
+    val direct = SequencePack.assign(docs, col("text"), col("doc_id"),
+      capacity = 128, shards = 4)
+    assert(appended.exceptAll(direct).isEmpty &&
+      direct.exceptAll(appended).isEmpty)
+  }
+
   test("materialize concatenates each sequence's docs in doc_id order") {
     val df = Seq(
       (1L, "a b"), (2L, "c d e"), (3L, "f")
