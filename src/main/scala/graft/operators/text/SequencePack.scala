@@ -198,6 +198,57 @@ object SequencePack {
        |FROM pack p JOIN documents d USING (doc_id)
        |GROUP BY p.shard, p.seq""".stripMargin
 
+  /** qp19: the shard-count tuning curve — next-fit wastes at most one
+    * partially-filled tail sequence PER SHARD, so shard count trades
+    * packing parallelism against padding waste (waste ≈ shards·cap/2
+    * tokens in expectation); this is the number an operator reads
+    * before picking the shard count for a corpus size. One row per
+    * candidate shard count: total sequences vs the global lower
+    * bound, waste in basis points (integer arithmetic). */
+  def shardCurve(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      capacity: Int,
+      shardCounts: Seq[Int]): DataFrame =
+    shardCounts
+      .map { sh =>
+        stats(assign(docs, text, id, capacity, sh), capacity)
+          .agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_seqs")).as("n_seqs"),
+            sum(col("packed_tokens")).as("packed_tokens"))
+          .selectExpr(
+            s"${sh}L AS n_shards",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_seqs AS BIGINT) AS n_seqs",
+            "CAST(packed_tokens AS BIGINT) AS packed_tokens",
+            s"(packed_tokens + ${capacity - 1}L) div ${capacity}L AS lower_bound_seqs",
+            s"(10000L * (n_seqs * ${capacity}L - packed_tokens)) div (n_seqs * ${capacity}L) AS waste_bp")
+      }
+      .reduce(_ unionByName _)
+
+  def oracleShardCurveSql(capacity: Int, shardCounts: Seq[Int]): String =
+    shardCounts
+      .map { sh =>
+        s"""SELECT * FROM (
+           |WITH RECURSIVE ${packCtesBody(capacity, sh, "documents")}
+           |SELECT CAST($sh AS BIGINT) AS n_shards,
+           |       count(*) AS n_docs,
+           |       CAST(sum(mx) AS BIGINT) AS n_seqs,
+           |       CAST(sum(len) AS BIGINT) AS packed_tokens,
+           |       (CAST(sum(len) AS BIGINT) + ${capacity - 1}) // $capacity AS lower_bound_seqs,
+           |       (10000 * (CAST(sum(mx) AS BIGINT) * $capacity - CAST(sum(len) AS BIGINT)))
+           |         // (CAST(sum(mx) AS BIGINT) * $capacity) AS waste_bp
+           |FROM (SELECT shard, len,
+           |             CASE WHEN rn = 1 THEN smx ELSE 0 END AS mx
+           |      FROM (SELECT shard, rn, len,
+           |                   max(seq) OVER (PARTITION BY shard) AS smx
+           |            FROM pack) z) y
+           |) s$sh""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+
   /** qp16: per-shard efficiency, value-oracled. */
   def oracleStatsSql(capacity: Int, shards: Int): String =
     s"""${packCtes(capacity, shards)}

@@ -480,6 +480,23 @@ object PipelineQueries {
            |       (10000 * CAST(sum(len) AS BIGINT)) // (max(seq) * 512) AS util_bp,
            |       (CAST(sum(len) AS BIGINT) + 511) // 512 AS lower_bound_seqs
            |FROM pack GROUP BY shard""".stripMargin
-      })
+      }),
+    Q(
+      "qp19_packing_shard_curve",
+      // the shard-count tuning curve (qt47's sibling for the packer):
+      // next-fit wastes at most one partial tail sequence PER SHARD,
+      // so shard count trades packing parallelism against padding
+      // waste -- the curve an operator reads before sizing a corpus's
+      // packing job. DuckDB re-walks the full pack per candidate and
+      // unions the rollups.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.SequencePack.shardCurve(
+          Tables.load(s, dir, "documents"),
+          col("text"), col("doc_id"), capacity = 512,
+          shardCounts = Seq(1, 2, 4, 8, 16))
+      },
+      Some(graft.operators.text.SequencePack
+        .oracleShardCurveSql(512, Seq(1, 2, 4, 8, 16))))
   )
 }
