@@ -46,19 +46,28 @@ object PortableHll {
   private def h60(term: Column): Column =
     conv(substring(md5(term), 1, 15), 16, 10).cast("bigint")
 
-  /** (register, rho) of a term. */
-  def registerRho(term: Column): (Column, Column) = {
+  /** (register, rho) of a term for 2^p registers (payload = 60 − p
+    * bits, rho ∈ [1, 61 − p]). */
+  def registerRhoP(term: Column, p: Int): (Column, Column) = {
     val h = h60(term)
-    val w = shiftright(h, 9)
-    val rho = when(w === 0L, lit(payloadBits + 1).cast("long"))
-      .otherwise(lit(payloadBits + 1) - length(bin(w)).cast("long"))
-    (h.bitwiseAND(lit(m - 1).cast("long")), rho)
+    val w = shiftright(h, p)
+    val maxRho = 61 - p
+    val rho = when(w === 0L, lit(maxRho).cast("long"))
+      .otherwise(lit(maxRho) - length(bin(w)).cast("long"))
+    (h.bitwiseAND(lit((1 << p) - 1).cast("long")), rho)
   }
+
+  /** (register, rho) of a term at the default m = 512. */
+  def registerRho(term: Column): (Column, Column) = registerRhoP(term, 9)
 
   /** Per-group register table: groupCols :+ (register, m_j), only
     * registers some term actually hit (≤ m rows per group). */
-  def registers(terms: DataFrame, term: Column, groupCols: Seq[String]): DataFrame = {
-    val (reg, rho) = registerRho(term)
+  def registers(terms: DataFrame, term: Column, groupCols: Seq[String]): DataFrame =
+    registersP(terms, term, groupCols, 9)
+
+  def registersP(
+      terms: DataFrame, term: Column, groupCols: Seq[String], p: Int): DataFrame = {
+    val (reg, rho) = registerRhoP(term, p)
     terms
       .withColumn("register", reg)
       .withColumn("__rho", rho)
@@ -89,6 +98,89 @@ object PortableHll {
   private def rawEstimate(sScaled: Column): Column =
     lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
       lit(262144.0) * lit(4503599627370496.0) / sScaled.cast("double")
+
+  /** qt50: the sketch-size tuning curve — accuracy vs register count
+    * (the memory knob). For each m = 2^p, per-source raw estimates
+    * against exact distincts, rolled up to the worst floor-scaled
+    * relative error and the count of sources inside 3× the
+    * theoretical rsd 1.04/√m. One row per m; err_bp integers keep
+    * every value engine-exact. */
+  def sizeCurve(docs: DataFrame, text: Column, ps: Seq[Int]): DataFrame = {
+    val terms = docs.select(
+      col("source"), explode(grams(text)).as("term"))
+    val exact = terms.groupBy("source")
+      .agg(countDistinct(col("term")).as("__exact"))
+    ps.map { p =>
+      val m = 1 << p
+      val maxRho = 61 - p
+      val mm = m.toDouble * m.toDouble
+      val pow2 = math.pow(2.0, maxRho) // exact: power of two
+      val regs = registersP(terms, col("term"), Seq("source"), p)
+      val est = regs
+        .groupBy("source")
+        .agg(
+          (expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST($maxRho - m_j AS INT))) AS BIGINT)")
+            + (lit(m.toLong) - count(lit(1))) * lit(1L << maxRho))
+            .as("__s"))
+        .withColumn(
+          "__est",
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+            lit(mm) * lit(pow2) / col("__s").cast("double"))
+      val boundBp =
+        math.floor(3.0 * 1.04 / math.sqrt(m.toDouble) * 10000.0).toLong
+      est
+        .join(exact, Seq("source"))
+        .withColumn(
+          "__err_bp",
+          floor(
+            abs(col("__est") - col("__exact").cast("double"))
+              / col("__exact").cast("double") * lit(10000.0)).cast("bigint"))
+        .agg(
+          count(lit(1)).as("n_sources"),
+          max(col("__err_bp")).as("max_err_bp"),
+          sum(when(col("__err_bp") <= boundBp, 1L).otherwise(0L))
+            .cast("bigint").as("sources_within_3sigma"))
+        .select(
+          lit(m.toLong).as("n_registers"),
+          col("n_sources"), col("max_err_bp"), col("sources_within_3sigma"))
+    }.reduce(_ unionByName _)
+  }
+
+  def oracleSizeCurveSql(ps: Seq[Int]): String =
+    ps.map { p =>
+      val m = 1 << p
+      val maxRho = 61 - p
+      val mm = m.toDouble * m.toDouble
+      val pow2 = math.pow(2.0, maxRho)
+      val boundBp =
+        math.floor(3.0 * 1.04 / math.sqrt(m.toDouble) * 10000.0).toLong
+      s"""SELECT * FROM (
+         |WITH t AS ($termsSql),
+         |ex AS (SELECT source, count(DISTINCT term) AS ex_d FROM t GROUP BY source),
+         |regs AS (SELECT source,
+         |                h & ${m - 1} AS register,
+         |                max(CASE WHEN (h >> $p) = 0 THEN $maxRho
+         |                         ELSE $maxRho - length(bin(h >> $p)) END) AS m_j
+         |         FROM (SELECT source,
+         |                      CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h
+         |               FROM t)
+         |         GROUP BY source, register),
+         |est AS (SELECT source,
+         |               CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m.0 AS DOUBLE))
+         |                 * CAST($mm AS DOUBLE) * CAST($pow2 AS DOUBLE)
+         |                 / CAST(CAST(sum(CAST(1 AS BIGINT) << CAST($maxRho - m_j AS INTEGER)) AS BIGINT)
+         |                     + ($m - count(*)) * (CAST(1 AS BIGINT) << $maxRho) AS DOUBLE) AS e
+         |        FROM regs GROUP BY source),
+         |err AS (SELECT est.source,
+         |               CAST(floor(abs(e - CAST(ex_d AS DOUBLE)) / CAST(ex_d AS DOUBLE) * 10000.0) AS BIGINT) AS err_bp
+         |        FROM est JOIN ex ON est.source = ex.source)
+         |SELECT CAST($m AS BIGINT) AS n_registers,
+         |       count(*) AS n_sources,
+         |       max(err_bp) AS max_err_bp,
+         |       CAST(sum(CASE WHEN err_bp <= $boundBp THEN 1 ELSE 0 END) AS BIGINT) AS sources_within_3sigma
+         |FROM err
+         |) s$p""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** The sketched stream: token 5-grams (order-sensitive, NOT
     * deduped — HLL's max makes duplicates free). Distinct n-grams per

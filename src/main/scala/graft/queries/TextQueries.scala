@@ -1159,6 +1159,26 @@ object TextQueries {
       (s, dir) =>
         graft.operators.text.PortableHll.mergeProfile(
           Tables.load(s, dir, "documents"), col("text")),
-      Some(graft.operators.text.PortableHll.oracleMergeSql))
+      Some(graft.operators.text.PortableHll.oracleMergeSql)),
+    Q(
+      "qt50_hll_size_curve",
+      // the sketch-size tuning curve (qt47/qs22/qp19's sibling for
+      // the cardinality sketch): accuracy vs register count m =
+      // 128..2048 — worst per-source floor-scaled relative error and
+      // how many sources sit inside 3x the theoretical rsd 1.04/sqrt(m).
+      // The curve bites in BOTH directions on purpose: small m pays
+      // variance (m=128: ~19% worst err), and m above ~cardinality/2.5
+      // (1024+ on this corpus) collapses into the small-range regime
+      // where the raw estimator needs linear counting — the fixture
+      // rows show 0 sources in bound there. That inflection is exactly
+      // why qt48 pins m=512 for ~1.4k-gram sources; at 100 TB
+      // cardinalities the raw regime widens and m is picked off this
+      // table.
+      (s, dir) =>
+        graft.operators.text.PortableHll.sizeCurve(
+          Tables.load(s, dir, "documents"), col("text"),
+          ps = Seq(7, 8, 9, 10, 11)),
+      Some(graft.operators.text.PortableHll
+        .oracleSizeCurveSql(Seq(7, 8, 9, 10, 11))))
   )
 }
