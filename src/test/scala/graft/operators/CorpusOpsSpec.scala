@@ -235,5 +235,8 @@ class CorpusOpsSpec extends SparkSpec {
         col("source"), col("doc_id"), n)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(without === ids)
+    // shared session: a lingering fixture cache poisons PlanShapeSpec's
+    // column-pruning pins
+    docs.unpersist()
   }
 }

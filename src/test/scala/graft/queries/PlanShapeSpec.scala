@@ -9,8 +9,13 @@ import graft.SparkSpec
   * and the bench (end numbers). */
 class PlanShapeSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // pins grep ReadSchema lines: a fixture cached by ANY earlier suite
+    // in the shared session would splice its full-column scan into the
+    // plan and fail the pruning assertions — pin against a clean cache
+    spark.sharedState.cacheManager.clearCache()
     Registry.byName(name).run(spark, sf0001).queryExecution.executedPlan.toString
+  }
 
   test("q01: scan prunes to the five needed lineitem columns") {
     val p = plan("q01_pricing_summary")

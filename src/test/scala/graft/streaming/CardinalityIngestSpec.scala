@@ -2,11 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.SparkSpec
 import graft.Tables
 import graft.operators.text.PortableHll
 
-class CardinalityIngestSpec extends SparkSpec {
+class CardinalityIngestSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
   private lazy val docs = Tables.load(spark, sf0001, "documents").cache()
@@ -68,5 +70,13 @@ class CardinalityIngestSpec extends SparkSpec {
     val n = spark.read.parquet(s"$dir/registers").count()
     val sources = docs.select("source").distinct().count()
     assert(n <= sources * PortableHll.m)
+  }
+
+  // the session is shared across suites: leaving the fixture cached
+  // would poison PlanShapeSpec's column-pruning pins (the cache's
+  // internal scan reads every column)
+  override def afterAll(): Unit = {
+    docs.unpersist()
+    super.afterAll()
   }
 }

@@ -2,11 +2,13 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 
+import org.scalatest.BeforeAndAfterAll
+
 import graft.SparkSpec
 import graft.Tables
 import graft.operators.text.SequencePack
 
-class PackIngestSpec extends SparkSpec {
+class PackIngestSpec extends SparkSpec with BeforeAndAfterAll {
   import spark.implicits._
 
   private lazy val docs = Tables.load(spark, sf0001, "documents").cache()
@@ -55,5 +57,13 @@ class PackIngestSpec extends SparkSpec {
       dir, capacity = 128, shards = 4)
     assert(PackIngest.assignment(spark, dir).count() == once,
       "re-running the same batch appended rows")
+  }
+
+  // the session is shared across suites: leaving the fixture cached
+  // would poison PlanShapeSpec's column-pruning pins (the cache's
+  // internal scan reads every column)
+  override def afterAll(): Unit = {
+    docs.unpersist()
+    super.afterAll()
   }
 }
