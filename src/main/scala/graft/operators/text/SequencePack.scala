@@ -78,25 +78,44 @@ object SequencePack {
     *
     * New doc_ids must sort after the already-packed ids of their
     * shard (the append-only id convention every increment path in
-    * this repo assumes); ids are not re-checked against the existing
-    * table. */
+    * this repo assumes). `validateOrder` (default on) enforces it
+    * LOUDLY — one tiny aggregation against the shard tail state that
+    * is being read anyway — because a violation would not fail, it
+    * would silently reorder the walk and break append == one-shot
+    * repack. */
   def appendAssign(
       existing: DataFrame,
       newDocs: DataFrame,
       text: Column,
       id: Column,
       capacity: Int,
-      shards: Int): DataFrame = {
+      shards: Int,
+      validateOrder: Boolean = true): DataFrame = {
     val tail = existing
       .groupBy("shard")
-      .agg(max(col("seq")).as("__max_seq"))
+      .agg(max(col("seq")).as("__max_seq"), max(col("doc_id")).as("__max_id"))
       .join(
         existing.groupBy("shard", "seq").agg(sum(col("len")).as("__f")),
         Seq("shard"))
       .where(col("seq") === col("__max_seq"))
-      .select(col("shard"), col("__max_seq"), col("__f").as("__tail_fill"))
-    val inc = assignInput(newDocs, text, id, capacity, shards)
+      .select(col("shard"), col("__max_seq"), col("__max_id"),
+        col("__f").as("__tail_fill"))
+    val joined = assignInput(newDocs, text, id, capacity, shards)
       .join(broadcast(tail), Seq("shard"), "left")
+    if (validateOrder) {
+      // the convention prefix-stability rests on, enforced LOUDLY: a
+      // new id at or below its shard's packed maximum would silently
+      // reorder the walk and break append == one-shot repack. One
+      // tiny aggregation over the already-joined increment.
+      val bad = joined
+        .where(col("__max_id").isNotNull && col("doc_id") <= col("__max_id"))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"appendAssign: new doc_id ${bad.headOption.map(_.get(1)).orNull} " +
+          "is <= its shard's already-packed maximum — increments must be " +
+          "append-only in id order (repack, or fix the id assignment)")
+    }
+    val inc = joined.drop("__max_id")
       .na.fill(Map("__max_seq" -> 1L, "__tail_fill" -> 0L))
     // ghost rows: doc_id null sorts FIRST in the ascending window
     val ghosts = inc

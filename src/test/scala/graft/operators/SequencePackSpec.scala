@@ -80,6 +80,18 @@ class SequencePackSpec extends SparkSpec {
       "append-continued packing diverges from the one-shot packing")
   }
 
+  test("appendAssign refuses out-of-order increments loudly") {
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val base = SequencePack.assign(
+      docs.filter(col("doc_id") >= 250), col("text"), col("doc_id"),
+      capacity = 128, shards = 4)
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.appendAssign(base, docs.filter(col("doc_id") < 250),
+        col("text"), col("doc_id"), capacity = 128, shards = 4).count()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("appendAssign into an empty base starts sequences at 1") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
       .limit(20)
