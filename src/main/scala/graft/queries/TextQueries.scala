@@ -1179,6 +1179,23 @@ object TextQueries {
           Tables.load(s, dir, "documents"), col("text"),
           ps = Seq(7, 8, 9, 10, 11)),
       Some(graft.operators.text.PortableHll
-        .oracleSizeCurveSql(Seq(7, 8, 9, 10, 11))))
+        .oracleSizeCurveSql(Seq(7, 8, 9, 10, 11)))),
+    Q(
+      "qt51_hybrid_retrieval",
+      // hybrid search: reciprocal-rank fusion of qt30's BM25 lexical
+      // ranking and a qs02-style dense cosine ranking over the docs'
+      // embeddings — fusing on RANKS (integer 10^6 div (60+rank))
+      // sidesteps the incomparable score scales AND every float
+      // portability question; each ranker takes its natural query
+      // form (terms / a probe embedding). The fusion itself touches
+      // <= 2k rows regardless of corpus size.
+      (s, dir) =>
+        graft.operators.text.HybridRetrieval.topK(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          Tables.load(s, dir, "embeddings"),
+          queryTerms = Seq("spark", "window", "vector"),
+          probeId = 0L, kPerList = 50, kOut = 15),
+      Some(graft.operators.text.HybridRetrieval.oracleSql(
+        Seq("spark", "window", "vector"), 0L, 50, 15)))
   )
 }
