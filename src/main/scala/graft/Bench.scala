@@ -35,10 +35,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=qd18_...,qt33_... subsets the run — the
     // adjudication loop (re-time one drifted query quietly) shouldn't
     // cost a full bench sweep
+    // same parsing as SPARK_GRAFT_ONLY / SPARK_GRAFT_SMOKE_ONLY:
+    // empty tokens dropped (a set-but-empty var must not silently
+    // bench nothing) and PREFIX match (qd18 selects qd18_...)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val benchQs = Registry.all.filter(_.bench)
-      .filter(q => only.forall(_.contains(q.name)))
+      .filter(q => only.forall(f => f.exists(q.name.startsWith)))
     // warmup: prime file listings, footers, and codegen paths
     benchQs.foreach { q =>
       try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -319,15 +319,21 @@ object Main {
         // n_docs, seq_tokens). The assignment crosses a Barrier so the
         // stats, the write, and the materialization never recompute
         // the window.
-        import org.apache.spark.sql.functions.{col, concat_ws, count, lit, struct, sum, transform, array_sort, collect_list}
+        import org.apache.spark.sql.functions.col
         val t = opt("--table").getOrElse("documents")
         val into = opt("--into").getOrElse(s"${t}_packed")
         val capacity = opt("--capacity").map(_.toInt).getOrElse(2048)
         val shards = opt("--shards").map(_.toInt).getOrElse(32)
+        val append = args.contains("--append")
+        // --append reads the DESTINATION back, so delivery formats are
+        // refused like every other read-back mode (compact's sibling)
+        (if (append) refuseDelivery("pack --append", cfg.dest.url) else None)
+          .getOrElse {
         val docs = catalogFor(cfg.src).read(spark, t)
         val sink = sinkFor(cfg.dest, cfg)
+        val appending = append && sink.exists(spark, into)
         val asg = graft.operators.Barrier(
-          if (args.contains("--append") && sink.exists(spark, into))
+          if (appending)
             // continue the persisted packing: next-fit is prefix-stable,
             // so appended sequences land exactly where a one-shot
             // repack would put them (SequencePackSpec's equality)
@@ -337,10 +343,16 @@ object Main {
           else
             graft.operators.text.SequencePack.assign(
               docs, col("text"), col("doc_id"), capacity, shards))
-        if (args.contains("--append") && sink.exists(spark, into))
-          sink.append(asg, into)
+        val appendedDocs = if (appending) asg.count() else -1L
+        if (appending) sink.append(asg, into)
         else sink.overwrite(asg, into)
-        val st = graft.operators.text.SequencePack.stats(asg, capacity)
+        // the report covers the WHOLE persisted table: increment-only
+        // stats would divide increment tokens by continued absolute
+        // sequence numbers and print nonsense utilization
+        val whole =
+          if (appending) sink.readBack(spark, into)
+          else asg
+        val st = graft.operators.text.SequencePack.stats(whole, capacity)
           .orderBy("shard").collect()
         println(table(
           Seq(Seq("Shard", "Docs", "Seqs", "Tokens", "Util bp", "Lower bound")) ++
@@ -352,25 +364,21 @@ object Main {
               r.getAs[Long]("lower_bound_seqs").toString))))
         if (args.contains("--materialize")) {
           // the trainer-facing table carries the TEXT, not the md5 —
-          // same capacity-bounded groupBy as qp17's verified shape
-          val seqs = asg
-            .join(docs.select(col("doc_id"), col("text").as("__text")), Seq("doc_id"))
-            .groupBy("shard", "seq")
-            .agg(
-              concat_ws(" ",
-                transform(
-                  array_sort(collect_list(struct(col("doc_id"), col("__text")))),
-                  s => s.getField("__text"))).as("text"),
-              count(lit(1)).as("n_docs"),
-              sum(col("len")).as("seq_tokens"))
+          // the same oracle-verified convention as qp17, one impl
+          val seqs = graft.operators.text.SequencePack.materializeText(
+            asg, docs, col("text"), col("doc_id"))
           sinkFor(cfg.dest, cfg).overwrite(seqs, s"${t}_sequences")
           println(s"materialized sequences -> ${t}_sequences")
         }
-        val verb = if (args.contains("--append")) "appended" else "packed"
+        val totalDocs = st.map(_.getAs[Long]("n_docs")).sum
+        val maxSeq = if (st.isEmpty) 0L else st.map(_.getAs[Long]("n_seqs")).max
+        val verb =
+          if (appending) s"appended $appendedDocs docs (table now $totalDocs)"
+          else s"packed $totalDocs docs"
         println(f"Pack finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
-          s"$verb ${st.map(_.getAs[Long]("n_docs")).sum} docs " +
-          s"(max seq ${st.map(_.getAs[Long]("n_seqs")).max}, capacity $capacity, $shards shards) -> $into")
+          s"$verb (max seq $maxSeq, capacity $capacity, $shards shards) -> $into")
         0
+          }
       case "compact" =>
         // table maintenance for file endpoints: appends (watermark
         // sync, curate/pack increments) accumulate small files, and a

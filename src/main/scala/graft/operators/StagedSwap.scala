@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ONE implementation of the crash-safe directory swap every
+  * persisted artifact in this repo rotates through (ANN codes, media
+  * hashes, HLL registers, plain tables): write the replacement aside,
+  * move the live dir out, move the replacement in, delete the old —
+  * with explicit recovery semantics for every crash window:
+  *
+  *   - crash before the first rename: live untouched, `tmp` is
+  *     garbage the next swap overwrites;
+  *   - crash between rename-out and rename-in: live is MISSING but
+  *     `old` holds everything — [[restoreIfInterrupted]] adopts it
+  *     (callers run it before reading, so the artifact "never
+  *     vanishes" is true across restarts, not just within a run);
+  *   - crash after rename-in: `old` is a stale leftover the next
+  *     swap deletes.
+  *
+  * Extracted after review: four hand-rolled copies of this dance had
+  * drifted into subtly different recovery behavior (one silently
+  * RESTARTED a sketch when the live dir was missing mid-window).
+  */
+object StagedSwap {
+
+  def oldPath(live: Path) = new Path(live.toString + "_old")
+  def tmpPath(live: Path) = new Path(live.toString + "_staging")
+
+  /** Adopt a completed-but-unswapped interruption: if the live dir is
+    * missing and `old` exists, the process died mid-swap — move the
+    * old data back. Returns true when a restore happened. */
+  def restoreIfInterrupted(fs: FileSystem, live: Path): Boolean = {
+    val old = oldPath(live)
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"staged swap: cannot restore $old after an interrupted swap")
+      true
+    } else false
+  }
+
+  /** Swap `tmp` (already fully written by the caller) into `live`.
+    * On failure the live dir is restored — the artifact never
+    * vanishes within the run; [[restoreIfInterrupted]] covers the
+    * across-restart window. */
+  def swapIn(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    val old = oldPath(live)
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"staged swap: cannot stage $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // restore; the artifact must never vanish
+      throw new java.io.IOException(s"staged swap: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+    ()
+  }
+}

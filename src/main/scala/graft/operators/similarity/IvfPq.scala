@@ -71,9 +71,9 @@ object IvfPq {
   def compactIndex(spark: SparkSession, dir: String): (Long, Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/codes_old")
     val fs = codes.getFileSystem(conf)
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, codes)
+    val tmp = graft.operators.StagedSwap.tmpPath(codes)
     def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
       var n = 0L
@@ -84,14 +84,7 @@ object IvfPq {
     spark.read.parquet(codes.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(codes, old))
-      throw new java.io.IOException(s"compact: cannot stage $codes aside")
-    if (!fs.rename(tmp, codes)) {
-      fs.rename(old, codes) // restore; the serving index must never vanish
-      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
-    }
-    fs.delete(old, true)
+    graft.operators.StagedSwap.swapIn(fs, codes, tmp)
     (before, parquetFiles(codes))
   }
 

@@ -162,16 +162,31 @@ object SequencePack {
       docs: DataFrame,
       text: Column,
       id: Column): DataFrame =
+    materializeText(assigned, docs, text, id)
+      .select(
+        col("shard"), col("seq"), col("n_docs"), col("seq_tokens"),
+        md5(col("text")).as("seq_md5"))
+
+  /** The trainer-facing variant: the concatenated sequence TEXT
+    * itself (shard, seq, text, n_docs, seq_tokens). [[materialize]]
+    * is this with the text md5'd for the narrow value oracle — ONE
+    * implementation of the ordering/concat convention. */
+  def materializeText(
+      assigned: DataFrame,
+      docs: DataFrame,
+      text: Column,
+      id: Column): DataFrame =
     assigned
       .join(docs.select(id.as("doc_id"), text.as("__text")), Seq("doc_id"))
       .groupBy("shard", "seq")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("len")).as("seq_tokens"),
-        md5(concat_ws(" ",
+        concat_ws(" ",
           transform(
             array_sort(collect_list(struct(col("doc_id"), col("__text")))),
-            s => s.getField("__text")))).as("seq_md5"))
+            s => s.getField("__text"))).as("text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("seq_tokens"))
+      .select("shard", "seq", "text", "n_docs", "seq_tokens")
 
   /** Shared oracle fragment: the packed assignment as a recursive CTE
     * (DuckDB walks each shard serially, exactly the kernel's

@@ -40,26 +40,22 @@ object CardinalityIngest {
     val batchRegs = PortableHll.registers(terms, col("term"), Seq("source"))
     val regs = new org.apache.hadoop.fs.Path(regsPath(dir))
     val fs = regs.getFileSystem(spark.sessionState.newHadoopConf())
+    // a crash between the swap's renames leaves the live dir missing
+    // and the history in _old; WITHOUT this adoption the next fold
+    // would silently RESTART the sketch from one batch (review
+    // finding) — now the window is recovered, not forgotten
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, regs)
     val merged =
       if (fs.exists(regs))
         PortableHll.mergeRegisters(
           spark.read.parquet(regs.toString).unionByName(batchRegs),
           Seq("source"))
       else batchRegs
-    val tmp = new org.apache.hadoop.fs.Path(s"${regsPath(dir)}_folding")
-    val old = new org.apache.hadoop.fs.Path(s"${regsPath(dir)}_old")
+    val tmp = graft.operators.StagedSwap.tmpPath(regs)
     // the merged plan READS the live registers, so it must materialize
     // into the staging dir before the live dir can move aside
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(regs) && !fs.rename(regs, old))
-      throw new java.io.IOException(s"fold: cannot stage $regs aside")
-    if (!fs.rename(tmp, regs)) {
-      fs.rename(old, regs) // restore; the sidecar must never vanish
-      throw new java.io.IOException(s"fold: cannot swap $tmp into place")
-    }
-    fs.delete(old, true)
-    ()
+    graft.operators.StagedSwap.swapIn(fs, regs, tmp)
   }
 
   /** Maintain the registers from a stream. AvailableNow by default —
@@ -84,7 +80,11 @@ object CardinalityIngest {
   /** Serve the current per-source estimates from the sidecar alone —
     * (source, s_scaled, zero_registers, raw_est), the qt48 columns,
     * with zero contact with the ingested corpus. */
-  def estimates(spark: SparkSession, dir: String): DataFrame =
+  def estimates(spark: SparkSession, dir: String): DataFrame = {
+    val regs = new org.apache.hadoop.fs.Path(regsPath(dir))
+    graft.operators.StagedSwap.restoreIfInterrupted(
+      regs.getFileSystem(spark.sessionState.newHadoopConf()), regs)
     PortableHll.estimate(
       spark.read.parquet(regsPath(dir)), Seq("source"))
+  }
 }

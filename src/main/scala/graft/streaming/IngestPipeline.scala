@@ -215,6 +215,23 @@ object IngestPipeline {
     }
   }
 
+  /** The shared id-bloom rebuild convention (creation, sidecar
+    * adoption, saturation) for every maintenance path — 4× headroom
+    * over the current id count so folds have room before fpp decays.
+    * `ids` must be a single non-null string column named `id`.
+    * Extracted after review: three near-verbatim copies had to agree
+    * on headroom and the BloomMeta contract by hand. */
+  private[graft] def writeIdBloomFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: org.apache.spark.sql.DataFrame,
+      bloomPath: String,
+      metaPath: String,
+      fpp: Double): Unit = {
+    val n = math.max(ids.count() * 4, 4L)
+    writeBloom(spark, ids.stat.bloomFilter("id", n, fpp), bloomPath)
+    writeBloomMeta(spark, BloomMeta(n, fpp), metaPath)
+  }
+
   /** The bloom's creation params, persisted beside the bits:
     * `BloomFilter.mergeInPlace` requires identical (numBits,
     * numHashFunctions), and those derive from (expectedItems, fpp) at

@@ -230,25 +230,16 @@ object MediaIngest {
     val conf = spark.sessionState.newHadoopConf()
     val hashes = new org.apache.hadoop.fs.Path(s"$dir/hashes")
     val fs = hashes.getFileSystem(conf)
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, hashes)
     def dataFiles(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(hashes)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/hashes__compact")
+    val tmp = graft.operators.StagedSwap.tmpPath(hashes)
     val n = math.max(1L, spark.read.parquet(s"$dir/hashes").count() / 4000000L)
     spark.read.parquet(s"$dir/hashes")
       .coalesce(math.min(n, Int.MaxValue.toLong).toInt)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$dir/hashes__old")
-    // a crashed prior compact can leave the stage-aside dir behind —
-    // clear it or every later rename(hashes, old) fails forever
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(hashes, old))
-      throw new java.io.IOException(s"compact: cannot stage $hashes aside")
-    if (!fs.rename(tmp, hashes)) {
-      fs.rename(old, hashes) // restore; the index must never vanish
-      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
-    }
-    fs.delete(old, true)
+    graft.operators.StagedSwap.swapIn(fs, hashes, tmp)
     writeBandBloom(spark, dir, bands)
     (before, dataFiles(hashes))
   }
@@ -278,9 +269,13 @@ object MediaIngest {
         // reject the replay and drop the payloads forever
         // admitBatch decodes select("id", "content"), so a custom id
         // column is renamed into place first — without this the idCol
-        // parameter would advertise support the decode step lacks
+        // parameter would advertise support the decode step lacks. A
+        // stray pre-existing "id" column is dropped before the rename
+        // (the caller designated idCol as THE id; keeping both would
+        // make the select ambiguous and fail every micro-batch)
         val keyed =
-          if (idCol == "id") batch else batch.withColumnRenamed(idCol, "id")
+          if (idCol == "id") batch
+          else batch.drop("id").withColumnRenamed(idCol, "id")
         val a = admitBatch(keyed, indexDir, maxHamming, bands)
         sink.append(
           batch.join(broadcast(a.admitted.select(col("id").as(idCol))),

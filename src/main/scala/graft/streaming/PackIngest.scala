@@ -33,17 +33,19 @@ object PackIngest {
   private def bloomMetaPath(dir: String) = s"$dir/ids.bloom.meta"
 
   /** Rebuild the id bloom from the persisted assignment (creation,
-    * adoption, saturation) — 4× headroom like its siblings. */
+    * adoption, saturation); `extraIds` (single string column `id`)
+    * joins the rebuild for ids that are ABOUT to be appended — a
+    * saturation rebuild mid-batch must cover the in-flight batch or
+    * the bloom-before-append crash discipline breaks. */
   def writeIdBloom(spark: SparkSession, dir: String,
-      fpp: Double = 0.01): Unit = {
-    val ids = spark.read.parquet(asgPath(dir))
+      fpp: Double = 0.01,
+      extraIds: Option[DataFrame] = None): Unit = {
+    val persisted = spark.read.parquet(asgPath(dir))
       .select(col("doc_id").cast("string").as("id"))
       .filter(col("id").isNotNull)
-    val n = math.max(ids.count() * 4, 4L)
-    IngestPipeline.writeBloom(
-      spark, ids.stat.bloomFilter("id", n, fpp), bloomPath(dir))
-    IngestPipeline.writeBloomMeta(
-      spark, IngestPipeline.BloomMeta(n, fpp), bloomMetaPath(dir))
+    val ids = extraIds.fold(persisted)(persisted.unionByName(_))
+    IngestPipeline.writeIdBloomFrom(
+      spark, ids, bloomPath(dir), bloomMetaPath(dir), fpp)
   }
 
   /** One maintenance step, also usable for batch increments: dedup
@@ -89,18 +91,18 @@ object PackIngest {
           spark.read.parquet(asgPath(dir)).select("doc_id"),
           Seq("doc_id"), "left_anti")
     }
-    // barrier BEFORE the append: the bloom fold re-reads `novel`, and
-    // un-materialized lineage would re-run the anti-join against an
-    // assignment that now contains these rows
+    // barrier BEFORE anything re-reads `novel`: un-materialized
+    // lineage would re-run the anti-join against an assignment that
+    // may meanwhile contain these rows
     val novelM = graft.operators.Barrier(novel)
-    // the continuation's tail-state aggregate reads the SAME directory
-    // the append writes into — materialize it first so the write job's
-    // lineage never lists its own output
-    val inc = graft.operators.Barrier(
-      SequencePack.appendAssign(
-        spark.read.parquet(asgPath(dir)), novelM,
-        col("__text"), col("doc_id"), capacity, shards))
-    inc.write.mode("append").parquet(asgPath(dir))
+    // ORDER MATTERS (review finding): the bloom folds BEFORE the
+    // append. A crash between the two then leaves only a FALSE
+    // POSITIVE window (ids in the bloom but not yet appended — the
+    // replay's confirming anti-join sees them absent and appends
+    // correctly). The reverse order left a false NEGATIVE window:
+    // appended ids invisible to a stale bloom, declared novel on
+    // replay, and appendAssign's order guard would crash-loop the
+    // stream with no recovery path.
     bloom match {
       case Some(bf) =>
         val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(dir))
@@ -110,10 +112,24 @@ object PackIngest {
           bf.mergeInPlace(novelIds.stat.bloomFilter("id", m.expectedItems, m.fpp)))
         if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
           IngestPipeline.writeBloom(spark, bf, bloomPath(dir))
-        else writeIdBloom(spark, dir)
-      case None =>
-        writeIdBloom(spark, dir)
+        else
+          // saturation rebuild happens BEFORE the append, so it must
+          // already cover this batch's ids
+          writeIdBloom(spark, dir, extraIds = Some(novelIds))
+      case None => () // sidecar adopted after the append below
     }
+    // the continuation's tail-state aggregate reads the SAME directory
+    // the append writes into — materialize it first so the write job's
+    // lineage never lists its own output
+    val inc = graft.operators.Barrier(
+      SequencePack.appendAssign(
+        spark.read.parquet(asgPath(dir)), novelM,
+        col("__text"), col("doc_id"), capacity, shards))
+    inc.write.mode("append").parquet(asgPath(dir))
+    if (bloom.isEmpty)
+      // adopt the sidecar for the NEXT append (one full ids pass now
+      // buys bloom-gated appends forever after)
+      writeIdBloom(spark, dir)
   }
 
   /** Maintain the assignment from a stream. AvailableNow by default —

@@ -70,15 +70,14 @@ object VectorIngest {
     * fold forward before fpp decays ([[IngestPipeline.buildIndexDir]]'s
     * policy). */
   def writeIdBloom(spark: SparkSession, indexDir: String,
-      fpp: Double = 0.01): Unit = {
-    val ids = spark.read.parquet(s"$indexDir/codes")
+      fpp: Double = 0.01,
+      extraIds: Option[DataFrame] = None): Unit = {
+    val persisted = spark.read.parquet(s"$indexDir/codes")
       .select(col("id").cast("string").as("id"))
       .filter(col("id").isNotNull)
-    val n = math.max(ids.count() * 4, 4L)
-    IngestPipeline.writeBloom(
-      spark, ids.stat.bloomFilter("id", n, fpp), bloomPath(indexDir))
-    IngestPipeline.writeBloomMeta(
-      spark, IngestPipeline.BloomMeta(n, fpp), bloomMetaPath(indexDir))
+    val ids = extraIds.fold(persisted)(persisted.unionByName(_))
+    IngestPipeline.writeIdBloomFrom(
+      spark, ids, bloomPath(indexDir), bloomMetaPath(indexDir), fpp)
   }
 
   /** One batch of the maintenance loop, also usable standalone for
@@ -130,11 +129,17 @@ object VectorIngest {
         val existing = spark.read.parquet(s"$indexDir/codes").select("id")
         rows.join(existing, Seq("id"), "left_anti")
     }
-    // barrier BEFORE the append: the fold below re-reads `novel`, and
-    // un-materialized lineage would re-run the anti-join against the
-    // index that now CONTAINS these rows (yielding nothing to fold)
+    // barrier BEFORE anything re-reads `novel` — un-materialized
+    // lineage would re-run the anti-join against the index after it
+    // gains these rows (yielding nothing to fold)
     val novelM = graft.operators.Barrier(novel)
-    IvfPq.appendIndex(novelM, col("v"), col("id"), indexDir, cb)
+    // ORDER MATTERS (review finding): the bloom folds BEFORE the
+    // append. A crash between the two leaves a FALSE POSITIVE window
+    // only — ids in the bloom but not the index, so a replay's
+    // confirming anti-join finds them absent and appends correctly.
+    // The old append-first order left a false NEGATIVE window: a
+    // stale bloom declared already-appended ids novel on replay and
+    // the fast path re-appended DUPLICATES silently.
     bloom match {
       case Some(bf) =>
         val meta = IngestPipeline.readBloomMeta(spark, bloomMetaPath(indexDir))
@@ -146,11 +151,17 @@ object VectorIngest {
           bf.mergeInPlace(novelIds.stat.bloomFilter("id", m.expectedItems, m.fpp)))
         if (meta.nonEmpty && bf.expectedFpp() <= 0.05)
           IngestPipeline.writeBloom(spark, bf, bloomPath(indexDir))
-        else writeIdBloom(spark, indexDir) // saturated or paramless: rebuild
-      case None =>
-        // adopt the sidecar for the NEXT append (one full ids pass now
-        // buys bloom-gated appends forever after)
-        writeIdBloom(spark, indexDir)
+        else
+          // saturation rebuild runs pre-append, so it must already
+          // cover this batch's ids
+          writeIdBloom(spark, indexDir, extraIds = Some(novelIds))
+      case None => () // sidecar adopted after the append below
     }
+    IvfPq.appendIndex(novelM, col("v"), col("id"), indexDir, cb)
+    if (bloom.isEmpty)
+      // adopt the sidecar for the NEXT append (one full ids pass now
+      // buys bloom-gated appends forever after; the anti-join path it
+      // replaces has no false negatives, so post-append is safe here)
+      writeIdBloom(spark, indexDir)
   }
 }

@@ -249,6 +249,7 @@ final case class FileSink(dir: String, format: String = "parquet") extends Sink 
     val conf = spark.sessionState.newHadoopConf()
     val live = new org.apache.hadoop.fs.Path(path(table))
     val fs = live.getFileSystem(conf)
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
     require(fs.exists(live), s"no such table: ${path(table)}")
     def dataFiles(p: org.apache.hadoop.fs.Path): (Long, Long) = {
       val it = fs.listFiles(p, true)
@@ -262,22 +263,14 @@ final case class FileSink(dir: String, format: String = "parquet") extends Sink 
     }
     val (before, bytes) = dataFiles(live)
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path(table) + "_compacting")
-    val old = new org.apache.hadoop.fs.Path(path(table) + "_old")
+    val tmp = graft.operators.StagedSwap.tmpPath(live)
     // the rewrite lands in the staging dir while the live dir is still
     // in place, so the read lineage stays valid without a Barrier
     readBack(spark, table)
       .repartition(parts)
       .write.mode(SaveMode.Overwrite).options(writeOpts)
       .format(format).save(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compact: cannot stage $live aside")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // restore; the table must never vanish
-      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
-    }
-    fs.delete(old, true)
+    graft.operators.StagedSwap.swapIn(fs, live, tmp)
     (before, dataFiles(live)._1)
   }
 }

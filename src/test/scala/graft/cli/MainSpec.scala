@@ -318,6 +318,32 @@ class MainSpec extends SparkSpec {
     // --append --materialize is refused (partial sequence text)
     assert(Main.run(Array("pack", "--table", "d2", "--into", "packed",
       "--append", "--materialize", "--config", cfg), spark) == 1)
+    // --append into a delivery-format destination is refused up front
+    // (it reads the destination back through schema inference)
+    val csvCfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: csv:$out
+         |""".stripMargin)
+    assert(Main.run(Array("pack", "--table", "d2", "--into", "packed",
+      "--append", "--config", csvCfg), spark) == 1)
+  }
+
+  test("pack on an empty table reports cleanly instead of crashing") {
+    val src = Files.createTempDirectory("graft_cli_packe_src").toString
+    val out = Files.createTempDirectory("graft_cli_packe").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.parquet(s"$src/empty_docs.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("pack", "--table", "empty_docs",
+      "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$out/empty_docs_packed.parquet").count() == 0)
   }
 
   test("ann build + append + search lifecycle over the persisted IVFxPQ index") {

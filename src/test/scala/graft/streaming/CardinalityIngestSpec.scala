@@ -57,6 +57,22 @@ class CardinalityIngestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(once == twice, "re-folding the same batch changed registers")
   }
 
+  test("an interrupted swap is adopted, never restarted from one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ci_x").toString
+    CardinalityIngest.foldBatch(docs, col("text"), dir)
+    val full = spark.read.parquet(s"$dir/registers").collect().toSet
+    // simulate a crash between the swap's renames: live dir moved
+    // aside, replacement never moved in
+    val live = new org.apache.hadoop.fs.Path(s"$dir/registers")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(live, graft.operators.StagedSwap.oldPath(live)))
+    // the next fold must ADOPT the stranded history — folding a tiny
+    // batch again must still equal the full sketch, not restart
+    CardinalityIngest.foldBatch(docs.limit(3), col("text"), dir)
+    val after = spark.read.parquet(s"$dir/registers").collect().toSet
+    assert(after == full, "interrupted swap silently restarted the sketch")
+  }
+
   test("estimates serve from the sidecar and match the batch profile") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ci_e").toString
     CardinalityIngest.foldBatch(docs, col("text"), dir)
