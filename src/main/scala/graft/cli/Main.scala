@@ -24,6 +24,10 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *   graft curate --table t --into t2       one-command corpus curation
   *                                          ([--rules] [--bench evaltbl]
   *                                          [--min-tokens n] [--threshold x])
+  *   graft hll build|append|show --table t --index d
+  *                                          distinct-count register
+  *                                          sidecar (fold corpus /
+  *                                          increments, serve estimates)
   *   graft compact --table t [--target-mb n] rewrite a file-endpoint
   *                                          table to target-size files
   *                                          (staged swap)
@@ -379,6 +383,48 @@ object Main {
           s"$verb (max seq $maxSeq, capacity $capacity, $shards shards) -> $into")
         0
           }
+      case "hll" =>
+        // the cardinality-sidecar lifecycle (CardinalityIngest's CLI
+        // face, the sketch sibling of index/ann/media/pack):
+        //   hll build  --table t --index d   fold the corpus into the
+        //                                    register sidecar
+        //   hll append --table t --index d   fold an increment (replays
+        //                                    are free: max is idempotent)
+        //   hll show   --index d             per-source estimates from
+        //                                    the sidecar alone
+        import org.apache.spark.sql.functions.col
+        val sub = args.lift(1).getOrElse("")
+        val idx = opt("--index").getOrElse("/tmp/graft_hll")
+        sub match {
+          case "build" | "append" =>
+            val t = opt("--table").getOrElse("documents")
+            val docs = catalogFor(cfg.src).read(spark, t)
+            graft.streaming.CardinalityIngest.foldBatch(docs, col("text"), idx)
+            val est = graft.streaming.CardinalityIngest.estimates(spark, idx)
+              .orderBy("source").collect()
+            println(table(
+              Seq(Seq("Source", "Zero regs", "Est distinct 5-grams")) ++
+                est.map(r => Seq(
+                  r.getAs[String]("source"),
+                  r.getAs[Long]("zero_registers").toString,
+                  f"${r.getAs[Double]("raw_est")}%.0f"))))
+            println(f"HLL $sub finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"${est.length} sources -> $idx")
+            0
+          case "show" =>
+            val est = graft.streaming.CardinalityIngest.estimates(spark, idx)
+              .orderBy("source").collect()
+            println(table(
+              Seq(Seq("Source", "Zero regs", "Est distinct 5-grams")) ++
+                est.map(r => Seq(
+                  r.getAs[String]("source"),
+                  r.getAs[Long]("zero_registers").toString,
+                  f"${r.getAs[Double]("raw_est")}%.0f"))))
+            0
+          case other2 =>
+            println(s"unknown hll subcommand '$other2'; usage: graft hll <build|append|show> --table t --index d")
+            2
+        }
       case "compact" =>
         // table maintenance for file endpoints: appends (watermark
         // sync, curate/pack increments) accumulate small files, and a
@@ -808,7 +854,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|hll <build|append|show>|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

@@ -330,6 +330,41 @@ class MainSpec extends SparkSpec {
       "--append", "--config", csvCfg), spark) == 1)
   }
 
+  test("hll build + append + show lifecycle; replays cost nothing") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_cli_hll_src").toString
+    val idx = Files.createTempDirectory("graft_cli_hll").toString + "/hll"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.parquet(s"$src/d1.parquet")
+    docs.filter(col("doc_id") >= 250).write.parquet(s"$src/d2.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    assert(Main.run(Array("hll", "build", "--table", "d1",
+      "--index", idx, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("hll", "append", "--table", "d2",
+      "--index", idx, "--config", cfg), spark) == 0)
+    // replaying an already-folded increment must not change registers
+    val before = spark.read.parquet(s"$idx/registers").collect().toSet
+    assert(Main.run(Array("hll", "append", "--table", "d2",
+      "--index", idx, "--config", cfg), spark) == 0)
+    assert(spark.read.parquet(s"$idx/registers").collect().toSet == before)
+    assert(Main.run(Array("hll", "show",
+      "--index", idx, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("hll", "frobnicate",
+      "--index", idx, "--config", cfg), spark) == 2)
+    // the folded sidecar equals a one-shot fold of the whole corpus
+    val whole = graft.operators.text.PortableHll.registers(
+      docs.select(col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.operators.text.PortableHll.grams(col("text"))).as("term")),
+      col("term"), Seq("source")).collect().toSet
+    assert(before == whole, "CLI folds diverge from the one-shot sketch")
+  }
+
   test("pack on an empty table reports cleanly instead of crashing") {
     val src = Files.createTempDirectory("graft_cli_packe_src").toString
     val out = Files.createTempDirectory("graft_cli_packe").toString
