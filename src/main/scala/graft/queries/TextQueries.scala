@@ -1196,6 +1196,37 @@ object TextQueries {
           queryTerms = Seq("spark", "window", "vector"),
           probeId = 0L, kPerList = 50, kOut = 15),
       Some(graft.operators.text.HybridRetrieval.oracleSql(
-        Seq("spark", "window", "vector"), 0L, 50, 15)))
+        Seq("spark", "window", "vector"), 0L, 50, 15))),
+    Q(
+      "qt52_backoff_lm_score",
+      // distributed stupid-backoff trigram LM (the Brants et al. 2007
+      // count-based web-scale LM): train uni/bi/trigram count tables
+      // over the corpus, score every document by mean negative
+      // log-score with alpha-per-level backoff. Context-aware sibling
+      // of qt38's unigram CE gate — penalizes improbable SEQUENCES.
+      // All arithmetic is BIGINT-ratio + integer micro-nats, so the
+      // per-doc rollup is an order-free integer sum (value-oracled).
+      // minCount=2 prunes singleton bi/trigrams (the Brants web-scale
+      // discipline) — WITH the prune the backoff path actually
+      // engages on self-trained data; minCount=1 would make c3 cover
+      // every stream trigram by construction and never back off.
+      (s, dir) =>
+        graft.operators.text.BackoffLm.score(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          alpha = 0.4, tau = 3.2, minCount = 2),
+      Some(graft.operators.text.BackoffLm.oracleScoreSql(0.4, 3.2, 2)),
+      bench = true),
+    Q(
+      "qt53_backoff_coverage",
+      // the trained model's coverage curve per language: what fraction
+      // of each language's token stream scores at the trigram / bigram
+      // / unigram level, plus the corpus-level cross-entropy — the
+      // diagnostic that tells you whether minCount pruning (or a
+      // domain shift) is starving the high-order tables.
+      (s, dir) =>
+        graft.operators.text.BackoffLm.coverage(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          col("lang"), alpha = 0.4, minCount = 2),
+      Some(graft.operators.text.BackoffLm.oracleCoverageSql(0.4, 2)))
   )
 }

@@ -17,6 +17,14 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# local-iteration filter, same convention as graft.Verify: a comma
+# list of name prefixes (SPARK_GRAFT_ONLY=qt52,qt53 checks just those)
+_only = [t.strip() for t in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+         if t.strip()]
+if _only:
+    oracle = {k: v for k, v in oracle.items()
+              if any(k.startswith(p) for p in _only)}
+
 def norm(v):
     if v is None:
         return ("null",)
