@@ -1,0 +1,193 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PortableRound, TextOps}
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+  * select raw-corpus documents whose HASHED N-GRAM distribution looks
+  * like a target domain. Both the target slice and the full corpus are
+  * reduced to a B-bucket multinomial over hashed unigram+bigram
+  * features; each document's importance weight is its log-likelihood
+  * ratio under the two multinomials,
+  *
+  *   w(d) = sum over feature occurrences f in d of
+  *          [ ln p_target(bucket(f)) - ln p_raw(bucket(f)) ]
+  *
+  * (Laplace-smoothed), and resampling keeps the top-k by weight. This
+  * is the distribution-MATCHING selector in the curation ladder —
+  * unlike a quality score it has no notion of "good", only "like the
+  * target".
+  *
+  * Scale shape: the model is ONE B-row bucket table (B ~ 10^3-10^4)
+  * built by a single map-side-combined aggregation over exploded
+  * features, then BROADCAST back onto the feature stream; the per-doc
+  * rollup is the only other shuffle (narrow (id, bucket) rows, integer
+  * sums). Nothing is ever quadratic and no driver-side state exists at
+  * any corpus size; top-k is a TakeOrdered, never a global sort.
+  *
+  * Portability: bucket = md5-prefix mod B (bit-identical in both
+  * engines); bucket log-probs are floor-scaled integer MICRO-NATS of
+  * exact BIGINT-ratio divisions, so document weights are order-free
+  * integer sums and ties resample identically under the (weight DESC,
+  * id) cut.
+  */
+object ImportanceResample {
+
+  /** Hashed unigram+bigram feature buckets of the normalized text —
+    * an array<long> WITH multiplicity (DSIR counts occurrences, not
+    * distinct features). */
+  def featureBuckets(text: Column, buckets: Int): Column = {
+    val t = TextOps.tokens(text)
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(t, bigrams),
+      f => conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets)
+  }
+
+  /** Per-document importance weights: (id, n_feats, lr_micro,
+    * avg_logratio) — lr_micro is the EXACT integer micro-nat
+    * log-likelihood-ratio sum, avg_logratio its 4-dp per-feature mean.
+    * `target` marks the rows whose feature distribution defines the
+    * target domain; `smoothing` is the Laplace pseudo-count. */
+  def weights(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      target: Column,
+      buckets: Int = 1024,
+      smoothing: Long = 1L): DataFrame = {
+    require(buckets >= 2, s"bad buckets $buckets")
+    require(smoothing >= 1, s"bad smoothing $smoothing")
+    val feats = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), target.as("is_t"),
+        explode(featureBuckets(text, buckets)).as("b"))
+    val bt = feats.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = bt.agg(
+      sum("ct").as("tt"), sum("cr").as("tr"))
+    val micro = (n: Column, t: Column) =>
+      floor(log((n.cast("double") + lit(smoothing.toDouble)) /
+        (t.cast("double") + lit((smoothing * buckets).toDouble))) * lit(1e6))
+        .cast("long")
+    val probs = bt.crossJoin(broadcast(tot)).select(
+      col("b"),
+      micro(col("ct"), col("tt")).as("lt"),
+      micro(col("cr"), col("tr")).as("lr"))
+    feats
+      .join(broadcast(probs), Seq("b"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("lt") - col("lr")).as("lr_micro"))
+      .select(
+        col("id"),
+        col("n_feats").cast("bigint").as("n_feats"),
+        col("lr_micro").cast("bigint").as("lr_micro"),
+        PortableRound.floorTo(
+          col("lr_micro").cast("double") / lit(1e6) /
+            col("n_feats").cast("double"), 4).as("avg_logratio"))
+  }
+
+  /** Resample top-k by (weight DESC, id) and report how the selection
+    * shifts the `strata` distribution: (stratum, n_docs, n_selected,
+    * sel_rate). The k cut is deterministic — integer weights with the
+    * id tiebreak. */
+  def sampleSummary(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      strata: Column,
+      target: Column,
+      buckets: Int = 1024,
+      smoothing: Long = 1L,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val w = weights(df, text, id, target, buckets, smoothing)
+    val sel = w.orderBy(col("lr_micro").desc, col("id")).limit(k)
+      .select(col("id"))
+    val docs = df.select(id.as("id"), strata.as("stratum"))
+    docs
+      .join(sel.withColumn("hit", lit(1L)), Seq("id"), "left")
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_selected"))
+      .select(
+        col("stratum"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("n_selected").cast("bigint").as("n_selected"),
+        PortableRound.floorTo(
+          col("n_selected").cast("double") / col("n_docs").cast("double"),
+          4).as("sel_rate"))
+  }
+
+  // ---- DuckDB oracles ----
+
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Shared CTE chain: hashed feature stream, bucket multinomials and
+    * the per-doc integer weight rollup — the literal SQL rendering of
+    * [[weights]]. `targetSql` is the target predicate over `documents`
+    * columns (e.g. "lang = 'en'"). */
+  private def weightCtes(
+      targetSql: String, buckets: Int, smoothing: Long): String =
+    s"""n AS (SELECT doc_id, ($targetSql) AS is_t,
+       |        string_split($normSql, ' ') AS toks
+       |      FROM documents),
+       |fs AS (SELECT doc_id, is_t, unnest(toks) AS f FROM n
+       |       UNION ALL
+       |       SELECT doc_id, is_t,
+       |              unnest(list_transform(range(1, len(toks)),
+       |                                    i -> toks[i] || ' ' || toks[i + 1])) AS f
+       |       FROM n),
+       |feats AS (SELECT doc_id, is_t,
+       |            CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % $buckets AS b
+       |          FROM fs),
+       |bt AS (SELECT b,
+       |         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         count(*)::BIGINT AS cr
+       |       FROM feats GROUP BY b),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |               CAST(sum(cr) AS BIGINT) AS tr FROM bt),
+       |probs AS (SELECT b,
+       |            CAST(floor(ln((CAST(ct AS DOUBLE) + $smoothing.0) /
+       |                          (CAST(tt AS DOUBLE) + ${smoothing * buckets}.0)) * 1000000.0) AS BIGINT) AS lt,
+       |            CAST(floor(ln((CAST(cr AS DOUBLE) + $smoothing.0) /
+       |                          (CAST(tr AS DOUBLE) + ${smoothing * buckets}.0)) * 1000000.0) AS BIGINT) AS lr
+       |          FROM bt, tot),
+       |w AS (SELECT feats.doc_id AS id, count(*)::BIGINT AS n_feats,
+       |        CAST(sum(probs.lt - probs.lr) AS BIGINT) AS lr_micro
+       |      FROM feats JOIN probs USING (b)
+       |      GROUP BY feats.doc_id)""".stripMargin
+
+  /** qp20 oracle — literal SQL twin of [[weights]]. */
+  def oracleWeightsSql(
+      targetSql: String, buckets: Int = 1024, smoothing: Long = 1L): String =
+    s"""WITH ${weightCtes(targetSql, buckets, smoothing)}
+       |SELECT id, n_feats, lr_micro,
+       |       ${PortableRound.floorToSql(
+          "CAST(lr_micro AS DOUBLE) / 1000000.0 / CAST(n_feats AS DOUBLE)", 4)} AS avg_logratio
+       |FROM w""".stripMargin
+
+  /** qp21 oracle — literal SQL twin of [[sampleSummary]]. */
+  def oracleSampleSql(
+      targetSql: String,
+      strataCol: String,
+      buckets: Int = 1024,
+      smoothing: Long = 1L,
+      k: Int = 100): String =
+    s"""WITH ${weightCtes(targetSql, buckets, smoothing)},
+       |sel AS (SELECT id FROM w ORDER BY lr_micro DESC, id LIMIT $k)
+       |SELECT d.$strataCol AS stratum,
+       |       count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       ${PortableRound.floorToSql(
+          "CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS sel_rate
+       |FROM documents d LEFT JOIN sel ON sel.id = d.doc_id
+       |GROUP BY d.$strataCol""".stripMargin
+}

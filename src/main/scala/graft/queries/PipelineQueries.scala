@@ -497,6 +497,39 @@ object PipelineQueries {
           shardCounts = Seq(1, 2, 4, 8, 16))
       },
       Some(graft.operators.text.SequencePack
-        .oracleShardCurveSql(512, Seq(1, 2, 4, 8, 16))))
+        .oracleShardCurveSql(512, Seq(1, 2, 4, 8, 16)))),
+    Q(
+      "qp20_dsir_weights",
+      // DSIR (Xie et al. 2023): per-document importance weight = the
+      // log-likelihood ratio of the doc's hashed unigram+bigram
+      // feature stream under a target-domain multinomial (here the
+      // English slice) vs the raw-corpus multinomial, Laplace-
+      // smoothed. The model is ONE broadcastable 1024-row bucket
+      // table; weights are order-free integer micro-nat sums
+      // (value-oracled).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.ImportanceResample.weights(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          target = col("lang") === "en", buckets = 1024, smoothing = 1L)
+      },
+      Some(graft.operators.text.ImportanceResample
+        .oracleWeightsSql("lang = 'en'", 1024, 1L)),
+      bench = true),
+    Q(
+      "qp21_dsir_sample",
+      // the resampling step: keep the top-100 docs by (weight DESC,
+      // id) and report the selection rate per language -- the check
+      // that distribution matching actually pulls toward the target
+      // (en over-selected, the rest under-selected).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.ImportanceResample.sampleSummary(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          strata = col("lang"), target = col("lang") === "en",
+          buckets = 1024, smoothing = 1L, k = 100)
+      },
+      Some(graft.operators.text.ImportanceResample
+        .oracleSampleSql("lang = 'en'", "lang", 1024, 1L, 100)))
   )
 }
