@@ -591,6 +591,32 @@ object EventQueries {
               SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
                      CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
                        AS retention
-              FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk"""))
+              FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk""")),
+    Q(
+      "qe14_histogram_quantiles",
+      // engine-portable mergeable quantile histogram (decimal
+      // HdrHistogram): qe11 can only rows-check Spark's built-in
+      // approx sketch; this one VALUE-oracles the whole estimator —
+      // string-arithmetic decimal buckets, integer per-mille ranks,
+      // and the structural 10^(1-p) error bound checked against the
+      // exact discrete quantile (itself domain-bounded integer math).
+      (s, dir) =>
+        graft.operators.PortableHistogram.quantileProfile(
+          Tables.load(s, dir, "events"), col("value"), p = 3,
+          qsPerMille = Seq(500, 900, 990, 999)),
+      Some(graft.operators.PortableHistogram
+        .oracleQuantileSql(3, Seq(500, 900, 990, 999)))),
+    Q(
+      "qe15_histogram_merge",
+      // the property that makes qe14 a 100 TB sketch: shard histograms
+      // merge by bucket-wise ADDITION with zero loss. Derived end to
+      // end — rows split into two md5 half-streams, each sketched
+      // independently, merged, and compared bucket-for-bucket against
+      // the whole-stream sketch (qt49's sibling for quantiles).
+      (s, dir) =>
+        graft.operators.PortableHistogram.mergeProfile(
+          Tables.load(s, dir, "events"), col("value"), col("event_id"),
+          p = 3),
+      Some(graft.operators.PortableHistogram.oracleMergeSql(3)))
   )
 }
