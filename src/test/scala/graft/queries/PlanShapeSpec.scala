@@ -265,6 +265,47 @@ class PlanShapeSpec extends SparkSpec {
       s"packing scan reads unused columns: $schema")
   }
 
+  test("qp20: the DSIR bucket table broadcasts onto the feature stream") {
+    // the model is a B-row table; it must reach the exploded feature
+    // stream as a broadcast hash join — a sort-merge here would
+    // shuffle the whole feature stream by bucket for nothing
+    val p = plan("qp20_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket join degraded to a stream shuffle:\n$p")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("source") && !schema.contains("n_chars"),
+      s"DSIR scan reads unused columns: $schema")
+  }
+
+  test("qt52: backoff-LM scoring is all equi hash joins on n-gram keys") {
+    // five count-table joins, every one an equi-join; any nested-loop
+    // degradation would make scoring quadratic in the token stream
+    val p = plan("qt52_backoff_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    // the single-row totals attach is the only permitted non-equi join
+    assert(bnl <= 1, s"unexpected nested-loop joins ($bnl):\n$p")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("lang") && !schema.contains("source"),
+      s"LM scan reads unused columns: $schema")
+  }
+
+  test("qe14: histogram scan prunes to the value column") {
+    // the sketch aggregates map-side over ONE column; the cumulative
+    // walks are over domain-bounded tables, so the only corpus-sized
+    // work is the pruned scan + two-phase aggregate
+    val p = plan("qe14_histogram_quantiles")
+    // several scans exist (the totals scan correctly reads struct<>);
+    // no scan may read more than `value`
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(_.contains("value")), p)
+    schemas.foreach(s =>
+      assert(!s.contains("props") && !s.contains("event_type"),
+        s"histogram scan reads unused columns: $s"))
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
