@@ -67,7 +67,13 @@ object ScaleSmoke {
     // and the portable HLL (register-table shuffle is sketch-sized,
     // so cost should track the scan, far below the data ratio)
     "qp15_sequence_packing",
-    "qt48_portable_hll")
+    "qt48_portable_hll",
+    // round 11 (late): backoff-LM scoring (count tables grow with
+    // DISTINCT n-grams, the stream joins are the linear part) and
+    // DSIR weighting (the model is a fixed B-row broadcast, so cost
+    // should track the feature-stream scan alone)
+    "qt52_backoff_lm_score",
+    "qp20_dsir_weights")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
