@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.PortableHistogram
+
+class HistogramIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vals(xs: Seq[Double]) = xs.toDF("value")
+
+  private def bucketRows(dir: String) =
+    HistogramIngest.sketch(spark, dir)
+      .as[(Long, Long)].collect().toMap
+
+  test("streamed folds converge to the one-shot histogram; replays are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val all = (1 to 400).map(i => (i % 53) * 2.5 + 0.01)
+    val (first, second) = all.splitAt(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hi_ck").toString
+    val mem = MemoryStream[Double]
+    val df = mem.toDF().toDF("value")
+
+    def drain(): Unit = {
+      val q = HistogramIngest.ingest(df, col("value"), dir, ckpt)
+      q.awaitTermination()
+    }
+    mem.addData(first: _*)
+    drain()
+    mem.addData(second: _*)
+    drain()
+
+    val whole = PortableHistogram.histogram(vals(all), col("value"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(bucketRows(dir) == whole,
+      "streamed buckets diverge from the one-shot histogram")
+  }
+
+  test("a replayed batchId folds as a no-op (additive state, ledger-guarded)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi_r").toString
+    val b = vals(Seq(1.0, 2.0, 3.0, 400.0))
+    HistogramIngest.foldBatch(b, col("value"), dir, batchId = 0L)
+    val once = bucketRows(dir)
+    // at-least-once delivery: the SAME batch id arrives again — the
+    // ledger must make the second fold invisible (a sum fold without
+    // the guard would double every count)
+    HistogramIngest.foldBatch(b, col("value"), dir, batchId = 0L)
+    assert(bucketRows(dir) == once, "replay double-counted the sketch")
+    // a genuinely new batch still folds
+    HistogramIngest.foldBatch(vals(Seq(1.0)), col("value"), dir, batchId = 1L)
+    val after = bucketRows(dir)
+    assert(after(1000L) == once(1000L) + 1)
+  }
+
+  test("an interrupted swap is adopted, never restarted from one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi_x").toString
+    HistogramIngest.foldBatch(
+      vals((1 to 300).map(_ * 0.7)), col("value"), dir, batchId = 0L)
+    val full = bucketRows(dir)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/histogram")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(live, graft.operators.StagedSwap.oldPath(live)))
+    HistogramIngest.foldBatch(
+      vals(Seq(0.9)), col("value"), dir, batchId = 1L)
+    val after = bucketRows(dir)
+    assert(after(900L) == full.getOrElse(900L, 0L) + 1,
+      "interrupted swap lost the stranded history")
+    assert((after.keySet -- full.keySet - 900L).isEmpty)
+  }
+
+  test("served quantiles match the batch estimator on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi_q").toString
+    val data = (1 to 1000).map(i => i * i * 0.003)
+    HistogramIngest.foldBatch(vals(data), col("value"), dir, batchId = 0L)
+    val served = HistogramIngest.quantiles(spark, dir, Seq(500, 900, 990))
+      .select("q_permille", "est_milli").as[(Long, Long)].collect().toMap
+    val batch = PortableHistogram.quantileProfile(
+        vals(data), col("value"), 3, Seq(500, 900, 990))
+      .select("q_permille", "est_milli").as[(Long, Long)].collect().toMap
+    assert(served == batch, "sidecar estimates diverge from batch estimator")
+  }
+}
