@@ -425,6 +425,119 @@ object Main {
             println(s"unknown hll subcommand '$other2'; usage: graft hll <build|append|show> --table t --index d")
             2
         }
+      case "lm" =>
+        // the backoff-LM quality gate (BackoffLm's CLI face):
+        //   lm score    --table t [--tau 3.2] [--alpha 0.4]
+        //               [--min-count 2] [--into t_lm]   per-doc CE +
+        //               keep verdicts written to the dest
+        //   lm coverage --table t [...]                 per-language
+        //               tri/bi/uni hit rates + corpus CE, printed
+        import org.apache.spark.sql.functions.col
+        val sub = args.lift(1).getOrElse("")
+        val t = opt("--table").getOrElse("documents")
+        val alpha = opt("--alpha").map(_.toDouble).getOrElse(0.4)
+        val minCount = opt("--min-count").map(_.toLong).getOrElse(2L)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        sub match {
+          case "score" =>
+            val tau = opt("--tau").map(_.toDouble).getOrElse(3.2)
+            val into = opt("--into").getOrElse(s"${t}_lm")
+            val scored = graft.operators.Barrier(
+              graft.operators.text.BackoffLm.score(
+                docs, col("text"), col("doc_id"), alpha, tau, minCount))
+            val total = scored.count()
+            val kept = scored.where(col("keep")).count()
+            sinkFor(cfg.dest, cfg).overwrite(scored, into)
+            println(table(Seq(
+              Seq("Docs", "Kept", "Dropped"),
+              Seq(total.toString, kept.toString, (total - kept).toString))))
+            println(f"LM score finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"kept $kept/$total (tau $tau, minCount $minCount) -> $into")
+            0
+          case "coverage" =>
+            val cov = graft.operators.text.BackoffLm.coverage(
+                docs, col("text"), col("doc_id"), col("lang"), alpha, minCount)
+              .orderBy("lang").collect()
+            println(table(
+              Seq(Seq("Lang", "Docs", "Tokens", "Tri", "Bi", "Uni", "CE")) ++
+                cov.map(r => Seq(
+                  r.getAs[String]("lang"),
+                  r.getAs[Long]("n_docs").toString,
+                  r.getAs[Long]("n_tokens").toString,
+                  r.getAs[Double]("tri_rate").toString,
+                  r.getAs[Double]("bi_rate").toString,
+                  r.getAs[Double]("uni_rate").toString,
+                  r.getAs[Double]("ce").toString))))
+            0
+          case other2 =>
+            println(s"unknown lm subcommand '$other2'; usage: graft lm <score|coverage> --table t")
+            2
+        }
+      case "dsir" =>
+        // DSIR target-distribution selection (ImportanceResample's CLI
+        // face): weight every doc by its hashed-n-gram log-likelihood
+        // ratio against the --target-lang slice, keep the top --k, and
+        // write the SELECTED DOCUMENTS (full rows) to the dest.
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val t = opt("--table").getOrElse("documents")
+        val into = opt("--into").getOrElse(s"${t}_dsir")
+        val lang = opt("--target-lang").getOrElse("en")
+        val buckets = opt("--buckets").map(_.toInt).getOrElse(1024)
+        val k = opt("--k").map(_.toInt).getOrElse(100)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val w = graft.operators.Barrier(
+          graft.operators.text.ImportanceResample.weights(
+            docs, col("text"), col("doc_id"), col("lang") === lang,
+            buckets, 1L))
+        val sel = w.orderBy(col("lr_micro").desc, col("id")).limit(k)
+          .select(col("id").as("doc_id"))
+        val out = graft.operators.Barrier(
+          docs.join(broadcast(sel), Seq("doc_id")))
+        val byLang = out.groupBy("lang").count().orderBy("lang").collect()
+        sinkFor(cfg.dest, cfg).overwrite(out, into)
+        println(table(
+          Seq(Seq("Lang", "Selected")) ++
+            byLang.map(r => Seq(
+              r.getAs[String]("lang"), r.getAs[Long]("count").toString))))
+        println(f"DSIR finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"selected $k docs toward lang=$lang -> $into")
+        0
+      case "hist" =>
+        // the quantile-sidecar lifecycle (HistogramIngest's CLI face,
+        // the sketch sibling of hll):
+        //   hist build|append --table events [--col value] --index d
+        //   hist show --index d [--q 500,900,990,999]
+        import org.apache.spark.sql.functions.col
+        val sub = args.lift(1).getOrElse("")
+        val idx = opt("--index").getOrElse("/tmp/graft_hist")
+        val qsArg = opt("--q").getOrElse("500,900,990,999")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        def showQuantiles(): Int = {
+          val qs = graft.streaming.HistogramIngest
+            .quantiles(spark, idx, qsArg).orderBy("q_permille").collect()
+          println(table(
+            Seq(Seq("q (permille)", "Rows", "Estimate (milli-units)")) ++
+              qs.map(r => Seq(
+                r.getAs[Long]("q_permille").toString,
+                r.getAs[Long]("n_rows").toString,
+                r.getAs[Long]("est_milli").toString))))
+          0
+        }
+        sub match {
+          case "build" | "append" =>
+            val t = opt("--table").getOrElse("events")
+            val c = opt("--col").getOrElse("value")
+            val rows = catalogFor(cfg.src).read(spark, t)
+            val bid = graft.streaming.HistogramIngest.nextBatchId(spark, idx)
+            graft.streaming.HistogramIngest.foldBatch(rows, col(c), idx, bid)
+            println(f"Hist $sub finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"batch $bid folded -> $idx")
+            showQuantiles()
+          case "show" => showQuantiles()
+          case other2 =>
+            println(s"unknown hist subcommand '$other2'; usage: graft hist <build|append|show> --table t --index d")
+            2
+        }
       case "compact" =>
         // table maintenance for file endpoints: appends (watermark
         // sync, curate/pack increments) accumulate small files, and a
@@ -854,7 +967,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|hll <build|append|show>|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

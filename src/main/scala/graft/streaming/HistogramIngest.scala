@@ -87,6 +87,19 @@ object HistogramIngest {
       .trigger(trigger)
       .start()
 
+  /** The next unused ledger batch id — for BATCH (CLI) appends into a
+    * sidecar also maintainable by a stream; fresh dir => 0. */
+  def nextBatchId(spark: SparkSession, dir: String): Long = {
+    val live = new org.apache.hadoop.fs.Path(histPath(dir))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
+    if (!fs.exists(live)) 0L
+    else spark.read.parquet(live.toString)
+      .where(col("kind") === "batch")
+      .agg(coalesce(max("key"), lit(-1L)))
+      .head().getLong(0) + 1L
+  }
+
   /** The current sketch: (bucket_lo, n), served from the sidecar. */
   def sketch(spark: SparkSession, dir: String): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(histPath(dir))

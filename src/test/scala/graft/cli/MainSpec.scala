@@ -693,6 +693,87 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("frobnicate"), spark) == 2)
   }
 
+  test("lm score + coverage via CLI: gate table written, verdicts match the operator") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_lm").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("lm", "score", "--table", "documents",
+      "--tau", "3.2", "--into", "docs_lm", "--config", cfg), spark) == 0)
+    val written = spark.read.parquet(s"$out/docs_lm.parquet")
+    val direct = graft.operators.text.BackoffLm.score(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      col("text"), col("doc_id"), alpha = 0.4, tau = 3.2, minCount = 2)
+    assert(written.exceptAll(direct).isEmpty && direct.exceptAll(written).isEmpty,
+      "CLI-written gate table diverges from the operator")
+    assert(Main.run(Array("lm", "coverage", "--table", "documents",
+      "--config", cfg), spark) == 0)
+    assert(Main.run(Array("lm", "frobnicate", "--config", cfg), spark) == 2)
+  }
+
+  test("dsir via CLI: selected docs written, selection is the top-k by weight") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_dsir").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("dsir", "--table", "documents",
+      "--target-lang", "en", "--k", "40", "--into", "docs_dsir",
+      "--config", cfg), spark) == 0)
+    val written = spark.read.parquet(s"$out/docs_dsir.parquet")
+    assert(written.count() == 40)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val expect = graft.operators.text.ImportanceResample.weights(
+        docs, col("text"), col("doc_id"), col("lang") === "en", 1024, 1L)
+      .orderBy(col("lr_micro").desc, col("id")).limit(40)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val got = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, "CLI selection diverges from the operator's top-k")
+    // the selection leans hard into the target language
+    val enShare = written.where(col("lang") === "en").count().toDouble / 40
+    assert(enShare > 0.5, s"en share $enShare")
+  }
+
+  test("hist build + append + show lifecycle; replayed appends are refused by the ledger") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_cli_hist_src").toString
+    val idx = Files.createTempDirectory("graft_cli_hist").toString + "/hist"
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "value")
+    ev.filter(col("event_id") < 500).write.parquet(s"$src/e1.parquet")
+    ev.filter(col("event_id") >= 500).write.parquet(s"$src/e2.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    assert(Main.run(Array("hist", "build", "--table", "e1",
+      "--index", idx, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("hist", "append", "--table", "e2",
+      "--index", idx, "--config", cfg), spark) == 0)
+    assert(Main.run(Array("hist", "show", "--index", idx,
+      "--q", "500,990", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("hist", "frobnicate",
+      "--index", idx, "--config", cfg), spark) == 2)
+    // two CLI folds equal ONE one-shot histogram of the whole table
+    val whole = graft.operators.PortableHistogram.histogram(
+        ev, col("value"), 3)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    val folded = graft.streaming.HistogramIngest.sketch(spark, idx)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    assert(folded == whole, "CLI folds diverge from the one-shot histogram")
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
