@@ -1227,6 +1227,20 @@ object TextQueries {
         graft.operators.text.BackoffLm.coverage(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           col("lang"), alpha = 0.4, minCount = 2),
-      Some(graft.operators.text.BackoffLm.oracleCoverageSql(0.4, 2)))
+      Some(graft.operators.text.BackoffLm.oracleCoverageSql(0.4, 2))),
+    Q(
+      "qt54_zipf_slope",
+      // Zipf-law fit per language (the classic rank-size regression,
+      // slope ~ -1 for natural text): OLS of ln(freq) on ln(rank)
+      // over each language's top-500 terms. Template floods and
+      // synthetic spam bend the slope — a corpus-naturalness
+      // diagnostic beside qt43's Heaps-law growth curve. Integer
+      // milli-nat sums make the four OLS accumulators order-free
+      // BIGINTs (value-oracled).
+      (s, dir) =>
+        graft.operators.text.ZipfFit.fit(
+          Tables.load(s, dir, "documents"), col("text"), col("lang"),
+          topN = 500),
+      Some(graft.operators.text.ZipfFit.oracleSql(500)))
   )
 }
