@@ -1,0 +1,139 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PortableRound, TextOps}
+
+/** Feature-hashing document embeddings (the hashing trick, Weinberger
+  * et al. 2009): each term occurrence adds ±1 into one of D
+  * dimensions — index and sign both md5-derived — giving every
+  * document a dense INTEGER vector whose inner products approximate
+  * term-overlap similarity, with no trained model, no vocabulary
+  * table, and no floats until the final cosine. The text-only bridge
+  * into the similarity family: qs02-style retrieval over a corpus
+  * that has no `embeddings` table.
+  *
+  * Scale shape: embedding is one explode + one (id, dim) rollup —
+  * map-side combinable, output D longs per doc; retrieval against a
+  * single probe broadcasts the probe's D values and reduces to a
+  * TakeOrdered top-k, identical to the qs02 plan. Nothing is
+  * quadratic; the sparse-dot oracle identity (zero dims contribute
+  * nothing) is also what a 100 TB implementation exploits.
+  *
+  * Portability: vectors are exact BIGINTs (order-free sums of ±1),
+  * dot/norms are exact integer arithmetic, and the one float — cosine
+  * — is a single identical IEEE expression floor-projected at 4 dp;
+  * ties in the top-k cut break on doc id. Value-oracled end to end.
+  */
+object HashedEmbedding {
+
+  private def bucket(term: Column, dim: Int): Column =
+    conv(substring(md5(term), 1, 8), 16, 10).cast("long") % dim
+
+  /** +1 / −1 from an independent md5 slice. */
+  private def sign(term: Column): Column =
+    lit(1L) - lit(2L) * (conv(substring(md5(term), 9, 8), 16, 10)
+      .cast("long") % 2)
+
+  /** Sparse components: (id, j, v) — only nonzero dims. */
+  def components(
+      df: DataFrame, text: Column, id: Column, dim: Int): DataFrame = {
+    require(dim >= 2, s"bad dim $dim")
+    graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), explode(TextOps.tokens(text)).as("term"))
+      .where(col("term") =!= "")
+      .select(col("id"), bucket(col("term"), dim).as("j"),
+        sign(col("term")).as("s"))
+      .groupBy("id", "j").agg(sum("s").as("v"))
+      .where(col("v") =!= 0L)
+  }
+
+  /** Dense embeddings: (id, emb array<bigint> of length dim). */
+  def embed(
+      df: DataFrame, text: Column, id: Column, dim: Int = 64): DataFrame =
+    components(df, text, id, dim)
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v"))))
+        .as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)))
+          .as("emb"))
+
+  /** Text-only retrieval: top-k most cosine-similar documents to
+    * `probeId`'s embedding — (id, dot, cos). Exact integer dots and
+    * norms; the probe's sparse components broadcast. */
+  def topK(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      probeId: Long,
+      dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    val comp = components(df, text, id, dim)
+    val probe = comp.where(col("id") === probeId)
+      .select(col("j"), col("v").as("pv"))
+    val norms = comp.groupBy("id").agg(sum(col("v") * col("v")).as("nn"))
+    val pnorm = probe.agg(sum(col("pv") * col("pv")).as("pn"))
+    comp
+      .join(broadcast(probe), Seq("j"))
+      .groupBy("id").agg(sum(col("v") * col("pv")).as("dot"))
+      .join(norms, Seq("id"))
+      .crossJoin(broadcast(pnorm))
+      .where(col("id") =!= probeId)
+      .select(col("id"), col("dot").cast("bigint").as("dot"),
+        PortableRound.floorTo(
+          col("dot").cast("double") /
+            sqrt(col("nn").cast("double") * col("pn").cast("double")),
+          4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  // ---- DuckDB oracles ----
+
+  private val normSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def componentsCtes(dim: Int): String =
+    s"""toks AS (SELECT doc_id AS id, unnest(string_split($normSql, ' ')) AS term
+       |         FROM documents),
+       |comp AS (
+       |  SELECT id,
+       |         CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $dim AS j,
+       |         CAST(sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) AS BIGINT) AS v
+       |  FROM toks WHERE term <> ''
+       |  GROUP BY 1, 2
+       |  HAVING sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) <> 0)""".stripMargin
+
+  /** qs30 oracle — literal SQL twin of [[embed]]. */
+  def oracleEmbedSql(dim: Int = 64): String =
+    s"""WITH ${componentsCtes(dim)},
+       |dims AS (SELECT unnest(range(0, $dim)) AS j),
+       |dense AS (
+       |  SELECT d.id, dims.j, CAST(coalesce(c.v, 0) AS BIGINT) AS v
+       |  FROM (SELECT DISTINCT id FROM comp) d
+       |  CROSS JOIN dims
+       |  LEFT JOIN comp c ON c.id = d.id AND c.j = dims.j)
+       |SELECT id, list(v ORDER BY j) AS emb FROM dense GROUP BY id""".stripMargin
+
+  /** qs31 oracle — literal SQL twin of [[topK]] (sparse-dot
+    * identity: zero dims contribute nothing). */
+  def oracleTopKSql(probeId: Long, dim: Int = 64, k: Int = 10): String =
+    s"""WITH ${componentsCtes(dim)},
+       |probe AS (SELECT j, v AS pv FROM comp WHERE id = $probeId),
+       |norms AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS nn FROM comp GROUP BY id),
+       |pn AS (SELECT CAST(sum(pv * pv) AS BIGINT) AS pn FROM probe),
+       |dots AS (
+       |  SELECT c.id, CAST(sum(c.v * probe.pv) AS BIGINT) AS dot
+       |  FROM comp c JOIN probe ON probe.j = c.j
+       |  GROUP BY c.id)
+       |SELECT d.id, d.dot,
+       |       ${PortableRound.floorToSql(
+          "CAST(d.dot AS DOUBLE) / sqrt(CAST(norms.nn AS DOUBLE) * CAST(pn.pn AS DOUBLE))", 4)} AS cos
+       |FROM dots d JOIN norms ON norms.id = d.id, pn
+       |WHERE d.id <> $probeId
+       |ORDER BY cos DESC, d.id
+       |LIMIT $k""".stripMargin
+}

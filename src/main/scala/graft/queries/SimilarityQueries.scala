@@ -588,6 +588,31 @@ object SimilarityQueries {
             graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"), col("rank"))
       },
       Some(graft.operators.similarity.PortableIvf
-        .oracleCrossLabelBatchSql(25, 5, 3)))
+        .oracleCrossLabelBatchSql(25, 5, 3))),
+    Q(
+      "qs30_hashed_embedding",
+      // feature-hashing document embeddings (Weinberger et al. 2009):
+      // every term occurrence adds ±1 (md5-derived index and sign)
+      // into one of 64 dims — a dense INTEGER vector per doc with no
+      // trained model and no vocabulary table. The text-only bridge
+      // into the similarity family; vectors are exact BIGINTs, so the
+      // whole array value-oracles.
+      (s, dir) =>
+        graft.operators.text.HashedEmbedding.embed(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          dim = 64),
+      Some(graft.operators.text.HashedEmbedding.oracleEmbedSql(64))),
+    Q(
+      "qs31_hashed_topk",
+      // qs02-style retrieval over a corpus WITHOUT an embeddings
+      // table: top-10 cosine neighbors of doc 0 under the hashed
+      // embeddings — integer dots and norms (the sparse-dot identity:
+      // zero dims contribute nothing), one floored IEEE cosine, ties
+      // broken on id in both engines.
+      (s, dir) =>
+        graft.operators.text.HashedEmbedding.topK(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          probeId = 0L, dim = 64, k = 10),
+      Some(graft.operators.text.HashedEmbedding.oracleTopKSql(0L, 64, 10)))
   )
 }
