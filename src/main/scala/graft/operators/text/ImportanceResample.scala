@@ -136,34 +136,47 @@ object ImportanceResample {
     * columns (e.g. "lang = 'en'"). */
   private def weightCtes(
       targetSql: String, buckets: Int, smoothing: Long): String =
-    s"""n AS (SELECT doc_id, ($targetSql) AS is_t,
+    s"""dsir_n AS (SELECT doc_id, ($targetSql) AS is_t,
        |        string_split($normSql, ' ') AS toks
        |      FROM documents),
-       |fs AS (SELECT doc_id, is_t, unnest(toks) AS f FROM n
+       |dsir_fs AS (SELECT doc_id, is_t, unnest(toks) AS f FROM dsir_n
        |       UNION ALL
        |       SELECT doc_id, is_t,
        |              unnest(list_transform(range(1, len(toks)),
        |                                    i -> toks[i] || ' ' || toks[i + 1])) AS f
-       |       FROM n),
-       |feats AS (SELECT doc_id, is_t,
+       |       FROM dsir_n),
+       |dsir_feats AS (SELECT doc_id, is_t,
        |            CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % $buckets AS b
-       |          FROM fs),
-       |bt AS (SELECT b,
+       |          FROM dsir_fs),
+       |dsir_bt AS (SELECT b,
        |         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
        |         count(*)::BIGINT AS cr
-       |       FROM feats GROUP BY b),
-       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
-       |               CAST(sum(cr) AS BIGINT) AS tr FROM bt),
-       |probs AS (SELECT b,
+       |       FROM dsir_feats GROUP BY b),
+       |dsir_tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |               CAST(sum(cr) AS BIGINT) AS tr FROM dsir_bt),
+       |dsir_probs AS (SELECT b,
        |            CAST(floor(ln((CAST(ct AS DOUBLE) + $smoothing.0) /
        |                          (CAST(tt AS DOUBLE) + ${smoothing * buckets}.0)) * 1000000.0) AS BIGINT) AS lt,
        |            CAST(floor(ln((CAST(cr AS DOUBLE) + $smoothing.0) /
        |                          (CAST(tr AS DOUBLE) + ${smoothing * buckets}.0)) * 1000000.0) AS BIGINT) AS lr
-       |          FROM bt, tot),
-       |w AS (SELECT feats.doc_id AS id, count(*)::BIGINT AS n_feats,
-       |        CAST(sum(probs.lt - probs.lr) AS BIGINT) AS lr_micro
-       |      FROM feats JOIN probs USING (b)
-       |      GROUP BY feats.doc_id)""".stripMargin
+       |          FROM dsir_bt, dsir_tot),
+       |dsir_w AS (SELECT dsir_feats.doc_id AS id, count(*)::BIGINT AS n_feats,
+       |        CAST(sum(dsir_probs.lt - dsir_probs.lr) AS BIGINT) AS lr_micro
+       |      FROM dsir_feats JOIN dsir_probs USING (b)
+       |      GROUP BY dsir_feats.doc_id)""".stripMargin
+
+  /** Composable CTE chain ending in `dsel` — the selected documents
+    * (full rows), for oracles that pipeline DSIR selection into
+    * downstream stages (qp22 re-roots the curation chain on it). */
+  def selectionCtes(
+      targetSql: String,
+      buckets: Int = 1024,
+      smoothing: Long = 1L,
+      k: Int = 100): String =
+    s"""${weightCtes(targetSql, buckets, smoothing)},
+       |dsir_sel AS (SELECT id FROM dsir_w ORDER BY lr_micro DESC, id LIMIT $k),
+       |dsel AS (SELECT d.* FROM documents d
+       |         JOIN dsir_sel ON dsir_sel.id = d.doc_id)""".stripMargin
 
   /** qp20 oracle — literal SQL twin of [[weights]]. */
   def oracleWeightsSql(
@@ -172,7 +185,7 @@ object ImportanceResample {
        |SELECT id, n_feats, lr_micro,
        |       ${PortableRound.floorToSql(
           "CAST(lr_micro AS DOUBLE) / 1000000.0 / CAST(n_feats AS DOUBLE)", 4)} AS avg_logratio
-       |FROM w""".stripMargin
+       |FROM dsir_w""".stripMargin
 
   /** qp21 oracle — literal SQL twin of [[sampleSummary]]. */
   def oracleSampleSql(
@@ -182,7 +195,7 @@ object ImportanceResample {
       smoothing: Long = 1L,
       k: Int = 100): String =
     s"""WITH ${weightCtes(targetSql, buckets, smoothing)},
-       |sel AS (SELECT id FROM w ORDER BY lr_micro DESC, id LIMIT $k)
+       |sel AS (SELECT id FROM dsir_w ORDER BY lr_micro DESC, id LIMIT $k)
        |SELECT d.$strataCol AS stratum,
        |       count(*)::BIGINT AS n_docs,
        |       CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,

@@ -530,6 +530,38 @@ object PipelineQueries {
           buckets = 1024, smoothing = 1L, k = 100)
       },
       Some(graft.operators.text.ImportanceResample
-        .oracleSampleSql("lang = 'en'", "lang", 1024, 1L, 100)))
+        .oracleSampleSql("lang = 'en'", "lang", 1024, 1L, 100))),
+    Q(
+      "qp22_dsir_curate",
+      // the new selector composed into the productized funnel: DSIR
+      // top-200 toward the en target, then the FULL curation chain
+      // (exact dedup -> near-dup keep-first -> token gate) re-rooted
+      // on the selection, summarized per language -- one composed
+      // DuckDB oracle re-derives selection AND curation end to end
+      // (qp18's pattern with DSIR as the head stage).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val docs = Tables.load(s, dir, "documents")
+        val sel = graft.operators.text.ImportanceResample.weights(
+            docs, col("text"), col("doc_id"),
+            target = col("lang") === "en", buckets = 1024, smoothing = 1L)
+          .orderBy(col("lr_micro").desc, col("id")).limit(200)
+          .select(col("id").as("doc_id"))
+        val curated = CorpusPipeline.curate(
+          docs.join(sel, Seq("doc_id")), minTokens = 20, simThreshold = 0.3)
+        curated.groupBy("lang")
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long")).cast("bigint").as("total_tokens"))
+      },
+      Some {
+        val toks = "length(regexp_split_to_array(trim(text), '\\s+'))"
+        s"""WITH RECURSIVE ${graft.operators.text.ImportanceResample
+            .selectionCtes("lang = 'en'", 1024, 1L, 200)},
+           |${CorpusPipeline.curateCtes("dsel", 20, 0.3)}
+           |SELECT lang, count(*)::BIGINT AS n_docs,
+           |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
+           |FROM d3 GROUP BY lang""".stripMargin
+      })
   )
 }
