@@ -502,6 +502,61 @@ object Main {
         println(f"DSIR finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"selected $k docs toward lang=$lang -> $into")
         0
+      case "search" =>
+        // free-text corpus search, no model and no pre-built index:
+        //   search --query "..." [--mode bm25|hashed|hybrid]
+        //          [--table documents] [--k 10]
+        // bm25 = exact-term lexical ranking; hashed = cosine over
+        // feature-hashed embeddings (catches co-occurrence the exact
+        // terms miss); hybrid (default) = integer RRF fusion of both.
+        import org.apache.spark.sql.functions.{col, substring => ssub}
+        opt("--query") match {
+          case None =>
+            println("usage: graft search --query \"...\" [--mode bm25|hashed|hybrid] --table t --config cfg.yml")
+            2
+          case Some(q) =>
+            val t = opt("--table").getOrElse("documents")
+            val k = opt("--k").map(_.toInt).getOrElse(10)
+            val mode = opt("--mode").getOrElse("hybrid")
+            val docs = catalogFor(cfg.src).read(spark, t)
+            val ranked = mode match {
+              case "bm25" =>
+                val terms = q.toLowerCase.trim.replaceAll("\\s+", " ")
+                  .split(" ").toSeq.filter(_.nonEmpty)
+                graft.operators.text.Bm25.topK(
+                    docs, col("text"), col("doc_id"), terms, k)
+                  .select(col("id"), col("score").cast("string").as("how"))
+              case "hashed" =>
+                graft.operators.text.HashedEmbedding.queryTopK(
+                    docs, col("text"), col("doc_id"), q, k = k)
+                  .select(col("id"), col("cos").cast("string").as("how"))
+              case _ =>
+                graft.operators.text.HybridRetrieval.textTopK(
+                    docs, col("text"), col("doc_id"), q, kOut = k)
+                  .select(col("id"), col("rrf_scaled").cast("string").as("how"))
+            }
+            // collect the ordered top-k FIRST (a snippet join would
+            // reorder), then fetch snippets for just those k ids
+            val hits = ranked.collect()
+            val ids = hits.map(_.getAs[Long]("id"))
+            val snip =
+              if (ids.isEmpty) Map.empty[Long, String]
+              else docs.where(col("doc_id").isin(ids: _*))
+                .select(col("doc_id"), ssub(col("text"), 1, 60).as("s"))
+                .collect()
+                .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s"))
+                .toMap
+            println(table(
+              Seq(Seq("Doc", s"Score ($mode)", "Snippet")) ++
+                hits.map(r => Seq(
+                  r.getAs[Long]("id").toString,
+                  r.getAs[String]("how"),
+                  snip.getOrElse(r.getAs[Long]("id"), "")))))
+            val rows = hits
+            println(f"Search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"${rows.length} hits ($mode) for \"$q\"")
+            0
+        }
       case "hist" =>
         // the quantile-sidecar lifecycle (HistogramIngest's CLI face,
         // the sketch sibling of hll):

@@ -74,14 +74,42 @@ object HashedEmbedding {
     val comp = components(df, text, id, dim)
     val probe = comp.where(col("id") === probeId)
       .select(col("j"), col("v").as("pv"))
+    rankAgainst(comp, probe, k, excludeId = Some(probeId))
+  }
+
+  /** Retrieval by QUERY STRING: the query text embeds through the
+    * identical hashing, so free-text search needs no model and no
+    * pre-built probe — (id, dot, cos). */
+  def queryTopK(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      query: String,
+      dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val comp = components(df, text, id, dim)
+    val probe = components(
+        Seq((0L, query)).toDF("qid", "qtext"),
+        col("qtext"), col("qid"), dim)
+      .select(col("j"), col("v").as("pv"))
+    rankAgainst(comp, probe, k, excludeId = None)
+  }
+
+  private def rankAgainst(
+      comp: DataFrame,
+      probe: DataFrame,
+      k: Int,
+      excludeId: Option[Long]): DataFrame = {
     val norms = comp.groupBy("id").agg(sum(col("v") * col("v")).as("nn"))
     val pnorm = probe.agg(sum(col("pv") * col("pv")).as("pn"))
-    comp
+    val scored = comp
       .join(broadcast(probe), Seq("j"))
       .groupBy("id").agg(sum(col("v") * col("pv")).as("dot"))
       .join(norms, Seq("id"))
       .crossJoin(broadcast(pnorm))
-      .where(col("id") =!= probeId)
+    excludeId.fold(scored)(pid => scored.where(col("id") =!= pid))
       .select(col("id"), col("dot").cast("bigint").as("dot"),
         PortableRound.floorTo(
           col("dot").cast("double") /
@@ -117,6 +145,34 @@ object HashedEmbedding {
        |  CROSS JOIN dims
        |  LEFT JOIN comp c ON c.id = d.id AND c.j = dims.j)
        |SELECT id, list(v ORDER BY j) AS emb FROM dense GROUP BY id""".stripMargin
+
+  /** qs32 oracle — literal SQL twin of [[queryTopK]]: the query
+    * string hashes through the identical md5 pipeline from a VALUES
+    * row. */
+  def oracleQueryTopKSql(query: String, dim: Int = 64, k: Int = 10): String = {
+    val q = query.replace("'", "''")
+    s"""WITH ${componentsCtes(dim)},
+       |qprobe AS (
+       |  SELECT CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $dim AS j,
+       |         CAST(sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) AS BIGINT) AS pv
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS term
+       |        FROM (SELECT '$q' AS text) qq) z
+       |  WHERE term <> ''
+       |  GROUP BY 1
+       |  HAVING sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) <> 0),
+       |norms AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS nn FROM comp GROUP BY id),
+       |pn AS (SELECT CAST(sum(pv * pv) AS BIGINT) AS pn FROM qprobe),
+       |dots AS (
+       |  SELECT c.id, CAST(sum(c.v * qprobe.pv) AS BIGINT) AS dot
+       |  FROM comp c JOIN qprobe ON qprobe.j = c.j
+       |  GROUP BY c.id)
+       |SELECT d.id, d.dot,
+       |       ${PortableRound.floorToSql(
+          "CAST(d.dot AS DOUBLE) / sqrt(CAST(norms.nn AS DOUBLE) * CAST(pn.pn AS DOUBLE))", 4)} AS cos
+       |FROM dots d JOIN norms ON norms.id = d.id, pn
+       |ORDER BY cos DESC, d.id
+       |LIMIT $k""".stripMargin
+  }
 
   /** qs31 oracle — literal SQL twin of [[topK]] (sparse-dot
     * identity: zero dims contribute nothing). */

@@ -73,6 +73,43 @@ object HybridRetrieval {
       .select("id", "lex_rank", "dense_rank", "rrf_scaled")
   }
 
+  /** TEXT-ONLY hybrid: the same RRF fusion with the dense leg served
+    * by [[HashedEmbedding.queryTopK]] instead of a pre-built
+    * embeddings table — free-text hybrid search over a corpus that
+    * has nothing but text. The query string feeds BOTH legs: its
+    * tokens to BM25, its hashed embedding to the cosine ranker. */
+  def textTopK(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      query: String,
+      kPerList: Int = 50,
+      kOut: Int = 15,
+      dim: Int = 64): DataFrame = {
+    val terms = query.toLowerCase.trim.replaceAll("\\s+", " ")
+      .split(" ").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "empty query")
+    val lex = Bm25.topK(docs, text, id, terms, kPerList)
+    val dense = HashedEmbedding.queryTopK(docs, text, id, query, dim, kPerList)
+    val lexRanked = lex.withColumn(
+      "lex_rank",
+      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("id"), col("lex_rank"))
+    val denseRanked = dense.withColumn(
+      "dense_rank",
+      row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+      .select(col("id"), col("dense_rank"))
+    lexRanked
+      .join(denseRanked, Seq("id"), "full_outer")
+      .withColumn(
+        "rrf_scaled",
+        coalesce(expr(s"1000000L div (${K}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${K}L + dense_rank)"), lit(0L)))
+      .orderBy(col("rrf_scaled").desc, col("id"))
+      .limit(kOut)
+      .select("id", "lex_rank", "dense_rank", "rrf_scaled")
+  }
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 

@@ -613,6 +613,19 @@ object SimilarityQueries {
         graft.operators.text.HashedEmbedding.topK(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           probeId = 0L, dim = 64, k = 10),
-      Some(graft.operators.text.HashedEmbedding.oracleTopKSql(0L, 64, 10)))
+      Some(graft.operators.text.HashedEmbedding.oracleTopKSql(0L, 64, 10))),
+    Q(
+      "qs32_hashed_query_topk",
+      // free-text search with zero model: a literal query STRING
+      // embeds through the identical md5 hashing and ranks the corpus
+      // by cosine — the semantic-ish complement of qt30's exact-term
+      // BM25 (a query term absent from a doc still contributes via
+      // hash-bucket co-occupancy with the doc's terms).
+      (s, dir) =>
+        graft.operators.text.HashedEmbedding.queryTopK(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          query = "spark window shuffle partition", dim = 64, k = 10),
+      Some(graft.operators.text.HashedEmbedding.oracleQueryTopKSql(
+        "spark window shuffle partition", 64, 10)))
   )
 }

@@ -774,6 +774,38 @@ class MainSpec extends SparkSpec {
     assert(folded == whole, "CLI folds diverge from the one-shot histogram")
   }
 
+  test("search via CLI: all three modes rank a planted document first") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cli_search").toString
+    // one doc owns the query vocabulary; the rest are unrelated
+    (Seq((1L, "watermark checkpoint semantics of stream joins explained"),
+      (2L, "cake flour sugar butter oven"),
+      (3L, "cat mat dog log fog")) ++
+      (10L to 30L).map(i => (i, s"filler document number $i about nothing")))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    Seq("bm25", "hashed", "hybrid").foreach { mode =>
+      assert(Main.run(Array("search", "--query", "watermark checkpoint stream",
+        "--table", "docs", "--mode", mode, "--k", "3",
+        "--config", cfg), spark) == 0, mode)
+    }
+    // the ranking itself: hybrid's top hit is the planted doc
+    val top = graft.operators.text.HybridRetrieval.textTopK(
+        spark.read.parquet(s"$src/docs.parquet"),
+        col("text"), col("doc_id"),
+        "watermark checkpoint stream", kOut = 3)
+      .select("id").as[Long].head()
+    assert(top == 1L)
+    // a missing --query is a usage error
+    assert(Main.run(Array("search", "--config", cfg), spark) == 2)
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
