@@ -651,6 +651,22 @@ object DedupQueries {
         graft.operators.text.PortableHll.overlapProfile(
           Tables.load(s, dir, "documents"),
           col("text"), unionRelBound = 0.15),
-      Some(graft.operators.text.PortableHll.oracleOverlapSql(0.15)))
+      Some(graft.operators.text.PortableHll.oracleOverlapSql(0.15))),
+    Q(
+      "qd29_source_divergence",
+      // qd27/qd28 measure how much two sources literally SHARE; this
+      // measures how differently they WRITE: pairwise Jensen-Shannon
+      // divergence between per-source hashed-unigram multinomials
+      // (the DSIR model shape). Low-JS pairs are near-duplicate
+      // sources, high-JS pairs the diversity a mixture design wants
+      // balanced. Pair stage runs on (sources x buckets) tables whose
+      // size is set by the SOURCE count, never the corpus. Per-bucket
+      // JS terms are nano-nat-floored integer sums (value-oracled;
+      // bias < B*1e-9 nats).
+      (s, dir) =>
+        graft.operators.text.SourceDivergence.jsMatrix(
+          Tables.load(s, dir, "documents"), col("text"), col("source"),
+          buckets = 512, smoothing = 1L),
+      Some(graft.operators.text.SourceDivergence.oracleSql(512, 1L)))
   )
 }
