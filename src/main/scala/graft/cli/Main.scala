@@ -502,6 +502,26 @@ object Main {
         println(f"DSIR finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"selected $k docs toward lang=$lang -> $into")
         0
+      case "embed" =>
+        // text -> feature-hashed embeddings table (vec_id, embedding):
+        // the zero-model bridge into the ann lifecycle — embed, then
+        // `ann build|append|search` over a corpus that has nothing
+        // but text.
+        import org.apache.spark.sql.functions.{col, transform => ttransform}
+        val t = opt("--table").getOrElse("documents")
+        val into = opt("--into").getOrElse(s"${t}_emb")
+        val dim = opt("--dim").map(_.toInt).getOrElse(64)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val emb = graft.operators.Barrier(
+          graft.operators.text.HashedEmbedding.embed(
+              docs, col("text"), col("doc_id"), dim)
+            .select(col("id").as("vec_id"),
+              ttransform(col("emb"), x => x.cast("float")).as("embedding")))
+        val n = emb.count()
+        sinkFor(cfg.dest, cfg).overwrite(emb, into)
+        println(f"Embed finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"$n docs -> $into (dim $dim)")
+        0
       case "search" =>
         // free-text corpus search, no model and no pre-built index:
         //   search --query "..." [--mode bm25|hashed|hybrid]

@@ -806,6 +806,43 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("search", "--config", cfg), spark) == 2)
   }
 
+  test("embed -> ann build -> ann search: text-only corpus through the vector lifecycle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cli_embed").toString
+    // doc 2 is a near-verbatim copy of doc 1; the rest are unrelated
+    (Seq(
+      (1L, "watermark checkpoint semantics of stream joins explained fully"),
+      (2L, "watermark checkpoint semantics of stream joins explained"),
+      (3L, "cake flour sugar butter oven whisk batter")) ++
+      (10L to 40L).map(i => (i, s"filler text number $i concerning nothing relevant")))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    assert(Main.run(Array("embed", "--table", "docs",
+      "--into", "docs_emb", "--config", cfg), spark) == 0)
+    val emb = spark.read.parquet(s"$src/docs_emb.parquet")
+    assert(emb.columns.sorted.sameElements(Array("embedding", "vec_id")))
+
+    val idx = Files.createTempDirectory("graft_cli_embed_idx").toString + "/ann"
+    assert(Main.run(Array("ann", "build", "--table", "docs_emb",
+      "--index", idx, "--config", cfg), spark) == 0)
+    // probe with doc 1's embedding: its near-copy doc 2 must hit
+    val probeDir = Files.createTempDirectory("graft_cli_embed_probe").toString
+    emb.where(col("vec_id") === 1L).write.parquet(s"$probeDir/p.parquet")
+    val outDir = Files.createTempDirectory("graft_cli_embed_out").toString
+    assert(Main.run(Array("ann", "search", "--index", idx,
+      "--probe-file", s"$probeDir/p.parquet", "--k", "3",
+      "--out", s"$outDir/hits", "--config", cfg), spark) == 0)
+    val hits = spark.read.parquet(s"$outDir/hits")
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(2L), s"near-copy not retrieved: $hits")
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
