@@ -306,6 +306,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("qs31/qs32: hashed retrieval broadcasts the probe; top-k is TakeOrdered") {
+    // the probe is a <= dim-row relation: it must broadcast onto the
+    // component stream, and the final cut must be a TakeOrdered, not
+    // a global sort of the corpus
+    Seq("qs31_hashed_topk", "qs32_hashed_query_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("qt54: the OLS runs over the vocab slice — corpus scan prunes to (lang, text)") {
+    val p = plan("qt54_zipf_slope")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schema.contains("source") && !schema.contains("n_chars"),
+      s"zipf scan reads unused columns: $schema")
+    // ranking happens in a per-group window, never a global sort
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
