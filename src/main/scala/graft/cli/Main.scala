@@ -476,19 +476,29 @@ object Main {
       case "dsir" =>
         // DSIR target-distribution selection (ImportanceResample's CLI
         // face): weight every doc by its hashed-n-gram log-likelihood
-        // ratio against the --target-lang slice, keep the top --k, and
-        // write the SELECTED DOCUMENTS (full rows) to the dest.
+        // ratio against the target distribution — either the
+        // --target-lang slice of the corpus itself, or a SEPARATE
+        // --target-table corpus (the "select web docs that look like
+        // the wiki table" shape) — keep the top --k, and write the
+        // SELECTED DOCUMENTS (full rows) to the dest.
         import org.apache.spark.sql.functions.{broadcast, col}
         val t = opt("--table").getOrElse("documents")
         val into = opt("--into").getOrElse(s"${t}_dsir")
-        val lang = opt("--target-lang").getOrElse("en")
         val buckets = opt("--buckets").map(_.toInt).getOrElse(1024)
         val k = opt("--k").map(_.toInt).getOrElse(100)
         val docs = catalogFor(cfg.src).read(spark, t)
-        val w = graft.operators.Barrier(
-          graft.operators.text.ImportanceResample.weights(
-            docs, col("text"), col("doc_id"), col("lang") === lang,
-            buckets, 1L))
+        val w = graft.operators.Barrier(opt("--target-table") match {
+          case Some(tt) =>
+            graft.operators.text.ImportanceResample.weightsAgainst(
+              docs, col("text"), col("doc_id"),
+              catalogFor(cfg.src).read(spark, tt), col("text"),
+              buckets, 1L)
+          case None =>
+            val lang = opt("--target-lang").getOrElse("en")
+            graft.operators.text.ImportanceResample.weights(
+              docs, col("text"), col("doc_id"), col("lang") === lang,
+              buckets, 1L)
+        })
         val sel = w.orderBy(col("lr_micro").desc, col("id")).limit(k)
           .select(col("id").as("doc_id"))
         val out = graft.operators.Barrier(
@@ -499,8 +509,10 @@ object Main {
           Seq(Seq("Lang", "Selected")) ++
             byLang.map(r => Seq(
               r.getAs[String]("lang"), r.getAs[Long]("count").toString))))
+        val targetDesc = opt("--target-table").map(tt => s"table=$tt")
+          .getOrElse(s"lang=${opt("--target-lang").getOrElse("en")}")
         println(f"DSIR finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
-          s"selected $k docs toward lang=$lang -> $into")
+          s"selected $k docs toward $targetDesc -> $into")
         0
       case "embed" =>
         // text -> feature-hashed embeddings table (vec_id, embedding):

@@ -92,6 +92,57 @@ object ImportanceResample {
             col("n_feats").cast("double"), 4).as("avg_logratio"))
   }
 
+  /** Cross-corpus weights — the real-world DSIR shape: the target
+    * distribution comes from a SEPARATE corpus (e.g. "select web
+    * docs that look like the wiki table"), the raw distribution from
+    * the corpus being scored. When the target rows are a subset of
+    * `raw`, this is algebraically identical to [[weights]] with a
+    * membership predicate (the spec proves the equivalence). */
+  def weightsAgainst(
+      raw: DataFrame,
+      rawText: Column,
+      rawId: Column,
+      target: DataFrame,
+      targetText: Column,
+      buckets: Int = 1024,
+      smoothing: Long = 1L): DataFrame = {
+    require(buckets >= 2, s"bad buckets $buckets")
+    require(smoothing >= 1, s"bad smoothing $smoothing")
+    val rawFeats = graft.operators.Parallelism.ensureMin(raw)
+      .select(rawId.as("id"),
+        explode(featureBuckets(rawText, buckets)).as("b"))
+    val cr = rawFeats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = graft.operators.Parallelism.ensureMin(target)
+      .select(explode(featureBuckets(targetText, buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val bt = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = bt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val micro = (n: Column, t: Column) =>
+      floor(log((n.cast("double") + lit(smoothing.toDouble)) /
+        (t.cast("double") + lit((smoothing * buckets).toDouble))) * lit(1e6))
+        .cast("long")
+    val probs = bt.crossJoin(broadcast(tot)).select(
+      col("b"),
+      micro(col("ct"), col("tt")).as("lt"),
+      micro(col("cr"), col("tr")).as("lr"))
+    rawFeats
+      .join(broadcast(probs), Seq("b"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("lt") - col("lr")).as("lr_micro"))
+      .select(
+        col("id"),
+        col("n_feats").cast("bigint").as("n_feats"),
+        col("lr_micro").cast("bigint").as("lr_micro"),
+        PortableRound.floorTo(
+          col("lr_micro").cast("double") / lit(1e6) /
+            col("n_feats").cast("double"), 4).as("avg_logratio"))
+  }
+
   /** Resample top-k by (weight DESC, id) and report how the selection
     * shifts the `strata` distribution: (stratum, n_docs, n_selected,
     * sel_rate). The k cut is deterministic — integer weights with the

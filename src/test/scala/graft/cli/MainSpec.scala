@@ -739,6 +739,25 @@ class MainSpec extends SparkSpec {
     // the selection leans hard into the target language
     val enShare = written.where(col("lang") === "en").count().toDouble / 40
     assert(enShare > 0.5, s"en share $enShare")
+
+    // the cross-corpus form: with the en slice staged as a SEPARATE
+    // target table, the selection is identical (the algebraic
+    // equivalence, exercised through the CLI)
+    val tgt = Files.createTempDirectory("graft_cli_dsir_t").toString
+    docs.where(col("lang") === "en").write.parquet(s"$tgt/wiki.parquet")
+    val cfg2 = writeCfg(
+      s"""src:
+         |  url: parquet:$tgt
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    docs.write.parquet(s"$tgt/raw.parquet")
+    assert(Main.run(Array("dsir", "--table", "raw",
+      "--target-table", "wiki", "--k", "40", "--into", "docs_dsir2",
+      "--config", cfg2), spark) == 0)
+    val got2 = spark.read.parquet(s"$out/docs_dsir2.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == expect, "cross-corpus CLI selection diverges")
   }
 
   test("hist build + append + show lifecycle; replayed appends are refused by the ledger") {

@@ -85,6 +85,38 @@ class ImportanceResampleSpec extends SparkSpec {
     assert(got("baking")._4 == 0.0)
   }
 
+  test("weightsAgainst with target = the en slice equals weights with the predicate") {
+    // the cross-corpus form reduces algebraically to the in-corpus
+    // form whenever the target rows are a subset of raw
+    val df = corpus.toDF("doc_id", "text", "is_t")
+    val inCorpus = ImportanceResample.weights(
+        df, col("text"), col("doc_id"), col("is_t"),
+        buckets = 64, smoothing = 1L)
+      .select("id", "n_feats", "lr_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val crossCorpus = ImportanceResample.weightsAgainst(
+        df, col("text"), col("doc_id"),
+        df.where(col("is_t")), col("text"),
+        buckets = 64, smoothing = 1L)
+      .select("id", "n_feats", "lr_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(crossCorpus == inCorpus)
+  }
+
+  test("weightsAgainst scores toward a disjoint external target corpus") {
+    val raw = corpus.toDF("doc_id", "text", "is_t").drop("is_t")
+    val external = Seq(
+      (900L, "markets and stocks closed sharply higher"),
+      (901L, "stocks rallied while markets closed up"))
+      .toDF("doc_id", "text")
+    val w = ImportanceResample.weightsAgainst(
+        raw, col("text"), col("doc_id"),
+        external, col("text"), buckets = 64, smoothing = 1L)
+      .select("id", "lr_micro").as[(Long, Long)].collect().toMap
+    // finance docs outweigh baking docs under a finance target
+    assert(w(1L) > w(3L) && w(2L) > w(4L) && w(5L) > w(3L))
+  }
+
   test("weight of a doc composed ONLY of target features is positive") {
     val df = corpus.toDF("doc_id", "text", "is_t")
     val w = ImportanceResample.weights(

@@ -261,4 +261,56 @@ class PropertySpec extends SparkSpec {
       m5.take(m3.length).startsWith(m3) && m3.length <= 3
     })
   }
+
+  test("PortableHistogram: every quantile estimate under-shoots within 10^(1-p)") {
+    val genVals = Gen.listOfN(40, Gen.choose(1, 2000000))
+      .map(_.map(_ / 1000.0))
+    holds(Prop.forAll(genVals, Gen.oneOf(2, 3)) { (vs, p) =>
+      val rows = PortableHistogram.quantileProfile(
+          vs.toDF("value"), col("value"), p,
+          qsPerMille = Seq(100, 500, 900, 1000))
+        .select("est_milli", "exact_milli", "in_bound")
+        .as[(Long, Long, Boolean)].collect()
+      rows.length == 4 && rows.forall { case (est, exact, inB) =>
+        est <= exact && inB
+      }
+    })
+  }
+
+  test("HashedEmbedding: self-cosine is 1 and dot is symmetric on random docs") {
+    val genDoc = Gen.listOfN(8,
+      Gen.oneOf("spark", "data", "window", "vector", "shuffle",
+        "alpha", "beta", "gamma")).map(_.mkString(" "))
+    holds(Prop.forAll(genDoc, genDoc) { (a, b) =>
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val emb = graft.operators.text.HashedEmbedding.embed(
+          df, col("text"), col("doc_id"), dim = 16)
+        .as[(Long, Seq[Long])].collect().toMap
+      def dot(x: Seq[Long], y: Seq[Long]) =
+        x.zip(y).map { case (u, v) => u * v }.sum
+      emb.get(1L).zip(emb.get(2L)).forall { case (e1, e2) =>
+        dot(e1, e2) == dot(e2, e1) &&
+          dot(e1, e1) > 0 && dot(e2, e2) > 0
+      }
+    })
+  }
+
+  test("BackoffLm: a verbatim duplicate of a training doc never scores worse than a shuffle") {
+    val genWords = Gen.listOfN(6,
+      Gen.oneOf("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8")).map(_.distinct)
+    holds(Prop.forAll(genWords) { ws =>
+      (ws.length < 3) || {
+        val natural = ws.mkString(" ")
+        val shuffled = (ws.reverse.tail :+ ws.head).mkString(" ")
+        val train = (0 until 5).map(i => (i.toLong, natural))
+        val probes = Seq((100L, natural), (101L, shuffled))
+        val got = graft.operators.text.BackoffLm.score(
+            (train ++ probes).toDF("doc_id", "text"),
+            col("text"), col("doc_id"),
+            alpha = 0.4, tau = 99.0, minCount = 2)
+          .select("id", "ce").as[(Long, Double)].collect().toMap
+        got(100L) <= got(101L)
+      }
+    })
+  }
 }
