@@ -176,6 +176,54 @@ object ImportanceResample {
           4).as("sel_rate"))
   }
 
+  /** Deterministic Gumbel noise in integer micro-nats, keyed by id:
+    * G = −ln(−ln u) with u = (2·md5₅₂(id)+1)/2^53 — the odd-numerator
+    * power-of-two division is EXACT IEEE, so u (and hence G) is
+    * bit-identical in any engine. */
+  def gumbelMicro(id: Column, tau: Double): Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h * lit(2L) + lit(1L)).cast("double") / lit(9007199254740992.0)
+    floor(lit(tau) * -log(-log(u)) * lit(1e6)).cast("long")
+  }
+
+  /** The paper's actual resampling step — Gumbel top-k: rank by
+    * lr + G (equivalently, sample without replacement with
+    * probability ∝ exp(lr/τ)), made deterministic and engine-portable
+    * by md5-derived uniforms. Softer than [[sampleSummary]]'s argmax
+    * cut: off-target docs keep a weight-proportional chance. Same
+    * output shape: (stratum, n_docs, n_selected, sel_rate). */
+  def gumbelSampleSummary(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      strata: Column,
+      target: Column,
+      buckets: Int = 1024,
+      smoothing: Long = 1L,
+      k: Int = 100,
+      tau: Double = 1.0): DataFrame = {
+    require(k >= 1 && tau > 0, s"bad k=$k tau=$tau")
+    val w = weights(df, text, id, target, buckets, smoothing)
+      .withColumn("key", col("lr_micro") + gumbelMicro(col("id"), tau))
+    val sel = w.orderBy(col("key").desc, col("id")).limit(k)
+      .select(col("id"))
+    val docs = df.select(id.as("id"), strata.as("stratum"))
+    docs
+      .join(sel.withColumn("hit", lit(1L)), Seq("id"), "left")
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_selected"))
+      .select(
+        col("stratum"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("n_selected").cast("bigint").as("n_selected"),
+        PortableRound.floorTo(
+          col("n_selected").cast("double") / col("n_docs").cast("double"),
+          4).as("sel_rate"))
+  }
+
   // ---- DuckDB oracles ----
 
   private val normSql =
@@ -247,6 +295,30 @@ object ImportanceResample {
       k: Int = 100): String =
     s"""WITH ${weightCtes(targetSql, buckets, smoothing)},
        |sel AS (SELECT id FROM dsir_w ORDER BY lr_micro DESC, id LIMIT $k)
+       |SELECT d.$strataCol AS stratum,
+       |       count(*)::BIGINT AS n_docs,
+       |       CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |       ${PortableRound.floorToSql(
+          "CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS sel_rate
+       |FROM documents d LEFT JOIN sel ON sel.id = d.doc_id
+       |GROUP BY d.$strataCol""".stripMargin
+
+  /** qp23 oracle — literal SQL twin of [[gumbelSampleSummary]]. */
+  def oracleGumbelSampleSql(
+      targetSql: String,
+      strataCol: String,
+      buckets: Int = 1024,
+      smoothing: Long = 1L,
+      k: Int = 100,
+      tau: Double = 1.0): String =
+    s"""WITH ${weightCtes(targetSql, buckets, smoothing)},
+       |keyed AS (
+       |  SELECT id, lr_micro +
+       |         CAST(floor($tau * -ln(-ln(
+       |           CAST(2 * CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 13)) AS BIGINT) + 1 AS DOUBLE)
+       |             / 9007199254740992.0)) * 1000000.0) AS BIGINT) AS key
+       |  FROM dsir_w),
+       |sel AS (SELECT id FROM keyed ORDER BY key DESC, id LIMIT $k)
        |SELECT d.$strataCol AS stratum,
        |       count(*)::BIGINT AS n_docs,
        |       CAST(sum(CASE WHEN sel.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,

@@ -532,6 +532,24 @@ object PipelineQueries {
       Some(graft.operators.text.ImportanceResample
         .oracleSampleSql("lang = 'en'", "lang", 1024, 1L, 100))),
     Q(
+      "qp23_dsir_gumbel",
+      // DSIR's ACTUAL resampling step (the paper samples with
+      // probability ~ exp(llr), i.e. Gumbel top-k on log weights),
+      // made deterministic and portable: G = -ln(-ln u) with
+      // u = (2*md5_52(id)+1)/2^53 -- the odd-numerator power-of-two
+      // division is exact IEEE, so the noise is bit-identical in
+      // both engines. Softer than qp21's argmax cut: off-target
+      // languages keep a weight-proportional share.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.ImportanceResample.gumbelSampleSummary(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          strata = col("lang"), target = col("lang") === "en",
+          buckets = 1024, smoothing = 1L, k = 100, tau = 1.0)
+      },
+      Some(graft.operators.text.ImportanceResample
+        .oracleGumbelSampleSql("lang = 'en'", "lang", 1024, 1L, 100, 1.0))),
+    Q(
       "qp22_dsir_curate",
       // the new selector composed into the productized funnel: DSIR
       // top-200 toward the en target, then the FULL curation chain

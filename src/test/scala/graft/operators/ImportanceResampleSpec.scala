@@ -117,6 +117,29 @@ class ImportanceResampleSpec extends SparkSpec {
     assert(w(1L) > w(3L) && w(2L) > w(4L) && w(5L) > w(3L))
   }
 
+  test("gumbel sampling is deterministic and softer than the argmax cut") {
+    // 30 target-ish docs and 30 off-target docs with overlapping
+    // vocab: the argmax cut at k=20 takes only target docs; the
+    // gumbel cut must (a) reproduce itself exactly and (b) admit at
+    // least one off-target doc at high temperature
+    val docs = ((1 to 30).map(i => (i.toLong, s"stocks markets rally session $i", true)) ++
+      (31 to 60).map(i => (i.toLong, s"flour sugar batter recipe $i", false)))
+    val df = docs.toDF("doc_id", "text", "is_t")
+    def run(tau: Double) = ImportanceResample.gumbelSampleSummary(
+        df, col("text"), col("doc_id"),
+        when(col("doc_id") <= 30, "fin").otherwise("bake"), col("is_t"),
+        buckets = 64, smoothing = 1L, k = 20, tau = tau)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val a = run(30.0)
+    val b = run(30.0)
+    assert(a == b, "gumbel sample not deterministic")
+    assert(a("bake") >= 1, s"high-temperature sample admitted nothing off-target: $a")
+    // near-zero temperature converges to the argmax cut
+    val cold = run(1e-6)
+    assert(cold("fin") == 20L && cold("bake") == 0L, cold.toString)
+  }
+
   test("weight of a doc composed ONLY of target features is positive") {
     val df = corpus.toDF("doc_id", "text", "is_t")
     val w = ImportanceResample.weights(
