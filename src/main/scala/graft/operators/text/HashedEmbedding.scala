@@ -174,6 +174,58 @@ object HashedEmbedding {
        |LIMIT $k""".stripMargin
   }
 
+  /** qt55 oracle — [[queryTopK]] over OVERLAPPING TOKEN CHUNKS (the
+    * RAG retrieval unit): chunks re-derive with the qt18 slice
+    * conventions, chunk ids compose as doc_id·100000 + start. */
+  def oracleChunkQueryTopKSql(
+      query: String,
+      maxTokens: Int,
+      stride: Int,
+      dim: Int = 64,
+      k: Int = 10): String = {
+    val q = query.replace("'", "''")
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM nrm),
+       |st AS (SELECT doc_id, toks,
+       |              unnest(range(1, len(toks) + 1, $stride)) AS s
+       |       FROM tk),
+       |ch AS (SELECT doc_id * 100000 + s AS cid,
+       |              list_aggregate(toks[s:s+${maxTokens - 1}], 'string_agg', ' ') AS ctext
+       |       FROM st),
+       |comp AS (
+       |  SELECT cid AS id,
+       |         CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $dim AS j,
+       |         CAST(sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) AS BIGINT) AS v
+       |  FROM (SELECT cid, unnest(string_split(ctext, ' ')) AS term FROM ch) z
+       |  WHERE term <> ''
+       |  GROUP BY 1, 2
+       |  HAVING sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) <> 0),
+       |qprobe AS (
+       |  SELECT CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $dim AS j,
+       |         CAST(sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) AS BIGINT) AS pv
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS term
+       |        FROM (SELECT '$q' AS text) qq) z
+       |  WHERE term <> ''
+       |  GROUP BY 1
+       |  HAVING sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) <> 0),
+       |norms AS (SELECT id, CAST(sum(v * v) AS BIGINT) AS nn FROM comp GROUP BY id),
+       |pn AS (SELECT CAST(sum(pv * pv) AS BIGINT) AS pn FROM qprobe),
+       |dots AS (
+       |  SELECT c.id, CAST(sum(c.v * qprobe.pv) AS BIGINT) AS dot
+       |  FROM comp c JOIN qprobe ON qprobe.j = c.j
+       |  GROUP BY c.id),
+       |ranked AS (
+       |  SELECT d.id, d.dot,
+       |         ${PortableRound.floorToSql(
+          "CAST(d.dot AS DOUBLE) / sqrt(CAST(norms.nn AS DOUBLE) * CAST(pn.pn AS DOUBLE))", 4)} AS cos
+       |  FROM dots d JOIN norms ON norms.id = d.id, pn
+       |  ORDER BY cos DESC, d.id
+       |  LIMIT $k)
+       |SELECT id // 100000 AS doc_id, CAST(id % 100000 AS BIGINT) AS chunk_start,
+       |       dot, cos
+       |FROM ranked""".stripMargin
+  }
+
   /** qs31 oracle — literal SQL twin of [[topK]] (sparse-dot
     * identity: zero dims contribute nothing). */
   def oracleTopKSql(probeId: Long, dim: Int = 64, k: Int = 10): String =

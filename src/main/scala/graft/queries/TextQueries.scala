@@ -1241,6 +1241,35 @@ object TextQueries {
         graft.operators.text.ZipfFit.fit(
           Tables.load(s, dir, "documents"), col("text"), col("lang"),
           topN = 500),
-      Some(graft.operators.text.ZipfFit.oracleSql(500)))
+      Some(graft.operators.text.ZipfFit.oracleSql(500))),
+    Q(
+      "qt55_chunk_retrieval",
+      // the RAG retrieval unit: qt18's overlapping 64-token chunks
+      // (stride 32) hash-embedded and ranked against a free-text
+      // query -- retrieval returns the PASSAGE, not just the doc, and
+      // the whole chain (chunking, hashing, cosine, k-cut) composes
+      // under one oracle. Chunk ids pack as doc_id*100000 + start so
+      // the tie ordering stays integer in both engines.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val chunks = docs
+          .select(col("doc_id"),
+            graft.operators.TextOps.tokens(col("text")).as("toks"))
+          .withColumn("s",
+            explode(sequence(lit(1), size(col("toks")), lit(32))))
+          .select((col("doc_id") * 100000 + col("s")).as("cid"),
+            concat_ws(" ", slice(col("toks"), col("s"), lit(64)))
+              .as("ctext"))
+        graft.operators.text.HashedEmbedding.queryTopK(
+            chunks, col("ctext"), col("cid"),
+            query = "spark window shuffle partition", dim = 64, k = 10)
+          .select(expr("id div 100000").as("doc_id"),
+            (col("id") % 100000).cast("bigint").as("chunk_start"),
+            col("dot"), col("cos"))
+      },
+      Some(graft.operators.text.HashedEmbedding.oracleChunkQueryTopKSql(
+        "spark window shuffle partition", maxTokens = 64, stride = 32,
+        dim = 64, k = 10)))
   )
 }
