@@ -105,6 +105,51 @@ object PortableHistogram {
       .withColumn("in_bound", col("rel_err") <= lit(bound))
   }
 
+  /** GROUPED quantile estimates — one row per (group, quantile) with
+    * the sketch estimate only (the serving shape; the exact
+    * verification leg is [[quantileProfile]]'s job). Unlike the
+    * global profile, every window here PARTITIONS BY GROUP, so
+    * nothing in the plan is single-task at any group count: the
+    * per-group cumulative walk runs over that group's domain-bounded
+    * bucket set. Columns: (group..., q_permille, n_rows, est_milli). */
+  def groupedQuantiles(
+      df: DataFrame,
+      value: Column,
+      groups: Seq[Column],
+      p: Int,
+      qsPerMille: Seq[Int]): DataFrame = {
+    require(groups.nonEmpty, "no group columns")
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"bad quantiles $qsPerMille")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val gNames = groups.indices.map(i => s"g$i")
+    val rows = Parallelism.ensureMin(df)
+      .select(groups.zip(gNames).map { case (c, n) => c.as(n) } :+
+        bucketLo(toMilli(value), p).as("bucket_lo"): _*)
+    val hist = rows.groupBy(gNames.map(col) :+ col("bucket_lo"): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy(gNames.map(col): _*).orderBy("bucket_lo")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = rows.groupBy(gNames.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val qs = qsPerMille.map(_.toLong).toDF("q_permille")
+    val ranks = tot.crossJoin(broadcast(qs))
+      .withColumn("r", expr("(n_rows * q_permille + 999) div 1000"))
+    ranks
+      .join(hist,
+        gNames.map(n => ranks(n) === hist(n)).reduce(_ && _) &&
+          hist("cum") >= ranks("r"), "left")
+      .groupBy(gNames.map(ranks(_)) :+ ranks("q_permille") :+
+        ranks("n_rows"): _*)
+      .agg(min("bucket_lo").as("est_milli"))
+      .select(gNames.map(n => ranks(n).as(n)) ++ Seq(
+        col("q_permille").cast("bigint").as("q_permille"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("est_milli").cast("bigint").as("est_milli")): _*)
+  }
+
   /** Merge derivation (the property that makes the sketch a 100 TB
     * counter): split rows into two md5 half-streams, sketch each half
     * independently, merge by bucket-wise ADDITION, and compare the
@@ -177,6 +222,28 @@ object PortableHistogram {
        |       ${PortableRound.floorToSql(
           "CAST(exact_milli - est_milli AS DOUBLE) / CAST(exact_milli AS DOUBLE)", 4)} <= $bound AS in_bound
        |FROM full_rows""".stripMargin
+  }
+
+  /** qe16 oracle — [[groupedQuantiles]] keyed by event hour. */
+  def oracleHourlyQuantileSql(p: Int, qsPerMille: Seq[Int]): String = {
+    val qvals = qsPerMille.map(q => s"($q)").mkString(", ")
+    s"""WITH m AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
+       |                  CAST(floor(value * 1000.0) AS BIGINT) AS m
+       |           FROM events),
+       |hist AS (SELECT hr, ${bucketSql("m", p)} AS bucket_lo, count(*)::BIGINT AS n
+       |         FROM m GROUP BY 1, 2),
+       |hc AS (SELECT hr, bucket_lo,
+       |              sum(n) OVER (PARTITION BY hr ORDER BY bucket_lo) AS cum
+       |       FROM hist),
+       |tot AS (SELECT hr, count(*)::BIGINT AS n_rows FROM m GROUP BY hr),
+       |qs(q_permille) AS (VALUES $qvals),
+       |rk AS (SELECT hr, n_rows, q_permille,
+       |              (n_rows * q_permille + 999) // 1000 AS r
+       |       FROM tot, qs)
+       |SELECT rk.hr, CAST(rk.q_permille AS BIGINT) AS q_permille,
+       |       rk.n_rows, CAST(min(hc.bucket_lo) AS BIGINT) AS est_milli
+       |FROM rk LEFT JOIN hc ON hc.hr = rk.hr AND hc.cum >= rk.r
+       |GROUP BY rk.hr, rk.q_permille, rk.n_rows""".stripMargin
   }
 
   /** qe15 oracle — literal SQL twin of [[mergeProfile]] over

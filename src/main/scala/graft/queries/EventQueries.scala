@@ -617,6 +617,22 @@ object EventQueries {
         graft.operators.PortableHistogram.mergeProfile(
           Tables.load(s, dir, "events"), col("value"), col("event_id"),
           p = 3),
-      Some(graft.operators.PortableHistogram.oracleMergeSql(3)))
+      Some(graft.operators.PortableHistogram.oracleMergeSql(3))),
+    Q(
+      "qe16_hourly_quantiles",
+      // qe14 per event-hour: the latency-dashboard shape. Every
+      // window PARTITIONS BY HOUR, so nothing is single-task at any
+      // group count — each hour's cumulative walk runs over its own
+      // domain-bounded bucket set (estimates only; qe14 carries the
+      // exact-quantile verification leg).
+      (s, dir) =>
+        graft.operators.PortableHistogram.groupedQuantiles(
+            Tables.load(s, dir, "events"), col("value"),
+            groups = Seq(
+              floor(unix_micros(col("ts")) / lit(3600000000.0)).cast("long")),
+            p = 3, qsPerMille = Seq(500, 990))
+          .withColumnRenamed("g0", "hr"),
+      Some(graft.operators.PortableHistogram
+        .oracleHourlyQuantileSql(3, Seq(500, 990))))
   )
 }

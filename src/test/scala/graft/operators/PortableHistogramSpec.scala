@@ -70,6 +70,28 @@ class PortableHistogramSpec extends SparkSpec {
     assert(got(1000L) == 4L)
   }
 
+  test("grouped quantiles equal the per-slice global estimator") {
+    val df = (1 to 600).map(i => (s"g${i % 3}", (i % 97) * 1.7 + 0.01))
+      .toDF("grp", "value")
+    val grouped = PortableHistogram.groupedQuantiles(
+        df, col("value"), Seq(col("grp")), p = 3,
+        qsPerMille = Seq(500, 900, 990))
+      .select(col("g0"), col("q_permille"), col("est_milli"))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(grouped.size == 9)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val per = PortableHistogram.quantileProfile(
+          df.where(col("grp") === g), col("value"), 3,
+          Seq(500, 900, 990))
+        .select("q_permille", "est_milli")
+        .as[(Long, Long)].collect().toMap
+      per.foreach { case (q, est) =>
+        assert(grouped((g, q)) == est, s"$g q=$q")
+      }
+    }
+  }
+
   test("shard sketches merge losslessly") {
     val df = (1 to 500).map(i => (i.toLong, (i % 37) * 1.5 + 0.01))
       .toDF("event_id", "value")

@@ -328,6 +328,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qe16: every window partitions by hour — no single-task stage") {
+    val p = plan("qe16_hourly_quantiles")
+    // an unpartitioned Window would read "Window [...]" with an empty
+    // partition spec and log the single-partition warning; the hourly
+    // walk must carry hr in every window's partitioning
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l =>
+      assert(l.contains("g0#") || l.contains("hr#"),
+        s"window not partitioned by hour: $l"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
