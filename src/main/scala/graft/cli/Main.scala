@@ -600,6 +600,10 @@ object Main {
         val qsArg = opt("--q").getOrElse("500,900,990,999")
           .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
         def showQuantiles(): Int = {
+          if (!new java.io.File(s"$idx/histogram").exists()) {
+            println(s"no histogram sidecar at $idx (run `hist build` first)")
+            return 1
+          }
           val qs = graft.streaming.HistogramIngest
             .quantiles(spark, idx, qsArg).orderBy("q_permille").collect()
           println(table(
