@@ -584,9 +584,8 @@ object Main {
                   r.getAs[Long]("id").toString,
                   r.getAs[String]("how"),
                   snip.getOrElse(r.getAs[Long]("id"), "")))))
-            val rows = hits
             println(f"Search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
-              s"${rows.length} hits ($mode) for \"$q\"")
+              s"${hits.length} hits ($mode) for \"$q\"")
             0
         }
       case "hist" =>
@@ -599,8 +598,12 @@ object Main {
         val idx = opt("--index").getOrElse("/tmp/graft_hist")
         val qsArg = opt("--q").getOrElse("500,900,990,999")
           .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        if (qsArg.isEmpty || qsArg.exists(q => q < 1 || q > 1000)) {
+          println(s"bad --q '${opt("--q").getOrElse("")}': per-mille quantiles must be in 1..1000")
+          return 2
+        }
         def showQuantiles(): Int = {
-          if (!new java.io.File(s"$idx/histogram").exists()) {
+          if (!graft.streaming.HistogramIngest.exists(spark, idx)) {
             println(s"no histogram sidecar at $idx (run `hist build` first)")
             return 1
           }
@@ -619,6 +622,17 @@ object Main {
             val t = opt("--table").getOrElse("events")
             val c = opt("--col").getOrElse("value")
             val rows = catalogFor(cfg.src).read(spark, t)
+            // the histogram fold is ADDITIVE: a "build" over an
+            // existing sidecar would stack the corpus on top of the
+            // stale counts (unlike hll, where max-refolds are free),
+            // so build WIPES first — rebuild semantics, stated
+            if (sub == "build" &&
+                graft.streaming.HistogramIngest.exists(spark, idx)) {
+              val live = new org.apache.hadoop.fs.Path(s"$idx/histogram")
+              val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+              fs.delete(live, true)
+              println(s"existing sidecar at $idx wiped (build = rebuild; use append to accumulate)")
+            }
             val bid = graft.streaming.HistogramIngest.nextBatchId(spark, idx)
             graft.streaming.HistogramIngest.foldBatch(rows, col(c), idx, bid)
             println(f"Hist $sub finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +

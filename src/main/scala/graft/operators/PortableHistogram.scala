@@ -31,9 +31,16 @@ import org.apache.spark.sql.functions._
 object PortableHistogram {
 
   /** milli-unit projection: floor(v*1000) as BIGINT (exact IEEE
-    * multiply+floor — no tie semantics, same everywhere). */
-  def toMilli(value: Column): Column =
-    floor(value * lit(1000.0)).cast("long")
+    * multiply+floor — no tie semantics, same everywhere). The decimal
+    * bucketing below is meaningful only for NON-NEGATIVE values (a
+    * minus sign would count as a leading "digit" and push the bucket
+    * bound ABOVE its members), so negative input fails loudly instead
+    * of silently mis-bucketing. */
+  def toMilli(value: Column): Column = {
+    val m = floor(value * lit(1000.0)).cast("long")
+    when(m < 0, raise_error(lit(
+      "PortableHistogram requires non-negative values"))).otherwise(m)
+  }
 
   /** The p-leading-digit bucket lower bound of a non-negative BIGINT:
     * keep the first p decimal digits, zero-pad back to the original
@@ -99,9 +106,12 @@ object PortableHistogram {
         col("n_rows").cast("bigint").as("n_rows"),
         col("est_milli").cast("bigint").as("est_milli"),
         col("exact_milli").cast("bigint").as("exact_milli"),
-        PortableRound.floorTo(
-          (col("exact_milli") - col("est_milli")).cast("double") /
-            col("exact_milli").cast("double"), 4).as("rel_err"))
+        // est == exact covers the 0-bucket quantile (0/0 would NaN
+        // and false-fail the gate on a perfectly exact estimate)
+        when(col("est_milli") === col("exact_milli"), lit(0.0))
+          .otherwise(PortableRound.floorTo(
+            (col("exact_milli") - col("est_milli")).cast("double") /
+              col("exact_milli").cast("double"), 4)).as("rel_err"))
       .withColumn("in_bound", col("rel_err") <= lit(bound))
   }
 
@@ -217,10 +227,12 @@ object PortableHistogram {
        |       CAST(n_rows AS BIGINT) AS n_rows,
        |       CAST(est_milli AS BIGINT) AS est_milli,
        |       CAST(exact_milli AS BIGINT) AS exact_milli,
-       |       ${PortableRound.floorToSql(
-          "CAST(exact_milli - est_milli AS DOUBLE) / CAST(exact_milli AS DOUBLE)", 4)} AS rel_err,
-       |       ${PortableRound.floorToSql(
-          "CAST(exact_milli - est_milli AS DOUBLE) / CAST(exact_milli AS DOUBLE)", 4)} <= $bound AS in_bound
+       |       CASE WHEN est_milli = exact_milli THEN 0.0
+       |            ELSE ${PortableRound.floorToSql(
+          "CAST(exact_milli - est_milli AS DOUBLE) / CAST(exact_milli AS DOUBLE)", 4)} END AS rel_err,
+       |       CASE WHEN est_milli = exact_milli THEN 0.0
+       |            ELSE ${PortableRound.floorToSql(
+          "CAST(exact_milli - est_milli AS DOUBLE) / CAST(exact_milli AS DOUBLE)", 4)} END <= $bound AS in_bound
        |FROM full_rows""".stripMargin
   }
 

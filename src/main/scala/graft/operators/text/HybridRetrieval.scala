@@ -53,24 +53,7 @@ object HybridRetrieval {
       .filter(col("vec_id") =!= probeId)
     val dense = graft.operators.similarity.SimilaritySearch
       .bruteForceTopK(docEmb, col("embedding"), col("vec_id"), probe, kPerList)
-    // rank windows run over kPerList rows — single-task is the point
-    val lexRanked = lex.withColumn(
-      "lex_rank",
-      row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
-      .select(col("id"), col("lex_rank"))
-    val denseRanked = dense.withColumn(
-      "dense_rank",
-      row_number().over(Window.orderBy(col("cosine").desc, col("id"))).cast("long"))
-      .select(col("id"), col("dense_rank"))
-    lexRanked
-      .join(denseRanked, Seq("id"), "full_outer")
-      .withColumn(
-        "rrf_scaled",
-        coalesce(expr(s"1000000L div (${K}L + lex_rank)"), lit(0L)) +
-          coalesce(expr(s"1000000L div (${K}L + dense_rank)"), lit(0L)))
-      .orderBy(col("rrf_scaled").desc, col("id"))
-      .limit(kOut)
-      .select("id", "lex_rank", "dense_rank", "rrf_scaled")
+    fuse(lex, dense, col("cosine"), kOut)
   }
 
   /** TEXT-ONLY hybrid: the same RRF fusion with the dense leg served
@@ -91,13 +74,24 @@ object HybridRetrieval {
     require(terms.nonEmpty, "empty query")
     val lex = Bm25.topK(docs, text, id, terms, kPerList)
     val dense = HashedEmbedding.queryTopK(docs, text, id, query, dim, kPerList)
+    fuse(lex, dense, col("cos"), kOut)
+  }
+
+  /** ONE fusion implementation for every hybrid entry point: rank
+    * both lists (windows over kPerList rows — single-task is the
+    * point), full-outer on id, integer RRF, (score DESC, id) cut. */
+  private def fuse(
+      lex: DataFrame,
+      dense: DataFrame,
+      denseScore: Column,
+      kOut: Int): DataFrame = {
     val lexRanked = lex.withColumn(
       "lex_rank",
       row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
       .select(col("id"), col("lex_rank"))
     val denseRanked = dense.withColumn(
       "dense_rank",
-      row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+      row_number().over(Window.orderBy(denseScore.desc, col("id"))).cast("long"))
       .select(col("id"), col("dense_rank"))
     lexRanked
       .join(denseRanked, Seq("id"), "full_outer")

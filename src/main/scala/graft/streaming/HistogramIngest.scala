@@ -87,17 +87,30 @@ object HistogramIngest {
       .trigger(trigger)
       .start()
 
-  /** The next unused ledger batch id — for BATCH (CLI) appends into a
-    * sidecar also maintainable by a stream; fresh dir => 0. */
-  def nextBatchId(spark: SparkSession, dir: String): Long = {
+  /** Does the sidecar exist? Hadoop-FS based like everything else in
+    * this family (a java.io.File check would always be false for
+    * hdfs:///s3a:// sidecars). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
     val live = new org.apache.hadoop.fs.Path(histPath(dir))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
-    if (!fs.exists(live)) 0L
-    else spark.read.parquet(live.toString)
-      .where(col("kind") === "batch")
-      .agg(coalesce(max("key"), lit(-1L)))
-      .head().getLong(0) + 1L
+    fs.exists(live)
+  }
+
+  /** The next unused ledger batch id for BATCH (CLI) appends — drawn
+    * from the NEGATIVE id space (-1, -2, …) so a manual fold can never
+    * collide with a streaming checkpoint's non-negative batch ids:
+    * with a shared positive space, a CLI append taking max+1 would
+    * claim the id the stream's NEXT micro-batch is about to carry,
+    * and that micro-batch would be dropped as a "replay" (data loss).
+    * Fresh dir => -1. */
+  def nextBatchId(spark: SparkSession, dir: String): Long = {
+    if (!exists(spark, dir)) return -1L
+    val live = new org.apache.hadoop.fs.Path(histPath(dir))
+    spark.read.parquet(live.toString)
+      .where(col("kind") === "batch" && col("key") < 0)
+      .agg(coalesce(min("key"), lit(0L)))
+      .head().getLong(0) - 1L
   }
 
   /** The current sketch: (bucket_lo, n), served from the sidecar. */
@@ -117,6 +130,8 @@ object HistogramIngest {
   def quantiles(
       spark: SparkSession, dir: String,
       qsPerMille: Seq[Int]): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"bad quantiles $qsPerMille")
     import spark.implicits._
     val byBucket = org.apache.spark.sql.expressions.Window
       .orderBy("bucket_lo")

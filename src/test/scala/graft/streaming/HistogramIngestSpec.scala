@@ -56,6 +56,23 @@ class HistogramIngestSpec extends SparkSpec {
     assert(after(1000L) == once(1000L) + 1)
   }
 
+  test("CLI appends draw from the negative id space — a resuming stream's next id still folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi_n").toString
+    // stream folds checkpoint batch 0
+    HistogramIngest.foldBatch(vals(Seq(1.0)), col("value"), dir, batchId = 0L)
+    // a manual CLI append between stream runs: must take -1, not 1
+    val cid = HistogramIngest.nextBatchId(spark, dir)
+    assert(cid == -1L, s"cid=$cid")
+    HistogramIngest.foldBatch(vals(Seq(2.0)), col("value"), dir, cid)
+    assert(HistogramIngest.nextBatchId(spark, dir) == -2L)
+    // the stream resumes with checkpoint batch 1 — with a shared
+    // positive space the CLI fold would have claimed id 1 and this
+    // batch would be dropped as a replay (data loss)
+    HistogramIngest.foldBatch(vals(Seq(3.0)), col("value"), dir, batchId = 1L)
+    val got = bucketRows(dir)
+    assert(got == Map(1000L -> 1L, 2000L -> 1L, 3000L -> 1L), got.toString)
+  }
+
   test("an interrupted swap is adopted, never restarted from one batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hi_x").toString
     HistogramIngest.foldBatch(

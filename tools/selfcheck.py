@@ -106,6 +106,11 @@ for name, sql in sorted(oracle.items()):
 rows_only = set()
 for d in glob.glob(f"{outdir}/*/"):
     qn = os.path.basename(d.rstrip("/"))
+    # the SPARK_GRAFT_ONLY filter must apply here too, or every
+    # filtered-OUT oracle-checked query dir gets misreported as a
+    # rows-only query
+    if _only and not any(qn.startswith(p) for p in _only):
+        continue
     if qn not in oracle:
         rows_only.add(qn)
 for qn in sorted(rows_only):
