@@ -532,6 +532,20 @@ object PipelineQueries {
       Some(graft.operators.text.ImportanceResample
         .oracleSampleSql("lang = 'en'", "lang", 1024, 1L, 100))),
     Q(
+      "qp24_k_anonymity",
+      // the release gate for relational data (Sweeney 2002): the
+      // equivalence-class size histogram over the quasi-identifier
+      // pair (nation, market segment) -- classes under k are
+      // re-identifiable. One hash aggregation keyed by the quasi
+      // tuple; the rollup is bounded by distinct class SIZES.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.KAnonymity.audit(
+          Tables.load(s, dir, "customer"),
+          quasi = Seq(col("c_nationkey"), col("c_mktsegment")), k = 10L)
+      },
+      Some(graft.operators.KAnonymity.oracleAuditSql(10L))),
+    Q(
       "qp23_dsir_gumbel",
       // DSIR's ACTUAL resampling step (the paper samples with
       // probability ~ exp(llr), i.e. Gumbel top-k on log weights),

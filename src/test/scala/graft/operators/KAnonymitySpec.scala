@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class KAnonymitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (zip, age) quasi-identifiers: class (a,1) has 3 rows, (b,1) has 2,
+  // (c,9) is a singleton
+  private val rows = Seq(
+    (1L, "a", 1, "x"), (2L, "a", 1, "y"), (3L, "a", 1, "z"),
+    (4L, "b", 1, "x"), (5L, "b", 1, "y"),
+    (6L, "c", 9, "q"))
+  private def df = rows.toDF("id", "zip", "age", "payload")
+
+  test("audit reports the class-size histogram with violations flagged") {
+    val got = KAnonymity.audit(df, Seq(col("zip"), col("age")), k = 3)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, false)),
+      2L -> ((1L, 2L, true)),
+      1L -> ((1L, 1L, true))))
+  }
+
+  test("suppress keeps exactly the rows of classes with >= k members") {
+    val kept = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 3)
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L)))
+    // k=2 also admits the (b,1) pair; the singleton never survives
+    val kept2 = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 2)
+      .select("id").as[Long].collect().sorted
+    assert(kept2.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // the suppressed output keeps the original schema
+    assert(KAnonymity.suppress(df, Seq(col("zip")), k = 2).columns
+      .sameElements(df.columns))
+  }
+
+  test("the suppressed subset is itself k-anonymous (audit fixpoint)") {
+    val anon = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 2)
+    val reaudit = KAnonymity.audit(anon, Seq(col("zip"), col("age")), k = 2)
+      .where(col("violating")).count()
+    assert(reaudit == 0L)
+  }
+}
