@@ -51,6 +51,48 @@ object KAnonymity {
     keyed.join(ok, names, "left_semi").drop(names: _*)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2006) — k-anonymity's
+    * necessary companion: a class can be large yet leak the SENSITIVE
+    * attribute when every member shares one value (homogeneity
+    * attack). Reports the histogram of per-class DISTINCT-sensitive
+    * counts: (l_distinct, n_classes, n_rows, violating < l). Same
+    * scale shape as [[audit]] with one extra distinct aggregation. */
+  def diversityAudit(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(l >= 2, s"bad l $l")
+    Parallelism.ensureMin(df)
+      .groupBy(quasi: _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_distinct"))
+      .groupBy("l_distinct")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum("class_size").as("n_rows"))
+      .select(
+        col("l_distinct").cast("bigint").as("l_distinct"),
+        col("n_classes").cast("bigint").as("n_classes"),
+        col("n_rows").cast("bigint").as("n_rows"))
+      .withColumn("violating", col("l_distinct") < l)
+  }
+
+  /** qp25 oracle — [[diversityAudit]] over customer with quasi =
+    * c_nationkey and sensitive = c_mktsegment. */
+  def oracleDiversitySql(l: Long): String =
+    s"""WITH cls AS (
+       |  SELECT c_nationkey, count(*)::BIGINT AS class_size,
+       |         count(DISTINCT c_mktsegment)::BIGINT AS l_distinct
+       |  FROM customer GROUP BY c_nationkey)
+       |SELECT l_distinct,
+       |       count(*)::BIGINT AS n_classes,
+       |       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       |       l_distinct < $l AS violating
+       |FROM cls GROUP BY l_distinct""".stripMargin
+
   /** qp24 oracle — [[audit]] over customer with quasi =
     * (c_nationkey, c_mktsegment). */
   def oracleAuditSql(k: Long): String =

@@ -546,6 +546,21 @@ object PipelineQueries {
       },
       Some(graft.operators.KAnonymity.oracleAuditSql(10L))),
     Q(
+      "qp25_l_diversity",
+      // k-anonymity's necessary companion (Machanavajjhala 2006): a
+      // class can be large yet leak the SENSITIVE attribute when all
+      // members share one value (homogeneity attack). Histogram of
+      // per-class distinct-sensitive counts over quasi = nation,
+      // sensitive = market segment.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.KAnonymity.diversityAudit(
+          Tables.load(s, dir, "customer"),
+          quasi = Seq(col("c_nationkey")),
+          sensitive = col("c_mktsegment"), l = 3L)
+      },
+      Some(graft.operators.KAnonymity.oracleDiversitySql(3L))),
+    Q(
       "qp23_dsir_gumbel",
       // DSIR's ACTUAL resampling step (the paper samples with
       // probability ~ exp(llr), i.e. Gumbel top-k on log weights),

@@ -38,6 +38,25 @@ class KAnonymitySpec extends SparkSpec {
       .sameElements(df.columns))
   }
 
+  test("l-diversity flags a homogeneous class that k-anonymity passes") {
+    // class (a,1): 3 rows but ALL share sensitive value "x" — passes
+    // k=3 anonymity, fails l=2 diversity (the homogeneity attack)
+    val homo = Seq(
+      (1L, "a", 1, "x"), (2L, "a", 1, "x"), (3L, "a", 1, "x"),
+      (4L, "b", 1, "x"), (5L, "b", 1, "y"), (6L, "b", 1, "z"))
+      .toDF("id", "zip", "age", "diag")
+    val kPass = KAnonymity.audit(homo, Seq(col("zip"), col("age")), k = 3)
+      .where(col("violating")).count()
+    assert(kPass == 0L, "fixture must pass k-anonymity")
+    val got = KAnonymity.diversityAudit(
+        homo, Seq(col("zip"), col("age")), col("diag"), l = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, true)),
+      3L -> ((1L, 3L, false))))
+  }
+
   test("the suppressed subset is itself k-anonymous (audit fixpoint)") {
     val anon = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 2)
     val reaudit = KAnonymity.audit(anon, Seq(col("zip"), col("age")), k = 2)
