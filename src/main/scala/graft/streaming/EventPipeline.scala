@@ -78,6 +78,22 @@ object EventPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming leg of qe16's hourly quantile dashboard: watermarked
+    * per-(hour, decimal-bucket) counts — the histogram STATE streams;
+    * the quantile walk (a cumulative pass over each hour's
+    * domain-bounded bucket set) runs as a cheap batch query over this
+    * output whenever estimates are served. State is bounded by
+    * hours-in-horizon × buckets-in-domain, never by event count. */
+  def streamingHourlyBuckets(stream: DataFrame, p: Int = 3): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"),
+        graft.operators.PortableHistogram.bucketLo(
+          graft.operators.PortableHistogram.toMilli(col("value")), p)
+          .as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("bucket_lo"), col("n"))
+
   /** Streaming exact dedup: duplicates of the key arriving within the
     * watermark horizon are dropped; state expires with the watermark,
     * so the store is bounded by horizon × arrival rate, not by history

@@ -60,6 +60,54 @@ class EventPipelineSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("structured streaming: hourly histogram buckets match batch; quantile walk matches qe16") {
+    val stream = spark.readStream.schema(events.schema).parquet(streamDir)
+    val q = EventPipeline.streamingHourlyBuckets(stream, p = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hbuckets_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hbuckets_out")
+      .select(
+        floor(unix_micros(col("w_start")) / lit(3600000000.0)).cast("long")
+          .as("hr"),
+        col("bucket_lo"), col("n"))
+    val batch = events.select(
+        floor(unix_micros(col("ts")) / lit(3600000000.0)).cast("long").as("hr"),
+        graft.operators.PortableHistogram.bucketLo(
+          graft.operators.PortableHistogram.toMilli(col("value")), 3)
+          .as("bucket_lo"))
+      .groupBy("hr", "bucket_lo").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed histogram state diverges from batch")
+
+    // the quantile walk over the STREAMED state equals qe16's batch
+    // estimator on the same events
+    val est = graft.operators.PortableHistogram.groupedQuantiles(
+        events, col("value"),
+        Seq(floor(unix_micros(col("ts")) / lit(3600000000.0)).cast("long")),
+        p = 3, qsPerMille = Seq(500, 990))
+      .select(col("g0").as("hr"), col("q_permille"), col("est_milli"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val walked = streamed.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).flatMap { case (hr, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val total = sorted.map(_._3).sum
+        Seq(500L, 990L).map { qpm =>
+          val r = (total * qpm + 999) / 1000
+          var cum = 0L
+          val est = sorted.collectFirst {
+            case (_, b, n) if { cum += n; cum >= r } => b
+          }.get
+          (hr, qpm) -> est
+        }
+      }
+    walked.foreach { case (k, v) =>
+      assert(est(k) == v, s"quantile walk diverges at $k")
+    }
+  }
+
   test("structured streaming: watermarked dedup drops re-delivered events") {
     // simulate at-least-once delivery: the staged directory written twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft_dup_stream").toString
