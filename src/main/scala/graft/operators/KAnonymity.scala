@@ -80,6 +80,31 @@ object KAnonymity {
       .withColumn("violating", col("l_distinct") < l)
   }
 
+  /** qp26 oracle — [[closenessAudit]] over customer with quasi =
+    * c_nationkey and sensitive = c_mktsegment. */
+  def oracleClosenessSql(t: Double): String =
+    s"""WITH cs AS (
+       |  SELECT c_nationkey AS q0, c_mktsegment AS s, count(*)::BIGINT AS n_cs
+       |  FROM customer GROUP BY 1, 2),
+       |cls AS (SELECT q0, CAST(sum(n_cs) AS BIGINT) AS n_c FROM cs GROUP BY q0),
+       |sv AS (SELECT s, CAST(sum(n_cs) AS BIGINT) AS n_s FROM cs GROUP BY s),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM sv),
+       |grid AS (
+       |  SELECT cls.q0, cls.n_c, sv.s, sv.n_s, tot.n_tot,
+       |         coalesce(cs.n_cs, 0) AS n_cs
+       |  FROM cls CROSS JOIN sv CROSS JOIN tot
+       |  LEFT JOIN cs ON cs.q0 = cls.q0 AND cs.s = sv.s),
+       |agg AS (
+       |  SELECT q0, n_c, n_tot,
+       |         CAST(sum(abs(n_cs * n_tot - n_s * n_c)) AS BIGINT) AS num
+       |  FROM grid GROUP BY q0, n_c, n_tot)
+       |SELECT q0, n_c AS class_size,
+       |       ${PortableRound.floorToSql(
+          "CAST(num AS DOUBLE) / (2.0 * CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE))", 4)} AS tv,
+       |       ${PortableRound.floorToSql(
+          "CAST(num AS DOUBLE) / (2.0 * CAST(n_c AS DOUBLE) * CAST(n_tot AS DOUBLE))", 4)} > $t AS violating
+       |FROM agg""".stripMargin
+
   /** qp25 oracle — [[diversityAudit]] over customer with quasi =
     * c_nationkey and sensitive = c_mktsegment. */
   def oracleDiversitySql(l: Long): String =
@@ -92,6 +117,55 @@ object KAnonymity {
        |       CAST(sum(class_size) AS BIGINT) AS n_rows,
        |       l_distinct < $l AS violating
        |FROM cls GROUP BY l_distinct""".stripMargin
+
+  /** t-closeness audit (Li et al. 2007) — the third classic release
+    * gate: even a DIVERSE class leaks when its sensitive-value
+    * DISTRIBUTION diverges from the global one (skewness attack).
+    * Per class, the total-variation distance between the class's
+    * sensitive distribution and the corpus's:
+    *
+    *   tv = ½ · Σ_s | n_cs/n_c − N_s/N |
+    *
+    * computed as the EXACT integer Σ_s |n_cs·N − N_s·n_c| over the
+    * common denominator 2·n_c·N, so the sum is order-free and the one
+    * float is a single exact division (floor-projected at 4 dp).
+    * Output: (quasi…, class_size, tv, violating > t). */
+  def closenessAudit(
+      df: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasi.nonEmpty, "no quasi-identifier columns")
+    require(t > 0 && t < 1, s"bad t $t")
+    val names = quasi.indices.map(i => s"__q$i")
+    val base = Parallelism.ensureMin(df).select(
+      quasi.zip(names).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__s"): _*)
+    val cs = base.groupBy(names.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val cls = cs.groupBy(names.map(col): _*).agg(sum("n_cs").as("n_c"))
+    val sv = cs.groupBy("__s").agg(sum("n_cs").as("n_s"))
+    val tot = sv.agg(sum("n_s").as("n_tot"))
+    // every (class, sensitive-value) pair contributes, INCLUDING pairs
+    // a class never saw (n_cs = 0) — the dense grid is classes ×
+    // values, two domain-bounded tables, never the corpus
+    val grid = cls.crossJoin(sv.crossJoin(broadcast(tot)))
+      .join(cs, names :+ "__s", "left")
+      .na.fill(0L, Seq("n_cs"))
+    grid
+      .groupBy(names.map(col) :+ col("n_c") :+ col("n_tot"): _*)
+      .agg(sum(abs(col("n_cs") * col("n_tot") - col("n_s") * col("n_c")))
+        .as("num"))
+      .select(names.zip(quasi.indices).map { case (n, i) =>
+        col(n).as(s"q$i")
+      } ++ Seq(
+        col("n_c").cast("bigint").as("class_size"),
+        PortableRound.floorTo(
+          col("num").cast("double") /
+            (lit(2.0) * col("n_c").cast("double") *
+              col("n_tot").cast("double")), 4).as("tv")): _*)
+      .withColumn("violating", col("tv") > t)
+  }
 
   /** qp24 oracle — [[audit]] over customer with quasi =
     * (c_nationkey, c_mktsegment). */

@@ -561,6 +561,22 @@ object PipelineQueries {
       },
       Some(graft.operators.KAnonymity.oracleDiversitySql(3L))),
     Q(
+      "qp26_t_closeness",
+      // the third classic release gate (Li et al. 2007): a class can
+      // be large AND diverse yet leak when its sensitive-value
+      // DISTRIBUTION diverges from the global one (skewness attack).
+      // Per-class total-variation distance, computed as an exact
+      // integer sum over the classes x values grid (domain-bounded,
+      // never the corpus) with ONE final float division.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.KAnonymity.closenessAudit(
+          Tables.load(s, dir, "customer"),
+          quasi = Seq(col("c_nationkey")),
+          sensitive = col("c_mktsegment"), t = 0.2)
+      },
+      Some(graft.operators.KAnonymity.oracleClosenessSql(0.2))),
+    Q(
       "qp23_dsir_gumbel",
       // DSIR's ACTUAL resampling step (the paper samples with
       // probability ~ exp(llr), i.e. Gumbel top-k on log weights),

@@ -57,6 +57,30 @@ class KAnonymitySpec extends SparkSpec {
       3L -> ((1L, 3L, false))))
   }
 
+  test("t-closeness flags a skewed class that passes both k-anonymity and l-diversity") {
+    // globally balanced mix (6x, 6y): class a matches it exactly
+    // (tv = 0); classes b and c are mirror-skewed (3:1) — diverse
+    // (l=2) and large (k=4) yet each leaks direction
+    val rows = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (5L, "b", "x"), (6L, "b", "x"), (7L, "b", "x"), (8L, "b", "y"),
+      (9L, "c", "y"), (10L, "c", "y"), (11L, "c", "y"), (12L, "c", "x"))
+      .toDF("id", "zip", "diag")
+    assert(KAnonymity.audit(rows, Seq(col("zip")), k = 4)
+      .where(col("violating")).count() == 0L)
+    assert(KAnonymity.diversityAudit(rows, Seq(col("zip")), col("diag"), l = 2)
+      .where(col("violating")).count() == 0L)
+    val tv = KAnonymity.closenessAudit(
+        rows, Seq(col("zip")), col("diag"), t = 0.2)
+      .select("q0", "class_size", "tv", "violating")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // exact: a = 0; b = c = ½·(|3/4-1/2| + |1/4-1/2|) = 0.25
+    assert(tv("a") == ((4L, 0.0, false)), tv("a").toString)
+    assert(tv("b") == ((4L, 0.25, true)), tv("b").toString)
+    assert(tv("c") == ((4L, 0.25, true)), tv("c").toString)
+  }
+
   test("the suppressed subset is itself k-anonymous (audit fixpoint)") {
     val anon = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 2)
     val reaudit = KAnonymity.audit(anon, Seq(col("zip"), col("age")), k = 2)
