@@ -69,23 +69,7 @@ object BackoffLm {
     require(alpha > 0 && alpha < 1, s"bad alpha $alpha")
     require(minCount >= 1, s"bad minCount $minCount")
     val lnA = alphaMicro(alpha)
-
-    val toks = graft.operators.Parallelism.ensureMin(df)
-      .select((id.as("id") +: carry.map(col)) :+
-        posexplode(TextOps.tokens(text)).as(Seq("pos", "term")): _*)
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    val stream = toks
-      .withColumn("p1", lag("term", 1).over(byDoc))
-      .withColumn("p2", lag("term", 2).over(byDoc))
-
-    val c1 = stream.groupBy("term").agg(count(lit(1)).as("n1"))
-    val n = c1.agg(sum("n1").cast("double").as("total"))
-    val c2 = stream.where(col("p1").isNotNull)
-      .groupBy("p1", "term").agg(count(lit(1)).as("n2"))
-      .where(col("n2") >= minCount)
-    val c3 = stream.where(col("p2").isNotNull)
-      .groupBy("p2", "p1", "term").agg(count(lit(1)).as("n3"))
-      .where(col("n3") >= minCount)
+    val (stream, c1, c2, c3, n) = streamAndCounts(df, text, id, minCount, carry)
 
     // each count table joins the stream under its own key set; the
     // trigram CONTEXT count reuses c2 keyed (p2, p1), the bigram
@@ -123,6 +107,33 @@ object BackoffLm {
               when(col("p2").isNotNull, lit(2L * lnA))
                 .when(col("p1").isNotNull, lit(lnA))
                 .otherwise(lit(0L))).as("lp")): _*)
+  }
+
+  /** The lag-context token stream and the three (pruned) count
+    * tables — shared by scoring and the tuning curve. */
+  private def streamAndCounts(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      minCount: Long,
+      carry: Seq[String] = Nil)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = graft.operators.Parallelism.ensureMin(df)
+      .select((id.as("id") +: carry.map(col)) :+
+        posexplode(TextOps.tokens(text)).as(Seq("pos", "term")): _*)
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val stream = toks
+      .withColumn("p1", lag("term", 1).over(byDoc))
+      .withColumn("p2", lag("term", 2).over(byDoc))
+    val c1 = stream.groupBy("term").agg(count(lit(1)).as("n1"))
+    val n = c1.agg(sum("n1").cast("double").as("total"))
+    val c2 = stream.where(col("p1").isNotNull)
+      .groupBy("p1", "term").agg(count(lit(1)).as("n2"))
+      .where(col("n2") >= minCount)
+    val c3 = stream.where(col("p2").isNotNull)
+      .groupBy("p2", "p1", "term").agg(count(lit(1)).as("n3"))
+      .where(col("n3") >= minCount)
+    (stream, c1, c2, c3, n)
   }
 
   /** Per-document scoring: (id, n_tokens, tri_hits, bi_hits, uni_hits,
@@ -189,6 +200,70 @@ object BackoffLm {
         PortableRound.floorTo(
           -col("sum_lp").cast("double") / lit(1e6) / col("n_tokens").cast("double"),
           4).as("ce"))
+
+  /** The minCount TUNING CURVE (qt47/qt50/qp19's sibling for the LM):
+    * one row per candidate prune threshold with the STATE-SIZE axis
+    * (surviving bi/trigram table rows — what a 100 TB deployment pays
+    * to store and join) against the QUALITY axis (backoff-level hit
+    * rates and corpus cross-entropy). The operating point is read off
+    * this table: raise minCount until the state fits, watch tri_rate
+    * pay for it. */
+  def minCountCurve(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      alpha: Double = 0.4,
+      minCounts: Seq[Long] = Seq(1L, 2L, 4L, 8L)): DataFrame = {
+    require(minCounts.nonEmpty, "no minCounts")
+    minCounts.map { mc =>
+      val (_, _, c2, c3, _) = streamAndCounts(df, text, id, mc)
+      val sizes = c3.agg(count(lit(1)).as("tri_table_rows"))
+        .crossJoin(c2.agg(count(lit(1)).as("bi_table_rows")))
+      scoredTokens(df, text, id, alpha, mc)
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("lvl") === "tri", 1L).otherwise(0L)).as("tri_hits"),
+          sum(when(col("lvl") === "bi", 1L).otherwise(0L)).as("bi_hits"),
+          sum("lp").as("sum_lp"))
+        .crossJoin(sizes)
+        .select(
+          lit(mc).as("min_count"),
+          col("tri_table_rows").cast("bigint").as("tri_table_rows"),
+          col("bi_table_rows").cast("bigint").as("bi_table_rows"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          PortableRound.floorTo(
+            col("tri_hits").cast("double") / col("n_tokens").cast("double"),
+            4).as("tri_rate"),
+          PortableRound.floorTo(
+            col("bi_hits").cast("double") / col("n_tokens").cast("double"),
+            4).as("bi_rate"),
+          PortableRound.floorTo(
+            -col("sum_lp").cast("double") / lit(1e6) /
+              col("n_tokens").cast("double"), 4).as("ce"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** qt56 oracle — one scored chain per candidate minCount, UNION
+    * ALL'd; each branch scopes its CTEs inside a derived table so the
+    * names never collide. */
+  def oracleMinCountCurveSql(
+      alpha: Double = 0.4,
+      minCounts: Seq[Long] = Seq(1L, 2L, 4L, 8L)): String =
+    minCounts.map { mc =>
+      s"""SELECT * FROM (
+         |WITH ${scoredCtes(alpha, mc)}
+         |SELECT CAST($mc AS BIGINT) AS min_count,
+         |       (SELECT count(*)::BIGINT FROM c3) AS tri_table_rows,
+         |       (SELECT count(*)::BIGINT FROM c2) AS bi_table_rows,
+         |       count(*)::BIGINT AS n_tokens,
+         |       ${PortableRound.floorToSql(
+          "CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS tri_rate,
+         |       ${PortableRound.floorToSql(
+          "CAST(sum(CASE WHEN lvl = 'bi' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS bi_rate,
+         |       ${PortableRound.floorToSql(
+          "-CAST(sum(lp) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)", 4)} AS ce
+         |FROM j) mc$mc""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   // ---- DuckDB oracles ----
 

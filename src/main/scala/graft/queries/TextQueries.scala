@@ -1229,6 +1229,19 @@ object TextQueries {
           col("lang"), alpha = 0.4, minCount = 2),
       Some(graft.operators.text.BackoffLm.oracleCoverageSql(0.4, 2))),
     Q(
+      "qt56_backoff_prune_curve",
+      // the LM's minCount tuning curve (qt47/qt50/qp19's sibling):
+      // state size (surviving bi/trigram table rows -- what a 100 TB
+      // deployment stores and joins) against quality (backoff hit
+      // rates, corpus CE) at each candidate prune threshold. The
+      // operating point is read off this table.
+      (s, dir) =>
+        graft.operators.text.BackoffLm.minCountCurve(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          alpha = 0.4, minCounts = Seq(1L, 2L, 4L, 8L)),
+      Some(graft.operators.text.BackoffLm.oracleMinCountCurveSql(
+        0.4, Seq(1L, 2L, 4L, 8L)))),
+    Q(
       "qt54_zipf_slope",
       // Zipf-law fit per language (the classic rank-size regression,
       // slope ~ -1 for natural text): OLS of ln(freq) on ln(rank)

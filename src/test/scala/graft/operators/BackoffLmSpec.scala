@@ -118,6 +118,27 @@ class BackoffLmSpec extends SparkSpec {
     assert(got(101L) > got(100L))
   }
 
+  test("minCount curve: state shrinks and CE degrades monotonically") {
+    val texts = (0 until 12).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog sat too " + s"tail$i"))
+    val curve = BackoffLm.minCountCurve(
+        texts.toDF("doc_id", "text"), col("text"), col("doc_id"),
+        alpha = 0.4, minCounts = Seq(1L, 2L, 4L))
+      .orderBy("min_count")
+      .select("min_count", "tri_table_rows", "bi_table_rows", "tri_rate", "ce")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(curve.map(_._1).sameElements(Array(1L, 2L, 4L)))
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, "trigram table must shrink with minCount")
+      assert(hi._3 <= lo._3, "bigram table must shrink with minCount")
+      assert(hi._4 <= lo._4, "tri coverage cannot grow under pruning")
+      assert(hi._5 >= lo._5, "CE cannot improve under pruning")
+    }
+    // mc=1 on self-trained data: full trigram coverage past the
+    // position floor, so the curve's top row anchors at the known CE
+    assert(curve.head._4 > 0.5)
+  }
+
   test("coverage rolls up by language with integer-exact ce") {
     val df = corpus.toDF("doc_id", "text")
       .withColumn("lang", when(col("doc_id") <= 2, "en").otherwise("de"))
