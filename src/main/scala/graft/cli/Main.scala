@@ -266,43 +266,72 @@ object Main {
         }
       case "curate" =>
         // one-command corpus curation over a documents-shaped table
-        // (doc_id, text): optional C4 rule cleaning, exact dedup,
-        // near-dup dedup (keep-first), token-count gate, optional
-        // benchmark decontamination — the chain qp01/qp06 verify,
-        // productized. Funnel stages cross Barriers so the four
-        // counts and the final write never recompute the chain.
-        import org.apache.spark.sql.functions.col
+        // (doc_id, text): optional DSIR pre-selection toward a target
+        // language, optional C4 rule cleaning, exact dedup, near-dup
+        // dedup (keep-first), token-count gate, optional backoff-LM
+        // CE gate, optional benchmark decontamination — the chain
+        // qp01/qp06/qp22 verify, productized. Funnel stages cross
+        // Barriers so the counts and the final write never recompute
+        // the chain.
+        import org.apache.spark.sql.functions.{broadcast, col}
         val t = opt("--table").getOrElse("documents")
         val into = opt("--into").getOrElse(s"${t}_curated")
         val minTokens = opt("--min-tokens").map(_.toInt).getOrElse(20)
         val thr = opt("--threshold").map(_.toDouble).getOrElse(0.3)
         val docs = catalogFor(cfg.src).read(spark, t)
         val n0 = docs.count()
+        val selected = opt("--dsir-lang") match {
+          case Some(lang) =>
+            val k = opt("--dsir-k").map(_.toInt).getOrElse(100)
+            val sel = graft.operators.text.ImportanceResample.weights(
+                docs, col("text"), col("doc_id"), col("lang") === lang,
+                buckets = 1024, smoothing = 1L)
+              .orderBy(col("lr_micro").desc, col("id")).limit(k)
+              .select(col("id").as("doc_id"))
+            graft.operators.Barrier(docs.join(broadcast(sel), Seq("doc_id")))
+          case None => docs
+        }
+        val nSel = selected.count()
         val afterRules =
           if (args.contains("--rules"))
             graft.operators.Barrier(
-              graft.operators.text.RuleClean.clean(docs, col("text")))
-          else docs
+              graft.operators.text.RuleClean.clean(selected, col("text")))
+          else selected
         val n1 = afterRules.count()
         val curated = graft.operators.Barrier(
           graft.pipeline.CorpusPipeline.curate(afterRules, minTokens, thr))
         val n2 = curated.count()
+        val afterLm = opt("--lm-tau") match {
+          case Some(tau) =>
+            // the context-aware CE gate, trained on the corpus that
+            // reaches this stage (the qt52 semantics)
+            val scored = graft.operators.text.BackoffLm.score(
+              curated, col("text"), col("doc_id"),
+              alpha = 0.4, tau = tau.toDouble, minCount = 2)
+            graft.operators.Barrier(
+              curated.join(scored.where(col("keep"))
+                .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi"))
+          case None => curated
+        }
+        val nLm = afterLm.count()
         val fin = opt("--bench") match {
           case Some(bt) =>
             val bench = catalogFor(cfg.src).read(spark, bt)
             graft.operators.Barrier(
               graft.operators.text.Decontaminate.dropContaminated(
-                curated, col("text"), "doc_id",
+                afterLm, col("text"), "doc_id",
                 graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text"))))
-          case None => curated
+          case None => afterLm
         }
         val n3 = fin.count()
         sinkFor(cfg.dest, cfg).overwrite(fin, into)
         println(table(Seq(
           Seq("Stage", "Docs"),
           Seq("incoming", n0.toString),
+          Seq("dsir-select", nSel.toString),
           Seq("rule-clean", n1.toString),
           Seq("dedup+gate", n2.toString),
+          Seq("lm-gate", nLm.toString),
           Seq("decontaminated", n3.toString))))
         println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"kept $n3/$n0 -> $into")
