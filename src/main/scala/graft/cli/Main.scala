@@ -160,6 +160,24 @@ object Main {
       case "compare" if args.contains("--content") &&
           deliveryFormat(cfg.dest.url).nonEmpty =>
         refuseDelivery("compare --content", cfg.dest.url).get
+      case "compare" if args.contains("--schema") =>
+        // metadata-only drift check: columns missing / extra / retyped
+        // per table — run BEFORE a sync dies mid-copy on a drifted
+        // destination. Exit code = number of drifting tables.
+        val catalog = catalogFor(cfg.src)
+        val sink = sinkFor(cfg.dest, cfg)
+        val tables = catalog.listTables(cfg.exclude)
+        val drifts = graft.sync.Compare.schemaCompare(spark, catalog, sink, tables)
+        if (drifts.isEmpty)
+          println(s"schema compare: ${tables.length} tables, no drift")
+        else
+          println(table(
+            Seq(Seq("Table", "Column", "Status", "SrcType", "DestType")) ++
+              drifts.map(d => Seq(d.table, d.column, d.status,
+                d.srcType, d.destType))))
+        println(f"Schema compare finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+          s"${drifts.map(_.table).distinct.length} drifting / ${tables.length} tables")
+        drifts.map(_.table).distinct.length
       case "compare" =>
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)

@@ -615,6 +615,43 @@ object Compare {
         if (dest.contains(srcCnt)) "YES" else "NO")
     }
 
+  /** One schema-drift finding. */
+  final case class SchemaDrift(
+      table: String, column: String, status: String,
+      srcType: String, destType: String)
+
+  /** Schema drift between source and destination — the check a
+    * replication tool runs BEFORE a sync dies mid-copy on a retyped
+    * column: per table, columns missing in the destination, extra in
+    * the destination, or present with a different type. Metadata-only
+    * (one schema probe per side per table; no rows move) — case- and
+    * order-insensitive on column names, matching the sync path's
+    * lowercase normalization. */
+  def schemaCompare(
+      spark: SparkSession,
+      src: Catalog,
+      sink: Sink,
+      tables: Seq[String]): Seq[SchemaDrift] =
+    tables.flatMap { t =>
+      if (!sink.exists(spark, t))
+        Seq(SchemaDrift(t, "*", "table_missing", "-", "-"))
+      else {
+        def fields(df: DataFrame): Map[String, String] =
+          df.schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+        val s = fields(src.read(spark, t))
+        val d = fields(sink.readBack(spark, t))
+        val missing = (s.keySet -- d.keySet).toSeq.sorted.map(c =>
+          SchemaDrift(t, c, "missing_in_dest", s(c), "-"))
+        val extra = (d.keySet -- s.keySet).toSeq.sorted.map(c =>
+          SchemaDrift(t, c, "extra_in_dest", "-", d(c)))
+        val retyped = (s.keySet & d.keySet).toSeq.sorted
+          .filter(c => s(c) != d(c))
+          .map(c => SchemaDrift(t, c, "type_mismatch", s(c), d(c)))
+        missing ++ extra ++ retyped
+      }
+    }
+
   /** Order-independent per-column content checksum: sum of a 60-bit
     * md5 prefix of each column's string form, accumulated as
     * DECIMAL(38,0) so the sum never overflows at any row count, then

@@ -888,6 +888,38 @@ class MainSpec extends SparkSpec {
     assert(kept.columns.contains("text") && kept.columns.contains("lang"))
   }
 
+  test("compare --schema reports drifted columns and exits clean on parity") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_schema").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |exclude: lineitem orders events documents embeddings part customer supplier
+         |""".stripMargin)
+    assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
+    // freshly synced: no drift, exit 0
+    assert(Main.run(Array("compare", "--schema", "--config", cfg), spark) == 0)
+    // drift the destination: drop one column, retype another
+    val drifted = spark.read.parquet(s"$out/nation.parquet")
+      .drop("n_name")
+      .withColumn("n_regionkey", col("n_regionkey").cast("string"))
+    val tmp = Files.createTempDirectory("graft_cli_schema_mut").toString
+    drifted.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite")
+      .parquet(s"$out/nation.parquet")
+    // one drifting table -> exit code 1
+    assert(Main.run(Array("compare", "--schema", "--config", cfg), spark) == 1)
+    val drifts = graft.sync.Compare.schemaCompare(spark,
+      Main.catalogFor(graft.config.Endpoint(s"parquet:$sf0001")),
+      graft.sync.FileSink(out, "parquet"),
+      Seq("nation", "region"))
+    assert(drifts.map(d => (d.table, d.column, d.status)).toSet == Set(
+      ("nation", "n_name", "missing_in_dest"),
+      ("nation", "n_regionkey", "type_mismatch")))
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
