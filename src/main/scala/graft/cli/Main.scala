@@ -160,6 +160,12 @@ object Main {
       case "compare" if args.contains("--content") &&
           deliveryFormat(cfg.dest.url).nonEmpty =>
         refuseDelivery("compare --content", cfg.dest.url).get
+      case "compare" if args.contains("--schema") &&
+          deliveryFormat(cfg.dest.url).nonEmpty =>
+        // schema read-back against csv:/json: goes through inference
+        // (decimals widen to double, dates to string, empty tables
+        // throw) — every reported "drift" would be an artifact
+        refuseDelivery("compare --schema", cfg.dest.url).get
       case "compare" if args.contains("--schema") =>
         // metadata-only drift check: columns missing / extra / retyped
         // per table — run BEFORE a sync dies mid-copy on a drifted
@@ -309,7 +315,9 @@ object Main {
             graft.operators.Barrier(docs.join(broadcast(sel), Seq("doc_id")))
           case None => docs
         }
-        val nSel = selected.count()
+        // skipped stages reuse the adjacent count -- recounting an
+        // identical frame would re-scan the source per skipped stage
+        val nSel = if (opt("--dsir-lang").isDefined) selected.count() else n0
         val afterRules =
           if (args.contains("--rules"))
             graft.operators.Barrier(
@@ -331,7 +339,7 @@ object Main {
                 .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi"))
           case None => curated
         }
-        val nLm = afterLm.count()
+        val nLm = if (opt("--lm-tau").isDefined) afterLm.count() else n2
         val fin = opt("--bench") match {
           case Some(bt) =>
             val bench = catalogFor(cfg.src).read(spark, bt)
@@ -643,10 +651,15 @@ object Main {
         import org.apache.spark.sql.functions.col
         val sub = args.lift(1).getOrElse("")
         val idx = opt("--index").getOrElse("/tmp/graft_hist")
-        val qsArg = opt("--q").getOrElse("500,900,990,999")
-          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        val qTokens = opt("--q").getOrElse("500,900,990,999")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toIntOption)
+        // a single bad token rejects the whole list — silently
+        // dropping it would serve different quantiles than asked for
+        val qsArg =
+          if (qTokens.exists(_.isEmpty)) Seq.empty[Int]
+          else qTokens.flatten.toSeq
         if (qsArg.isEmpty || qsArg.exists(q => q < 1 || q > 1000)) {
-          println(s"bad --q '${opt("--q").getOrElse("")}': per-mille quantiles must be in 1..1000")
+          println(s"bad --q '${opt("--q").getOrElse("")}': per-mille quantiles must be integers in 1..1000")
           return 2
         }
         def showQuantiles(): Int = {
@@ -675,9 +688,10 @@ object Main {
             // so build WIPES first — rebuild semantics, stated
             if (sub == "build" &&
                 graft.streaming.HistogramIngest.exists(spark, idx)) {
-              val live = new org.apache.hadoop.fs.Path(s"$idx/histogram")
-              val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-              fs.delete(live, true)
+              // wipe() removes live AND any stranded _old/staging —
+              // deleting only the live dir would let the next fold
+              // resurrect stale history from an interrupted swap
+              graft.streaming.HistogramIngest.wipe(spark, idx)
               println(s"existing sidecar at $idx wiped (build = rebuild; use append to accumulate)")
             }
             val bid = graft.streaming.HistogramIngest.nextBatchId(spark, idx)

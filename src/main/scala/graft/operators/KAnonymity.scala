@@ -47,8 +47,15 @@ object KAnonymity {
       col("*") +: quasi.zip(names).map { case (c, n) => c.as(n) }: _*)
     val ok = keyed.groupBy(names.map(col): _*)
       .agg(count(lit(1)).as("n")).where(col("n") >= k)
-      .select(names.map(col): _*)
-    keyed.join(ok, names, "left_semi").drop(names: _*)
+      .select(names.map(n => col(n).as(s"ok_$n")): _*)
+    // null-SAFE semi join: groupBy keys NULL quasi values into their
+    // own class, so the membership join must match them too — a
+    // null-unsafe using-join would drop every null-quasi row even
+    // when its class passes k
+    keyed.join(ok,
+        names.map(n => col(n) <=> col(s"ok_$n")).reduce(_ && _),
+        "left_semi")
+      .drop(names: _*)
   }
 
   /** l-diversity audit (Machanavajjhala et al. 2006) — k-anonymity's
@@ -68,7 +75,10 @@ object KAnonymity {
       .groupBy(quasi: _*)
       .agg(
         count(lit(1)).as("class_size"),
-        countDistinct(sensitive).as("l_distinct"))
+        // NULL is a leakable sensitive value too: count(DISTINCT)
+        // skips it, so add it back when present (oracle mirrors)
+        (countDistinct(sensitive) +
+          max(when(sensitive.isNull, 1L).otherwise(0L))).as("l_distinct"))
       .groupBy("l_distinct")
       .agg(
         count(lit(1)).as("n_classes"),
@@ -110,7 +120,8 @@ object KAnonymity {
   def oracleDiversitySql(l: Long): String =
     s"""WITH cls AS (
        |  SELECT c_nationkey, count(*)::BIGINT AS class_size,
-       |         count(DISTINCT c_mktsegment)::BIGINT AS l_distinct
+       |         count(DISTINCT c_mktsegment)::BIGINT +
+       |           CAST(max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_distinct
        |  FROM customer GROUP BY c_nationkey)
        |SELECT l_distinct,
        |       count(*)::BIGINT AS n_classes,
@@ -149,8 +160,18 @@ object KAnonymity {
     // every (class, sensitive-value) pair contributes, INCLUDING pairs
     // a class never saw (n_cs = 0) — the dense grid is classes ×
     // values, two domain-bounded tables, never the corpus
+    // null-SAFE grid join: NULL is a legitimate quasi or sensitive
+    // value (groupBy keyed it into its own class/value above); a
+    // null-unsafe using-join would zero n_cs for every null-valued
+    // cell and skew tv in both directions
+    val csR = cs.select(
+      (names.map(n => col(n).as(s"cs_$n")) :+
+        col("__s").as("cs_s") :+ col("n_cs")): _*)
     val grid = cls.crossJoin(sv.crossJoin(broadcast(tot)))
-      .join(cs, names :+ "__s", "left")
+      .join(csR,
+        (names.map(n => col(n) <=> col(s"cs_$n")) :+
+          (col("__s") <=> col("cs_s"))).reduce(_ && _),
+        "left")
       .na.fill(0L, Seq("n_cs"))
     grid
       .groupBy(names.map(col) :+ col("n_c") :+ col("n_tot"): _*)

@@ -97,6 +97,20 @@ object HistogramIngest {
     fs.exists(live)
   }
 
+  /** Destroy the sidecar COMPLETELY — live dir, any stranded _old
+    * from an interrupted swap, and any staging dir. A wipe that
+    * removed only the live dir would let the next fold's
+    * restoreIfInterrupted resurrect stale history and stack fresh
+    * counts on top of it (the exact corruption rebuild exists to
+    * prevent). */
+  def wipe(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(histPath(dir))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(live, true)
+    fs.delete(graft.operators.StagedSwap.oldPath(live), true)
+    fs.delete(graft.operators.StagedSwap.tmpPath(live), true)
+  }
+
   /** The next unused ledger batch id for BATCH (CLI) appends — drawn
     * from the NEGATIVE id space (-1, -2, …) so a manual fold can never
     * collide with a streaming checkpoint's non-negative batch ids:

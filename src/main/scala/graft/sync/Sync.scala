@@ -636,11 +636,19 @@ object Compare {
       if (!sink.exists(spark, t))
         Seq(SchemaDrift(t, "*", "table_missing", "-", "-"))
       else {
-        def fields(df: DataFrame): Map[String, String] =
-          df.schema.fields
-            .map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
-        val s = fields(src.read(spark, t))
-        val d = fields(sink.readBack(spark, t))
+        def fields(df: DataFrame): (Map[String, String], Seq[String]) = {
+          val pairs = df.schema.fields
+            .map(f => f.name.toLowerCase -> f.dataType.simpleString).toSeq
+          // two columns collapsing onto one lowercased name (quoted
+          // case-sensitive identifiers) would make drift in the
+          // shadowed column invisible — surface the ambiguity instead
+          val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys.toSeq
+          (pairs.toMap, dups.sorted)
+        }
+        val (s, sDups) = fields(src.read(spark, t))
+        val (d, dDups) = fields(sink.readBack(spark, t))
+        val ambiguous = (sDups ++ dDups).distinct.sorted.map(c =>
+          SchemaDrift(t, c, "ambiguous_case", "-", "-"))
         val missing = (s.keySet -- d.keySet).toSeq.sorted.map(c =>
           SchemaDrift(t, c, "missing_in_dest", s(c), "-"))
         val extra = (d.keySet -- s.keySet).toSeq.sorted.map(c =>
@@ -648,7 +656,7 @@ object Compare {
         val retyped = (s.keySet & d.keySet).toSeq.sorted
           .filter(c => s(c) != d(c))
           .map(c => SchemaDrift(t, c, "type_mismatch", s(c), d(c)))
-        missing ++ extra ++ retyped
+        ambiguous ++ missing ++ extra ++ retyped
       }
     }
 

@@ -81,6 +81,34 @@ class KAnonymitySpec extends SparkSpec {
     assert(tv("c") == ((4L, 0.25, true)), tv("c").toString)
   }
 
+  test("null quasi and sensitive values are first-class classes/values") {
+    // a NULL zip class of size 3 must survive suppression at k=3, and
+    // NULL diagnoses must count as a distinct sensitive value
+    val withNulls = Seq(
+      (1L, null.asInstanceOf[String], "x"), (2L, null.asInstanceOf[String], "x"),
+      (3L, null.asInstanceOf[String], "y"),
+      (4L, "b", "x"), (5L, "b", null.asInstanceOf[String]), (6L, "b", "y"))
+      .toDF("id", "zip", "diag")
+    val kept = KAnonymity.suppress(withNulls, Seq(col("zip")), k = 3)
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L, 4L, 5L, 6L)),
+      s"null-quasi class dropped: ${kept.mkString(",")}")
+    // class b holds {x, null, y}: l_distinct must be 3, not 2
+    val ld = KAnonymity.diversityAudit(
+        withNulls, Seq(col("zip")), col("diag"), l = 3)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ld.contains(3L) && ld(3L) == 1L, ld.toString)
+    // closeness: both classes exist in the grid with their null cells
+    // matched (a null-unsafe join would zero them); the two classes
+    // mirror each other around the global mix, so their tv agree
+    val tv = KAnonymity.closenessAudit(
+        withNulls, Seq(col("zip")), col("diag"), t = 0.5)
+      .select("class_size", "tv").as[(Long, Double)].collect()
+    assert(tv.length == 2)
+    assert(tv.forall(_._1 == 3L))
+  }
+
   test("the suppressed subset is itself k-anonymous (audit fixpoint)") {
     val anon = KAnonymity.suppress(df, Seq(col("zip"), col("age")), k = 2)
     val reaudit = KAnonymity.audit(anon, Seq(col("zip"), col("age")), k = 2)

@@ -89,6 +89,22 @@ class HistogramIngestSpec extends SparkSpec {
     assert((after.keySet -- full.keySet - 900L).isEmpty)
   }
 
+  test("wipe destroys stranded _old history — a rebuild cannot resurrect it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hi_w").toString
+    HistogramIngest.foldBatch(vals(Seq(1.0, 2.0)), col("value"), dir, 0L)
+    // simulate a crash between the swap's renames: live moved aside
+    val live = new org.apache.hadoop.fs.Path(s"$dir/histogram")
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(live, graft.operators.StagedSwap.oldPath(live)))
+    // the rebuild path: wipe must remove the stranded _old too, or the
+    // next fold's restoreIfInterrupted resurrects stale counts under
+    // the fresh build
+    HistogramIngest.wipe(spark, dir)
+    HistogramIngest.foldBatch(vals(Seq(9.0)), col("value"), dir, 0L)
+    assert(bucketRows(dir) == Map(9000L -> 1L),
+      s"stale history resurrected: ${bucketRows(dir)}")
+  }
+
   test("served quantiles match the batch estimator on the same data") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hi_q").toString
     val data = (1 to 1000).map(i => i * i * 0.003)
