@@ -48,6 +48,22 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *                                          a parquet/CSV of probe vectors
   *                                          answered in one distributed
   *                                          cell-pruned pass (qs27 path)
+  *   graft hist build|append|show --table t --index d
+  *                                          quantile-sketch sidecar
+  *                                          (ledger-guarded additive
+  *                                          folds; build = rebuild)
+  *   graft lm score|coverage --table t      backoff-LM CE gate / per-
+  *                                          language coverage profile
+  *   graft dsir --table t [--target-lang L | --target-table t2]
+  *                                          distribution-matching doc
+  *                                          selection (top --k written)
+  *   graft search --query "..." [--mode bm25|hashed|hybrid]
+  *                                          free-text corpus search,
+  *                                          zero model
+  *   graft embed --table t --into t2        feature-hashed embeddings
+  *                                          from bare text (feeds ann)
+  *   graft compare --schema                 metadata-only column-drift
+  *                                          report per table
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
