@@ -667,6 +667,45 @@ object DedupQueries {
         graft.operators.text.SourceDivergence.jsMatrix(
           Tables.load(s, dir, "documents"), col("text"), col("source"),
           buckets = 512, smoothing = 1L),
-      Some(graft.operators.text.SourceDivergence.oracleSql(512, 1L)))
+      Some(graft.operators.text.SourceDivergence.oracleSql(512, 1L))),
+    Q(
+      "qd30_fuzzy_link",
+      // cross-corpus fuzzy RECORD LINKAGE (the two-table face of the
+      // near-dup machinery): corpus B is a perturbed twin of every
+      // 5th document (suffix appended, ids offset by 1e6); the banded
+      // portable-MinHash join links each perturbed record back to its
+      // original WITHOUT ever comparing all pairs. Only cross-side
+      // pairs are reported -- within-side duplicates are qd10's job.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "text")
+        val perturbed = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" linkage probe suffix")).as("text"))
+        graft.operators.dedup.PortableMinHash.pairs(
+            docs.unionByName(perturbed), col("text"), col("doc_id"),
+            threshold = 0.5)
+          .where(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+          .select(col("doc_a").as("id_a"),
+            (col("doc_b") - 1000000L).as("id_b"),
+            col("est_jaccard"))
+      },
+      Some {
+        val lsh = graft.operators.dedup.PortableMinHash.pipelineCtes("u")
+          .replaceFirst("^WITH ", "")
+        s"""WITH pert AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         text || ' linkage probe suffix' AS text
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |u AS (SELECT doc_id, text FROM documents
+           |      UNION ALL SELECT doc_id, text FROM pert),
+           |$lsh
+           |SELECT doc_a AS id_a,
+           |       CAST(doc_b - 1000000 AS BIGINT) AS id_b, est_jaccard
+           |FROM est
+           |WHERE est_jaccard >= 0.5
+           |  AND doc_a < 1000000 AND doc_b >= 1000000""".stripMargin
+      })
   )
 }
