@@ -626,6 +626,20 @@ object SimilarityQueries {
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           query = "spark window shuffle partition", dim = 64, k = 10),
       Some(graft.operators.text.HashedEmbedding.oracleQueryTopKSql(
-        "spark window shuffle partition", 64, 10)))
+        "spark window shuffle partition", 64, 10))),
+    Q(
+      "qs33_centroid_drift",
+      // embedding-space drift monitor: per-label centroid distance to
+      // the global centroid -- the cheap continuous check that a
+      // slice's embedding distribution is wandering (encoder
+      // regression, content shift) BEFORE expensive reactions fire.
+      // One corpus pass: the global centroid derives from the same
+      // per-group sums. Micro-unit integer centroids (div truncates
+      // toward zero in BOTH engines -- verified), one floored sqrt.
+      (s, dir) =>
+        graft.operators.similarity.CentroidDrift.profile(
+          Tables.load(s, dir, "embeddings"), col("embedding"),
+          col("label")),
+      Some(graft.operators.similarity.CentroidDrift.oracleSql()))
   )
 }
