@@ -201,10 +201,18 @@ object PortableHistogram {
 
   /** qe14 oracle — literal SQL twin of [[quantileProfile]] over
     * `events.value`. */
-  def oracleQuantileSql(p: Int, qsPerMille: Seq[Int]): String = {
+  def oracleQuantileSql(p: Int, qsPerMille: Seq[Int]): String =
+    oracleQuantileSqlFrom("value", "events", p, qsPerMille)
+
+  /** The same profile rooted on any FROM clause / value expression —
+    * for oracles that compose the estimator onto a derived stream
+    * (qe17 feeds it as-of conversion latencies). */
+  def oracleQuantileSqlFrom(
+      valueExpr: String, fromSql: String,
+      p: Int, qsPerMille: Seq[Int]): String = {
     val qvals = qsPerMille.map(q => s"($q)").mkString(", ")
     val bound = math.pow(10.0, 1 - p)
-    s"""WITH m AS (SELECT CAST(floor(value * 1000.0) AS BIGINT) AS m FROM events),
+    s"""WITH m AS (SELECT CAST(floor(($valueExpr) * 1000.0) AS BIGINT) AS m FROM $fromSql),
        |hist AS (SELECT ${bucketSql("m", p)} AS bucket_lo, count(*)::BIGINT AS n
        |         FROM m GROUP BY 1),
        |hc AS (SELECT bucket_lo, sum(n) OVER (ORDER BY bucket_lo) AS cum FROM hist),

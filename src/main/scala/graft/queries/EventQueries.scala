@@ -633,6 +633,44 @@ object EventQueries {
             p = 3, qsPerMille = Seq(500, 990))
           .withColumnRenamed("g0", "hr"),
       Some(graft.operators.PortableHistogram
-        .oracleHourlyQuantileSql(3, Seq(500, 990))))
+        .oracleHourlyQuantileSql(3, Seq(500, 990)))),
+    Q(
+      "qe17_conversion_latency",
+      // the funnel's TIME dimension: per-purchase latency since the
+      // user's most recent prior view (qj01's as-of attribution) fed
+      // through the portable quantile histogram -- "p50/p99 time to
+      // convert", with the exact-quantile error gate. Two verified
+      // operators composed under one oracle.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "event_id", "ts")
+        val attributed = graft.operators.AsOfJoin.asofBackward(
+            purchases, views, Seq("user_id"), "event_id",
+            rightPrefix = "prev_", strict = true)
+          .where(col("prev_ts").isNotNull)
+          .select(((unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+            .cast("double") / lit(1e6)).as("latency_secs"))
+          // forward conversions only — the event_id as-of key tracks
+          // ts on this fixture, but the latency contract should not
+          // depend on that coupling
+          .where(col("latency_secs") >= 0)
+        graft.operators.PortableHistogram.quantileProfile(
+          attributed, col("latency_secs"), p = 3,
+          qsPerMille = Seq(500, 900, 990))
+      },
+      Some(graft.operators.PortableHistogram.oracleQuantileSqlFrom(
+        "CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE) / 1000000.0",
+        """(WITH base AS MATERIALIZED (
+          |     SELECT l.ts, r.ts AS prev_ts
+          |     FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+          |     ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          |       ON l.user_id = r.user_id AND r.event_id < l.event_id)
+          |   -- MATERIALIZED blocks DuckDB from pushing this filter
+          |   -- into the ASOF join as a second (rejected) inequality
+          |   SELECT * FROM base WHERE epoch_us(ts) >= epoch_us(prev_ts)) lat""".stripMargin,
+        3, Seq(500, 900, 990))))
   )
 }
