@@ -176,6 +176,26 @@ object Main {
       case "compare" if args.contains("--content") &&
           deliveryFormat(cfg.dest.url).nonEmpty =>
         refuseDelivery("compare --content", cfg.dest.url).get
+      case "compare" if args.contains("--freshness") =>
+        // replication lag per watermarked table: src vs dest
+        // MAX(watermark) — metadata-cheap staleness check. Exit code
+        // = number of lagging tables.
+        if (cfg.watermarks.isEmpty) {
+          println("compare --freshness needs watermarks in the config " +
+            "(watermarks.<table>: <column>)")
+          2
+        } else {
+          val drifting = Compare.freshness(spark, catalogFor(cfg.src),
+            sinkFor(cfg.dest, cfg), cfg.watermarks)
+          println(table(
+            Seq(Seq("Table", "Watermark", "SrcMax", "DestMax", "InSync")) ++
+              drifting.map(r => Seq(r.table, r.column, r.srcMax,
+                r.destMax, if (r.inSync) "YES" else "NO"))))
+          val lagging = drifting.count(!_.inSync)
+          println(f"Freshness compare finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+            s"$lagging lagging / ${drifting.length} tables")
+          lagging
+        }
       case "compare" if args.contains("--schema") &&
           deliveryFormat(cfg.dest.url).nonEmpty =>
         // schema read-back against csv:/json: goes through inference

@@ -615,6 +615,35 @@ object Compare {
         if (dest.contains(srcCnt)) "YES" else "NO")
     }
 
+  /** One replication-freshness finding. */
+  final case class FreshnessRow(
+      table: String, column: String,
+      srcMax: String, destMax: String, inSync: Boolean)
+
+  /** Replication freshness per watermarked table: the source's and
+    * destination's MAX(watermark) side by side — the "how stale is my
+    * replica" answer without a row compare. The destination probe is
+    * the same pushed-down aggregate the incremental sync uses; the
+    * source probe prunes to the one column (file sources) or fetches
+    * it (JDBC v1 — still one column, no rows materialize in the
+    * driver). Values compare by canonical string render, since the
+    * two sides may surface different but equal-valued types. */
+  def freshness(
+      spark: SparkSession,
+      src: Catalog,
+      sink: Sink,
+      watermarks: Map[String, String]): Seq[FreshnessRow] =
+    watermarks.toSeq.sortBy(_._1).map { case (t, c) =>
+      val sMax = src.read(spark, t)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(c))).head().get(0)
+      val dMax =
+        if (sink.exists(spark, t)) sink.maxValue(spark, t, c) else None
+      val sR = String.valueOf(sMax)
+      val dR = dMax.map(String.valueOf).getOrElse("-")
+      FreshnessRow(t, c, sR, dR, sR == dR)
+    }
+
   /** One schema-drift finding. */
   final case class SchemaDrift(
       table: String, column: String, status: String,

@@ -920,6 +920,40 @@ class MainSpec extends SparkSpec {
       ("nation", "n_regionkey", "type_mismatch")))
   }
 
+  test("compare --freshness reports watermark lag and exits clean in sync") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_fresh").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |exclude: lineitem orders events documents embeddings part supplier region nation
+         |watermarks.customer: c_custkey
+         |""".stripMargin)
+    // no watermarks configured -> usage error
+    val cfgNoWm = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("compare", "--freshness", "--config", cfgNoWm), spark) == 2)
+    assert(Main.run(Array("sync", "--config", cfg), spark) == 0)
+    // fresh replica: in sync, exit 0
+    assert(Main.run(Array("compare", "--freshness", "--config", cfg), spark) == 0)
+    // stale replica: drop the top half of the destination's keys
+    val srcMax = spark.read.parquet(s"$sf0001/customer.parquet")
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).head().getLong(0)
+    val stale = spark.read.parquet(s"$out/customer.parquet")
+      .where(col("c_custkey") < srcMax / 2)
+    val tmp = Files.createTempDirectory("graft_cli_fresh_mut").toString
+    stale.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+    assert(Main.run(Array("compare", "--freshness", "--config", cfg), spark) == 1)
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
