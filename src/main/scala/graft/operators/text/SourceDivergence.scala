@@ -30,9 +30,11 @@ import graft.operators.{PortableRound, TextOps}
   */
 object SourceDivergence {
 
-  /** Pairwise JS matrix: (src_a, src_b, js) for src_a < src_b, js in
-    * 6-dp nats (≤ ln 2 ≈ 0.6931). */
-  def jsMatrix(
+  /** The pair matrix in EXACT integer nano-nats — the shared core of
+    * [[jsMatrix]] (6-dp projection) and [[diversityBudgets]] (integer
+    * arithmetic; no floored-double round trip whose cast semantics
+    * could diverge across engines). */
+  private def nanoMatrix(
       df: DataFrame,
       text: Column,
       source: Column,
@@ -72,10 +74,122 @@ object SourceDivergence {
             .cast("long")).as("t_nano"))
     terms.groupBy("src_a", "src_b")
       .agg(sum("t_nano").as("js_nano"))
+  }
+
+  def jsMatrix(
+      df: DataFrame,
+      text: Column,
+      source: Column,
+      buckets: Int = 512,
+      smoothing: Long = 1L): DataFrame =
+    nanoMatrix(df, text, source, buckets, smoothing)
       .select(col("src_a"), col("src_b"),
         PortableRound.floorTo(
           col("js_nano").cast("double") / lit(1e9), 6).as("js"))
+
+  /** Diversity-weighted mixture budgets: each source's token budget
+    * is proportional to its MEAN JS divergence from every other
+    * source (+1 nano-nat uniform prior so an all-identical corpus
+    * degrades to an equal split instead of 0/0) — "spend the budget
+    * on what's actually distinct", the mixture-design use qd29's
+    * matrix exists for. The allocation is the largest-remainder
+    * method over exact integers, so budgets SUM TO THE TOTAL exactly
+    * and every step is engine-portable. Output: (source, n_pairs,
+    * mean_js, budget_tokens). */
+  def diversityBudgets(
+      df: DataFrame,
+      text: Column,
+      source: Column,
+      totalTokens: Long,
+      buckets: Int = 512,
+      smoothing: Long = 1L): DataFrame = {
+    require(totalTokens >= 1, s"bad totalTokens $totalTokens")
+    val ss = df.sparkSession
+    val m = nanoMatrix(df, text, source, buckets, smoothing)
+    val perSrc = m.select(col("src_a").as("src"), col("js_nano"))
+      .unionByName(m.select(col("src_b").as("src"), col("js_nano")))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_pairs"), sum("js_nano").as("s_nano"))
+      // per-bucket floors can push a ~0 pair's integer sum a hair
+      // NEGATIVE; clamp before weighting so a near-identical source
+      // gets the uniform prior, never a negative share
+      .withColumn("w", greatest(expr("s_nano div n_pairs"), lit(0L)) + lit(1L))
+    val tot = perSrc.agg(sum("w").as("tw"))
+    val base = perSrc.crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"($totalTokens * w) div tw"))
+      .withColumn("rem", expr(s"($totalTokens * w) % tw"))
+    val leftover = base.agg((lit(totalTokens) - sum("b")).as("r"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("src"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(byRem))
+      .select(
+        col("src").as("source"),
+        col("n_pairs").cast("bigint").as("n_pairs"),
+        PortableRound.floorTo(
+          expr("s_nano div n_pairs").cast("double") / lit(1e9), 6)
+          .as("mean_js"),
+        (col("b") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .cast("bigint").as("budget_tokens"))
   }
+
+  /** qp27 oracle — literal SQL twin of [[diversityBudgets]]. */
+  def oracleBudgetsSql(
+      totalTokens: Long,
+      buckets: Int = 512,
+      smoothing: Long = 1L): String =
+    s"""WITH ${jsCtes(buckets, smoothing)},
+       |per_src AS (
+       |  SELECT src, count(*)::BIGINT AS n_pairs,
+       |         CAST(sum(js_nano) AS BIGINT) AS s_nano,
+       |         greatest(CAST(sum(js_nano) AS BIGINT) // count(*), 0) + 1 AS w
+       |  FROM (SELECT src_a AS src, js_nano FROM jsm
+       |        UNION ALL SELECT src_b AS src, js_nano FROM jsm) u
+       |  GROUP BY src),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per_src),
+       |base AS (
+       |  SELECT src, n_pairs, s_nano,
+       |         ($totalTokens * w) // tw.tw AS b,
+       |         ($totalTokens * w) % tw.tw AS rem
+       |  FROM per_src, tw),
+       |lo AS (SELECT $totalTokens - CAST(sum(b) AS BIGINT) AS r FROM base),
+       |ranked AS (
+       |  SELECT base.*, lo.r,
+       |         row_number() OVER (ORDER BY rem DESC, src) AS rk
+       |  FROM base, lo)
+       |SELECT src AS source, n_pairs,
+       |       ${PortableRound.floorToSql(
+          "CAST(s_nano // n_pairs AS DOUBLE) / 1000000000.0", 6)} AS mean_js,
+       |       CAST(b + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS budget_tokens
+       |FROM ranked""".stripMargin
+
+  /** Composable CTE chain ending in `jsm(src_a, src_b, js_nano)` —
+    * the pair matrix in exact integer nano-nats, for oracles that
+    * build on the divergences (qp27 derives mixture budgets). */
+  def jsCtes(buckets: Int = 512, smoothing: Long = 1L): String =
+    s"""jsd_feats AS (
+       |  SELECT source AS src,
+       |         CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $buckets AS b
+       |  FROM (SELECT source, unnest(string_split(
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+       |        FROM documents) z
+       |  WHERE term <> ''),
+       |jsd_cnt AS (SELECT src, b, count(*)::BIGINT AS n FROM jsd_feats GROUP BY src, b),
+       |jsd_tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM jsd_cnt GROUP BY src),
+       |jsd_dims AS (SELECT unnest(range(0, $buckets)) AS b),
+       |jsd_dense AS (
+       |  SELECT jsd_tot.src, jsd_dims.b,
+       |         (CAST(coalesce(jsd_cnt.n, 0) + $smoothing AS DOUBLE) /
+       |          CAST(jsd_tot.t + ${smoothing} * $buckets AS DOUBLE)) AS p
+       |  FROM jsd_tot CROSS JOIN jsd_dims
+       |  LEFT JOIN jsd_cnt ON jsd_cnt.src = jsd_tot.src AND jsd_cnt.b = jsd_dims.b),
+       |jsd_terms AS (
+       |  SELECT a.src AS src_a, q.src AS src_b,
+       |         CAST(floor(a.p * 0.5 * ln(2.0 * a.p / (a.p + q.p)) * 1000000000.0) AS BIGINT) +
+       |         CAST(floor(q.p * 0.5 * ln(2.0 * q.p / (a.p + q.p)) * 1000000000.0) AS BIGINT) AS t_nano
+       |  FROM jsd_dense a JOIN jsd_dense q ON a.b = q.b AND a.src < q.src),
+       |jsm AS (SELECT src_a, src_b, CAST(sum(t_nano) AS BIGINT) AS js_nano
+       |        FROM jsd_terms GROUP BY src_a, src_b)""".stripMargin
 
   /** qd29 oracle — literal SQL twin of [[jsMatrix]]. */
   def oracleSql(buckets: Int = 512, smoothing: Long = 1L): String =

@@ -577,6 +577,22 @@ object PipelineQueries {
       },
       Some(graft.operators.KAnonymity.oracleClosenessSql(0.2))),
     Q(
+      "qp27_diversity_budgets",
+      // qd29's matrix put to work: each source's token budget is
+      // proportional to its mean JS divergence from every other
+      // source (+1 nano prior) -- "spend the budget on what's
+      // actually distinct". Largest-remainder allocation over exact
+      // integers, so the budgets sum to the total EXACTLY and the
+      // whole chain value-oracles.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.operators.text.SourceDivergence.diversityBudgets(
+          Tables.load(s, dir, "documents"), col("text"), col("source"),
+          totalTokens = 1000000L, buckets = 512, smoothing = 1L)
+      },
+      Some(graft.operators.text.SourceDivergence
+        .oracleBudgetsSql(1000000L, 512, 1L))),
+    Q(
       "qp23_dsir_gumbel",
       // DSIR's ACTUAL resampling step (the paper samples with
       // probability ~ exp(llr), i.e. Gumbel top-k on log weights),

@@ -47,6 +47,37 @@ class SourceDivergenceSpec extends SparkSpec {
     }
   }
 
+  test("diversity budgets sum exactly and favor the distinct source") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = (Seq.fill(10)(("news", base)) ++ Seq.fill(10)(("blog", base)) ++
+      Seq.fill(10)(("spam", "buy cheap pills now click here win prize")))
+      .toDF("source", "text")
+    val b = SourceDivergence.diversityBudgets(
+        docs, col("text"), col("source"),
+        totalTokens = 99991L, buckets = 128, smoothing = 1L)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // largest-remainder: the budgets sum EXACTLY (odd total on purpose)
+    assert(b.values.map(_._4).sum == 99991L)
+    // spam diverges from both clones; the identical pair's budgets tie
+    assert(b("spam")._4 > b("news")._4)
+    assert(b("news")._4 - b("blog")._4 <= 1L)
+    // every source keeps a positive share (the +1 prior floor)
+    assert(b.values.forall(_._4 > 0L))
+  }
+
+  test("all-identical sources degrade to an equal split, never 0/0") {
+    val docs = (1 to 3).flatMap(i =>
+      Seq.fill(5)((s"s$i", "same text every time")))
+      .toDF("source", "text")
+    val b = SourceDivergence.diversityBudgets(
+        docs, col("text"), col("source"),
+        totalTokens = 10L, buckets = 64, smoothing = 1L)
+      .as[(String, Long, Double, Long)].collect().map(_._4)
+    assert(b.sum == 10L)
+    assert(b.max - b.min <= 1L, b.mkString(","))
+  }
+
   test("a divergent source is separable from a shared cluster") {
     val base = "the quick brown fox jumps over the lazy dog"
     val docs = (Seq.fill(5)(("news", base)) ++ Seq.fill(5)(("blog", base)) ++
