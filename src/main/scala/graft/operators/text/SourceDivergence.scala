@@ -191,31 +191,12 @@ object SourceDivergence {
        |jsm AS (SELECT src_a, src_b, CAST(sum(t_nano) AS BIGINT) AS js_nano
        |        FROM jsd_terms GROUP BY src_a, src_b)""".stripMargin
 
-  /** qd29 oracle — literal SQL twin of [[jsMatrix]]. */
+  /** qd29 oracle — literal SQL twin of [[jsMatrix]], delegating to
+    * the shared [[jsCtes]] chain. */
   def oracleSql(buckets: Int = 512, smoothing: Long = 1L): String =
-    s"""WITH feats AS (
-       |  SELECT source AS src,
-       |         CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % $buckets AS b
-       |  FROM (SELECT source, unnest(string_split(
-       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
-       |        FROM documents) z
-       |  WHERE term <> ''),
-       |cnt AS (SELECT src, b, count(*)::BIGINT AS n FROM feats GROUP BY src, b),
-       |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY src),
-       |dims AS (SELECT unnest(range(0, $buckets)) AS b),
-       |dense AS (
-       |  SELECT tot.src, dims.b,
-       |         (CAST(coalesce(cnt.n, 0) + $smoothing AS DOUBLE) /
-       |          CAST(tot.t + ${smoothing} * $buckets AS DOUBLE)) AS p
-       |  FROM tot CROSS JOIN dims
-       |  LEFT JOIN cnt ON cnt.src = tot.src AND cnt.b = dims.b),
-       |terms AS (
-       |  SELECT a.src AS src_a, q.src AS src_b,
-       |         CAST(floor(a.p * 0.5 * ln(2.0 * a.p / (a.p + q.p)) * 1000000000.0) AS BIGINT) +
-       |         CAST(floor(q.p * 0.5 * ln(2.0 * q.p / (a.p + q.p)) * 1000000000.0) AS BIGINT) AS t_nano
-       |  FROM dense a JOIN dense q ON a.b = q.b AND a.src < q.src)
+    s"""WITH ${jsCtes(buckets, smoothing)}
        |SELECT src_a, src_b,
        |       ${PortableRound.floorToSql(
-          "CAST(sum(t_nano) AS DOUBLE) / 1000000000.0", 6)} AS js
-       |FROM terms GROUP BY src_a, src_b""".stripMargin
+          "CAST(js_nano AS DOUBLE) / 1000000000.0", 6)} AS js
+       |FROM jsm""".stripMargin
 }
