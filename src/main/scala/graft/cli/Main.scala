@@ -605,6 +605,61 @@ object Main {
         println(f"DSIR finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"selected $k docs toward $targetDesc -> $into")
         0
+      case "audit" =>
+        // the relational release gates in one command:
+        //   audit --table t --quasi c1,c2 [--k 10]
+        //         [--sensitive c [--l 3] [--t 0.2]]
+        // k-anonymity always runs; adding --sensitive also runs
+        // l-diversity and t-closeness. Exit code = number of gates
+        // with violations.
+        import org.apache.spark.sql.functions.col
+        opt("--quasi") match {
+          case None =>
+            println("usage: graft audit --table t --quasi c1,c2 [--k 10] [--sensitive c [--l 3] [--t 0.2]] --config cfg.yml")
+            2
+          case Some(q) =>
+            val t = opt("--table").getOrElse("customer")
+            val quasi = q.split(",").map(_.trim).filter(_.nonEmpty).map(col(_)).toSeq
+            val k = opt("--k").map(_.toLong).getOrElse(10L)
+            val rows = catalogFor(cfg.src).read(spark, t)
+            var gatesViolated = 0
+            val ka = graft.operators.KAnonymity.audit(rows, quasi, k)
+              .orderBy("class_size").collect()
+            println(s"k-anonymity (k=$k):")
+            println(table(
+              Seq(Seq("ClassSize", "Classes", "Rows", "Violating")) ++
+                ka.map(r => Seq(r.getAs[Long]("class_size").toString,
+                  r.getAs[Long]("n_classes").toString,
+                  r.getAs[Long]("n_rows").toString,
+                  if (r.getAs[Boolean]("violating")) "YES" else "no"))))
+            if (ka.exists(_.getAs[Boolean]("violating"))) gatesViolated += 1
+            opt("--sensitive").foreach { sc =>
+              val l = opt("--l").map(_.toLong).getOrElse(3L)
+              val ld = graft.operators.KAnonymity.diversityAudit(
+                  rows, quasi, col(sc), l).orderBy("l_distinct").collect()
+              println(s"l-diversity (l=$l, sensitive=$sc):")
+              println(table(
+                Seq(Seq("Distinct", "Classes", "Rows", "Violating")) ++
+                  ld.map(r => Seq(r.getAs[Long]("l_distinct").toString,
+                    r.getAs[Long]("n_classes").toString,
+                    r.getAs[Long]("n_rows").toString,
+                    if (r.getAs[Boolean]("violating")) "YES" else "no"))))
+              if (ld.exists(_.getAs[Boolean]("violating"))) gatesViolated += 1
+              val tt = opt("--t").map(_.toDouble).getOrElse(0.2)
+              val tc = graft.operators.KAnonymity.closenessAudit(
+                  rows, quasi, col(sc), tt).collect()
+              val tcViol = tc.count(_.getAs[Boolean]("violating"))
+              println(s"t-closeness (t=$tt, sensitive=$sc): " +
+                s"${tc.length} classes, $tcViol violating" +
+                (if (tcViol > 0)
+                  "; worst tv " + tc.map(_.getAs[Double]("tv")).max
+                else ""))
+              if (tcViol > 0) gatesViolated += 1
+            }
+            println(f"Audit finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"$gatesViolated gate(s) violated")
+            gatesViolated
+        }
       case "embed" =>
         // text -> feature-hashed embeddings table (vec_id, embedding):
         // the zero-model bridge into the ann lifecycle — embed, then

@@ -954,6 +954,37 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("compare", "--freshness", "--config", cfg), spark) == 1)
   }
 
+  test("audit via CLI: gates count violations; clean table exits 0") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_cli_audit").toString
+    // 3 classes of 4; class 'b' homogeneous in diag, class 'c' skewed
+    (Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "a", "y"),
+      (5L, "b", "x"), (6L, "b", "x"), (7L, "b", "x"), (8L, "b", "x"),
+      (9L, "c", "y"), (10L, "c", "y"), (11L, "c", "y"), (12L, "c", "x")))
+      .toDF("id", "zip", "diag").write.parquet(s"$src/people.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    // k=4 passes; adding the sensitive column trips l-diversity
+    // (class b) and t-closeness (b and c) -> 2 gates violated
+    assert(Main.run(Array("audit", "--table", "people",
+      "--quasi", "zip", "--k", "4", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("audit", "--table", "people",
+      "--quasi", "zip", "--k", "4", "--sensitive", "diag",
+      "--l", "2", "--t", "0.2", "--config", cfg), spark) == 2)
+    // k=5 additionally trips k-anonymity -> 3 gates
+    assert(Main.run(Array("audit", "--table", "people",
+      "--quasi", "zip", "--k", "5", "--sensitive", "diag",
+      "--l", "2", "--t", "0.2", "--config", cfg), spark) == 3)
+    // missing --quasi is a usage error
+    assert(Main.run(Array("audit", "--table", "people",
+      "--config", cfg), spark) == 2)
+  }
+
   test("version exits 0 (reference cmd/version.go parity)") {
     assert(Main.run(Array("version"), spark) == 0)
   }
