@@ -341,6 +341,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qd29/qp27: divergence scans prune to (source, text); pair stage is an equi-join") {
+    Seq("qd29_source_divergence", "qp27_diversity_budgets").foreach { q =>
+      val p = plan(q)
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(schemas.exists(s => s.contains("source") && s.contains("text")), p)
+      schemas.foreach(s =>
+        assert(!s.contains("n_chars") && !s.contains("doc_id"),
+          s"$q scan reads unused columns: $s"))
+      // the S x S pair stage joins on bucket EQUALITY; only the
+      // bounded grid builders may be nested-loop (broadcast, domain-
+      // sized) — a CartesianProduct would mean a corpus-sized blowup
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("qj02: band join stays a hash equi-join with pushed filters") {
     val p = plan("qj02_band_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
