@@ -73,7 +73,13 @@ object ScaleSmoke {
     // DSIR weighting (the model is a fixed B-row broadcast, so cost
     // should track the feature-stream scan alone)
     "qt52_backoff_lm_score",
-    "qp20_dsir_weights")
+    "qp20_dsir_weights",
+    // round 11 (later): the LM prune curve (4 LM builds in one query
+    // -- should scale like 4x qt52's count-table story), and fuzzy
+    // record linkage (the banded cross-corpus join; candidate volume
+    // tracks bucket collisions, never all-pairs)
+    "qt56_backoff_prune_curve",
+    "qd30_fuzzy_link")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
