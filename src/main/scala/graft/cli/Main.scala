@@ -64,6 +64,14 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *                                          from bare text (feeds ann)
   *   graft compare --schema                 metadata-only column-drift
   *                                          report per table
+  *   graft compare --freshness              replication lag per
+  *                                          watermarked table (src vs
+  *                                          dest MAX watermark)
+  *   graft audit --table t --quasi c1,c2 [--k] [--sensitive c [--l] [--t]]
+  *                                          the relational privacy
+  *                                          gates: k-anonymity, and
+  *                                          with --sensitive also
+  *                                          l-diversity + t-closeness
   *
   * Endpoints are `parquet:<dir>` or any JDBC url; the reference's
   * host/port/database yml keys build a MySQL url. The reference's
@@ -176,6 +184,11 @@ object Main {
       case "compare" if args.contains("--content") &&
           deliveryFormat(cfg.dest.url).nonEmpty =>
         refuseDelivery("compare --content", cfg.dest.url).get
+      case "compare" if args.contains("--freshness") &&
+          deliveryFormat(cfg.dest.url).nonEmpty =>
+        // the dest watermark probe reads the table back; inference
+        // would widen types (false lag) or die on an empty table
+        refuseDelivery("compare --freshness", cfg.dest.url).get
       case "compare" if args.contains("--freshness") =>
         // replication lag per watermarked table: src vs dest
         // MAX(watermark) — metadata-cheap staleness check. Exit code
@@ -646,13 +659,20 @@ object Main {
                     if (r.getAs[Boolean]("violating")) "YES" else "no"))))
               if (ld.exists(_.getAs[Boolean]("violating"))) gatesViolated += 1
               val tt = opt("--t").map(_.toDouble).getOrElse(0.2)
+              // one row per equivalence CLASS — aggregate before the
+              // driver sees it (a high-cardinality quasi set would
+              // otherwise collect millions of rows)
+              import org.apache.spark.sql.functions.{count => fcount, lit => flit, max => fmax, sum => fsum, when => fwhen}
               val tc = graft.operators.KAnonymity.closenessAudit(
-                  rows, quasi, col(sc), tt).collect()
-              val tcViol = tc.count(_.getAs[Boolean]("violating"))
+                  rows, quasi, col(sc), tt)
+                .agg(fcount(flit(1)).as("n"),
+                  fsum(fwhen(col("violating"), 1L).otherwise(0L)).as("v"),
+                  fmax(col("tv")).as("worst"))
+                .head()
+              val tcViol = tc.getAs[Long]("v")
               println(s"t-closeness (t=$tt, sensitive=$sc): " +
-                s"${tc.length} classes, $tcViol violating" +
-                (if (tcViol > 0)
-                  "; worst tv " + tc.map(_.getAs[Double]("tv")).max
+                s"${tc.getAs[Long]("n")} classes, $tcViol violating" +
+                (if (tcViol > 0) "; worst tv " + tc.getAs[Double]("worst")
                 else ""))
               if (tcViol > 0) gatesViolated += 1
             }

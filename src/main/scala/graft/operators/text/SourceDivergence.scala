@@ -103,17 +103,30 @@ object SourceDivergence {
       totalTokens: Long,
       buckets: Int = 512,
       smoothing: Long = 1L): DataFrame = {
-    require(totalTokens >= 1, s"bad totalTokens $totalTokens")
-    val ss = df.sparkSession
+    // weights are MICRO-nats (<= ~6.94e5) so totalTokens * w stays
+    // far inside Long for any realistic budget; the bound keeps the
+    // worst case exact (1e12 * 7e5 ~ 7e17 < 2^63)
+    require(totalTokens >= 1 && totalTokens <= 1000000000000L,
+      s"bad totalTokens $totalTokens (1 .. 1e12)")
     val m = nanoMatrix(df, text, source, buckets, smoothing)
-    val perSrc = m.select(col("src_a").as("src"), col("js_nano"))
+    val pairAgg = m.select(col("src_a").as("src"), col("js_nano"))
       .unionByName(m.select(col("src_b").as("src"), col("js_nano")))
       .groupBy("src")
       .agg(count(lit(1)).as("n_pairs"), sum("js_nano").as("s_nano"))
-      // per-bucket floors can push a ~0 pair's integer sum a hair
-      // NEGATIVE; clamp before weighting so a near-identical source
-      // gets the uniform prior, never a negative share
-      .withColumn("w", greatest(expr("s_nano div n_pairs"), lit(0L)) + lit(1L))
+    // EVERY source gets a row — a single-source corpus has no pairs
+    // yet must still receive the whole budget (the prior's job)
+    val srcs = df.select(source.as("src")).distinct()
+    val perSrc = graft.operators.Barrier(
+      srcs.join(pairAgg, Seq("src"), "left")
+        .na.fill(0L, Seq("n_pairs", "s_nano"))
+        // per-bucket floors can push a ~0 pair's integer sum a hair
+        // NEGATIVE; clamp before weighting so a near-identical source
+        // gets the uniform prior, never a negative share. n_pairs = 0
+        // (single source) falls to the prior too.
+        .withColumn("w",
+          when(col("n_pairs") > 0,
+            greatest(expr("(s_nano div n_pairs) div 1000"), lit(0L)))
+            .otherwise(lit(0L)) + lit(1L)))
     val tot = perSrc.agg(sum("w").as("tw"))
     val base = perSrc.crossJoin(broadcast(tot))
       .withColumn("b", expr(s"($totalTokens * w) div tw"))
@@ -126,9 +139,10 @@ object SourceDivergence {
       .select(
         col("src").as("source"),
         col("n_pairs").cast("bigint").as("n_pairs"),
-        PortableRound.floorTo(
-          expr("s_nano div n_pairs").cast("double") / lit(1e9), 6)
-          .as("mean_js"),
+        when(col("n_pairs") > 0,
+          PortableRound.floorTo(
+            expr("s_nano div n_pairs").cast("double") / lit(1e9), 6))
+          .otherwise(lit(0.0)).as("mean_js"),
         (col("b") + when(col("rk") <= col("r"), 1L).otherwise(0L))
           .cast("bigint").as("budget_tokens"))
   }
@@ -139,13 +153,21 @@ object SourceDivergence {
       buckets: Int = 512,
       smoothing: Long = 1L): String =
     s"""WITH ${jsCtes(buckets, smoothing)},
-       |per_src AS (
+       |pair_agg AS (
        |  SELECT src, count(*)::BIGINT AS n_pairs,
-       |         CAST(sum(js_nano) AS BIGINT) AS s_nano,
-       |         greatest(CAST(sum(js_nano) AS BIGINT) // count(*), 0) + 1 AS w
+       |         CAST(sum(js_nano) AS BIGINT) AS s_nano
        |  FROM (SELECT src_a AS src, js_nano FROM jsm
        |        UNION ALL SELECT src_b AS src, js_nano FROM jsm) u
        |  GROUP BY src),
+       |per_src AS (
+       |  SELECT s.src,
+       |         coalesce(pair_agg.n_pairs, 0) AS n_pairs,
+       |         coalesce(pair_agg.s_nano, 0) AS s_nano,
+       |         CASE WHEN coalesce(pair_agg.n_pairs, 0) > 0
+       |              THEN greatest((pair_agg.s_nano // pair_agg.n_pairs) // 1000, 0)
+       |              ELSE 0 END + 1 AS w
+       |  FROM (SELECT DISTINCT source AS src FROM documents) s
+       |  LEFT JOIN pair_agg ON pair_agg.src = s.src),
        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per_src),
        |base AS (
        |  SELECT src, n_pairs, s_nano,
@@ -158,8 +180,10 @@ object SourceDivergence {
        |         row_number() OVER (ORDER BY rem DESC, src) AS rk
        |  FROM base, lo)
        |SELECT src AS source, n_pairs,
-       |       ${PortableRound.floorToSql(
-          "CAST(s_nano // n_pairs AS DOUBLE) / 1000000000.0", 6)} AS mean_js,
+       |       CASE WHEN n_pairs > 0
+       |            THEN ${PortableRound.floorToSql(
+          "CAST(s_nano // n_pairs AS DOUBLE) / 1000000000.0", 6)}
+       |            ELSE 0.0 END AS mean_js,
        |       CAST(b + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS budget_tokens
        |FROM ranked""".stripMargin
 

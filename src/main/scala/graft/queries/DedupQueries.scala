@@ -680,32 +680,39 @@ object DedupQueries {
         import org.apache.spark.sql.functions._
         val docs = Tables.load(s, dir, "documents")
           .select("doc_id", "text")
+        // the id offset derives from the DATA (max id + 1), so the
+        // side split can never collide with real ids at any sf — a
+        // hardcoded offset would silently misclassify originals once
+        // the fixture outgrew it (one bounded driver value, the qs02
+        // probe pattern)
+        val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
         val perturbed = docs.where(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + lit(off)).as("doc_id"),
             concat(col("text"), lit(" linkage probe suffix")).as("text"))
         graft.operators.dedup.PortableMinHash.pairs(
             docs.unionByName(perturbed), col("text"), col("doc_id"),
             threshold = 0.5)
-          .where(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+          .where(col("doc_a") < lit(off) && col("doc_b") >= lit(off))
           .select(col("doc_a").as("id_a"),
-            (col("doc_b") - 1000000L).as("id_b"),
+            (col("doc_b") - lit(off)).as("id_b"),
             col("est_jaccard"))
       },
       Some {
         val lsh = graft.operators.dedup.PortableMinHash.pipelineCtes("u")
           .replaceFirst("^WITH ", "")
-        s"""WITH pert AS (
-           |  SELECT doc_id + 1000000 AS doc_id,
+        s"""WITH offs AS (SELECT max(doc_id) + 1 AS o FROM documents),
+           |pert AS (
+           |  SELECT doc_id + offs.o AS doc_id,
            |         text || ' linkage probe suffix' AS text
-           |  FROM documents WHERE doc_id % 5 = 0),
+           |  FROM documents, offs WHERE doc_id % 5 = 0),
            |u AS (SELECT doc_id, text FROM documents
            |      UNION ALL SELECT doc_id, text FROM pert),
            |$lsh
            |SELECT doc_a AS id_a,
-           |       CAST(doc_b - 1000000 AS BIGINT) AS id_b, est_jaccard
-           |FROM est
+           |       CAST(doc_b - offs.o AS BIGINT) AS id_b, est_jaccard
+           |FROM est, offs
            |WHERE est_jaccard >= 0.5
-           |  AND doc_a < 1000000 AND doc_b >= 1000000""".stripMargin
+           |  AND doc_a < offs.o AND doc_b >= offs.o""".stripMargin
       })
   )
 }

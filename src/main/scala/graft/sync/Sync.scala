@@ -639,7 +639,9 @@ object Compare {
           org.apache.spark.sql.functions.col(c))).head().get(0)
       val dMax =
         if (sink.exists(spark, t)) sink.maxValue(spark, t, c) else None
-      val sR = String.valueOf(sMax)
+      // BOTH empty cases render "-": an empty source replicated into
+      // an empty destination is in sync, not lagging
+      val sR = Option(sMax).map(String.valueOf).getOrElse("-")
       val dR = dMax.map(String.valueOf).getOrElse("-")
       FreshnessRow(t, c, sR, dR, sR == dR)
     }

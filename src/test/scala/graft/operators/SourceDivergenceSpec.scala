@@ -66,6 +66,17 @@ class SourceDivergenceSpec extends SparkSpec {
     assert(b.values.forall(_._4 > 0L))
   }
 
+  test("a single-source corpus receives the whole budget") {
+    val docs = Seq.fill(5)(("only", "some words here"))
+      .toDF("source", "text")
+    val b = SourceDivergence.diversityBudgets(
+        docs, col("text"), col("source"),
+        totalTokens = 1234L, buckets = 64, smoothing = 1L)
+      .as[(String, Long, Double, Long)].collect()
+    assert(b.length == 1)
+    assert(b.head == (("only", 0L, 0.0, 1234L)), b.head.toString)
+  }
+
   test("all-identical sources degrade to an equal split, never 0/0") {
     val docs = (1 to 3).flatMap(i =>
       Seq.fill(5)((s"s$i", "same text every time")))
