@@ -516,15 +516,20 @@ object Main {
               s"${est.length} sources -> $idx")
             0
           case "show" =>
-            val est = graft.streaming.CardinalityIngest.estimates(spark, idx)
-              .orderBy("source").collect()
-            println(table(
-              Seq(Seq("Source", "Zero regs", "Est distinct 5-grams")) ++
-                est.map(r => Seq(
-                  r.getAs[String]("source"),
-                  r.getAs[Long]("zero_registers").toString,
-                  f"${r.getAs[Double]("raw_est")}%.0f"))))
-            0
+            if (!graft.streaming.CardinalityIngest.exists(spark, idx)) {
+              println(s"no HLL sidecar at $idx (run `hll build` first)")
+              1
+            } else {
+              val est = graft.streaming.CardinalityIngest.estimates(spark, idx)
+                .orderBy("source").collect()
+              println(table(
+                Seq(Seq("Source", "Zero regs", "Est distinct 5-grams")) ++
+                  est.map(r => Seq(
+                    r.getAs[String]("source"),
+                    r.getAs[Long]("zero_registers").toString,
+                    f"${r.getAs[Double]("raw_est")}%.0f"))))
+              0
+            }
           case other2 =>
             println(s"unknown hll subcommand '$other2'; usage: graft hll <build|append|show> --table t --index d")
             2

@@ -147,9 +147,12 @@ object PortableHistogram {
     val qs = qsPerMille.map(_.toLong).toDF("q_permille")
     val ranks = tot.crossJoin(broadcast(qs))
       .withColumn("r", expr("(n_rows * q_permille + 999) div 1000"))
+    // Null-safe group equality: a null group key (e.g. a null ts in
+    // qe16's hour derivation) must join its own histogram rows, not
+    // fall out to est_milli = null — same reason KAnonymity uses <=>.
     ranks
       .join(hist,
-        gNames.map(n => ranks(n) === hist(n)).reduce(_ && _) &&
+        gNames.map(n => ranks(n) <=> hist(n)).reduce(_ && _) &&
           hist("cum") >= ranks("r"), "left")
       .groupBy(gNames.map(ranks(_)) :+ ranks("q_permille") :+
         ranks("n_rows"): _*)

@@ -26,17 +26,30 @@ object StagedSwap {
   def oldPath(live: Path) = new Path(live.toString + "_old")
   def tmpPath(live: Path) = new Path(live.toString + "_staging")
 
+  /** Pre-extraction suffix convention (the hand-rolled copies used
+    * `__old`/`__compact`): an index compacted — and interrupted — by
+    * an older build left its data under these names, which the
+    * current restore must still adopt or the live dir stays missing
+    * forever. */
+  private def legacyOldPath(live: Path) = new Path(live.toString + "__old")
+  private def legacyTmpPath(live: Path) = new Path(live.toString + "__compact")
+
   /** Adopt a completed-but-unswapped interruption: if the live dir is
     * missing and `old` exists, the process died mid-swap — move the
-    * old data back. Returns true when a restore happened. */
+    * old data back. Also adopts the legacy `__old` naming, so a swap
+    * interrupted under a pre-extraction build restores too. Returns
+    * true when a restore happened. */
   def restoreIfInterrupted(fs: FileSystem, live: Path): Boolean = {
-    val old = oldPath(live)
-    if (!fs.exists(live) && fs.exists(old)) {
-      if (!fs.rename(old, live))
-        throw new java.io.IOException(
-          s"staged swap: cannot restore $old after an interrupted swap")
-      true
-    } else false
+    if (fs.exists(live)) false
+    else Seq(oldPath(live), legacyOldPath(live)).find(fs.exists) match {
+      case Some(src) =>
+        if (!fs.rename(src, live))
+          throw new java.io.IOException(
+            s"staged swap: cannot restore $src after an interrupted swap")
+        fs.delete(legacyTmpPath(live), true) // legacy staging garbage
+        true
+      case None => false
+    }
   }
 
   /** Swap `tmp` (already fully written by the caller) into `live`.
@@ -46,6 +59,11 @@ object StagedSwap {
   def swapIn(fs: FileSystem, live: Path, tmp: Path): Unit = {
     val old = oldPath(live)
     fs.delete(old, true)
+    // One-time migration: stale legacy-suffix leftovers (a compact
+    // that COMPLETED under the old naming never deleted them) would
+    // otherwise sit beside the index forever.
+    fs.delete(legacyOldPath(live), true)
+    fs.delete(legacyTmpPath(live), true)
     if (fs.exists(live) && !fs.rename(live, old))
       throw new java.io.IOException(s"staged swap: cannot stage $live aside")
     if (!fs.rename(tmp, live)) {

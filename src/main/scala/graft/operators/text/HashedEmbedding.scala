@@ -61,6 +61,17 @@ object HashedEmbedding {
           j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)))
           .as("emb"))
 
+  /** [[embed]] exploded back to dense SCALAR rows (id, j, v) — one
+    * row per (doc, dim) incl. zeros. The oracle-comparison harness
+    * cannot hash an array result column (pandas sort chokes on
+    * ndarray cells), so the value-oracled query surface ships this
+    * shape; the array shape stays for programmatic use. */
+  def embedRows(
+      df: DataFrame, text: Column, id: Column, dim: Int = 64): DataFrame =
+    embed(df, text, id, dim)
+      .select(col("id"), posexplode(col("emb")).as(Seq("j", "v")))
+      .select(col("id"), col("j").cast("bigint").as("j"), col("v"))
+
   /** Text-only retrieval: top-k most cosine-similar documents to
     * `probeId`'s embedding — (id, dot, cos). Exact integer dots and
     * norms; the probe's sparse components broadcast. */
@@ -135,16 +146,16 @@ object HashedEmbedding {
        |  GROUP BY 1, 2
        |  HAVING sum(1 - 2 * (CAST(('0x' || substring(md5(term), 9, 8)) AS BIGINT) % 2)) <> 0)""".stripMargin
 
-  /** qs30 oracle — literal SQL twin of [[embed]]. */
+  /** qs30 oracle — literal SQL twin of [[embedRows]] (dense scalar
+    * rows; the array shape is unhashable for the harness). */
   def oracleEmbedSql(dim: Int = 64): String =
     s"""WITH ${componentsCtes(dim)},
-       |dims AS (SELECT unnest(range(0, $dim)) AS j),
-       |dense AS (
-       |  SELECT d.id, dims.j, CAST(coalesce(c.v, 0) AS BIGINT) AS v
-       |  FROM (SELECT DISTINCT id FROM comp) d
-       |  CROSS JOIN dims
-       |  LEFT JOIN comp c ON c.id = d.id AND c.j = dims.j)
-       |SELECT id, list(v ORDER BY j) AS emb FROM dense GROUP BY id""".stripMargin
+       |dims AS (SELECT unnest(range(0, $dim)) AS j)
+       |SELECT d.id, CAST(dims.j AS BIGINT) AS j,
+       |       CAST(coalesce(c.v, 0) AS BIGINT) AS v
+       |FROM (SELECT DISTINCT id FROM comp) d
+       |CROSS JOIN dims
+       |LEFT JOIN comp c ON c.id = d.id AND c.j = dims.j""".stripMargin
 
   /** qs32 oracle — literal SQL twin of [[queryTopK]]: the query
     * string hashes through the identical md5 pipeline from a VALUES

@@ -50,23 +50,30 @@ object ZipfFit {
       col("g"),
       milliLn(col("rnk")).as("x"),
       milliLn(col("n")).as("y"))
+    // Degenerate slice guard: a group whose ranked slice has a single
+    // distinct (rank,term) point has m·sxx − sx² = 0, so the OLS slope
+    // is 0/0. Spark's floor(NaN·10⁴) and DuckDB's floor(nan) render
+    // differently, so such a corpus would break the value oracle; emit
+    // NULL as the explicit "no fit" sentinel in BOTH engines instead.
     xy.groupBy("g")
       .agg(
         count(lit(1)).as("m"),
         sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den",
+        (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("slope_raw",
+        when(col("den") === 0.0, lit(null).cast("double")).otherwise(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den")))
       .select(
         col("g").as("grp"),
         col("m").cast("bigint").as("n_terms"),
-        PortableRound.floorTo(
-          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"),
-          4).as("slope"),
+        PortableRound.floorTo(col("slope_raw"), 4).as("slope"),
         PortableRound.floorTo(
           (col("sy").cast("double") / lit(1000.0) / col("m").cast("double")) -
-            ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("slope_raw") *
             (col("sx").cast("double") / lit(1000.0) / col("m").cast("double")),
           4).as("intercept"))
   }
@@ -92,11 +99,17 @@ object ZipfFit {
        |        CAST(sum(x * x) AS BIGINT) AS sxx
        |      FROM xy GROUP BY g)
        |SELECT g AS grp, m AS n_terms,
-       |       ${PortableRound.floorToSql(
-          "CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)", 4)} AS slope,
+       |       ${PortableRound.floorToSql(slopeSql, 4)} AS slope,
        |       ${PortableRound.floorToSql(
           "(CAST(sy AS DOUBLE) / 1000.0 / CAST(m AS DOUBLE)) - " +
-            "(CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)) * " +
+            s"($slopeSql) * " +
             "(CAST(sx AS DOUBLE) / 1000.0 / CAST(m AS DOUBLE))", 4)} AS intercept
        |FROM s""".stripMargin
+
+  /** NULL-guarded OLS slope — the SQL twin of the `slope_raw` guard
+    * in [[fit]] (floor(NULL·10⁴) is NULL in both engines). */
+  private def slopeSql: String =
+    "CASE WHEN m * sxx - sx * sx = 0 THEN NULL " +
+      "ELSE CAST(m * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(m * sxx - sx * sx AS DOUBLE) END"
 }

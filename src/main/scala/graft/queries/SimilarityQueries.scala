@@ -595,10 +595,12 @@ object SimilarityQueries {
       // every term occurrence adds ±1 (md5-derived index and sign)
       // into one of 64 dims — a dense INTEGER vector per doc with no
       // trained model and no vocabulary table. The text-only bridge
-      // into the similarity family; vectors are exact BIGINTs, so the
-      // whole array value-oracles.
+      // into the similarity family; vectors are exact BIGINTs, and
+      // they ship as dense SCALAR rows (id, j, v) — the harness
+      // cannot hash an array result column (r11 advice) — so the
+      // whole embedding value-oracles cell by cell.
       (s, dir) =>
-        graft.operators.text.HashedEmbedding.embed(
+        graft.operators.text.HashedEmbedding.embedRows(
           Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
           dim = 64),
       Some(graft.operators.text.HashedEmbedding.oracleEmbedSql(64))),

@@ -80,6 +80,18 @@ object CardinalityIngest {
   /** Serve the current per-source estimates from the sidecar alone —
     * (source, s_scaled, zero_registers, raw_est), the qt48 columns,
     * with zero contact with the ingested corpus. */
+  /** Does the registers sidecar exist? Hadoop-FS based (a
+    * java.io.File check would always be false for hdfs:///s3a://
+    * sidecars), adopting an interrupted swap first — mirrors
+    * [[HistogramIngest.exists]] so the CLI can print a usage hint
+    * instead of a raw AnalysisException. */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val regs = new org.apache.hadoop.fs.Path(regsPath(dir))
+    val fs = regs.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, regs)
+    fs.exists(regs)
+  }
+
   def estimates(spark: SparkSession, dir: String): DataFrame = {
     val regs = new org.apache.hadoop.fs.Path(regsPath(dir))
     graft.operators.StagedSwap.restoreIfInterrupted(

@@ -356,6 +356,11 @@ class MainSpec extends SparkSpec {
       "--index", idx, "--config", cfg), spark) == 0)
     assert(Main.run(Array("hll", "frobnicate",
       "--index", idx, "--config", cfg), spark) == 2)
+    // a missing sidecar is a usage hint + rc 1, not a raw
+    // AnalysisException (r11 advice; `hist show` is the template)
+    val missing = Files.createTempDirectory("graft_cli_hll_none").toString + "/nope"
+    assert(Main.run(Array("hll", "show",
+      "--index", missing, "--config", cfg), spark) == 1)
     // the folded sidecar equals a one-shot fold of the whole corpus
     val whole = graft.operators.text.PortableHll.registers(
       docs.select(col("source"),

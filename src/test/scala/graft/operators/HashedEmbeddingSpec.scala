@@ -41,6 +41,18 @@ class HashedEmbeddingSpec extends SparkSpec {
     assert(got == ref(corpus, 32))
   }
 
+  test("embedRows is the exact dense explode of embed") {
+    // the harness-facing scalar shape (r11 advice: arrays don't hash)
+    val rows = HashedEmbedding.embedRows(
+        corpus.toDF("doc_id", "text"), col("text"), col("doc_id"), dim = 32)
+      .as[(Long, Long, Long)].collect()
+    val expect = ref(corpus, 32).flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, j) => (id, j.toLong, x) }
+    }.toSet
+    assert(rows.length == expect.size) // every (doc, dim) cell exactly once
+    assert(rows.toSet == expect)
+  }
+
   test("near-identical docs rank above unrelated ones for a probe") {
     val got = HashedEmbedding.topK(
         corpus.toDF("doc_id", "text"), col("text"), col("doc_id"),

@@ -92,6 +92,25 @@ class PortableHistogramSpec extends SparkSpec {
     }
   }
 
+  test("a NULL group key gets real quantiles, not est_milli = null") {
+    // the ranks-to-hist join must be null-safe (<=>) on the group
+    // columns, or a null slice (e.g. a null ts hour) silently loses
+    // its estimate (r11 advice)
+    val df = (1 to 100).map(i =>
+        (if (i % 2 == 0) "g0" else null, i * 1.0)).toDF("grp", "value")
+    val got = PortableHistogram.groupedQuantiles(
+        df, col("value"), Seq(col("grp")), p = 3, qsPerMille = Seq(500))
+      .select("g0", "est_milli").collect()
+      .map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(got.keySet == Set(Some("g0"), None))
+    assert(got(None).nonEmpty, "null group must carry a quantile")
+    assert(got(Some("g0")).nonEmpty)
+    // the null slice holds the odd values 1..99: its p500 bucket must
+    // sit at/under the true median 50, never above g0's
+    assert(got(None).get <= 50000L && got(None).get > 0L)
+  }
+
   test("shard sketches merge losslessly") {
     val df = (1 to 500).map(i => (i.toLong, (i % 37) * 1.5 + 0.01))
       .toDF("event_id", "value")

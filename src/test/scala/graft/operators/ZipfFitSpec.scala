@@ -58,6 +58,17 @@ class ZipfFitSpec extends SparkSpec {
     assert(math.abs(got._3 - (-1.0)) < 0.02, s"slope ${got._3}")
   }
 
+  test("a degenerate slice (single distinct term) yields NULL, not NaN") {
+    // m·sxx − sx² = 0 here; floor(NaN) renders differently across
+    // engines, so the fit must emit the NULL sentinel (r11 advice)
+    val df = Seq(("d", "solo solo solo solo")).toDF("lang", "text")
+    val row = ZipfFit.fit(df, col("text"), col("lang"), topN = 8)
+      .select("grp", "n_terms", "slope", "intercept").head()
+    assert(row.getString(0) == "d" && row.getLong(1) == 1L)
+    assert(row.isNullAt(2), "slope must be null")
+    assert(row.isNullAt(3), "intercept must be null")
+  }
+
   test("a uniform distribution has slope ~ 0") {
     val docs = (1 to 30).flatMap(r => Seq.fill(10)(s"t$r"))
     val df = Seq(("u", docs.mkString(" "))).toDF("lang", "text")
