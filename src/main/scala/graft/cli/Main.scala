@@ -487,6 +487,56 @@ object Main {
           s"$verb (max seq $maxSeq, capacity $capacity, $shards shards) -> $into")
         0
           }
+      case "profile" =>
+        // the pre-migration diagnostic next to compare/checksum:
+        //   profile --table t             exact per-column profile
+        //           [--sketch]            HLL distinct tier (no Expand;
+        //                                 the 100 TB cardinality path)
+        //           [--key c [--top 10] [--target 1000000]]
+        //                                 join-key skew report + salt
+        //                                 fan-out for column c
+        import org.apache.spark.sql.functions.col
+        val tname = opt("--table").getOrElse("lineitem")
+        val df = catalogFor(cfg.src).read(spark, tname)
+        opt("--key") match {
+          case Some(k) =>
+            val rep = graft.operators.SkewReport.report(df, col(k),
+              topK = opt("--top").map(_.toInt).getOrElse(10),
+              targetPerTask = opt("--target").map(_.toLong).getOrElse(1000000L))
+              .collect()
+            println(table(
+              Seq(Seq("Key", "Rows", "Share (milli)", "Heat (milli)", "Salt")) ++
+                rep.map(r => Seq(String.valueOf(r.get(0)),
+                  r.getAs[Long]("cnt").toString,
+                  r.getAs[Long]("share_milli").toString,
+                  r.getAs[Long]("heat_milli").toString,
+                  r.getAs[Long]("salt_factor").toString))))
+            println(f"Profile (skew) finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"$tname.$k, ${rep.length} hot keys")
+            0
+          case None if args.contains("--sketch") =>
+            val est = graft.operators.TableProfile
+              .distinctSketch(df, df.columns.toSeq)
+              .orderBy("col_name").collect()
+            println(table(
+              Seq(Seq("Column", "Est distinct")) ++
+                est.map(r => Seq(r.getAs[String]("col_name"),
+                  f"${r.getAs[Double]("est")}%.0f"))))
+            println(f"Profile (sketch) finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"$tname, ${est.length} columns")
+            0
+          case None =>
+            val rows = graft.operators.TableProfile.profile(df)
+              .orderBy("col_name", "metric").collect()
+            println(table(
+              Seq(Seq("Column", "Metric", "Value")) ++
+                rows.map(r => Seq(r.getAs[String]("col_name"),
+                  r.getAs[String]("metric"),
+                  if (r.isNullAt(2)) "-" else r.getAs[Long]("value").toString))))
+            println(f"Profile finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+              s"$tname, ${rows.length} metrics")
+            0
+        }
       case "hll" =>
         // the cardinality-sidecar lifecycle (CardinalityIngest's CLI
         // face, the sketch sibling of index/ann/media/pack):
@@ -1249,7 +1299,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column table profiling — the "what is actually in this table"
+  * sweep a migration or sync tool runs before moving data (the
+  * reference's compare/checksum surface stops at row counts and
+  * content digests; a profile is the natural diagnostic next to it):
+  * null counts, distinct cardinality, typed min/max, string lengths,
+  * reported as narrow (col_name, metric, value) rows so one schema
+  * covers every column type.
+  *
+  * Two tiers, same output shape:
+  *
+  *   - [[profile]] — EXACT, one aggregation pass. Multiple
+  *     `count(DISTINCT)` aggregates rewrite through Catalyst's Expand
+  *     (input rows × (#distinct-groups + 1) inside one shuffle) —
+  *     correct and fine up to mid-size tables, but the expand factor
+  *     is the 100 TB ceiling.
+  *   - [[distinctSketch]] — the scale path for the cardinality
+  *     metrics: one narrow pass folding every column's values into
+  *     per-column HLL registers (register-sized shuffle, no expand),
+  *     merge-able across shards/increments like every sketch in this
+  *     repo. Exact metrics that are plain min/max/sum stay in
+  *     [[profile]] — those are already one map-side-combined pass.
+  *
+  * Portability: every metric lands in ONE BIGINT `value` column —
+  * doubles project through floor micro-scaling (exact IEEE ops, no
+  * tie semantics), timestamps through epoch micros — so the whole
+  * profile value-oracles.
+  */
+object TableProfile {
+
+  /** Exact per-column profile: rows (col_name, metric, value).
+    * Metrics per type — all columns: `nulls`, `distinct`; integral:
+    * `min`/`max`; floating: `min_micro`/`max_micro` (floor ×10⁶);
+    * string: `len_max`/`len_sum`; timestamp: `min_micro`/`max_micro`
+    * (epoch µs). Plus one (`_table`, `rows`, n) row. */
+  def profile(df: DataFrame): DataFrame = {
+    val metrics: Seq[(String, String, org.apache.spark.sql.Column)] =
+      ("_table", "rows", count(lit(1)).cast("long")) +:
+        df.schema.fields.toSeq.flatMap { f =>
+          val c = col(f.name)
+          val base = Seq(
+            (f.name, "nulls", (count(lit(1)) - count(c)).cast("long")),
+            (f.name, "distinct", count_distinct(c).cast("long")))
+          val typed = f.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => Seq(
+              (f.name, "min", min(c).cast("long")),
+              (f.name, "max", max(c).cast("long")))
+            case FloatType | DoubleType => Seq(
+              (f.name, "min_micro",
+                floor(min(c.cast("double")) * lit(1000000.0)).cast("long")),
+              (f.name, "max_micro",
+                floor(max(c.cast("double")) * lit(1000000.0)).cast("long")))
+            case StringType => Seq(
+              (f.name, "len_max", max(length(c)).cast("long")),
+              (f.name, "len_sum", sum(length(c).cast("long")).cast("long")))
+            case TimestampType | TimestampNTZType => Seq(
+              (f.name, "min_micro", unix_micros(min(c).cast("timestamp"))),
+              (f.name, "max_micro", unix_micros(max(c).cast("timestamp"))))
+            case _ => Seq.empty // opaque types profile null/distinct only
+          }
+          base ++ typed
+        }
+    val aggregated = Parallelism.ensureMin(df).agg(
+      metrics.head._3.as("m0"),
+      metrics.tail.zipWithIndex.map { case ((_, _, a), i) =>
+        a.as(s"m${i + 1}") }: _*)
+    aggregated.select(explode(array(metrics.zipWithIndex.map {
+      case ((cn, mn, _), i) =>
+        struct(lit(cn).as("col_name"), lit(mn).as("metric"),
+          col(s"m$i").as("value"))
+    }: _*)).as("r")).select("r.col_name", "r.metric", "r.value")
+  }
+
+  /** Sketch-tier distinct cardinality: ONE narrow pass folding every
+    * listed column into per-column HLL registers — no Expand, no
+    * per-column scans; shuffle size is registers × columns. Returns
+    * (col_name, zero_registers, raw_est) like the HLL family. At
+    * 100 TB this replaces [[profile]]'s `distinct` rows; min/max/sum
+    * metrics stay exact in one map-side-combined pass. */
+  def distinctSketch(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to sketch")
+    val m = graft.operators.text.PortableHll.m.toDouble
+    val pairs = Parallelism.ensureMin(df).select(explode(array(cols.map { n =>
+      struct(lit(n).as("col_name"), col(n).cast("string").as("v"))
+    }: _*)).as("r")).select("r.col_name", "r.v").where(col("v").isNotNull)
+    graft.operators.text.PortableHll.estimate(
+      graft.operators.text.PortableHll.registers(
+        pairs, col("v"), Seq("col_name")),
+      Seq("col_name"))
+      // the raw HLL estimate is wildly biased below ~2.5m; this output
+      // is consumer-facing (not oracle-bound like the qt23/qt49 family,
+      // which must avoid ln()'s libm-vs-JVM bit drift), so apply the
+      // standard small-range linear-counting correction here
+      .withColumn("est",
+        when(col("raw_est") <= lit(2.5 * m) && col("zero_registers") > 0L,
+          lit(m) * log(lit(m) / col("zero_registers").cast("double")))
+          .otherwise(col("raw_est")))
+  }
+
+  /** DuckDB oracle twin of [[profile]] — generated from the same type
+    * dispatch; `kinds` maps column → one of int|float|str|ts. */
+  def oracleSql(table: String, kinds: Seq[(String, String)]): String = {
+    val branches =
+      s"SELECT '_table' AS col_name, 'rows' AS metric, count(*)::BIGINT AS value FROM $table" +:
+        kinds.flatMap { case (c, kind) =>
+          val base = Seq(
+            s"SELECT '$c', 'nulls', CAST(count(*) - count($c) AS BIGINT) FROM $table",
+            s"SELECT '$c', 'distinct', CAST(count(DISTINCT $c) AS BIGINT) FROM $table")
+          val typed = kind match {
+            case "int" => Seq(
+              s"SELECT '$c', 'min', CAST(min($c) AS BIGINT) FROM $table",
+              s"SELECT '$c', 'max', CAST(max($c) AS BIGINT) FROM $table")
+            case "float" => Seq(
+              s"SELECT '$c', 'min_micro', CAST(floor(CAST(min($c) AS DOUBLE) * 1000000.0) AS BIGINT) FROM $table",
+              s"SELECT '$c', 'max_micro', CAST(floor(CAST(max($c) AS DOUBLE) * 1000000.0) AS BIGINT) FROM $table")
+            case "str" => Seq(
+              s"SELECT '$c', 'len_max', CAST(max(length($c)) AS BIGINT) FROM $table",
+              s"SELECT '$c', 'len_sum', CAST(sum(length($c)) AS BIGINT) FROM $table")
+            case "ts" => Seq(
+              s"SELECT '$c', 'min_micro', CAST(epoch_us(min($c)) AS BIGINT) FROM $table",
+              s"SELECT '$c', 'max_micro', CAST(epoch_us(max($c)) AS BIGINT) FROM $table")
+            case other => throw new IllegalArgumentException(s"kind $other")
+          }
+          base ++ typed
+        }
+    branches.mkString("\nUNION ALL\n")
+  }
+
+  /** The lineitem column/kind list the q42 oracle profiles — kept in
+    * the operator so Spark dispatch and SQL generation share one
+    * source of truth for the fixture schema (TESTDATA.md). */
+  val lineitemKinds: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "float",
+    "l_extendedprice" -> "float", "l_discount" -> "float",
+    "l_tax" -> "float", "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "ts")
+}

@@ -672,5 +672,18 @@ object EventQueries {
           |   -- into the ASOF join as a second (rejected) inequality
           |   SELECT * FROM base WHERE epoch_us(ts) >= epoch_us(prev_ts)) lat""".stripMargin,
         3, Seq(500, 900, 990))))
+    ,
+    Q(
+      "qe18_key_skew",
+      // the pre-join planning probe: top-10 hottest user_ids with
+      // share, heat-vs-average, and the salt fan-out that bounds a
+      // shuffle task at 50 rows/key (50 so fixture-scale salts
+      // exercise > 1) — one scan, one map-combined count shuffle, a
+      // 1-row broadcast back, TakeOrdered cut; all-BIGINT arithmetic
+      (s, dir) => graft.operators.SkewReport.report(
+        graft.Tables.load(s, dir, "events"), col("user_id"),
+        topK = 10, targetPerTask = 50L),
+      Some(graft.operators.SkewReport.oracleSql(
+        "events", "user_id", topK = 10, targetPerTask = 50L)))
   )
 }

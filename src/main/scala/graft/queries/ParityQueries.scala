@@ -617,6 +617,19 @@ object ParityQueries {
                 FROM events GROUP BY user_id)
               SELECT user_id, event_type, n
               FROM p UNPIVOT (n FOR event_type IN
-                (click, error, purchase, signup, view))"""))
+                (click, error, purchase, signup, view))""")),
+
+    Q(
+      "q42_table_profile",
+      // the pre-migration diagnostic next to compare/checksum: every
+      // lineitem column profiled (nulls, exact distinct, typed
+      // min/max, string lengths) as narrow metric rows in ONE
+      // aggregation pass; the multi-distinct Expand is the documented
+      // exact-tier ceiling — TableProfile.distinctSketch is the
+      // no-expand 100 TB path (spec-bounded vs exact)
+      (s, dir) => graft.operators.TableProfile.profile(
+        t(s, dir, "lineitem")),
+      Some(graft.operators.TableProfile.oracleSql(
+        "lineitem", graft.operators.TableProfile.lineitemKinds)))
   )
 }

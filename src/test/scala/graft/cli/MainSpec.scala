@@ -330,6 +330,24 @@ class MainSpec extends SparkSpec {
       "--append", "--config", csvCfg), spark) == 1)
   }
 
+  test("profile verb: exact, sketch, and skew faces") {
+    val src = Files.createTempDirectory("graft_cli_profile").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .write.parquet(s"$src/ev.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    assert(Main.run(Array("profile", "--table", "ev",
+      "--config", cfg), spark) == 0)
+    assert(Main.run(Array("profile", "--table", "ev", "--sketch",
+      "--config", cfg), spark) == 0)
+    assert(Main.run(Array("profile", "--table", "ev", "--key", "user_id",
+      "--top", "5", "--target", "3", "--config", cfg), spark) == 0)
+  }
+
   test("hll build + append + show lifecycle; replays cost nothing") {
     import org.apache.spark.sql.functions.col
     val src = Files.createTempDirectory("graft_cli_hll_src").toString
