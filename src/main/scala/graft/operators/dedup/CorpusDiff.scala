@@ -1,0 +1,105 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diff — the content-level "what changed between v1
+  * and v2" report a dataset release needs (and the corpus-scale
+  * sibling of the reference's `compare --content` table checksum,
+  * cmd/compare.go: there a sync tool proves two TABLES match; here a
+  * curation pipeline proves exactly how two CORPUS VERSIONS differ):
+  * every doc id lands in exactly one of added / removed / changed /
+  * unchanged, with doc and byte counts per status.
+  *
+  * Scale shape: each side reduces to (id, 128-bit md5 digest, length)
+  * BEFORE the join — payload bytes never shuffle; the full-outer
+  * hash join on id is the one shuffle, and the status rollup is a
+  * 4-row aggregate. At 100 TB this is exactly the
+  * digest-comparison plan DeltaSync's checksum ranges use, minus the
+  * range bucketing a remote-DB round trip needs.
+  *
+  * Portability: counts and BIGINT length sums only; md5 equality is
+  * engine-identical on identical bytes.
+  */
+object CorpusDiff {
+
+  private def digests(
+      df: DataFrame, id: Column, content: Column, side: String): DataFrame =
+    graft.operators.Parallelism.ensureMin(df).select(
+      id.as(s"${side}_id"),
+      md5(content.cast("string")).as(s"${side}_digest"),
+      length(content.cast("string")).cast("long").as(s"${side}_len"))
+
+  /** Per-id status: (id, status) for added/removed/changed ids plus
+    * the unchanged ids — callers filtering to the non-unchanged
+    * slice get the release manifest delta. */
+  def diffIds(
+      left: DataFrame, right: DataFrame,
+      id: Column, content: Column): DataFrame = {
+    val l = digests(left, id, content, "l")
+    val r = digests(right, id, content, "r")
+    l.join(r, l("l_id") === r("r_id"), "full_outer")
+      .select(
+        coalesce(col("l_id"), col("r_id")).as("id"),
+        when(col("l_id").isNull, lit("added"))
+          .when(col("r_id").isNull, lit("removed"))
+          .when(col("l_digest") =!= col("r_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        // bytes attributed to the NEW side where it exists (added /
+        // changed / unchanged read v2 forward; removed is v1-only)
+        coalesce(col("r_len"), col("l_len")).as("n_chars"))
+  }
+
+  /** The release summary: (status, n_docs, n_chars), one row per
+    * status that occurs. */
+  def diff(
+      left: DataFrame, right: DataFrame,
+      id: Column, content: Column): DataFrame =
+    diffIds(left, right, id, content)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  /** qd31 oracle — literal SQL twin over `documents` with the same
+    * synthetic v2 derivation the query uses ([[syntheticV2Sql]]). */
+  def oracleDiffSql(v2Sql: String): String =
+    s"""WITH l AS (SELECT doc_id AS l_id, md5(text) AS l_digest,
+       |                  length(text)::BIGINT AS l_len FROM documents),
+       |r AS (SELECT doc_id AS r_id, md5(text) AS r_digest,
+       |             length(text)::BIGINT AS r_len FROM ($v2Sql) v2),
+       |j AS (
+       |  SELECT coalesce(l_id, r_id) AS id,
+       |         CASE WHEN l_id IS NULL THEN 'added'
+       |              WHEN r_id IS NULL THEN 'removed'
+       |              WHEN l_digest <> r_digest THEN 'changed'
+       |              ELSE 'unchanged' END AS status,
+       |         coalesce(r_len, l_len) AS n_chars
+       |  FROM l FULL OUTER JOIN r ON l_id = r_id)
+       |SELECT status, count(*)::BIGINT AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM j GROUP BY status""".stripMargin
+
+  /** The deterministic v2 the qd31 fixture diffs against: doc_id ≡ 0
+    * (mod 7) dropped, doc_id ≡ 0 (mod 11) edited (suffix appended),
+    * doc_id ≡ 0 (mod 13) re-ingested under a fresh id — removals,
+    * changes, and additions all present in one derivation both
+    * engines compute identically. */
+  val syntheticV2Sql: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |FROM documents WHERE doc_id % 7 <> 0
+      |UNION ALL
+      |SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** Spark twin of [[syntheticV2Sql]]. */
+  def syntheticV2(documents: DataFrame): DataFrame = {
+    val edited = documents
+      .where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    val added = documents
+      .where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    edited.select("doc_id", "text").unionByName(added.select("doc_id", "text"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space second moments and the anisotropy monitor built on
+  * them — the cheap continuous check that an embedding column hasn't
+  * COLLAPSED (contextual embeddings are notoriously anisotropic: a
+  * few directions hog the variance — Ethayarajh 2019; Mu & Viswanath
+  * 2018 "all-but-the-top"). A corpus whose top-eigenvalue share
+  * creeps toward 1 stops being searchable: every ANN/semantic-dedup
+  * operator in this family degrades, so this is the monitor that
+  * fires BEFORE qs11/qs16-style reactions are wasted effort.
+  *
+  * Scale shape: ONE scan, one aggregation — each row explodes to its
+  * d(d+1)/2 upper-triangle products + d first moments + a count
+  * sentinel, all BIGINT, and map-side partial aggregation collapses
+  * every task to ≤ (d²/2 + d + 1) rows before the only shuffle.
+  * Nothing downstream exceeds d² rows, so the eigen step is a
+  * driver-side O(d²)-memory power iteration on a 64×64 matrix —
+  * bounded work, documented, never corpus-sized.
+  *
+  * Portability: components floor-scale to integer MICRO units, so
+  * every emitted moment is an order-free BIGINT sum (|v| ≤ 5·10⁵ →
+  * products ≤ 2.5·10¹¹; 10⁶ rows stay < 2.5·10¹⁷ « 2⁶³) — the whole
+  * moment table value-oracles.
+  */
+object EmbeddingMoments {
+
+  /** Raw moment rows over micro-scaled components: (−1, −1, n);
+    * (i, −1, Σ eᵢ) first moments; (i, j, Σ eᵢeⱼ) for i ≤ j. */
+  def moments(df: DataFrame, emb: Column, dim: Int): DataFrame = {
+    require(dim >= 2, s"bad dim $dim")
+    val scaled = graft.operators.Parallelism.ensureMin(df)
+      .select(transform(emb, x =>
+        floor(x.cast("double") * lit(1000000.0)).cast("long")).as("e"))
+    val idx = sequence(lit(0), lit(dim - 1))
+    val countRow = array(struct(
+      lit(-1L).as("i"), lit(-1L).as("j"), lit(1L).as("p")))
+    val firsts = transform(idx, i => struct(
+      i.cast("long").as("i"), lit(-1L).as("j"),
+      element_at(col("e"), i + 1).as("p")))
+    val pairs = flatten(transform(idx, i =>
+      transform(sequence(i, lit(dim - 1)), j => struct(
+        i.cast("long").as("i"), j.cast("long").as("j"),
+        (element_at(col("e"), i + 1) * element_at(col("e"), j + 1))
+          .as("p")))))
+    scaled
+      .select(explode(concat(countRow, firsts, pairs)).as("r"))
+      .groupBy(col("r.i").as("i"), col("r.j").as("j"))
+      .agg(sum("r.p").as("s"))
+  }
+
+  /** Driver-side eigen summary from the d²-bounded moment table:
+    * (trace, topEigenvalue, topShare, meanNormSq) in micro² units —
+    * topShare → 1 means collapse, → 1/d means isotropy. Power
+    * iteration from the uniform start vector; covariance is PSD so
+    * it converges to the dominant eigenpair. */
+  def anisotropy(
+      df: DataFrame, emb: Column, dim: Int,
+      iters: Int = 100): AnisotropySummary = {
+    val rows = moments(df, emb, dim).collect()
+    var n = 0L
+    val m1 = Array.fill(dim)(0.0)
+    val s2 = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      if (i == -1) n = s
+      else if (j == -1) m1(i) = s.toDouble
+      else { s2(i)(j) = s.toDouble; s2(j)(i) = s.toDouble }
+    }
+    require(n > 0, "empty embedding table")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      s2(i)(j) / n - (m1(i) / n) * (m1(j) / n)
+    }
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var eig = 0.0
+    (0 until iters).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) {
+        v = w.map(_ / norm)
+        eig = norm
+      }
+    }
+    val meanNormSq = (0 until dim).map(i => (m1(i) / n) * (m1(i) / n)).sum
+    AnisotropySummary(n, trace, eig, if (trace > 0) eig / trace else 0.0,
+      meanNormSq)
+  }
+
+  final case class AnisotropySummary(
+      n: Long, trace: Double, topEigenvalue: Double, topShare: Double,
+      meanNormSq: Double)
+
+  /** qs34 oracle — literal SQL twin of [[moments]] over `embeddings`. */
+  def oracleMomentsSql(dim: Int): String =
+    s"""WITH dims AS (SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS i),
+       |e AS (
+       |  SELECT vec_id, dims.i,
+       |         CAST(floor(CAST(embedding[CAST(dims.i AS INT) + 1] AS DOUBLE)
+       |                    * 1000000.0) AS BIGINT) AS v
+       |  FROM embeddings, dims)
+       |SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+       |       count(*)::BIGINT AS s
+       |FROM embeddings
+       |UNION ALL
+       |SELECT i, CAST(-1 AS BIGINT), CAST(sum(v) AS BIGINT) FROM e GROUP BY i
+       |UNION ALL
+       |SELECT a.i, b.i, CAST(sum(a.v * b.v) AS BIGINT)
+       |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |GROUP BY a.i, b.i""".stripMargin
+}

@@ -713,6 +713,22 @@ object DedupQueries {
            |FROM est, offs
            |WHERE est_jaccard >= 0.5
            |  AND doc_a < offs.o AND doc_b >= offs.o""".stripMargin
-      })
+      }),
+
+    Q(
+      "qd31_corpus_diff",
+      // the release-to-release content diff (compare --content at
+      // corpus scale): v1 = documents, v2 = the deterministic
+      // drop/edit/re-ingest derivation, diffed by md5 digest — only
+      // (id, digest, length) ever shuffles, payload bytes stay put;
+      // output is the 4-status release summary
+      (s, dir) => {
+        val docs = graft.Tables.load(s, dir, "documents")
+        graft.operators.dedup.CorpusDiff.diff(
+          docs, graft.operators.dedup.CorpusDiff.syntheticV2(docs),
+          col("doc_id"), col("text"))
+      },
+      Some(graft.operators.dedup.CorpusDiff.oracleDiffSql(
+        graft.operators.dedup.CorpusDiff.syntheticV2Sql)))
   )
 }

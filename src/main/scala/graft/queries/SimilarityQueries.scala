@@ -642,6 +642,18 @@ object SimilarityQueries {
         graft.operators.similarity.CentroidDrift.profile(
           Tables.load(s, dir, "embeddings"), col("embedding"),
           col("label")),
-      Some(graft.operators.similarity.CentroidDrift.oracleSql()))
+      Some(graft.operators.similarity.CentroidDrift.oracleSql())),
+
+    Q(
+      "qs34_embedding_moments",
+      // the anisotropy monitor's distributed half: exact micro-unit
+      // first/second moments of the embedding cloud — one scan, one
+      // shuffle bounded at d(d+1)/2 + d + 1 BIGINT rows regardless of
+      // corpus size; the 64x64 eigen step (EmbeddingMoments.anisotropy,
+      // spec-verified) runs driver-side on THIS table, never the corpus
+      (s, dir) => graft.operators.similarity.EmbeddingMoments.moments(
+        Tables.load(s, dir, "embeddings"), col("embedding"), dim = 64),
+      Some(graft.operators.similarity.EmbeddingMoments
+        .oracleMomentsSql(64)))
   )
 }
