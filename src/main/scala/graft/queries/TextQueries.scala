@@ -1283,6 +1283,17 @@ object TextQueries {
       },
       Some(graft.operators.text.HashedEmbedding.oracleChunkQueryTopKSql(
         "spark window shuffle partition", maxTokens = 64, stride = 32,
-        dim = 64, k = 10)))
+        dim = 64, k = 10))),
+
+    Q(
+      "qt57_readability",
+      // Flesch-Kincaid grade per doc (vowel-group syllable heuristic):
+      // the classic prose-complexity score beside qt02's surface
+      // quality ratios — three regexp counters, zero shuffles, one
+      // per-row float expression floor-projected identically in both
+      // engines; empty docs emit NULL
+      (s, dir) => graft.operators.text.Readability.grade(
+        Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
+      Some(graft.operators.text.Readability.oracleSql()))
   )
 }

@@ -84,6 +84,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"per-row text stats should not shuffle:\n$p")
   }
 
+  // ensureMin's parallelism floor shows as a RoundRobin REPARTITION
+  // on the tiny sf0.001 files (it no-ops at scale) — the pins below
+  // count only DATA shuffles (hash/range), not that fan-out
+  private def dataExchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") &&
+        !l.contains("RoundRobinPartitioning"))
+
+  test("qt57: readability shuffles no data — per-row projection only") {
+    val p = plan("qt57_readability")
+    assert(dataExchanges(p) == 0,
+      s"per-row readability should not shuffle:\n$p")
+  }
+
+  test("qs34: moments are one map-combined shuffle, d²-bounded") {
+    val p = plan("qs34_embedding_moments")
+    assert(dataExchanges(p) == 1,
+      s"expected exactly one data shuffle:\n$p")
+    assert(p.contains("HashAggregate"), "partial+final aggregate expected")
+    assert(!p.contains("Join"), s"moment rollup must not plan a join:\n$p")
+  }
+
+  test("qe18: skew report broadcasts the 1-row totals back") {
+    val p = plan("qe18_key_skew")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must cut without a global sort:\n$p")
+  }
+
   test("qj01: as-of join is one shuffle + one window, never a join") {
     val p = plan("qj01_asof_attribution")
     assert(!p.contains("Join"), s"asof decomposition must not plan a join:\n$p")
