@@ -79,7 +79,16 @@ object ScaleSmoke {
     // record linkage (the banded cross-corpus join; candidate volume
     // tracks bucket collisions, never all-pairs)
     "qt56_backoff_prune_curve",
-    "qd30_fuzzy_link")
+    "qd30_fuzzy_link",
+    // round 12: corpus snapshot diff (digest-only full-outer join —
+    // should track the scan), embedding moments (per-row d²/2 explode
+    // into a d²-bounded shuffle — pure map cost), and the exact table
+    // profile (the multi-distinct Expand is the documented exact-tier
+    // ceiling: its ratio SHOULD track rows ~linearly, and this smoke
+    // is the evidence the sketch tier exists for)
+    "qd31_corpus_diff",
+    "qs34_embedding_moments",
+    "q42_table_profile")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
@@ -129,6 +138,17 @@ object ScaleSmoke {
   /** Build the replicated corpus once; skip when present. */
   def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
       replicas: Int): Unit = {
+    // q42 profiles lineitem: replicate it too, under its OWN guard so
+    // a pre-round-12 _BUILT corpus dir gains it on the next run
+    val li = new java.io.File(s"$bigDir/lineitem.parquet")
+    if (!li.exists()) {
+      val df = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      (0 until replicas)
+        .map(i => df.withColumn(
+          "l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+    }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")

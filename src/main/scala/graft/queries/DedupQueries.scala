@@ -729,6 +729,7 @@ object DedupQueries {
           col("doc_id"), col("text"))
       },
       Some(graft.operators.dedup.CorpusDiff.oracleDiffSql(
-        graft.operators.dedup.CorpusDiff.syntheticV2Sql)))
+        graft.operators.dedup.CorpusDiff.syntheticV2Sql)),
+      bench = true)
   )
 }

@@ -630,6 +630,7 @@ object ParityQueries {
       (s, dir) => graft.operators.TableProfile.profile(
         t(s, dir, "lineitem")),
       Some(graft.operators.TableProfile.oracleSql(
-        "lineitem", graft.operators.TableProfile.lineitemKinds)))
+        "lineitem", graft.operators.TableProfile.lineitemKinds)),
+      bench = true)
   )
 }

@@ -654,6 +654,7 @@ object SimilarityQueries {
       (s, dir) => graft.operators.similarity.EmbeddingMoments.moments(
         Tables.load(s, dir, "embeddings"), col("embedding"), dim = 64),
       Some(graft.operators.similarity.EmbeddingMoments
-        .oracleMomentsSql(64)))
+        .oracleMomentsSql(64)),
+      bench = true)
   )
 }
