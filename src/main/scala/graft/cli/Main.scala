@@ -487,6 +487,50 @@ object Main {
           s"$verb (max seq $maxSeq, capacity $capacity, $shards shards) -> $into")
         0
           }
+      case "diff" =>
+        // release-over-release corpus diff against a persisted digest
+        // manifest (~40 bytes/doc — v1 itself is never kept):
+        //   diff build   --table t  --index d   persist t's manifest
+        //   diff against --table t2 --index d   4-status summary of t2
+        //                [--update]             ... then adopt t2 as
+        //                                       the new manifest
+        import org.apache.spark.sql.functions.col
+        val idC = opt("--id").getOrElse("doc_id")
+        val txtC = opt("--text").getOrElse("text")
+        (args.lift(1), opt("--index"), opt("--table")) match {
+          case (Some("build"), Some(dir), Some(t)) =>
+            val docs = catalogFor(cfg.src).read(spark, t)
+            val n = graft.operators.dedup.CorpusDiff
+              .writeManifest(docs, col(idC), col(txtC), dir)
+            println(s"Diff manifest built at $dir: $n documents digested")
+            println(f"Diff build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("against"), Some(dir), Some(t)) =>
+            if (!graft.operators.dedup.CorpusDiff.manifestExists(spark, dir)) {
+              println(s"no diff manifest at $dir (run `diff build` first)")
+              1
+            } else {
+              val docs = catalogFor(cfg.src).read(spark, t)
+              val sum = graft.operators.dedup.CorpusDiff
+                .diffAgainstManifest(docs, col(idC), col(txtC), dir)
+                .orderBy("status").collect()
+              println(table(
+                Seq(Seq("Status", "Docs", "Chars")) ++
+                  sum.map(r => Seq(r.getAs[String]("status"),
+                    r.getAs[Long]("n_docs").toString,
+                    r.getAs[Long]("n_chars").toString))))
+              if (args.contains("--update")) {
+                val n = graft.operators.dedup.CorpusDiff
+                  .writeManifest(docs, col(idC), col(txtC), dir)
+                println(s"Manifest updated: $n documents digested")
+              }
+              println(f"Diff finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+            }
+          case _ =>
+            println("usage: graft diff <build|against> --table t --index d [--id c] [--text c] [--update]")
+            2
+        }
       case "profile" =>
         // the pre-migration diagnostic next to compare/checksum:
         //   profile --table t             exact per-column profile
@@ -1299,7 +1343,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

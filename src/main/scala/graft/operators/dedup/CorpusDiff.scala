@@ -35,9 +35,12 @@ object CorpusDiff {
     * slice get the release manifest delta. */
   def diffIds(
       left: DataFrame, right: DataFrame,
-      id: Column, content: Column): DataFrame = {
-    val l = digests(left, id, content, "l")
-    val r = digests(right, id, content, "r")
+      id: Column, content: Column): DataFrame =
+    diffDigested(
+      digests(left, id, content, "l"),
+      digests(right, id, content, "r"))
+
+  private def diffDigested(l: DataFrame, r: DataFrame): DataFrame =
     l.join(r, l("l_id") === r("r_id"), "full_outer")
       .select(
         coalesce(col("l_id"), col("r_id")).as("id"),
@@ -48,7 +51,6 @@ object CorpusDiff {
         // bytes attributed to the NEW side where it exists (added /
         // changed / unchanged read v2 forward; removed is v1-only)
         coalesce(col("r_len"), col("l_len")).as("n_chars"))
-  }
 
   /** The release summary: (status, n_docs, n_chars), one row per
     * status that occurs. */
@@ -58,6 +60,55 @@ object CorpusDiff {
     diffIds(left, right, id, content)
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  // ---- persisted digest manifest (the release-over-release mode) ----
+  //
+  // A release pipeline rarely keeps v1 around: the manifest persists
+  // v1 as (id, digest, n_chars) — ~40 bytes/doc instead of the corpus
+  // — so every later snapshot diffs against the sidecar alone. Writes
+  // rotate through StagedSwap like every persisted artifact here.
+
+  private def manifestPath(dir: String) = s"$dir/manifest"
+
+  /** Persist the snapshot's digest manifest; returns rows written. */
+  def writeManifest(
+      df: DataFrame, id: Column, content: Column, dir: String): Long = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(manifestPath(dir))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
+    val tmp = graft.operators.StagedSwap.tmpPath(live)
+    digests(df, id, content, "l")
+      .select(col("l_id").as("id"), col("l_digest").as("digest"),
+        col("l_len").as("n_chars"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    graft.operators.StagedSwap.swapIn(fs, live, tmp)
+    spark.read.parquet(manifestPath(dir)).count()
+  }
+
+  def manifestExists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(manifestPath(dir))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
+    fs.exists(live)
+  }
+
+  /** Diff a new snapshot against the persisted manifest — the corpus
+    * is read once (digest projection), the manifest is sidecar-sized;
+    * same 4-status summary as [[diff]]. */
+  def diffAgainstManifest(
+      right: DataFrame, id: Column, content: Column,
+      dir: String): DataFrame = {
+    val spark = right.sparkSession
+    require(manifestExists(spark, dir), s"no manifest at $dir")
+    val l = spark.read.parquet(manifestPath(dir))
+      .select(col("id").as("l_id"), col("digest").as("l_digest"),
+        col("n_chars").as("l_len"))
+    diffDigested(l, digests(right, id, content, "r"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
 
   /** qd31 oracle — literal SQL twin over `documents` with the same
     * synthetic v2 derivation the query uses ([[syntheticV2Sql]]). */

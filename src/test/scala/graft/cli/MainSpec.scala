@@ -330,6 +330,51 @@ class MainSpec extends SparkSpec {
       "--append", "--config", csvCfg), spark) == 1)
   }
 
+  test("diff verb: manifest build + against + update lifecycle") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val src = Files.createTempDirectory("graft_cli_diff_src").toString
+    val idx = Files.createTempDirectory("graft_cli_diff").toString + "/diff"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.write.parquet(s"$src/v1.parquet")
+    // v2: drop ids % 7, edit ids % 11
+    docs.where(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .write.parquet(s"$src/v2.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    // against before build: usage hint, rc 1
+    assert(Main.run(Array("diff", "against", "--table", "v2",
+      "--index", idx, "--config", cfg), spark) == 1)
+    assert(Main.run(Array("diff", "build", "--table", "v1",
+      "--index", idx, "--config", cfg), spark) == 0)
+    // the summary is computed against the persisted manifest alone —
+    // re-derive the expected counts here
+    val sum = graft.operators.dedup.CorpusDiff.diffAgainstManifest(
+        spark.read.parquet(s"$src/v2.parquet"),
+        col("doc_id"), col("text"), idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum("removed") == docs.where(col("doc_id") % 7 === 0).count())
+    assert(sum("changed") ==
+      docs.where(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0).count())
+    assert(!sum.contains("added"))
+    assert(Main.run(Array("diff", "against", "--table", "v2",
+      "--index", idx, "--update", "--config", cfg), spark) == 0)
+    // after --update the manifest IS v2: diffing v2 again is all-unchanged
+    val again = graft.operators.dedup.CorpusDiff.diffAgainstManifest(
+        spark.read.parquet(s"$src/v2.parquet"),
+        col("doc_id"), col("text"), idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again.keySet == Set("unchanged"), again.toString)
+    assert(Main.run(Array("diff", "frobnicate",
+      "--config", cfg), spark) == 2)
+  }
+
   test("profile verb: exact, sketch, and skew faces") {
     val src = Files.createTempDirectory("graft_cli_profile").toString
     spark.read.parquet(s"$sf0001/events.parquet")
