@@ -1294,6 +1294,16 @@ object TextQueries {
       // engines; empty docs emit NULL
       (s, dir) => graft.operators.text.Readability.grade(
         Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.Readability.oracleSql()))
+      Some(graft.operators.text.Readability.oracleSql())),
+
+    Q(
+      "qt58_repetition_profile",
+      // Gopher-family INTRA-doc repetition (Rae et al. 2021 A1.1):
+      // top-bigram character mass + duplicate-5-gram mass per mille —
+      // the boilerplate/keyword-stuffing gate qt13's cross-doc spans
+      // can't see; all-integer, (id, gram)-keyed aggregations only
+      (s, dir) => graft.operators.text.RepetitionProfile.profile(
+        Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
+      Some(graft.operators.text.RepetitionProfile.oracleSql()))
   )
 }
