@@ -248,25 +248,37 @@ object PortableHistogram {
   }
 
   /** qe16 oracle — [[groupedQuantiles]] keyed by event hour. */
-  def oracleHourlyQuantileSql(p: Int, qsPerMille: Seq[Int]): String = {
+  def oracleHourlyQuantileSql(p: Int, qsPerMille: Seq[Int]): String =
+    oracleGroupedQuantileSqlFrom(
+      "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)", "hr",
+      "value", "events", p, qsPerMille)
+
+  /** [[groupedQuantiles]] twin rooted on any (group, value, FROM)
+    * triple — the group equality is null-safe (IS NOT DISTINCT FROM)
+    * to mirror the Spark side's `<=>`. qt59 roots it on the per-doc
+    * quality score keyed by lang. */
+  def oracleGroupedQuantileSqlFrom(
+      groupExpr: String, groupAlias: String,
+      valueExpr: String, fromSql: String,
+      p: Int, qsPerMille: Seq[Int]): String = {
     val qvals = qsPerMille.map(q => s"($q)").mkString(", ")
-    s"""WITH m AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
-       |                  CAST(floor(value * 1000.0) AS BIGINT) AS m
-       |           FROM events),
-       |hist AS (SELECT hr, ${bucketSql("m", p)} AS bucket_lo, count(*)::BIGINT AS n
+    s"""WITH m AS (SELECT ($groupExpr) AS g,
+       |                  CAST(floor(($valueExpr) * 1000.0) AS BIGINT) AS m
+       |           FROM $fromSql),
+       |hist AS (SELECT g, ${bucketSql("m", p)} AS bucket_lo, count(*)::BIGINT AS n
        |         FROM m GROUP BY 1, 2),
-       |hc AS (SELECT hr, bucket_lo,
-       |              sum(n) OVER (PARTITION BY hr ORDER BY bucket_lo) AS cum
+       |hc AS (SELECT g, bucket_lo,
+       |              sum(n) OVER (PARTITION BY g ORDER BY bucket_lo) AS cum
        |       FROM hist),
-       |tot AS (SELECT hr, count(*)::BIGINT AS n_rows FROM m GROUP BY hr),
+       |tot AS (SELECT g, count(*)::BIGINT AS n_rows FROM m GROUP BY g),
        |qs(q_permille) AS (VALUES $qvals),
-       |rk AS (SELECT hr, n_rows, q_permille,
+       |rk AS (SELECT g, n_rows, q_permille,
        |              (n_rows * q_permille + 999) // 1000 AS r
        |       FROM tot, qs)
-       |SELECT rk.hr, CAST(rk.q_permille AS BIGINT) AS q_permille,
+       |SELECT rk.g AS $groupAlias, CAST(rk.q_permille AS BIGINT) AS q_permille,
        |       rk.n_rows, CAST(min(hc.bucket_lo) AS BIGINT) AS est_milli
-       |FROM rk LEFT JOIN hc ON hc.hr = rk.hr AND hc.cum >= rk.r
-       |GROUP BY rk.hr, rk.q_permille, rk.n_rows""".stripMargin
+       |FROM rk LEFT JOIN hc ON hc.g IS NOT DISTINCT FROM rk.g AND hc.cum >= rk.r
+       |GROUP BY rk.g, rk.q_permille, rk.n_rows""".stripMargin
   }
 
   /** qe15 oracle — literal SQL twin of [[mergeProfile]] over

@@ -1304,6 +1304,26 @@ object TextQueries {
       // can't see; all-integer, (id, gram)-keyed aggregations only
       (s, dir) => graft.operators.text.RepetitionProfile.profile(
         Tables.load(s, dir, "documents"), col("text"), col("doc_id")),
-      Some(graft.operators.text.RepetitionProfile.oracleSql()))
+      Some(graft.operators.text.RepetitionProfile.oracleSql())),
+
+    Q(
+      "qt59_quality_calibration",
+      // threshold calibration for the qt02 quality gate: per-lang
+      // score quantiles — "cut at est_milli to keep the top
+      // (1000 − q)‰ of this language" — so keep-rates are chosen from
+      // the DISTRIBUTION instead of a global constant that over-prunes
+      // one language and under-prunes another; the estimator is the
+      // qe14/qe16 mergeable histogram (domain-bounded buckets, every
+      // window partitioned by lang)
+      (s, dir) =>
+        graft.operators.PortableHistogram.groupedQuantiles(
+            Tables.load(s, dir, "documents"),
+            TextAnalysis.qualityScore(col("text")),
+            groups = Seq(col("lang")),
+            p = 3, qsPerMille = Seq(100, 250, 500, 750, 900))
+          .withColumnRenamed("g0", "lang"),
+      Some(graft.operators.PortableHistogram.oracleGroupedQuantileSqlFrom(
+        "lang", "lang", qualitySql, "documents",
+        3, Seq(100, 250, 500, 750, 900))))
   )
 }
