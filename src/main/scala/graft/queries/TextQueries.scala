@@ -1324,6 +1324,45 @@ object TextQueries {
           .withColumnRenamed("g0", "lang"),
       Some(graft.operators.PortableHistogram.oracleGroupedQuantileSqlFrom(
         "lang", "lang", qualitySql, "documents",
-        3, Seq(100, 250, 500, 750, 900))))
+        3, Seq(100, 250, 500, 750, 900)))),
+
+    Q(
+      "qt60_unicode_normalize",
+      // the canonicalization layer under every dedup key: visually
+      // identical text in composed vs DECOMPOSED Unicode has different
+      // bytes, md5s and shingles — qd01/qd03 leak such "duplicates"
+      // unless keys normalize first. Decomposed diacritics are planted
+      // IN-QUERY (the qt16 pattern; the fixture itself is
+      // normalization-neutral, verified in DuckDB), then NFC composes
+      // them (n_nfc < n_raw) and the accent fold produces the fuzzy
+      // key. Codegen'd scalar expressions (JDK Normalizer implements
+      // the versioned Unicode algorithm both engines share via
+      // utf8proc) — zero shuffles, full value oracle.
+      (s, dir) => {
+        // decomposed on purpose: base letters + combining marks
+        // (U+0301/0308/0303/030A/030C), composed by NFC below
+        val planted = concat(col("text"), lit(
+          " Cafe\u0301 nai\u0308ve Zu\u0308rich Sa\u0303o" +
+            " jalapen\u0303o A\u030Ase c\u030Cz\u030C"))
+        val nfc = graft.functions.UnicodeFns.nfc(planted)
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          length(planted).cast("long").as("n_raw"),
+          length(nfc).cast("long").as("n_nfc"),
+          md5(nfc).as("fp_nfc"),
+          md5(graft.functions.UnicodeFns.foldAccents(nfc)).as("fp_fold"))
+      },
+      Some {
+        val planted = "text || ' Cafe' || chr(769) || ' nai' || chr(776) ||" +
+          " 've Zu' || chr(776) || 'rich Sa' || chr(771) || 'o jalapen' ||" +
+          " chr(771) || 'o A' || chr(778) || 'se c' || chr(780) || 'z' || chr(780)"
+        s"""WITH p AS (SELECT doc_id, $planted AS raw FROM documents)
+           |SELECT doc_id,
+           |       length(raw)::BIGINT AS n_raw,
+           |       length(nfc_normalize(raw))::BIGINT AS n_nfc,
+           |       md5(nfc_normalize(raw)) AS fp_nfc,
+           |       md5(strip_accents(nfc_normalize(raw))) AS fp_fold
+           |FROM p""".stripMargin
+      })
   )
 }
