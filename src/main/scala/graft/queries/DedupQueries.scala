@@ -730,6 +730,38 @@ object DedupQueries {
       },
       Some(graft.operators.dedup.CorpusDiff.oracleDiffSql(
         graft.operators.dedup.CorpusDiff.syntheticV2Sql)),
-      bench = true)
+      bench = true),
+
+    Q(
+      "qd32_unicode_dedup",
+      // the leak qt60's expressions exist to close, end to end: every
+      // doc_id % 5 doc re-enters under a fresh id with its suffix
+      // respelled in DECOMPOSED Unicode (different bytes, identical
+      // rendering) — byte-keyed qd01 would keep both; keying the group
+      // by nfc() collapses each twin onto its original (n_spellings =
+      // 2 exactly there), value-oracled against DuckDB nfc_normalize
+      (s, dir) => {
+        val docs = graft.Tables.load(s, dir, "documents")
+        val a = docs.select(col("doc_id"),
+          concat(col("text"), lit(" Caf\u00e9")).as("t2"))
+        val b = docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            concat(col("text"), lit(" Cafe\u0301")).as("t2"))
+        a.unionByName(b)
+          .groupBy(graft.functions.UnicodeFns.nfc(col("t2")).as("k"))
+          .agg(min("doc_id").as("doc_id"),
+            count(lit(1)).as("n_spellings"))
+          .select("doc_id", "n_spellings")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text || ' Caf' || chr(233) AS t2
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id + 1000000000 AS doc_id,
+             |         text || ' Cafe' || chr(769) AS t2
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+             |SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_spellings
+             |FROM u GROUP BY nfc_normalize(t2)""".stripMargin))
   )
 }
