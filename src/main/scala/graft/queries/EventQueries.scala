@@ -684,6 +684,60 @@ object EventQueries {
         graft.Tables.load(s, dir, "events"), col("user_id"),
         topK = 10, targetPerTask = 50L),
       Some(graft.operators.SkewReport.oracleSql(
-        "events", "user_id", topK = 10, targetPerTask = 50L)))
+        "events", "user_id", topK = 10, targetPerTask = 50L))),
+
+    Q(
+      "qe19_rate_anomaly",
+      // the monitoring alert primitive qe09's deltas approximate:
+      // per-type hourly counts z-scored against the TRAILING 24
+      // active hours (integer window sums n/s/ss; the z is one float
+      // expression with identical operation order in both engines,
+      // floor-projected) — spikes and droughts alike; needs >= 6
+      // hours of history, zero trailing variance emits NULL (the
+      // identical <= 0 guard branches the same IEEE value in both
+      // engines)
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+        val mean = col("s").cast("double") / col("m").cast("double")
+        val variance = col("ss").cast("double") / col("m").cast("double") -
+          mean * mean
+        c.withColumn("m", count(lit(1)).over(w))
+          .withColumn("s", sum("n").over(w))
+          .withColumn("ss", sum(col("n") * col("n")).over(w))
+          .where(col("m") >= 6L)
+          .select(col("hr"), col("event_type"), col("n"),
+            col("m").cast("bigint").as("m"),
+            when(variance <= 0.0, lit(null).cast("double"))
+              .otherwise(graft.operators.PortableRound.floorTo(
+                (col("n").cast("double") - mean) / sqrt(variance), 3))
+              .as("z_milli"))
+      },
+      Some {
+        val mean = "(CAST(s AS DOUBLE) / CAST(m AS DOUBLE))"
+        val variance = s"CAST(ss AS DOUBLE) / CAST(m AS DOUBLE) - $mean * $mean"
+        s"""WITH c AS (
+           |  SELECT date_trunc('hour', ts) AS hr, event_type,
+           |         count(*)::BIGINT AS n
+           |  FROM events GROUP BY 1, 2),
+           |wdw AS (
+           |  SELECT hr, event_type, n,
+           |         count(*) OVER tw AS m,
+           |         sum(n) OVER tw AS s,
+           |         sum(n * n) OVER tw AS ss
+           |  FROM c
+           |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+           |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+           |SELECT hr, event_type, n, CAST(m AS BIGINT) AS m,
+           |       CASE WHEN ($variance) <= 0.0 THEN NULL
+           |            ELSE ${graft.operators.PortableRound.floorToSql(
+            s"(CAST(n AS DOUBLE) - $mean) / sqrt($variance)", 3)}
+           |       END AS z_milli
+           |FROM wdw WHERE m >= 6""".stripMargin
+      })
   )
 }
