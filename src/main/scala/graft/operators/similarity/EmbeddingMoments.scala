@@ -94,6 +94,76 @@ object EmbeddingMoments {
       n: Long, trace: Double, topEigenvalue: Double, topShare: Double,
       meanNormSq: Double)
 
+  /** Mean + top-k principal directions from the d²-bounded moment
+    * table — power iteration with deflation, driver-side O(k·d²).
+    * Mean is in RAW units (micro /10⁶, so it applies directly to the
+    * float embeddings); directions are unit vectors (scale-free). */
+  def topDirections(
+      df: DataFrame, emb: Column, dim: Int, k: Int,
+      iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k < dim, s"bad k $k")
+    val rows = moments(df, emb, dim).collect()
+    var n = 0L
+    val m1 = Array.fill(dim)(0.0)
+    val s2 = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      if (i == -1) n = s
+      else if (j == -1) m1(i) = s.toDouble
+      else { s2(i)(j) = s.toDouble; s2(j)(i) = s.toDouble }
+    }
+    require(n > 0, "empty embedding table")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      s2(i)(j) / n - (m1(i) / n) * (m1(j) / n)
+    }
+    val vs = Array.ofDim[Double](k, dim)
+    (0 until k).foreach { kk =>
+      var v = Array.tabulate(dim)(i =>
+        if (i % (kk + 1) == 0) 1.0 / math.sqrt(dim.toDouble)
+        else -1.0 / math.sqrt(dim.toDouble)) // deterministic, varies by kk
+      var eig = 0.0
+      (0 until iters).foreach { _ =>
+        val w0 = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+        // deflate: project out the already-found directions
+        val w = (0 until kk).foldLeft(w0) { (acc, p) =>
+          val d = (0 until dim).map(i => acc(i) * vs(p)(i)).sum
+          Array.tabulate(dim)(i => acc(i) - d * vs(p)(i))
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm > 0) { v = w.map(_ / norm); eig = norm }
+      }
+      vs(kk) = v
+    }
+    (m1.map(_ / n / 1e6), vs)
+  }
+
+  /** All-but-the-top (Mu & Viswanath 2018): x′ = (x − μ) −
+    * Σ_k v_k (v_k · (x − μ)) — the post-processing that restores
+    * retrieval contrast on anisotropic embedding clouds. The k
+    * directions broadcast as literals; the transform is per-row
+    * zip_with/aggregate work, zero shuffles. Returns (id, emb′)
+    * with double components. */
+  def removeTop(
+      df: DataFrame, emb: Column, id: Column, dim: Int,
+      k: Int = 1): DataFrame = {
+    val (mu, vs) = topDirections(df, emb, dim, k)
+    val muLit = array(mu.map(lit(_)): _*)
+    var out = df.select(id.as("id"),
+      zip_with(emb, muLit, (a, b) => a.cast("double") - b).as("e"))
+    vs.foreach { v =>
+      val vLit = array(v.map(lit(_)): _*)
+      out = out
+        .withColumn("d",
+          aggregate(zip_with(col("e"), vLit, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("e",
+          zip_with(col("e"), vLit, (a, vi) => a - col("d") * vi))
+        .drop("d")
+    }
+    out.select(col("id"), col("e").as("emb"))
+  }
+
   /** qs34 oracle — literal SQL twin of [[moments]] over `embeddings`. */
   def oracleMomentsSql(dim: Int): String =
     s"""WITH dims AS (SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS i),

@@ -655,6 +655,38 @@ object SimilarityQueries {
         Tables.load(s, dir, "embeddings"), col("embedding"), dim = 64),
       Some(graft.operators.similarity.EmbeddingMoments
         .oracleMomentsSql(64)),
-      bench = true)
+      bench = true),
+
+    Q(
+      "qs35_whitening_gate",
+      // all-but-the-top (Mu & Viswanath 2018) as a verifiable gate —
+      // eigen work is SQL-inexpressible, so like qs08 the invariants
+      // compute IN Spark against frozen margins and a constant oracle
+      // pins the booleans: the removed direction's residual projection
+      // is numerically zero on every row, its variance leaves the
+      // trace entirely, the mean is gone (micro-floor bias bound),
+      // and the new top eigenvalue is the old second one
+      (s, dir) => {
+        val M = graft.operators.similarity.EmbeddingMoments
+        val emb = Tables.load(s, dir, "embeddings")
+        val before = M.anisotropy(emb, col("embedding"), 64)
+        val (_, vs) = M.topDirections(emb, col("embedding"), 64, 1)
+        val t = M.removeTop(emb, col("embedding"), col("vec_id"), 64, k = 1)
+        val after = M.anisotropy(t, col("emb"), 64)
+        val vLit = array(vs(0).map(lit(_)): _*)
+        t.select(abs(aggregate(
+            zip_with(col("emb"), vLit, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)).as("p"))
+          .agg(max("p").as("max_resid"))
+          .select(
+            lit(1).as("k"),
+            (col("max_resid") < 1e-6).as("residual_zero"),
+            lit(after.trace < before.trace - 0.9 * before.topEigenvalue)
+              .as("trace_drops"),
+            lit(after.topEigenvalue < before.topEigenvalue).as("eig_drops"),
+            lit(after.meanNormSq < 100.0).as("mean_removed"))
+      },
+      Some("""SELECT 1 AS k, true AS residual_zero, true AS trace_drops,
+                     true AS eig_drops, true AS mean_removed"""))
   )
 }

@@ -76,6 +76,34 @@ class EmbeddingMomentsSpec extends SparkSpec {
     assert(a.topShare < 0.13 + 1e-9, s"share ${a.topShare}") // 1/8 ideal
   }
 
+  test("removeTop zeroes the removed direction, the mean, and its variance") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val before = EmbeddingMoments.anisotropy(emb, col("embedding"), 64)
+    val (_, vs) = EmbeddingMoments.topDirections(emb, col("embedding"), 64, 1)
+    val t = EmbeddingMoments.removeTop(
+      emb, col("embedding"), col("vec_id"), 64, k = 1)
+    assert(t.count() == emb.count())
+    // residual projection onto the removed direction is numerically 0
+    val vLit = array(vs(0).map(lit(_)): _*)
+    val maxResid = t.select(abs(aggregate(
+        zip_with(col("emb"), vLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)).as("p"))
+      .agg(max("p")).head().getDouble(0)
+    assert(maxResid < 1e-6, s"residual $maxResid")
+    val after = EmbeddingMoments.anisotropy(t, col("emb"), 64)
+    info(s"before: trace=${before.trace} eig=${before.topEigenvalue} " +
+      s"share=${before.topShare} meanSq=${before.meanNormSq}")
+    info(s"after:  trace=${after.trace} eig=${after.topEigenvalue} " +
+      s"share=${after.topShare} meanSq=${after.meanNormSq}")
+    // the removed direction's variance leaves the trace entirely
+    assert(after.trace < before.trace - 0.9 * before.topEigenvalue,
+      s"trace ${before.trace} -> ${after.trace} (eig ${before.topEigenvalue})")
+    assert(after.topEigenvalue < before.topEigenvalue,
+      "the new top eigenvalue must be the old second one")
+    // mean removal: micro-floor bias keeps |mean| <= 1 micro per dim
+    assert(after.meanNormSq < 100.0, s"meanSq ${after.meanNormSq}")
+  }
+
   test("the fixture embeddings are neither collapsed nor degenerate") {
     val a = EmbeddingMoments.anisotropy(
       spark.read.parquet(s"$sf0001/embeddings.parquet"),
