@@ -88,7 +88,10 @@ object ScaleSmoke {
     // is the evidence the sketch tier exists for)
     "qd31_corpus_diff",
     "qs34_embedding_moments",
-    "q42_table_profile")
+    "q42_table_profile",
+    // round 12 (later): intra-doc repetition (two (id, gram)-keyed
+    // vocabulary-style shuffles — should track the gram stream)
+    "qt58_repetition_profile")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
