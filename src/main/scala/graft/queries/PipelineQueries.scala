@@ -641,6 +641,42 @@ object PipelineQueries {
            |SELECT lang, count(*)::BIGINT AS n_docs,
            |       CAST(sum(CAST($toks AS BIGINT)) AS BIGINT) AS total_tokens
            |FROM d3 GROUP BY lang""".stripMargin
-      })
+      }),
+
+    Q(
+      "qp29_curriculum_buckets",
+      // difficulty-ordered training schedule (curriculum learning,
+      // Bengio et al. 2009): the corpus globally ordered by qt57's FK
+      // grade (ungradeable docs last, id tiebreak) and cut into 10
+      // equal ntile stages via GlobalOrder — N parallel window groups,
+      // never a single-task global window (q34's machinery) — then a
+      // per-stage rollup of doc/word mass and the grade range a
+      // scheduler feeds from
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.GlobalOrder
+        val graded = graft.operators.text.Readability.grade(
+            Tables.load(s, dir, "documents"), col("text"), col("doc_id"))
+          .select(col("id"), col("words"), col("fk_milli"),
+            coalesce(col("fk_milli"), lit(1.0e15)).as("fkk"))
+        val (numbered, total) = GlobalOrder.withRowNumberCounted(
+          graded, struct(col("fkk"), col("id")), rnName = "rn")
+        numbered
+          .withColumn("bucket",
+            GlobalOrder.ntileFromRowNumber(col("rn"), total, 10))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("words").as("n_words"),
+            min("fk_milli").as("fk_min"),
+            max("fk_milli").as("fk_max"))
+      },
+      Some(s"""WITH g AS (${graft.operators.text.Readability.oracleSql()}),
+              |r AS (SELECT *, ntile(10) OVER (
+              |        ORDER BY coalesce(fk_milli, 1e15), id) AS bucket
+              |      FROM g)
+              |SELECT bucket, count(*)::BIGINT AS n_docs,
+              |       CAST(sum(words) AS BIGINT) AS n_words,
+              |       min(fk_milli) AS fk_min, max(fk_milli) AS fk_max
+              |FROM r GROUP BY bucket""".stripMargin))
   )
 }
