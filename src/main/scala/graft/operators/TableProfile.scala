@@ -97,12 +97,17 @@ object TableProfile {
     require(cols.nonEmpty, "no columns")
     val ss = df.sparkSession
     import ss.implicits._
-    val pairs = Parallelism.ensureMin(df).select(explode(array(cols.map { n =>
-      struct(lit(n).as("col_name"), col(n).cast("string").as("v"))
-    }: _*)).as("r")).select("r.col_name", "r.v").where(col("v").isNotNull)
+    // shuffle (column INDEX, value) — a 4-byte tag instead of the
+    // column-name string on every one of the n_rows × n_cols pair
+    // rows; names re-attach to the n_cols result rows at the end
+    val pairs = Parallelism.ensureMin(df).select(explode(array(
+      cols.zipWithIndex.map { case (n, i) =>
+        struct(lit(i).as("ci"), col(n).cast("string").as("v"))
+      }: _*)).as("r")).select("r.ci", "r.v").where(col("v").isNotNull)
     val counts = pairs.distinct()
-      .groupBy("col_name").agg(count(lit(1)).as("distinct"))
-    cols.toDF("col_name").join(broadcast(counts), Seq("col_name"), "left")
+      .groupBy("ci").agg(count(lit(1)).as("distinct"))
+    cols.zipWithIndex.map { case (n, i) => (i, n) }.toDF("ci", "col_name")
+      .join(broadcast(counts), Seq("ci"), "left")
       .select(col("col_name"), coalesce(col("distinct"), lit(0L)).as("distinct"))
   }
 
