@@ -137,6 +137,83 @@ object PortableIvf {
        |FROM scored ORDER BY c DESC, vec_id LIMIT $k""".stripMargin
   }
 
+  /** The nprobe TUNING CURVE (the qt50/qt56/qp19 discipline applied
+    * to ANN serving): for each nprobe, the scan cost (vectors inside
+    * the probed cells) against the quality bought (exact-top-k hits
+    * recovered, integer-mass ratio of retrieved vs exact cosine) —
+    * the recall-vs-cost tradeoff an operator picks nprobe FROM,
+    * measured instead of assumed. Scoring runs ONCE behind a Barrier
+    * (cell id + cosine per vector); each nprobe row is a filter +
+    * TakeOrdered over that one table. Mass sums are order-free
+    * BIGINT micro-cosines, so every column value-oracles. */
+  def nprobeCurve(
+      df: DataFrame, vec: Column, id: Column, probe: Seq[Float],
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= numCells))
+    val q = typedLit(probe) // float literal — widens like the oracle's FLOAT[] probe
+    val scored = graft.operators.Barrier(
+      graft.operators.Parallelism.ensureMin(df).select(
+        id.as("id"), cell(vec).as("cl"),
+        VectorOps.cosine(vec, q).as("c")))
+    def topk(d: DataFrame) = d
+      .orderBy(col("c").desc, col("id")).limit(k)
+      .select(col("id"), floor(col("c") * lit(1000000.0)).cast("long").as("m"))
+    val exact = topk(scored)
+    val exactMass = exact.agg(sum("m").as("em"))
+    nprobes.map { np =>
+      val cells = probedCells(probe, np)
+      val in = scored.filter(col("cl").isin(cells: _*))
+      val approx = topk(in)
+      in.agg(count(lit(1)).as("scanned"))
+        .crossJoin(approx.join(exact.select("id"), Seq("id"), "semi")
+          .agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(sum("m").as("am")))
+        .crossJoin(exactMass)
+        .select(
+          lit(np).as("nprobe"), col("scanned"), col("hits"),
+          graft.operators.PortableRound.floorTo(
+            col("am").cast("double") / col("em").cast("double"), 4)
+            .as("mass_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** qs36 oracle — literal SQL twin of [[nprobeCurve]] (probe =
+    * vec_id 0). */
+  def nprobeCurveSql(k: Int, nprobes: Seq[Int]): String = {
+    val dot = s"""list_reduce(list_transform(range(1, ${dim + 1}),
+                 |  j -> e.embedding[j]::DOUBLE * p.pe[j]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    val perNp = nprobes.map { np =>
+      s"""probed_$np AS (SELECT unnest(list_transform(
+         |  list_slice(list_reverse_sort(${scoredListSql("p.pe")}), 1, $np),
+         |  x -> CAST(x[2] AS INT))) AS cell FROM p),
+         |in_$np AS (SELECT * FROM scored
+         |           WHERE cl IN (SELECT cell FROM probed_$np)),
+         |ap_$np AS (SELECT vec_id, CAST(floor(c * 1000000.0) AS BIGINT) AS m
+         |           FROM in_$np ORDER BY c DESC, vec_id LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    val rows = nprobes.map { np =>
+      s"""SELECT $np AS nprobe,
+         |  (SELECT count(*) FROM in_$np)::BIGINT AS scanned,
+         |  (SELECT count(*) FROM ap_$np
+         |   WHERE vec_id IN (SELECT vec_id FROM exact))::BIGINT AS hits,
+         |  ${graft.operators.PortableRound.floorToSql(
+          s"CAST((SELECT sum(m) FROM ap_$np) AS DOUBLE) / CAST(em AS DOUBLE)", 4)}
+         |    AS mass_ratio
+         |FROM em""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, ${cellSql("e.embedding")} AS cl,
+       |         CASE WHEN ${normV("e.embedding")} * ${normV("p.pe")} = 0 THEN 0.0
+       |              ELSE ($dot) / (${normV("e.embedding")} * ${normV("p.pe")}) END AS c
+       |  FROM embeddings e, p),
+       |exact AS (SELECT vec_id, CAST(floor(c * 1000000.0) AS BIGINT) AS m
+       |          FROM scored ORDER BY c DESC, vec_id LIMIT $k),
+       |em AS (SELECT CAST(sum(m) AS BIGINT) AS em FROM exact),
+       |$perNp
+       |$rows""".stripMargin
+  }
+
   /** qs29's oracle: per-cell load factor + append drift over the
     * portable codebook (base = even vec_ids, increment = odd — the
     * qs24 append convention); the cell frame densifies empty cells. */

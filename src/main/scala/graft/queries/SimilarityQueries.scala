@@ -687,6 +687,20 @@ object SimilarityQueries {
             lit(after.meanNormSq < 100.0).as("mean_removed"))
       },
       Some("""SELECT 1 AS k, true AS residual_zero, true AS trace_drops,
-                     true AS eig_drops, true AS mean_removed"""))
+                     true AS eig_drops, true AS mean_removed""")),
+
+    Q(
+      "qs36_nprobe_curve",
+      // the ANN serving knob MEASURED, not assumed (the qt50/qt56
+      // tuning-curve discipline): per nprobe ∈ {1,2,4,8}, scan cost
+      // (vectors in the probed cells) vs quality bought (exact-top-10
+      // hits, integer-mass cosine ratio) over the portable IVF —
+      // scoring runs once behind a Barrier, each row is a filter +
+      // TakeOrdered; every column value-oracles
+      (s, dir) => graft.operators.similarity.PortableIvf.nprobeCurve(
+        Tables.load(s, dir, "embeddings"), col("embedding"),
+        col("vec_id"), probe(s, dir), k = 10, nprobes = Seq(1, 2, 4, 8)),
+      Some(graft.operators.similarity.PortableIvf
+        .nprobeCurveSql(10, Seq(1, 2, 4, 8))))
   )
 }
