@@ -142,8 +142,11 @@ object ScaleSmoke {
   def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
       replicas: Int): Unit = {
     // q42 profiles lineitem: replicate it too, under its OWN guard so
-    // a pre-round-12 _BUILT corpus dir gains it on the next run
-    val li = new java.io.File(s"$bigDir/lineitem.parquet")
+    // a pre-round-12 _BUILT corpus dir gains it on the next run. The
+    // guard is a marker written AFTER the write (like _BUILT) — the
+    // output dir itself would adopt a killed half-write as complete
+    // (review finding)
+    val li = new java.io.File(s"$bigDir/_LINEITEM_BUILT")
     if (!li.exists()) {
       val df = spark.read.parquet(s"$baseDir/lineitem.parquet")
       (0 until replicas)
@@ -151,6 +154,7 @@ object ScaleSmoke {
           "l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      li.createNewFile()
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return

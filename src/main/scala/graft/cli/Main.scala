@@ -511,8 +511,13 @@ object Main {
               1
             } else {
               val docs = catalogFor(cfg.src).read(spark, t)
+              // digest ONCE behind a barrier: the summary and an
+              // --update both feed from the same materialized pass
+              val dig = graft.operators.Barrier(
+                graft.operators.dedup.CorpusDiff
+                  .snapshotDigests(docs, col(idC), col(txtC)))
               val sum = graft.operators.dedup.CorpusDiff
-                .diffAgainstManifest(docs, col(idC), col(txtC), dir)
+                .diffAgainstManifestFrom(dig, dir)
                 .orderBy("status").collect()
               println(table(
                 Seq(Seq("Status", "Docs", "Chars")) ++
@@ -521,7 +526,7 @@ object Main {
                     r.getAs[Long]("n_chars").toString))))
               if (args.contains("--update")) {
                 val n = graft.operators.dedup.CorpusDiff
-                  .writeManifest(docs, col(idC), col(txtC), dir)
+                  .writeManifestFrom(dig, dir)
                 println(s"Manifest updated: $n documents digested")
               }
               println(f"Diff finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -540,7 +545,13 @@ object Main {
         //                                 join-key skew report + salt
         //                                 fan-out for column c
         import org.apache.spark.sql.functions.col
-        val tname = opt("--table").getOrElse("lineitem")
+        opt("--table") match {
+          case None =>
+            // no fixture-specific default: a bare `profile` against a
+            // real source must not guess a table name (review finding)
+            println("usage: graft profile --table t [--sketch] [--key c [--top N] [--target rows]]")
+            2
+          case Some(tname) =>
         val df = catalogFor(cfg.src).read(spark, tname)
         opt("--key") match {
           case Some(k) =>
@@ -580,6 +591,7 @@ object Main {
             println(f"Profile finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
               s"$tname, ${rows.length} metrics")
             0
+        }
         }
       case "hll" =>
         // the cardinality-sidecar lifecycle (CardinalityIngest's CLI

@@ -26,9 +26,14 @@ object SkewReport {
 
   /** Top-k hottest keys: (k, cnt, n_rows, n_keys, share_milli,
     * heat_milli, salt_factor). `heat_milli` = 1000 means the key is
-    * exactly average; 50000 means 50× hotter than average.
-    * `salt_factor` is the sub-split count that caps one key's rows
-    * per task at `targetPerTask` (1 = no salting needed). */
+    * exactly average; 50000 means 50× hotter than the (floored)
+    * average rows-per-key — the heat denominator is
+    * `n_rows div n_keys`, not the exact mean, so every operand stays
+    * ≤ 1000·n_rows and nothing can overflow BIGINT on any table
+    * under ~9·10¹⁵ rows (the naive cnt·n_keys·1000 form overflows at
+    * ~10⁹ keys × 10⁹-row hot keys — review finding). `salt_factor`
+    * is the sub-split count that caps one key's rows per task at
+    * `targetPerTask` (1 = no salting needed). */
   def report(
       df: DataFrame,
       key: Column,
@@ -44,10 +49,12 @@ object SkewReport {
       .select(
         col("k"), col("cnt"), col("n_rows"), col("n_keys"),
         expr("cnt * 1000 div n_rows").as("share_milli"),
-        expr("cnt * n_keys * 1000 div n_rows").as("heat_milli"),
+        expr("cnt * 1000 div (n_rows div n_keys)").as("heat_milli"),
         expr(s"(cnt + ${targetPerTask - 1}L) div ${targetPerTask}L")
           .as("salt_factor"))
-      .orderBy(col("cnt").desc, col("k"))
+      // NULL is a legal key (groupBy keeps it); pin it LAST on the
+      // tiebreak to match the oracle's default NULLS LAST ordering
+      .orderBy(col("cnt").desc, col("k").asc_nulls_last)
       .limit(topK)
   }
 
@@ -62,7 +69,7 @@ object SkewReport {
        |         count(*)::BIGINT AS n_keys FROM counts)
        |SELECT k, cnt, n_rows, n_keys,
        |       cnt * 1000 // n_rows AS share_milli,
-       |       cnt * n_keys * 1000 // n_rows AS heat_milli,
+       |       cnt * 1000 // (n_rows // n_keys) AS heat_milli,
        |       (cnt + ${targetPerTask - 1}) // $targetPerTask AS salt_factor
        |FROM counts, totals
        |ORDER BY cnt DESC, k

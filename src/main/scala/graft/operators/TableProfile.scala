@@ -89,8 +89,11 @@ object TableProfile {
   /** Exact distinct cardinality per column as (col_name, distinct) —
     * one narrow (col, string-value) explode, a map-side-combinable
     * dedup shuffle, then a per-column count. String casts are
-    * injective for every profiled type (Double.toString separates
-    * all distinct doubles; timestamps render µs), so counts equal
+    * injective for every profiled type up to count(DISTINCT)'s own
+    * equivalences (Double.toString separates all distinct doubles;
+    * −0.0 pre-normalizes to 0.0 to match both engines' −0.0 = 0.0;
+    * every NaN renders "NaN", matching NaN-equals-NaN distinct
+    * semantics; timestamps render µs), so counts equal
     * `count(DISTINCT c)`. All-null columns re-attach as 0 via the
     * column-list join. */
   def exactDistinct(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -99,10 +102,18 @@ object TableProfile {
     import ss.implicits._
     // shuffle (column INDEX, value) — a 4-byte tag instead of the
     // column-name string on every one of the n_rows × n_cols pair
-    // rows; names re-attach to the n_cols result rows at the end
+    // rows; names re-attach to the n_cols result rows at the end.
+    // Floating columns add +0.0 BEFORE the string cast: IEEE maps
+    // −0.0 → 0.0 (all else unchanged), matching count(DISTINCT)'s
+    // −0.0 = 0.0 semantics in both engines — a bare cast would split
+    // them into "-0.0"/"0.0" (review finding)
     val pairs = Parallelism.ensureMin(df).select(explode(array(
       cols.zipWithIndex.map { case (n, i) =>
-        struct(lit(i).as("ci"), col(n).cast("string").as("v"))
+        val v = df.schema(n).dataType match {
+          case FloatType | DoubleType => (col(n) + lit(0.0)).cast("string")
+          case _ => col(n).cast("string")
+        }
+        struct(lit(i).as("ci"), v.as("v"))
       }: _*)).as("r")).select("r.ci", "r.v").where(col("v").isNotNull)
     val counts = pairs.distinct()
       .groupBy("ci").agg(count(lit(1)).as("distinct"))

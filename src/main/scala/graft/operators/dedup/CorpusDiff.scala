@@ -70,18 +70,28 @@ object CorpusDiff {
 
   private def manifestPath(dir: String) = s"$dir/manifest"
 
+  /** The (id, digest, n_chars) projection every manifest face
+    * shares — Barrier it when feeding BOTH a diff and an update, so
+    * the corpus is digested once (review finding: `diff against
+    * --update` used to md5 the corpus twice). */
+  def snapshotDigests(df: DataFrame, id: Column, content: Column): DataFrame =
+    digests(df, id, content, "l")
+      .select(col("l_id").as("id"), col("l_digest").as("digest"),
+        col("l_len").as("n_chars"))
+
   /** Persist the snapshot's digest manifest; returns rows written. */
   def writeManifest(
-      df: DataFrame, id: Column, content: Column, dir: String): Long = {
-    val spark = df.sparkSession
+      df: DataFrame, id: Column, content: Column, dir: String): Long =
+    writeManifestFrom(snapshotDigests(df, id, content), dir)
+
+  /** [[writeManifest]] from an already-digested snapshot. */
+  def writeManifestFrom(digested: DataFrame, dir: String): Long = {
+    val spark = digested.sparkSession
     val live = new org.apache.hadoop.fs.Path(manifestPath(dir))
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
     val tmp = graft.operators.StagedSwap.tmpPath(live)
-    digests(df, id, content, "l")
-      .select(col("l_id").as("id"), col("l_digest").as("digest"),
-        col("l_len").as("n_chars"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    digested.write.mode("overwrite").parquet(tmp.toString)
     graft.operators.StagedSwap.swapIn(fs, live, tmp)
     spark.read.parquet(manifestPath(dir)).count()
   }
@@ -99,13 +109,19 @@ object CorpusDiff {
     * same 4-status summary as [[diff]]. */
   def diffAgainstManifest(
       right: DataFrame, id: Column, content: Column,
-      dir: String): DataFrame = {
-    val spark = right.sparkSession
+      dir: String): DataFrame =
+    diffAgainstManifestFrom(snapshotDigests(right, id, content), dir)
+
+  /** [[diffAgainstManifest]] from an already-digested snapshot. */
+  def diffAgainstManifestFrom(digested: DataFrame, dir: String): DataFrame = {
+    val spark = digested.sparkSession
     require(manifestExists(spark, dir), s"no manifest at $dir")
     val l = spark.read.parquet(manifestPath(dir))
       .select(col("id").as("l_id"), col("digest").as("l_digest"),
         col("n_chars").as("l_len"))
-    diffDigested(l, digests(right, id, content, "r"))
+    diffDigested(l, digested
+      .select(col("id").as("r_id"), col("digest").as("r_digest"),
+        col("n_chars").as("r_len")))
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
   }

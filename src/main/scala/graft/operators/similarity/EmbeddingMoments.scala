@@ -58,7 +58,36 @@ object EmbeddingMoments {
     * it converges to the dominant eigenpair. */
   def anisotropy(
       df: DataFrame, emb: Column, dim: Int,
-      iters: Int = 100): AnisotropySummary = {
+      iters: Int = 100): AnisotropySummary =
+    spectrum(df, emb, dim, k = 1, iters)._1
+
+  /** ONE moment scan serving both the anisotropy summary and the
+    * top-k directions — the shape qs35 composes from so the gate
+    * costs one covariance pass, not three (review finding). */
+  def spectrum(
+      df: DataFrame, emb: Column, dim: Int, k: Int,
+      iters: Int = 100): (AnisotropySummary, Array[Double], Array[Array[Double]]) = {
+    require(k >= 1 && k < dim, s"bad k $k")
+    val (n, m1, cov) = covFromMoments(df, emb, dim)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val vs = Array.ofDim[Double](k, dim)
+    var topEig = 0.0
+    (0 until k).foreach { kk =>
+      val (v, eig) = powerIterate(cov, vs.take(kk), kk, iters)
+      vs(kk) = v
+      if (kk == 0) topEig = eig
+    }
+    val meanNormSq = (0 until dim).map(i => (m1(i) / n) * (m1(i) / n)).sum
+    (AnisotropySummary(n, trace, topEig,
+      if (trace > 0) topEig / trace else 0.0, meanNormSq),
+      m1.map(_ / n / 1e6), vs)
+  }
+
+  /** Decode the (i, j, s) moment rows into (n, raw first-moment sums,
+    * covariance) — the ONE corpus scan every driver-side consumer
+    * shares. */
+  private def covFromMoments(
+      df: DataFrame, emb: Column, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val rows = moments(df, emb, dim).collect()
     var n = 0L
     val m1 = Array.fill(dim)(0.0)
@@ -73,21 +102,31 @@ object EmbeddingMoments {
     val cov = Array.tabulate(dim, dim) { (i, j) =>
       s2(i)(j) / n - (m1(i) / n) * (m1(j) / n)
     }
-    val trace = (0 until dim).map(i => cov(i)(i)).sum
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    (n, m1, cov)
+  }
+
+  /** Dominant eigenpair of `cov` restricted to the orthogonal
+    * complement of `prior` (deflation inside every step), from a
+    * deterministic ±-pattern start varying with `seed`. */
+  private def powerIterate(
+      cov: Array[Array[Double]], prior: Seq[Array[Double]], seed: Int,
+      iters: Int): (Array[Double], Double) = {
+    val dim = cov.length
+    var v = Array.tabulate(dim)(i =>
+      if (i % (seed + 1) == 0) 1.0 / math.sqrt(dim.toDouble)
+      else -1.0 / math.sqrt(dim.toDouble))
     var eig = 0.0
     (0 until iters).foreach { _ =>
-      val w = Array.tabulate(dim)(i =>
+      val w0 = Array.tabulate(dim)(i =>
         (0 until dim).map(j => cov(i)(j) * v(j)).sum)
-      val norm = math.sqrt(w.map(x => x * x).sum)
-      if (norm > 0) {
-        v = w.map(_ / norm)
-        eig = norm
+      val w = prior.foldLeft(w0) { (acc, p) =>
+        val d = (0 until dim).map(i => acc(i) * p(i)).sum
+        Array.tabulate(dim)(i => acc(i) - d * p(i))
       }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) { v = w.map(_ / norm); eig = norm }
     }
-    val meanNormSq = (0 until dim).map(i => (m1(i) / n) * (m1(i) / n)).sum
-    AnisotropySummary(n, trace, eig, if (trace > 0) eig / trace else 0.0,
-      meanNormSq)
+    (v, eig)
   }
 
   final case class AnisotropySummary(
@@ -101,41 +140,8 @@ object EmbeddingMoments {
   def topDirections(
       df: DataFrame, emb: Column, dim: Int, k: Int,
       iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
-    require(k >= 1 && k < dim, s"bad k $k")
-    val rows = moments(df, emb, dim).collect()
-    var n = 0L
-    val m1 = Array.fill(dim)(0.0)
-    val s2 = Array.ofDim[Double](dim, dim)
-    rows.foreach { r =>
-      val (i, j, s) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
-      if (i == -1) n = s
-      else if (j == -1) m1(i) = s.toDouble
-      else { s2(i)(j) = s.toDouble; s2(j)(i) = s.toDouble }
-    }
-    require(n > 0, "empty embedding table")
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      s2(i)(j) / n - (m1(i) / n) * (m1(j) / n)
-    }
-    val vs = Array.ofDim[Double](k, dim)
-    (0 until k).foreach { kk =>
-      var v = Array.tabulate(dim)(i =>
-        if (i % (kk + 1) == 0) 1.0 / math.sqrt(dim.toDouble)
-        else -1.0 / math.sqrt(dim.toDouble)) // deterministic, varies by kk
-      var eig = 0.0
-      (0 until iters).foreach { _ =>
-        val w0 = Array.tabulate(dim)(i =>
-          (0 until dim).map(j => cov(i)(j) * v(j)).sum)
-        // deflate: project out the already-found directions
-        val w = (0 until kk).foldLeft(w0) { (acc, p) =>
-          val d = (0 until dim).map(i => acc(i) * vs(p)(i)).sum
-          Array.tabulate(dim)(i => acc(i) - d * vs(p)(i))
-        }
-        val norm = math.sqrt(w.map(x => x * x).sum)
-        if (norm > 0) { v = w.map(_ / norm); eig = norm }
-      }
-      vs(kk) = v
-    }
-    (m1.map(_ / n / 1e6), vs)
+    val (_, mu, vs) = spectrum(df, emb, dim, k, iters)
+    (mu, vs)
   }
 
   /** All-but-the-top (Mu & Viswanath 2018): x′ = (x − μ) −
@@ -148,6 +154,15 @@ object EmbeddingMoments {
       df: DataFrame, emb: Column, id: Column, dim: Int,
       k: Int = 1): DataFrame = {
     val (mu, vs) = topDirections(df, emb, dim, k)
+    removeTopWith(df, emb, id, mu, vs)
+  }
+
+  /** [[removeTop]] reusing an already-computed (mean, directions)
+    * pair — no extra corpus scan (qs35 composes this with
+    * [[spectrum]]). */
+  def removeTopWith(
+      df: DataFrame, emb: Column, id: Column,
+      mu: Array[Double], vs: Array[Array[Double]]): DataFrame = {
     val muLit = array(mu.map(lit(_)): _*)
     var out = df.select(id.as("id"),
       zip_with(emb, muLit, (a, b) => a.cast("double") - b).as("e"))

@@ -697,7 +697,11 @@ object EventQueries {
       // identical <= 0 guard branches the same IEEE value in both
       // engines)
       (s, dir) => {
+        // a NULL ts carries no rate signal and would order NULLS
+        // FIRST in Spark vs NULLS LAST in DuckDB (review finding) —
+        // exclude it from the hourly stream on both sides
         val c = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
           .groupBy(date_trunc("hour", col("ts")).as("hr"),
             col("event_type"))
           .agg(count(lit(1)).as("n"))
@@ -723,7 +727,7 @@ object EventQueries {
         s"""WITH c AS (
            |  SELECT date_trunc('hour', ts) AS hr, event_type,
            |         count(*)::BIGINT AS n
-           |  FROM events GROUP BY 1, 2),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
            |wdw AS (
            |  SELECT hr, event_type, n,
            |         count(*) OVER tw AS m,

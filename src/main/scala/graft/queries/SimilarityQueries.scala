@@ -669,9 +669,10 @@ object SimilarityQueries {
       (s, dir) => {
         val M = graft.operators.similarity.EmbeddingMoments
         val emb = Tables.load(s, dir, "embeddings")
-        val before = M.anisotropy(emb, col("embedding"), 64)
-        val (_, vs) = M.topDirections(emb, col("embedding"), 64, 1)
-        val t = M.removeTop(emb, col("embedding"), col("vec_id"), 64, k = 1)
+        // ONE covariance scan serves the before-summary AND the
+        // directions; the transform reuses them (no re-scan)
+        val (before, mu, vs) = M.spectrum(emb, col("embedding"), 64, k = 1)
+        val t = M.removeTopWith(emb, col("embedding"), col("vec_id"), mu, vs)
         val after = M.anisotropy(t, col("emb"), 64)
         val vLit = array(vs(0).map(lit(_)): _*)
         t.select(abs(aggregate(

@@ -77,9 +77,6 @@ object CardinalityIngest {
       .trigger(trigger)
       .start()
 
-  /** Serve the current per-source estimates from the sidecar alone —
-    * (source, s_scaled, zero_registers, raw_est), the qt48 columns,
-    * with zero contact with the ingested corpus. */
   /** Does the registers sidecar exist? Hadoop-FS based (a
     * java.io.File check would always be false for hdfs:///s3a://
     * sidecars), adopting an interrupted swap first — mirrors
@@ -92,6 +89,9 @@ object CardinalityIngest {
     fs.exists(regs)
   }
 
+  /** Serve the current per-source estimates from the sidecar alone —
+    * (source, s_scaled, zero_registers, raw_est), the qt48 columns,
+    * with zero contact with the ingested corpus. */
   def estimates(spark: SparkSession, dir: String): DataFrame = {
     val regs = new org.apache.hadoop.fs.Path(regsPath(dir))
     graft.operators.StagedSwap.restoreIfInterrupted(

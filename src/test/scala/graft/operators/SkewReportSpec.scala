@@ -17,13 +17,32 @@ class SkewReportSpec extends SparkSpec {
         rows.toDF("k"), col("k"), topK = 3, targetPerTask = 20L)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     val nRows = 95L; val nKeys = 12L
+    val avg = nRows / nKeys // FLOORED average — the overflow-safe heat base
     assert(got.length == 3)
     assert(got(0) == (("whale", 60L, nRows, nKeys,
-      60L * 1000 / nRows, 60L * nKeys * 1000 / nRows, 3L)))
+      60L * 1000 / nRows, 60L * 1000 / avg, 3L)))
     assert(got(1) == (("warm", 25L, nRows, nKeys,
-      25L * 1000 / nRows, 25L * nKeys * 1000 / nRows, 2L)))
+      25L * 1000 / nRows, 25L * 1000 / avg, 2L)))
     // the 1-row tail cuts on key order: tail1 first
     assert(got(2)._1 == "tail1" && got(2)._2 == 1L && got(2)._7 == 1L)
+  }
+
+  test("a NULL key counts as a key and sorts LAST on the tiebreak") {
+    // null ties with "zz" at 2 rows; the cut keeps the non-null key
+    // first (oracle parity: default NULLS LAST)
+    val data = Seq(Some("hot"), Some("hot"), Some("hot"),
+      Some("zz"), Some("zz"), None, None)
+    val got = SkewReport.report(
+        data.toDF("k"), col("k"), topK = 2, targetPerTask = 100L)
+      .select("k", "cnt").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+    assert(got(0) == (Some("hot") -> 3L))
+    assert(got(1) == (Some("zz") -> 2L), s"null must sort after zz: ${got.toSeq}")
+    val all = SkewReport.report(
+        data.toDF("k"), col("k"), topK = 3, targetPerTask = 100L)
+      .select("k", "cnt", "n_keys").collect()
+    assert(all.length == 3 && all(2).isNullAt(0) && all(2).getLong(1) == 2L)
+    assert(all(0).getLong(2) == 3L, "null is a key in n_keys")
   }
 
   test("heat_milli is 1000 on a perfectly uniform table") {
