@@ -115,6 +115,14 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must cut without a global sort:\n$p")
   }
 
+  test("qs36: every curve row is a TakeOrdered cut over the one scored table") {
+    val p = plan("qs36_nprobe_curve")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row stat attachments must broadcast, not sort-merge:\n$p")
+    assert(!p.contains("GlobalSort"), "no global sort in the curve")
+  }
+
   test("qj01: as-of join is one shuffle + one window, never a join") {
     val p = plan("qj01_asof_attribution")
     assert(!p.contains("Join"), s"asof decomposition must not plan a join:\n$p")
