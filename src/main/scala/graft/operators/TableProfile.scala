@@ -68,6 +68,9 @@ object TableProfile {
             case TimestampType | TimestampNTZType => Seq(
               (f.name, "min_micro", unix_micros(min(c).cast("timestamp"))),
               (f.name, "max_micro", unix_micros(max(c).cast("timestamp"))))
+            case _: ArrayType => Seq( // vector columns: dimensionality
+              (f.name, "dim_min", min(size(c)).cast("long")),
+              (f.name, "dim_max", max(size(c)).cast("long")))
             case _ => Seq.empty // opaque types profile null/distinct only
           }
           base ++ typed
@@ -170,6 +173,9 @@ object TableProfile {
             case "ts" => Seq(
               s"SELECT '$c', 'min_micro', CAST(epoch_us(min($c)) AS BIGINT) FROM $table",
               s"SELECT '$c', 'max_micro', CAST(epoch_us(max($c)) AS BIGINT) FROM $table")
+            case "arr" => Seq(
+              s"SELECT '$c', 'dim_min', CAST(min(len($c)) AS BIGINT) FROM $table",
+              s"SELECT '$c', 'dim_max', CAST(max(len($c)) AS BIGINT) FROM $table")
             case other => throw new IllegalArgumentException(s"kind $other")
           }
           base ++ typed
@@ -186,4 +192,10 @@ object TableProfile {
     "l_extendedprice" -> "float", "l_discount" -> "float",
     "l_tax" -> "float", "l_returnflag" -> "str", "l_linestatus" -> "str",
     "l_shipdate" -> "ts")
+
+  /** The embeddings column/kind list (q43) — the VECTOR-table face:
+    * array columns profile their dimensionality, and both engines
+    * count distinct on the array value natively. */
+  val embeddingsKinds: Seq[(String, String)] = Seq(
+    "vec_id" -> "int", "embedding" -> "arr", "label" -> "int")
 }

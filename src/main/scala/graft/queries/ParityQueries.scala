@@ -631,6 +631,19 @@ object ParityQueries {
         t(s, dir, "lineitem")),
       Some(graft.operators.TableProfile.oracleSql(
         "lineitem", graft.operators.TableProfile.lineitemKinds)),
-      bench = true)
+      bench = true),
+
+    Q(
+      "q43_embedding_profile",
+      // the VECTOR-table face of the profiler: array columns report
+      // dimensionality (a ragged-dim embedding table breaks every
+      // ANN/moments operator downstream — this is the cheap check
+      // that catches it first), and distinct counts run on the array
+      // VALUE (both engines compare lists natively; the Spark side's
+      // string key is injective per engine, so counts agree)
+      (s, dir) => graft.operators.TableProfile.profile(
+        t(s, dir, "embeddings")),
+      Some(graft.operators.TableProfile.oracleSql(
+        "embeddings", graft.operators.TableProfile.embeddingsKinds)))
   )
 }
