@@ -762,6 +762,46 @@ object DedupQueries {
              |  FROM documents WHERE doc_id % 5 = 0),
              |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
              |SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_spellings
-             |FROM u GROUP BY nfc_normalize(t2)""".stripMargin))
+             |FROM u GROUP BY nfc_normalize(t2)""".stripMargin)),
+
+    Q(
+      "qd33_threshold_curve",
+      // the dedup THRESHOLD measured, not assumed (qs36's tuning-curve
+      // discipline applied to near-dup): candidate pairs and affected
+      // docs per Jaccard threshold over the portable MinHash — the
+      // banded candidate set is threshold-independent, so the whole
+      // curve derives from ONE pairs run behind a Barrier; each row
+      // is a filter + two tiny aggregates. Thresholds compare exact
+      // identical doubles (est = i/48) in both engines.
+      (s, dir) => {
+        val p = graft.operators.Barrier(
+          graft.operators.dedup.PortableMinHash.pairs(
+            Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+            threshold = 0.2))
+        Seq(200, 400, 600, 800).map { tm =>
+          val f = p.filter(col("est_jaccard") >= lit(tm / 1000.0))
+          f.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(
+              f.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+                .agg(count_distinct(col("d")).as("n_docs")))
+            .select(lit(tm).as("threshold_milli"),
+              col("n_pairs"), col("n_docs"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val rows = Seq(200, 400, 600, 800).map { tm =>
+          val t = tm / 1000.0
+          s"""SELECT $tm AS threshold_milli,
+             |  (SELECT count(*) FROM est WHERE est_jaccard >= $t)::BIGINT
+             |    AS n_pairs,
+             |  (SELECT count(DISTINCT d) FROM (
+             |     SELECT doc_a AS d FROM est WHERE est_jaccard >= $t
+             |     UNION ALL
+             |     SELECT doc_b FROM est WHERE est_jaccard >= $t) z)::BIGINT
+             |    AS n_docs""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""${graft.operators.dedup.PortableMinHash.pipelineCtes()}
+           |$rows""".stripMargin
+      })
   )
 }
