@@ -173,6 +173,29 @@ object PortableMinHash {
        |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
        |  ON d.doc_id = m.node""".stripMargin
 
+  /** Oracle for qd35 ([[SoftDedup.weights]]): the [[oracleComponentsSql]]
+    * component frame extended with per-cluster sizes and the
+    * floor-milli weight / effective-length columns — the same IEEE
+    * floor(a/b) both engines evaluate identically (see SoftDedup's
+    * exactness note). */
+  def oracleSoftWeightsSql(threshold: Double): String =
+    s"""${reachCtes(threshold)},
+       |comp AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |         least(d.doc_id, coalesce(m.mn, d.doc_id)) AS component
+       |  FROM documents d
+       |  LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
+       |    ON d.doc_id = m.node),
+       |sz AS (SELECT component, count(*)::BIGINT AS cluster_size
+       |       FROM comp GROUP BY component)
+       |SELECT c.doc_id, c.component, s.cluster_size,
+       |       CAST(floor(1000.0 / CAST(s.cluster_size AS DOUBLE)) AS BIGINT)
+       |         AS weight_milli,
+       |       CAST(floor(CAST(c.n_chars * 1000 AS DOUBLE) /
+       |                  CAST(s.cluster_size AS DOUBLE)) AS BIGINT)
+       |         AS effective_chars_milli
+       |FROM comp c JOIN sz s ON c.component = s.component""".stripMargin
+
   /** [[oracleComponentsSql]] extended with canonical selection
     * (CanonicalSelect.label): per component, the longest document wins
     * (n_chars DESC, doc_id ASC tiebreak) via the same

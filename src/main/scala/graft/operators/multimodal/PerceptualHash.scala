@@ -287,9 +287,22 @@ object PerceptualHash {
     bos.toByteArray
   }
 
-  private def pixSql(x: String, y: String): String =
-    s"(CASE WHEN doc_id % 2 = 1 THEN LEAST(250, ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 + 1) " +
-      s"ELSE ((doc_id // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 END)"
+  private[multimodal] def pixSqlAt(idRef: String, x: String, y: String): String =
+    s"(CASE WHEN $idRef % 2 = 1 THEN LEAST(250, (($idRef // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 + 1) " +
+      s"ELSE (($idRef // 2) * 1000003 + ($y) * 131 + ($x) * 17) % 251 END)"
+
+  private def pixSql(x: String, y: String): String = pixSqlAt("doc_id", x, y)
+
+  /** The 64-bit planted dHash as a bare SQL expression over an
+    * arbitrary integer id expression — the [[dhCte]] fold lifted out of
+    * its documents-bound CTE so derived id spaces (qm13's video-frame
+    * equivalents) hash identically. */
+  private[multimodal] def dhExprSql(idRef: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 64), i ->
+       |  CASE WHEN ${pixSqlAt(idRef, "i % 8", "i // 8")} < ${pixSqlAt(idRef, "i % 8 + 1", "i // 8")}
+       |       THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |                  ELSE (1::BIGINT << CAST(i AS INT)) END)
+       |       ELSE 0 END)) AS BIGINT)""".stripMargin
 
   /** The planted-dHash CTE: per-doc 64-bit hash from the pixel
     * function (bit 63 is the BIGINT sign bit — 1<<63 overflows

@@ -112,6 +112,64 @@ object Decontaminate {
        |WHERE e.b < 80
        |GROUP BY 1""".stripMargin
 
+  /** Fuzzy (near-duplicate) decontamination — the MinHash leg of the
+    * decon trio beside the exact 8-gram [[profile]] (qt15) and the
+    * embedding-space SemanticDecon (qs16): a train document is
+    * contaminated when it is a near-duplicate (estimated Jaccard >=
+    * `threshold` over the portable MinHash) of ANY eval document —
+    * catching lightly-paraphrased or whitespace/punctuation-perturbed
+    * benchmark leaks that exact n-gram matching misses.
+    *
+    * Scale shape: identical to incremental dedup (qd19) — the eval set
+    * is small by assumption, so its banded signatures BROADCAST into
+    * one scan of the corpus's band stream (ids + band keys only; text
+    * never shuffles); matches collapse to a per-train-doc count before
+    * the only shuffle in the plan (keyed by doc id). */
+  def fuzzyProfile(
+      train: DataFrame, eval: DataFrame, text: Column, id: Column,
+      threshold: Double): DataFrame = {
+    val pairs = graft.operators.dedup.PortableMinHash
+      .incrementalPairs(train, eval, text, id, threshold)
+    train.select(id.as("doc_id"))
+      .join(
+        pairs.groupBy(col("doc_old").as("doc_id"))
+          .agg(count(lit(1)).as("n_eval_matches")),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"))
+      .withColumn("contaminated", col("n_eval_matches") > 0)
+  }
+
+  /** DuckDB formulation of qd34: eval = 'test' bucket (>= 90), corpus
+    * = 'train' bucket (< 80), candidates joined ACROSS the split over
+    * the shared portable-MinHash band CTEs, per-train-doc match count
+    * densified over the full train frame. */
+  def oracleFuzzySql(threshold: Double): String = {
+    val mh = graft.operators.dedup.PortableMinHash
+    val bucket =
+      "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    s"""${mh.pipelineCtes()},
+       |sp AS (SELECT doc_id, $bucket AS b FROM documents),
+       |candx AS (SELECT DISTINCT t.doc_id AS doc_old, e.doc_id AS doc_new
+       |          FROM bands t JOIN bands e ON t.j = e.j AND t.bk = e.bk
+       |          JOIN sp st ON st.doc_id = t.doc_id
+       |          JOIN sp se ON se.doc_id = e.doc_id
+       |          WHERE st.b < 80 AND se.b >= 90),
+       |estx AS (SELECT doc_old, doc_new FROM candx
+       |         JOIN sig sa ON candx.doc_old = sa.doc_id
+       |         JOIN sig sb ON candx.doc_new = sb.doc_id
+       |         WHERE CAST(length(list_filter(range(1, ${mh.numHashes + 1}),
+       |                 i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${mh.numHashes}.0
+       |               >= $threshold),
+       |m AS (SELECT doc_old AS doc_id, count(*)::BIGINT AS n_eval_matches
+       |      FROM estx GROUP BY doc_old)
+       |SELECT s.doc_id, COALESCE(m.n_eval_matches, 0)::BIGINT AS n_eval_matches,
+       |       COALESCE(m.n_eval_matches, 0) > 0 AS contaminated
+       |FROM sp s LEFT JOIN m ON m.doc_id = s.doc_id
+       |WHERE s.b < 80""".stripMargin
+  }
+
   /** The BENCHMARK-side report — qt15 inverted: per eval document, how
     * many of its spans are burned (occur in ≥1 corpus document) and
     * how many corpus documents touch it. qt15 says which TRAIN docs to

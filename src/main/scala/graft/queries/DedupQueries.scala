@@ -802,6 +802,35 @@ object DedupQueries {
         }.mkString("\nUNION ALL\n")
         s"""${graft.operators.dedup.PortableMinHash.pipelineCtes()}
            |$rows""".stripMargin
-      })
+      }),
+
+    Q(
+      "qd34_fuzzy_decontaminate",
+      // fuzzy (near-dup) benchmark decontamination — the MinHash leg
+      // of the decon trio (qt15 exact 8-gram, qs16 embedding): a train
+      // doc is contaminated when it's a near-duplicate (est Jaccard >=
+      // 0.5 over the portable MinHash) of ANY test-bucket doc; the
+      // eval side's banded signatures broadcast into ONE corpus band
+      // scan (the qd19 incremental shape), per-train-doc rollup
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sp = graft.operators.text.CorpusOps.splitAssign(col("doc_id"))
+        graft.operators.text.Decontaminate.fuzzyProfile(
+          docs.filter(sp === "train"), docs.filter(sp === "test"),
+          col("text"), col("doc_id"), threshold = 0.5)
+      },
+      Some(graft.operators.text.Decontaminate.oracleFuzzySql(0.5))),
+
+    Q(
+      "qd35_soft_dedup_weights",
+      // soft dedup: keep every doc, downweight duplicates — sampling
+      // weight = 1/cluster_size over the qd16 near-dup components, as
+      // order-free integer milli units (weight + effective chars); the
+      // weighting adds ONE algebraic component-count aggregate + a join
+      // back on top of the already-bounded pair mining / CC
+      (s, dir) => SoftDedup.weights(
+        Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+        col("n_chars"), threshold = 0.3)(s),
+      Some(PortableMinHash.oracleSoftWeightsSql(0.3)))
   )
 }

@@ -307,6 +307,34 @@ object EventQueries {
               |      FROM (${PerceptualHash.oracleComponentsSql(8)}) c
               |      JOIN documents d USING (doc_id)) x""".stripMargin)),
     Q(
+      "qm13_image_in_video",
+      // cross-modal containment: indexed images found INSIDE videos —
+      // both sides reduce to 64-bit perceptual dHashes through the
+      // real PNG decode; the banded Hamming JOIN (qm08's prefix
+      // banding generalized to two tables) is pigeonhole-exact for
+      // maxHamming < bands, so the oracle is the brute-force cross
+      // join. Fixture: videos = docs with id % 4 = 0, frame f carries
+      // the planted image (2*video_id + f) — each video "shows" three
+      // consecutive planted images.
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"))
+        val images = graft.operators.Parallelism.ensureMin(ids).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "image/png", PerceptualHash.plantedPng(id))))
+          .toDF("id", "media_type", "content")
+        val frames = graft.operators.Parallelism.ensureMin(
+          ids.filter(col("doc_id") % 4 === 0)).as[Long]
+          .mapPartitions(_.flatMap(v => (0 until 3).iterator.map(f =>
+            (v, f, PerceptualHash.plantedPng(v * 2 + f)))))
+          .toDF("video_id", "frame_idx", "content")
+        graft.operators.multimodal.ImageInVideo.hits(
+          images, frames, maxHamming = 3)
+      },
+      Some(graft.operators.multimodal.ImageInVideo.oracleSql(3, 3))),
+    Q(
       "qm09_video_copy_pairs",
       // content-based video partial-copy detection: videos sharing
       // >= 2 distinct frame fingerprints (the qm03 frame stream) are

@@ -702,6 +702,21 @@ object SimilarityQueries {
         Tables.load(s, dir, "embeddings"), col("embedding"),
         col("vec_id"), probe(s, dir), k = 10, nprobes = Seq(1, 2, 4, 8)),
       Some(graft.operators.similarity.PortableIvf
-        .nprobeCurveSql(10, Seq(1, 2, 4, 8))))
+        .nprobeCurveSql(10, Seq(1, 2, 4, 8)))),
+
+    Q(
+      "qs37_dim_truncation_curve",
+      // the vector-scan BANDWIDTH knob measured (Matryoshka prefix
+      // retrieval): per prefix dim d ∈ {8,16,32,64}, exact-top-10 hits
+      // and full-dim cosine mass recovered when ranking by only the
+      // first d components — one Barrier'd scan computes every prefix
+      // score (the codegen cosine folds over min(len), so a truncated
+      // probe literal scores the prefix with zero slicing); each row
+      // is a TakeOrdered cut + integer-mass aggregates
+      (s, dir) => graft.operators.similarity.DimTruncation.curve(
+        Tables.load(s, dir, "embeddings"), col("embedding"),
+        col("vec_id"), probe(s, dir), k = 10, dims = Seq(8, 16, 32, 64)),
+      Some(graft.operators.similarity.DimTruncation
+        .curveSql(10, Seq(8, 16, 32, 64))))
   )
 }

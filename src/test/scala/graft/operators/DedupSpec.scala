@@ -247,6 +247,44 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 5L)), kept.mkString(","))
   }
 
+  test("fuzzy decontamination flags the near-dup of an eval doc, not the rest") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val ev = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val prof = graft.operators.text.Decontaminate
+      .fuzzyProfile(train, ev, col("text"), col("doc_id"), threshold = 0.5)
+      .select("doc_id", "n_eval_matches", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(prof.toSeq == Seq((1L, 1L, true), (2L, 0L, false)), prof.mkString(","))
+  }
+
+  test("soft-dedup weights: 1/cluster_size in milli, singletons weigh 1000") {
+    implicit val s = spark
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val w = SoftDedup
+      .weights(d, col("text"), col("doc_id"), col("n_chars"), threshold = 0.3)
+      .select("doc_id", "component", "cluster_size", "weight_milli",
+        "effective_chars_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(w.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 1L, 2L, 500L), (2L, 1L, 2L, 500L), (3L, 3L, 1L, 1000L)),
+      w.mkString(","))
+    // effective chars = floor(n_chars * 1000 / size)
+    val lens = d.select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    w.foreach { r =>
+      assert(r._5 == lens(r._1) * 1000L / r._3, s"doc ${r._1}")
+    }
+  }
+
   test("LSH planner picks the grid-optimal banding per target threshold") {
     import graft.operators.dedup.MinHashLSH
     // hand-checked S-curve thresholds over divisors of 48:

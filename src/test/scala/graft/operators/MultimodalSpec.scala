@@ -332,6 +332,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, hm) => b == a + 1 && a % 2 == 0 && hm <= 10 })
   }
 
+  test("image-in-video equals a driver-side brute-force Hamming cross join") {
+    import spark.implicits._
+    import graft.operators.multimodal.ImageInVideo
+    val imgIds = Seq(10L, 11L, 500L, 999L)
+    val frameSrc = Seq((100L, 0, 10L), (100L, 1, 500L), (101L, 0, 11L))
+    val images = imgIds.map(i => (i, "image/png", PerceptualHash.plantedPng(i)))
+      .toDF("id", "media_type", "content")
+    val frames = frameSrc.map { case (v, f, src) =>
+      (v, f, PerceptualHash.plantedPng(src))
+    }.toDF("video_id", "frame_idx", "content")
+    val got = ImageInVideo.hits(images, frames, maxHamming = 3)
+      .select("image_id", "video_id", "n_frames", "best_hamming")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // brute force over driver-derived hashes
+    val ih = imgIds.map(i =>
+      i -> PerceptualHash.dHash64(PerceptualHash.plantedPng(i)).get)
+    val fh = frameSrc.map { case (v, f, src) =>
+      (v, f, PerceptualHash.dHash64(PerceptualHash.plantedPng(src)).get)
+    }
+    val expected = (for {
+      (i, idh) <- ih
+      (v, _, fdh) <- fh
+      h = java.lang.Long.bitCount(idh ^ fdh)
+      if h <= 3
+    } yield (i, v, h))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((i, v), ms) => (i, v, ms.size.toLong, ms.map(_._3).min) }
+      .toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // the planted exact match must be there with Hamming 0
+    assert(got.exists(r => r._1 == 10L && r._2 == 100L && r._4 == 0))
+  }
+
   test("frame sampling covers payloads with the requested stride") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2)
     val byDoc = frames.groupByKey(_.id).count().collect().toMap

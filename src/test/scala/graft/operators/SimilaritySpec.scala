@@ -218,6 +218,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dim-truncation curve matches a driver-side re-derivation") {
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cosPrefix(v: Seq[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        val x = v(i).toDouble; val y = probe(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else dot / den
+    }
+    def topIds(d: Int): Seq[Long] = all
+      .map { case (id, v) => (id, cosPrefix(v, d)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val exactIds = topIds(64)
+    val exactMass = exactIds
+      .map(i => math.floor(cosPrefix(all.find(_._1 == i).get._2, 64) * 1e6).toLong).sum
+    val got = graft.operators.similarity.DimTruncation
+      .curve(emb, col("embedding"), col("vec_id"), probe, 10, Seq(8, 16, 32, 64))
+      .select("dim", "hits", "mass_ratio")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    got.foreach { case (d, hits, mass) =>
+      val ids = topIds(d)
+      val expHits = ids.count(exactIds.contains)
+      assert(hits == expHits, s"dim $d: hits $hits != $expHits")
+      val am = ids.map(i =>
+        math.floor(cosPrefix(all.find(_._1 == i).get._2, 64) * 1e6).toLong).sum
+      val expMass = math.floor(am.toDouble / exactMass.toDouble * 1e4) / 1e4
+      assert(math.abs(mass - expMass) < 1e-12, s"dim $d: mass $mass != $expMass")
+    }
+    // the curve is meaningful: full dim recovers everything, and the
+    // shortest prefix must not (the fixture is not degenerate)
+    assert(got.last._2 == 10L)
+  }
+
   test("vector ops agree with driver-side math on fixture data") {
     val row = emb.filter(col("vec_id") === 1)
       .select(VectorOps.norm(col("embedding")).as("n")).as[Double].head()

@@ -123,6 +123,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("GlobalSort"), "no global sort in the curve")
   }
 
+  test("qs37: prefix scores ride one scan; curve rows are TakeOrdered cuts") {
+    val p = plan("qs37_dim_truncation_curve")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row stat attachments must broadcast, not sort-merge:\n$p")
+    assert(!p.contains("GlobalSort"), "no global sort in the curve")
+  }
+
   test("qj01: as-of join is one shuffle + one window, never a join") {
     val p = plan("qj01_asof_attribution")
     assert(!p.contains("Join"), s"asof decomposition must not plan a join:\n$p")
