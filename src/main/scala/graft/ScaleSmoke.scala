@@ -91,7 +91,16 @@ object ScaleSmoke {
     "q42_table_profile",
     // round 12 (later): intra-doc repetition (two (id, gram)-keyed
     // vocabulary-style shuffles — should track the gram stream)
-    "qt58_repetition_profile")
+    "qt58_repetition_profile",
+    // round 12 (final): fuzzy decontamination (broadcast eval bands
+    // into one corpus band scan — should track the corpus side),
+    // soft-dedup weights (pair mining + CC + one component count:
+    // the CC story again, sub-quadratic by banding), and the
+    // cross-modal banded Hamming join (candidate volume tracks bucket
+    // collisions, never all-pairs; decode is the linear part)
+    "qd34_fuzzy_decontaminate",
+    "qd35_soft_dedup_weights",
+    "qm13_image_in_video")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"

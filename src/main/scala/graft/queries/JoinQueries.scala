@@ -184,6 +184,43 @@ object JoinQueries {
                                (CAST(b.tus - b_tus AS DOUBLE) /
                                 CAST(f_tus - b_tus AS DOUBLE)) END
                        AS interp_value
-              FROM b JOIN f ON b.event_id = f.event_id"""))
+              FROM b JOIN f ON b.event_id = f.event_id""")),
+
+    Q(
+      "qj06_interval_overlap",
+      // interval OVERLAP join — the third temporal-join shape (as-of:
+      // one nearest; band: point ordinates in an offset window; here
+      // BOTH sides are intervals and every concurrent pair qualifies):
+      // 10-minute view windows x 30-minute purchase windows per user,
+      // overlap length in µs. Bucketed decomposition (width = the max
+      // interval length) keeps it a hash equi-join with left
+      // replication 3 and no dedup; the oracle is the naive
+      // inequality join the plan must be row-equal to.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vs"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("ve"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("ps"),
+            (unix_micros(col("ts")) + lit(1800000000L)).as("pe"))
+        graft.operators.IntervalJoin.overlapJoin(
+          views, purchases, Seq("user_id"), "vs", "ve", "ps", "pe",
+          bucketWidth = 1800000000L, rightPrefix = "r_")
+          .select(col("user_id"), col("view_id"),
+            col("r_purchase_id").as("purchase_id"), col("overlap_us"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id AS view_id,
+                                epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+                         FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, event_id AS purchase_id,
+                           epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+                    FROM events WHERE event_type = 'purchase')
+              SELECT v.user_id, v.view_id, p.purchase_id,
+                     least(v.e, p.e) - greatest(v.s, p.s) AS overlap_us
+              FROM v JOIN p ON v.user_id = p.user_id
+                            AND v.s < p.e AND p.s < v.e"""))
   )
 }

@@ -64,6 +64,46 @@ class RangeJoinSpec extends SparkSpec {
       (5L, -40L), (5L, 0L), (5L, 60L)))
   }
 
+  test("interval overlap join equals the naive inequality join, duplicate-free") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("vs"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("ve"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("ps"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("pe"))
+    val ours = IntervalJoin
+      .overlapJoin(l, r, Seq("user_id"), "vs", "ve", "ps", "pe",
+        bucketWidth = 1800000000L)
+      .select("user_id", "view_id", "r_purchase_id", "overlap_us")
+    val naive = l.join(
+        r.toDF("user_id", "r_purchase_id", "r_ps", "r_pe"), Seq("user_id"))
+      .where(col("vs") < col("r_pe") && col("r_ps") < col("ve"))
+      .select(col("user_id"), col("view_id"), col("r_purchase_id"),
+        (least(col("ve"), col("r_pe")) - greatest(col("vs"), col("r_ps")))
+          .as("overlap_us"))
+    assert(ours.count() > 0, "overlap should be non-empty at sf0.001")
+    assert(ours.exceptAll(naive).isEmpty && naive.exceptAll(ours).isEmpty,
+      "bucketed overlap join disagrees with naive inequality join")
+  }
+
+  test("interval overlap: negative starts and bucket-edge touches") {
+    val l = Seq((1L, 10L, -100L, -50L), (1L, 11L, -10L, 40L))
+      .toDF("k", "lid", "ls", "le")
+    val r = Seq(
+      (1L, 20L, -60L, -20L), // overlaps both: [-60,-50) with lid 10, [-10,-20)? no — [-60,-20) vs [-10,40) = [-10,-20) empty
+      (1L, 21L, -50L, 0L),   // touches lid 10 at -50 exactly: half-open, NO overlap; overlaps lid 11 on [-10, 0)
+      (1L, 22L, 40L, 90L))   // touches lid 11 at 40 exactly: no overlap
+      .toDF("k", "rid", "rs", "re")
+    val got = IntervalJoin
+      .overlapJoin(l, r, Seq("k"), "ls", "le", "rs", "re", bucketWidth = 50L)
+      .select("lid", "r_rid", "overlap_us").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((10L, 20L, 10L), (11L, 21L, 10L)), got.toString)
+  }
+
   test("plans as an equi-join on (key, bucket), never nested-loop") {
     val ev = Tables.load(spark, sf0001, "events")
     val l = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"))

@@ -142,6 +142,15 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("EqualTo(event_type,view)"), p)
   }
 
+  test("qj06: interval overlap stays a hash equi-join with pushed filters") {
+    val p = plan("qj06_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degraded to a nested loop:\n$p")
+    // both side filters reach the parquet scans
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,view)"), p)
+  }
+
   test("q34: global numbering has no unpartitioned window") {
     val p = plan("q34_ntile_rownum")
     // every Window node must carry a partition spec — a bare
