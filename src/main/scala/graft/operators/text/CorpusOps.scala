@@ -303,4 +303,31 @@ object CorpusOps {
       .withColumn("rank", row_number().over(w))
       .withColumn("keep", col("rank") <= cap)
   }
+
+  /** Effective tokens under repeated epochs with DYADIC diminishing
+    * returns (the data-constrained-scaling discipline of Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models", with the
+    * decay pinned to r = 1/2 so every term is an integer shift): epoch
+    * i over `unique` tokens is worth unique >> i, a partial final
+    * epoch worth its consumed share at that epoch's rate —
+    *
+    *   effective = Σ_{i=0}^{19}  clamp(target − i·unique, 0, unique) >> i
+    *
+    * The 20-epoch horizon truncates terms below 2^-19 of an epoch
+    * (immaterial); every operand is a plain BIGINT (i·unique ≤
+    * 19·unique — no overflow at any corpus scale), every term a floor
+    * shift both engines compute identically, and the SUM is
+    * order-free, so the value oracles exactly. */
+  def effectiveTokens(target: Column, unique: Column): Column =
+    (0 until 20).map { i =>
+      shiftright(
+        least(greatest(target - lit(i.toLong) * unique, lit(0L)), unique), i)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of [[effectiveTokens]] — `//` by 2^i equals the
+    * shift for the non-negative clamped operand. */
+  def effectiveTokensSql(target: String, unique: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 20), i ->
+       |  LEAST(GREATEST($target - i * $unique, 0), $unique)
+       |    // (1::BIGINT << CAST(i AS INT)))) AS BIGINT)""".stripMargin
 }

@@ -819,7 +819,8 @@ object DedupQueries {
           docs.filter(sp === "train"), docs.filter(sp === "test"),
           col("text"), col("doc_id"), threshold = 0.5)
       },
-      Some(graft.operators.text.Decontaminate.oracleFuzzySql(0.5))),
+      Some(graft.operators.text.Decontaminate.oracleFuzzySql(0.5)),
+      bench = true),
 
     Q(
       "qd35_soft_dedup_weights",

@@ -221,6 +221,7 @@ object JoinQueries {
               SELECT v.user_id, v.view_id, p.purchase_id,
                      least(v.e, p.e) - greatest(v.s, p.s) AS overlap_us
               FROM v JOIN p ON v.user_id = p.user_id
-                            AND v.s < p.e AND p.s < v.e"""))
+                            AND v.s < p.e AND p.s < v.e"""),
+      bench = true)
   )
 }

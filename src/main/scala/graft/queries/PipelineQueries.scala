@@ -677,6 +677,75 @@ object PipelineQueries {
               |SELECT bucket, count(*)::BIGINT AS n_docs,
               |       CAST(sum(words) AS BIGINT) AS n_words,
               |       min(fk_milli) AS fk_min, max(fk_milli) AS fk_max
-              |FROM r GROUP BY bucket""".stripMargin))
+              |FROM r GROUP BY bucket""".stripMargin)),
+
+    Q(
+      "qp30_epoch_plan",
+      // data-constrained training plan (Muennighoff et al. 2023): per
+      // source, a natural-sampling token target from a fixed budget,
+      // the epochs that target implies over the source's DEDUPED
+      // (unique) tokens, and the effective tokens actually bought
+      // under dyadic diminishing returns (every further epoch worth
+      // half — CorpusOps.effectiveTokens, exact integer shifts). The
+      // table that says "this budget re-reads source X 6 times but
+      // only 1.9 epochs of it is worth anything". Shape: one token
+      // scan + the bounded qd15 dedup feed one #sources-row rollup;
+      // everything after is per-source scalar math. target floors are
+      // misround-free for raw·B < 2^52 (fixture ~1e11).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val B = 500000L
+        val docs = Tables.load(s, dir, "documents")
+        val kept = graft.operators.dedup.PortableMinHash
+          .dedupKeepFirst(docs, col("text"), "doc_id", 0.3)
+          .select(col("doc_id"), lit(1L).as("kept"))
+        val per = docs.select(col("doc_id"), col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nt"))
+          .join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            sum("nt").cast("bigint").as("raw_tokens"),
+            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
+              .cast("bigint").as("unique_tokens"))
+        per.crossJoin(per.agg(sum("raw_tokens").cast("bigint").as("tot")))
+          .withColumn("target_tokens",
+            floor((col("raw_tokens") * lit(B)).cast("double") /
+              col("tot").cast("double")).cast("long"))
+          .withColumn("epochs_milli",
+            when(col("unique_tokens") > 0,
+              floor((col("target_tokens") * lit(1000L)).cast("double") /
+                col("unique_tokens").cast("double")).cast("long")))
+          .withColumn("effective_tokens",
+            graft.operators.text.CorpusOps.effectiveTokens(
+              col("target_tokens"), col("unique_tokens")))
+          .select("source", "raw_tokens", "unique_tokens", "target_tokens",
+            "epochs_milli", "effective_tokens")
+      },
+      Some(s"""${graft.operators.dedup.PortableMinHash.pipelineCtes()},
+              |kept AS (SELECT doc_id FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_b FROM est WHERE est_jaccard >= 0.3)),
+              |base AS (SELECT d.doc_id, d.source,
+              |                CAST(length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nt,
+              |                (d.doc_id IN (SELECT doc_id FROM kept)) AS is_kept
+              |         FROM documents d),
+              |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS raw_tokens,
+              |               CAST(sum(CASE WHEN is_kept THEN nt ELSE 0 END) AS BIGINT)
+              |                 AS unique_tokens
+              |        FROM base GROUP BY source),
+              |tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS tot FROM per),
+              |t AS (SELECT source, raw_tokens, unique_tokens,
+              |             CAST(floor(CAST(raw_tokens * 500000 AS DOUBLE) /
+              |                        CAST(tot AS DOUBLE)) AS BIGINT) AS target_tokens
+              |      FROM per, tot)
+              |SELECT source, raw_tokens, unique_tokens, target_tokens,
+              |       CASE WHEN unique_tokens > 0 THEN
+              |         CAST(floor(CAST(target_tokens * 1000 AS DOUBLE) /
+              |                    CAST(unique_tokens AS DOUBLE)) AS BIGINT) END
+              |         AS epochs_milli,
+              |       ${graft.operators.text.CorpusOps.effectiveTokensSql(
+               "target_tokens", "unique_tokens")}
+              |         AS effective_tokens
+              |FROM t""".stripMargin))
   )
 }

@@ -717,6 +717,7 @@ object SimilarityQueries {
         Tables.load(s, dir, "embeddings"), col("embedding"),
         col("vec_id"), probe(s, dir), k = 10, dims = Seq(8, 16, 32, 64)),
       Some(graft.operators.similarity.DimTruncation
-        .curveSql(10, Seq(8, 16, 32, 64))))
+        .curveSql(10, Seq(8, 16, 32, 64))),
+      bench = true)
   )
 }

@@ -239,4 +239,18 @@ class CorpusOpsSpec extends SparkSpec {
     // column-pruning pins
     docs.unpersist()
   }
+
+  test("effective tokens: dyadic epoch decay, clamped tails, zero unique") {
+    val rows = Seq(
+      (2500L, 1000L), // 2.5 epochs: 1000 + 500 + (500 >> 2) = 1625
+      (800L, 1000L),  // partial first epoch: full value
+      (0L, 1000L),    // no budget
+      (2500L, 0L),    // fully-deduplicated-away source
+      (100000L, 10L)  // horizon: sum over 20 epochs of 10 >> i = 10+5+2+1 = 18
+    ).toDF("target", "unique")
+    val got = rows
+      .select(CorpusOps.effectiveTokens(col("target"), col("unique")).as("e"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1625L, 800L, 0L, 0L, 18L), got.mkString(","))
+  }
 }
