@@ -104,6 +104,7 @@ object IngestPipeline {
       text: Column,
       idCol: String,
       p: MinHashLSH.Params = MinHashLSH.Params(),
+      benchmark: Option[MinHashLSH.LshIndex] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -112,11 +113,46 @@ object IngestPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val novel = curateBatch(batch, sink, table, index, fingerprints, text, idCol, p)
-        sink.append(novel.drop("__fp"), table)
+        val (clean, dirty) = benchmark match {
+          case Some(b) => deconSplit(novel, b, text, idCol, p)
+          case None => (novel, novel.limit(0))
+        }
+        sink.append(clean.drop("__fp"), table)
+        if (benchmark.isDefined)
+          sink.append(dirty.drop("__fp"), s"${table}_quarantine")
+        // fingerprints of EVERYTHING novel — including quarantined docs,
+        // so a re-sent contaminated doc is rejected by the cheap exact
+        // guard instead of re-running the benchmark check
         sink.append(novel.select(col("__fp").as("fp")).distinct(), s"${table}_fps")
       }
       .trigger(trigger)
       .start()
+
+  /** Benchmark-contamination gate at ingest — the streaming form of
+    * fuzzy decontamination (qd34): documents that are near-duplicates
+    * (est Jaccard >= p.threshold) of ANY benchmark item are routed to
+    * `<table>_quarantine` instead of the corpus, so eval leaks never
+    * ENTER the corpus rather than being scrubbed later. The benchmark
+    * index is built once ([[MinHashLSH.buildIndex]] over the eval set —
+    * small by assumption) and reused across every micro-batch; per
+    * batch the check is [[MinHashLSH.pairsAgainstIndex]]'s shape: the
+    * batch's banded signatures broadcast into ONE scan of the
+    * benchmark's band table, ids-only. Returns (clean, quarantined) —
+    * the dirty id set crosses a Barrier because both splits consume it. */
+  private[graft] def deconSplit(
+      novel: DataFrame,
+      bench: MinHashLSH.LshIndex,
+      text: Column,
+      idCol: String,
+      p: MinHashLSH.Params): (DataFrame, DataFrame) = {
+    val dirtyIds = MinHashLSH
+      .pairsAgainstIndex(bench, novel, text, col(idCol), p)
+      .select(col("id_new").as(idCol))
+      .distinct()
+      .transform(graft.operators.Barrier.apply)
+    (novel.join(dirtyIds, Seq(idCol), "left_anti"),
+      novel.join(dirtyIds, Seq(idCol), "left_semi"))
+  }
 
   /** The exact-dup guard stage of [[curateBatch]], pre-LSH and
     * pre-Barrier (so its join shape stays plan-inspectable): rows of

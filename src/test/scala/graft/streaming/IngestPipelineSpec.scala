@@ -144,4 +144,47 @@ class IngestPipelineSpec extends SparkSpec {
     assert(after.sameElements(Array(13L, 15L)),
       s"cross-batch exact dup re-ingested: ${after.mkString(",")}")
   }
+
+  test("benchmark gate quarantines near-dups of eval items at ingest") {
+    val dir = stage(arrivals, twice = false)
+    val p = MinHashLSH.Params(
+      shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3)
+    val index = MinHashLSH.buildIndex(corpus, col("text"), col("doc_id"), p)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    // the eval set contains a light paraphrase of arrival 15
+    val bench = Seq(
+      (1000L, "another novel arrival about benchmarks and latencies only!!"))
+      .toDF("doc_id", "text")
+    val benchIdx = MinHashLSH.buildIndex(bench, col("text"), col("doc_id"), p)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_decon_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_ckpt").toString
+    val sink = ParquetSink(sinkDir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = IngestPipeline.curateIngest(
+      stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p,
+      benchmark = Some(benchIdx))
+    q.awaitTermination(60000)
+    // 2 exact-dropped, 11 near-dup-dropped, 13 lands, 15 quarantined
+    val landed = sink.readBack(spark, "docs").select("doc_id").as[Long]
+      .collect().sorted
+    assert(landed.sameElements(Array(13L)), landed.mkString(","))
+    val held = sink.readBack(spark, "docs_quarantine").select("doc_id")
+      .as[Long].collect().sorted
+    assert(held.sameElements(Array(15L)), held.mkString(","))
+    // the quarantined doc's fingerprint is recorded: a re-send is
+    // rejected by the exact guard, not re-checked or re-quarantined
+    Seq((15L, "another novel arrival about benchmarks and latencies only"))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/late")
+    val q2 = IngestPipeline.curateIngest(
+      stream, sink, "docs", ckpt, index, fps, col("text"), "doc_id", p,
+      benchmark = Some(benchIdx))
+    q2.awaitTermination(60000)
+    assert(sink.readBack(spark, "docs").count() == 1)
+    assert(sink.readBack(spark, "docs_quarantine").count() == 1,
+      "re-sent quarantined doc must not re-quarantine")
+  }
 }
