@@ -392,10 +392,20 @@ object Main {
         val fin = opt("--bench") match {
           case Some(bt) =>
             val bench = catalogFor(cfg.src).read(spark, bt)
-            graft.operators.Barrier(
+            val exactClean = graft.operators.Barrier(
               graft.operators.text.Decontaminate.dropContaminated(
                 afterLm, col("text"), "doc_id",
                 graft.operators.text.Decontaminate.benchmarkKeys(bench, col("text"))))
+            if (args.contains("--bench-fuzzy")) {
+              // the qd34 leg: paraphrased/perturbed leaks the exact
+              // 8-gram pass misses, dropped by MinHash near-dup against
+              // the same benchmark at the funnel's --threshold
+              val dirty = graft.operators.text.Decontaminate
+                .fuzzyContaminatedIds(
+                  exactClean, bench, col("text"), col("doc_id"), thr)
+              graft.operators.Barrier(
+                exactClean.join(dirty, Seq("doc_id"), "left_anti"))
+            } else exactClean
           case None => afterLm
         }
         val n3 = fin.count()

@@ -141,6 +141,17 @@ object Decontaminate {
       .withColumn("contaminated", col("n_eval_matches") > 0)
   }
 
+  /** Just the contaminated ids under the fuzzy criterion — the
+    * drop-side seed for [[fuzzyProfile]]'s semantics, skipping the
+    * full-frame densify (the `curate --bench-fuzzy` stage). */
+  def fuzzyContaminatedIds(
+      train: DataFrame, eval: DataFrame, text: Column, id: Column,
+      threshold: Double): DataFrame =
+    graft.operators.dedup.PortableMinHash
+      .incrementalPairs(train, eval, text, id, threshold)
+      .select(col("doc_old").as("doc_id"))
+      .distinct()
+
   /** DuckDB formulation of qd34: eval = 'test' bucket (>= 90), corpus
     * = 'train' bucket (< 80), candidates joined ACROSS the split over
     * the shared portable-MinHash band CTEs, per-train-doc match count

@@ -234,6 +234,52 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/docs_rules.parquet").count() == 0)
   }
 
+  test("curate --bench-fuzzy drops paraphrased leaks the exact pass misses") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_fuzzy_src").toString
+    val out = Files.createTempDirectory("graft_fuzzy_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    // 25 words; the benchmark paraphrase swaps every 7th word, so the
+    // longest unchanged token run is 6 < 8 — ZERO shared 8-grams (the
+    // exact pass is blind) while the 5-char shingle Jaccard stays high
+    val words = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee").split(" ")
+    val leak = words.mkString(" ")
+    val para = words.zipWithIndex.map {
+      case (_, i) if i % 7 == 3 => "swapped" + i
+      case (w, _) => w
+    }.mkString(" ")
+    val clean = ("one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree twentyfour twentyfive")
+    Seq((1L, leak), (2L, clean)).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/docs.parquet")
+    Seq((100L, para)).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/bench.parquet")
+    // exact decon alone: no shared 8-gram, BOTH docs survive
+    assert(Main.run(Array("curate", "--table", "docs",
+      "--into", "docs_exact", "--bench", "bench", "--config", cfg),
+      spark) == 0)
+    val exactKept = spark.read.parquet(s"$out/docs_exact.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(exactKept.sameElements(Array(1L, 2L)),
+      s"exact pass should miss the paraphrase: ${exactKept.mkString(",")}")
+    // with the fuzzy leg, the paraphrased leak is dropped
+    assert(Main.run(Array("curate", "--table", "docs",
+      "--into", "docs_fuzzy", "--bench", "bench", "--bench-fuzzy",
+      "--config", cfg), spark) == 0)
+    val fuzzyKept = spark.read.parquet(s"$out/docs_fuzzy.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(fuzzyKept.sameElements(Array(2L)),
+      s"fuzzy pass should drop the paraphrase: ${fuzzyKept.mkString(",")}")
+  }
+
   test("compact collapses a fragmented table without changing content") {
     val dir = Files.createTempDirectory("graft_cli_compact").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
