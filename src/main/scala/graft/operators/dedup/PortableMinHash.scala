@@ -173,6 +173,108 @@ object PortableMinHash {
        |LEFT JOIN (SELECT node, min(other) AS mn FROM reach GROUP BY node) m
        |  ON d.doc_id = m.node""".stripMargin
 
+  /** The LSH banding knob MEASURED (the qs36/qd33/qt50 tuning-curve
+    * discipline applied to the banding itself): per band count b
+    * (rows-per-band = 48/b), the candidate-pair volume the bucket join
+    * pays vs the >= threshold near-dup pairs it recovers, with recall
+    * relative to the most sensitive banding tested (more bands = fewer
+    * rows per band = higher collision probability = strictly higher
+    * recall along the S-curve — [[MinHashLSH.planBands]] predicts this
+    * curve from theory; this query measures it on the corpus, which is
+    * what an operator actually tunes from).
+    *
+    * 100 TB shape: signatures are computed ONCE behind a Barrier; each
+    * curve row re-bands the 48-long signature column (a projection,
+    * no re-shingling) and pays one ids-only bucket self-join — the
+    * same bounded join as qd10, b times. Counts are exact BIGINTs;
+    * the recall ratio floors through the shared misround-free
+    * floor(a/b) (n_pairs · 1000 < 2^52 at any realistic pair count). */
+  def bandingCurve(
+      df: DataFrame, text: Column, id: Column, threshold: Double,
+      bandCounts: Seq[Int]): DataFrame = {
+    require(bandCounts.nonEmpty &&
+      bandCounts.forall(b => b > 0 && numHashes % b == 0),
+      s"band counts must divide $numHashes: $bandCounts")
+    val sigs = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), signature(TextOps.normalized(text)).as("sig"))
+      .transform(Barrier.apply)
+    def countsAt(b: Int): DataFrame = {
+      val rpb = numHashes / b
+      val buckets = sigs.select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(b - 1)),
+        j => md5(array_join(
+          transform(slice(col("sig"), j * lit(rpb) + lit(1), lit(rpb)),
+            x => x.cast("string")), ",")))).as(Seq("band", "bk")))
+      val cand = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
+        .join(buckets.select(col("band"), col("bk"), col("id").as("doc_b")),
+          Seq("band", "bk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+        .transform(Barrier.apply)
+      val bySig = sigs.select(col("id"), col("sig"))
+      val pairs = cand
+        .join(bySig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(bySig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
+          >= threshold)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(lit(b).as("bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"), col("n_pairs"))
+    }
+    // the curve is len(bandCounts) rows — Barrier it so the reference
+    // row below reads the materialized counts instead of re-running
+    // the max-b bucket join through lineage
+    val curve = Barrier(bandCounts.map(countsAt).reduce(_ unionByName _))
+    val ref = curve.filter(col("bands") === bandCounts.max)
+      .select(col("n_pairs").as("ref_pairs"))
+    curve.crossJoin(ref)
+      .withColumn("recall_milli",
+        when(col("ref_pairs") > 0,
+          floor((col("n_pairs") * lit(1000L)).cast("double") /
+            col("ref_pairs").cast("double")).cast("long")))
+      .drop("ref_pairs")
+  }
+
+  /** qd36 oracle — the same sig CTE re-banded per band count, DISTINCT
+    * candidate pairs, estimate filter, and the floored recall ratio
+    * against the most sensitive banding. */
+  def bandingCurveSql(threshold: Double, bandCounts: Seq[Int]): String = {
+    val perB = bandCounts.map { b =>
+      val rpb = numHashes / b
+      s"""bands_$b AS (SELECT doc_id, j,
+         |    md5(list_aggregate(list_transform(
+         |          list_slice(sig, j*$rpb + 1, j*$rpb + $rpb),
+         |          x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS bk
+         |  FROM sig, (SELECT unnest(range(0, $b)) AS j)),
+         |cand_$b AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_$b a JOIN bands_$b b
+         |    ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |np_$b AS (SELECT
+         |    (SELECT count(*) FROM cand_$b)::BIGINT AS n_candidates,
+         |    (SELECT count(*) FROM cand_$b c
+         |       JOIN sig sa ON c.doc_a = sa.doc_id
+         |       JOIN sig sb ON c.doc_b = sb.doc_id
+         |      WHERE CAST(length(list_filter(range(1, ${numHashes + 1}),
+         |              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes.0
+         |            >= $threshold)::BIGINT AS n_pairs)""".stripMargin
+    }.mkString(",\n")
+    val bMax = bandCounts.max
+    val rows = bandCounts.map { b =>
+      s"""SELECT $b AS bands, ${numHashes / b} AS rows_per_band,
+         |  n_candidates, n_pairs,
+         |  CASE WHEN (SELECT n_pairs FROM np_$bMax) > 0 THEN
+         |    CAST(floor(CAST(n_pairs * 1000 AS DOUBLE) /
+         |               CAST((SELECT n_pairs FROM np_$bMax) AS DOUBLE)) AS BIGINT)
+         |  END AS recall_milli
+         |FROM np_$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${pipelineCtes()},
+       |$perB
+       |$rows""".stripMargin
+  }
+
   /** Oracle for qd35 ([[SoftDedup.weights]]): the [[oracleComponentsSql]]
     * component frame extended with per-cluster sizes and the
     * floor-milli weight / effective-length columns — the same IEEE

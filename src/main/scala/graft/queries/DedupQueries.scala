@@ -832,6 +832,18 @@ object DedupQueries {
       (s, dir) => SoftDedup.weights(
         Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
         col("n_chars"), threshold = 0.3)(s),
-      Some(PortableMinHash.oracleSoftWeightsSql(0.3)))
+      Some(PortableMinHash.oracleSoftWeightsSql(0.3))),
+
+    Q(
+      "qd36_banding_recall_curve",
+      // the LSH banding knob MEASURED (qd24 predicts it from the
+      // S-curve; this measures it on the corpus): per band count,
+      // candidate-join cost vs >= 0.3 near-dup pairs recovered, recall
+      // relative to the most sensitive banding — signatures computed
+      // once behind a Barrier, each row one ids-only bucket join
+      (s, dir) => PortableMinHash.bandingCurve(
+        Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+        threshold = 0.3, bandCounts = Seq(6, 12, 24)),
+      Some(PortableMinHash.bandingCurveSql(0.3, Seq(6, 12, 24))))
   )
 }

@@ -285,6 +285,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("banding recall curve: monotone in bands, 12-band row equals pairs()") {
+    val fixture = graft.Tables.load(spark, sf0001, "documents")
+    val curve = PortableMinHash
+      .bandingCurve(fixture, col("text"), col("doc_id"), 0.3, Seq(6, 12, 24))
+      .select("bands", "n_candidates", "n_pairs", "recall_milli")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(6, 12, 24))
+    // more bands = more candidates and at least as many pairs
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq)
+    assert(curve.map(_._3).toSeq == curve.map(_._3).sorted.toSeq)
+    assert(curve.last._4 == 1000L, "max banding defines recall = 1")
+    // the 12-band row IS the production portable banding: same count
+    val direct = PortableMinHash
+      .pairs(fixture, col("text"), col("doc_id"), 0.3).count()
+    assert(curve(1)._3 == direct, s"${curve(1)._3} != $direct")
+  }
+
   test("LSH planner picks the grid-optimal banding per target threshold") {
     import graft.operators.dedup.MinHashLSH
     // hand-checked S-curve thresholds over divisors of 48:
