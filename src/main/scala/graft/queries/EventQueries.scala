@@ -770,6 +770,44 @@ object EventQueries {
             s"(CAST(n AS DOUBLE) - $mean) / sqrt($variance)", 3)}
            |       END AS z_milli
            |FROM wdw WHERE m >= 6""".stripMargin
-      })
+      }),
+
+    Q(
+      "qe20_stateful_funnel",
+      // qe10's funnel as CUSTOM STATE (the qe06/qe03 twin pattern for
+      // the conversion join): per-user open-view buffers settled by
+      // each purchase arrival — the formulation that works when
+      // purchases arrive micro-batches after their views; batch mode
+      // must roll up to qe10's exact hourly table, so it runs under
+      // qe10's own oracle (an INDEPENDENT join formulation)
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        graft.streaming.StatefulFunnel.funnel(Tables.load(s, dir, "events"))
+          .toDF()
+          .withColumn("w_start",
+            date_trunc("hour", timestamp_micros(col("tus"))))
+          .groupBy("w_start")
+          .agg(
+            count(lit(1)).as("n_views"),
+            sum(when(col("converted"), 1L).otherwise(0L))
+              .cast("bigint").as("n_conversions"))
+          .withColumn("cvr", graft.operators.PortableRound.floorTo(
+            col("n_conversions").cast("double") / col("n_views").cast("double"),
+            4))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                                date_trunc('hour', ts) AS w_start
+                         FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, epoch_us(ts) AS ptus
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT DISTINCT v.event_id
+                    FROM v JOIN p ON v.user_id = p.user_id
+                     AND p.ptus > v.tus AND p.ptus <= v.tus + 3600000000)
+              SELECT w_start, count(*) AS n_views,
+                     count(c.event_id) AS n_conversions,
+                     (floor((CAST(count(c.event_id) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS cvr
+              FROM v LEFT JOIN c ON v.event_id = c.event_id
+              GROUP BY w_start"""))
   )
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class StatefulFunnelSpec extends SparkSpec {
+
+  private val gapUs = 3600L * 1000000L
+
+  /** qe10's join formulation of the same per-view verdicts. */
+  private def joined(events: org.apache.spark.sql.DataFrame) = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ptus"))
+    val conv = views.join(purchases,
+        views("user_id") === purchases("user_id") &&
+          col("ptus") > col("tus") && col("ptus") <= col("tus") + gapUs)
+      .select(views("event_id")).distinct().withColumn("c", lit(true))
+    views.join(conv, Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"), col("tus"),
+        coalesce(col("c"), lit(false)).as("converted"))
+  }
+
+  test("stateful funnel equals the band-join formulation in batch") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val events = Tables.load(spark, sf0001, "events")
+    val stateful = StatefulFunnel.funnel(events).toDF()
+    val reference = joined(events)
+    assert(stateful.count() == reference.count())
+    assert(stateful.exceptAll(reference).isEmpty &&
+      reference.exceptAll(stateful).isEmpty,
+      "stateful and join funnel attribution disagree")
+  }
+
+  test("streaming run: conversions emitted exactly once, opens stay in state") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val events = Tables.load(spark, sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(staged.schema).parquet(dir)
+    val q = StatefulFunnel.funnel(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stateful_funnel_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stateful_funnel_out")
+    val batch = StatefulFunnel.funnel(staged).toDF()
+    // nothing emitted that batch would not produce (no dups/overlaps)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streaming emitted a verdict the batch run does not contain")
+    // every CONVERTED view must be present (conversions are settled by
+    // data, never by end-of-input); only unconverted views whose window
+    // was still open at the final watermark may be absent
+    val conv = batch.filter(col("converted"))
+    assert(conv.exceptAll(streamed).isEmpty,
+      "a data-settled conversion was not emitted by the streaming run")
+    val missing = batch.exceptAll(streamed)
+    assert(missing.filter(col("converted")).isEmpty,
+      "a missing verdict was a conversion, not an open view")
+  }
+
+  test("window edges: strict ptus > tus, inclusive tus + gap") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val base = 1700000000000000L
+    val df = Seq(
+      // view converted by a purchase exactly at tus + gap (inclusive)
+      (1L, 10L, base, "view"),
+      (1L, 11L, base + gapUs, "purchase"),
+      // same-microsecond purchase does NOT convert (strict >)
+      (2L, 20L, base, "view"),
+      (2L, 21L, base, "purchase"),
+      // purchase one µs past the window: too late
+      (3L, 30L, base, "view"),
+      (3L, 31L, base + gapUs + 1L, "purchase"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = StatefulFunnel.funnel(df).toDF()
+      .select("event_id", "converted")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> true, 20L -> false, 30L -> false), got.toString)
+  }
+}
