@@ -808,6 +808,37 @@ object EventQueries {
                      (floor((CAST(count(c.event_id) AS DOUBLE)
                            / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS cvr
               FROM v LEFT JOIN c ON v.event_id = c.event_id
-              GROUP BY w_start"""))
+              GROUP BY w_start""")),
+
+    Q(
+      "qe21_path_ngrams",
+      // session path mining: the top 20 length-3 event-type sequences
+      // walked inside one session (qe03's session derivation; lead-
+      // composed n-grams, no explode; algebraic count over the tiny
+      // |types|^3 path domain; TakeOrdered cut with path tiebreak)
+      (s, dir) => graft.streaming.EventPipeline.pathNgrams(
+        Tables.load(s, dir, "events"), n = 3, k = 20),
+      Some("""WITH g AS (
+                SELECT user_id, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+              s AS (
+                SELECT user_id, event_id, event_type,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g),
+              t AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER w2 AS t1,
+                       lead(event_type, 2) OVER w2 AS t2
+                FROM s
+                WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY event_id))
+              SELECT event_type || '>' || t1 || '>' || t2 AS path,
+                     count(*)::BIGINT AS n
+              FROM t WHERE t2 IS NOT NULL
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
   )
 }

@@ -49,6 +49,43 @@ object EventPipeline {
         max("event_id").as("last_event"))
   }
 
+  /** Top session PATHS — the most common length-`n` event-type
+    * sequences users walk inside one session (path/flow mining, the
+    * "what do users do before purchasing" product-analytics staple).
+    * Sessions are the qe03 derivation (gap cut on truncated-second ts
+    * in event_id order); paths are `lead`-composed n-grams WITHIN a
+    * session, so no explode and no array materialization — each event
+    * row becomes at most one n-gram row via n−1 window leads riding
+    * the one (user, session) sort.
+    *
+    * 100 TB shape: one shuffle on user_id (the same key sessionization
+    * pays — per-user windows, never global), an algebraic count over a
+    * tiny path domain (|event types|^n), and a TakeOrdered(k) cut with
+    * path-string tiebreak — no global sort. */
+  def pathNgrams(
+      events: DataFrame, n: Int, k: Int, gapSeconds: Long = 1800): DataFrame = {
+    require(n >= 2 && k > 0, s"bad n=$n k=$k")
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag("ts", 1).over(byUser))
+    val bySess = Window.partitionBy("user_id", "session_id").orderBy("event_id")
+    events
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("bigint"))
+      .withColumn("path", concat_ws(">",
+        (0 until n).map(i => lead(col("event_type"), i).over(bySess)): _*))
+      .withColumn("__full", lead(col("event_type"), n - 1).over(bySess))
+      // the last n−1 events of a session have no full n-gram
+      .filter(col("__full").isNotNull)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Top event types by decimal-exact total value. */
   def typeStats(events: DataFrame): DataFrame =
     events

@@ -184,4 +184,28 @@ class EventPipelineSpec extends SparkSpec {
       "left enrichment must preserve every stream row exactly once")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("path n-grams count only full in-session sequences") {
+    val base = 1700000000000000L
+    val m = 60L * 1000000L
+    val df = Seq(
+      // session 1: view > cart > purchase (one 3-gram)
+      (1L, 10L, base, "view"),
+      (1L, 11L, base + m, "cart"),
+      (1L, 12L, base + 2 * m, "purchase"),
+      // > 30 min gap: session 2 has only two events — NO 3-gram,
+      // and it must not chain across the session boundary
+      (1L, 13L, base + 45 * m, "view"),
+      (1L, 14L, base + 46 * m, "view"),
+      // user 2 repeats the same winning path
+      (2L, 20L, base, "view"),
+      (2L, 21L, base + m, "cart"),
+      (2L, 22L, base + 2 * m, "purchase"))
+      .toDF("user_id", "event_id", "us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = EventPipeline.pathNgrams(df, n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>cart>purchase", 2L)), got.mkString(","))
+  }
 }
