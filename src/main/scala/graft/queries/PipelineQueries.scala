@@ -746,6 +746,52 @@ object PipelineQueries {
               |       ${graft.operators.text.CorpusOps.effectiveTokensSql(
                "target_tokens", "unique_tokens")}
               |         AS effective_tokens
-              |FROM t""".stripMargin))
+              |FROM t""".stripMargin)),
+
+    Q(
+      "qp31_capped_mixture",
+      // the no-repeat mixture SOLVER between qt22 (targets ignore
+      // availability) and qp30 (epochs repeat data): water-fill a
+      // 30%-of-corpus token budget across sources ∝ sqrt(raw) with each
+      // source capped at its DEDUPED tokens — saturated sources pin at
+      // their cap, their unmet share re-distributes, fixed 5 rounds
+      // (fixpoint asserted in spec). All data work is the one
+      // per-source aggregation; the solver runs on the #sources-row
+      // plan table.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = Tables.load(s, dir, "documents")
+        val kept = graft.operators.dedup.PortableMinHash
+          .dedupKeepFirst(docs, col("text"), "doc_id", 0.3)
+          .select(col("doc_id"), lit(1L).as("kept"))
+        val per = docs.select(col("doc_id"), col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nt"))
+          .join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            sum("nt").cast("bigint").as("raw_tokens"),
+            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
+              .cast("bigint").as("avail_tokens"))
+          .transform(graft.operators.Barrier.apply)
+        val tot = per.agg(sum("raw_tokens")).head.getLong(0)
+        graft.operators.text.MixtureSolver.waterFill(
+          per, budget = tot * 3L / 10L, rounds = 5)
+      },
+      Some(s"""${graft.operators.dedup.PortableMinHash.pipelineCtes()},
+              |kept AS (SELECT doc_id FROM documents
+              |         WHERE doc_id NOT IN (SELECT doc_b FROM est WHERE est_jaccard >= 0.3)),
+              |base AS (SELECT d.doc_id, d.source,
+              |                CAST(length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nt,
+              |                (d.doc_id IN (SELECT doc_id FROM kept)) AS is_kept
+              |         FROM documents d),
+              |per AS MATERIALIZED (SELECT source, CAST(sum(nt) AS BIGINT) AS raw_tokens,
+              |               CAST(sum(CASE WHEN is_kept THEN nt ELSE 0 END) AS BIGINT)
+              |                 AS avail_tokens
+              |        FROM base GROUP BY source),
+              |${graft.operators.text.MixtureSolver.waterFillSql(
+               "SELECT (CAST(sum(raw_tokens) AS BIGINT) * 3) // 10 FROM per",
+               rounds = 5)}""".stripMargin))
   )
 }

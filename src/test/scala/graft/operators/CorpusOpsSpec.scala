@@ -240,6 +240,33 @@ class CorpusOpsSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("water-fill: saturated source pins at its cap, share redistributes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.operators.text.MixtureSolver
+    // weights sqrt(raw): a=10, b=10, c=20 (W=40). Round 1 at B=300:
+    // a gets 75 >= cap 5 -> saturates at 5; round 2 over W=30, B=295:
+    // b = floor(295*10/30) = 98, c = floor(295*20/30) = 196; fixpoint.
+    val per = Seq(("a", 100L, 5L), ("b", 100L, 1000L), ("c", 400L, 1000L))
+      .toDF("source", "raw_tokens", "avail_tokens")
+    val expect = Seq(("a", 5L, true), ("b", 98L, false), ("c", 196L, false))
+    val got = MixtureSolver.waterFill(per, budget = 300L)
+      .select("source", "target_tokens", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == expect, got.mkString(","))
+    // fixpoint: extra rounds change nothing
+    val more = MixtureSolver.waterFill(per, budget = 300L, rounds = 12)
+      .select("source", "target_tokens", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(more == expect, more.mkString(","))
+    // small budget: a's 25% share (10 of 40) still tops its cap of 5 —
+    // saturates; b/c split the remaining 35 over W=30
+    val small = MixtureSolver.waterFill(per, budget = 40L)
+      .select("source", "target_tokens", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(small == Seq(("a", 5L, true), ("b", 11L, false), ("c", 23L, false)),
+      small.mkString(","))
+  }
+
   test("effective tokens: dyadic epoch decay, clamped tails, zero unique") {
     val rows = Seq(
       (2500L, 1000L), // 2.5 epochs: 1000 + 500 + (500 >> 2) = 1625
