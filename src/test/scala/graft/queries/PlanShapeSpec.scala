@@ -142,6 +142,26 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("EqualTo(event_type,view)"), p)
   }
 
+  test("qd34: eval bands broadcast into the corpus band scan") {
+    val p = plan("qd34_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the small eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degraded to a nested loop:\n$p")
+  }
+
+  test("qe21: every path window is per-user, never global") {
+    val p = plan("qe21_path_ngrams")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"expected per-user windows:\n$p")
+    winLines.foreach { l =>
+      assert(l.contains("user_id"),
+        s"window not partitioned by user (global single-task window):\n$l")
+    }
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must cut without a global sort:\n$p")
+  }
+
   test("qj06: interval overlap stays a hash equi-join with pushed filters") {
     val p = plan("qj06_interval_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
