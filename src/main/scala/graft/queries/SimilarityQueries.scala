@@ -718,6 +718,21 @@ object SimilarityQueries {
         col("vec_id"), probe(s, dir), k = 10, dims = Seq(8, 16, 32, 64)),
       Some(graft.operators.similarity.DimTruncation
         .curveSql(10, Seq(8, 16, 32, 64))),
-      bench = true)
+      bench = true),
+
+    Q(
+      "qs38_clip_calibration",
+      // the int8 STORAGE knob measured, completing the knob family
+      // (qs36 nprobe, qs37 prefix dim, qd36 banding): per clip rank
+      // (threshold = r-th order statistic of |x|; 64 = max-abs =
+      // qs09/qs21's scaling), exact-top-10 hits and full-precision
+      // dot mass of the int8-ranked retrieval — one Barrier'd scan
+      // computes every clip level's codes, curve rows are TakeOrdered
+      // cuts
+      (s, dir) => graft.operators.similarity.ClipCalibration.curve(
+        Tables.load(s, dir, "embeddings"), col("embedding"),
+        col("vec_id"), probe(s, dir), k = 10, ranks = Seq(52, 58, 62, 64)),
+      Some(graft.operators.similarity.ClipCalibration
+        .curveSql(10, Seq(52, 58, 62, 64))))
   )
 }

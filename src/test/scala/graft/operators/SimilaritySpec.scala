@@ -256,6 +256,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last._2 == 10L)
   }
 
+  test("clip calibration matches a driver-side re-derivation") {
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def quant(v: Seq[Float], r: Int): (Double, Seq[Long]) = {
+      val abs = v.map(x => math.abs(x.toDouble)).sorted
+      val t = abs(r - 1)
+      val s = if (t == 0.0) 0.0 else 127.0 / t
+      (s, v.map(x =>
+        math.min(127.0, math.max(-127.0, math.floor(x.toDouble * s + 0.5))).toLong))
+    }
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val ranks = Seq(52, 58, 62, 64)
+    def score(v: Seq[Float], r: Int): Double = {
+      val (sp, qp) = quant(probe, r)
+      val (sv, qv) = quant(v, r)
+      if (sv * sp == 0.0) 0.0
+      else qv.zip(qp).map { case (a, b) => a * b }.sum.toDouble / (sv * sp)
+    }
+    def topIds(f: Seq[Float] => Double): Seq[Long] = all
+      .map { case (id, v) => (id, f(v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val exactIds = topIds(v => dot(v, probe))
+    val exactMass = exactIds.map(i =>
+      math.floor(dot(all.find(_._1 == i).get._2, probe) * 1e6).toLong).sum
+    val got = graft.operators.similarity.ClipCalibration
+      .curve(emb, col("embedding"), col("vec_id"), probe, 10, ranks)
+      .select("clip_rank", "hits", "mass_ratio")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == ranks)
+    got.foreach { case (r, hits, mass) =>
+      val ids = topIds(v => score(v, r))
+      assert(hits == ids.count(exactIds.contains), s"rank $r hits")
+      val am = ids.map(i =>
+        math.floor(dot(all.find(_._1 == i).get._2, probe) * 1e6).toLong).sum
+      val expMass = math.floor(am.toDouble / exactMass.toDouble * 1e4) / 1e4
+      assert(math.abs(mass - expMass) < 1e-12, s"rank $r: $mass != $expMass")
+    }
+  }
+
   test("vector ops agree with driver-side math on fixture data") {
     val row = emb.filter(col("vec_id") === 1)
       .select(VectorOps.norm(col("embedding")).as("n")).as[Double].head()
