@@ -100,7 +100,14 @@ object ScaleSmoke {
     // collisions, never all-pairs; decode is the linear part)
     "qd34_fuzzy_decontaminate",
     "qd35_soft_dedup_weights",
-    "qm13_image_in_video")
+    "qm13_image_in_video",
+    // round 12 (continuation, second batch): the banding curve pays
+    // one ids-only bucket join PER band count (3 here — should scale
+    // like 3x qd10's story, dominated by the 24-band join), and path
+    // mining is two window passes over the per-user sort + a tiny
+    // grouped count (should track the event scan)
+    "qd36_banding_recall_curve",
+    "qe21_path_ngrams")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
@@ -164,6 +171,21 @@ object ScaleSmoke {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
       li.createNewFile()
+    }
+    // qe21 mines paths over events: replicate with per-replica user/id
+    // shifts (same convention as buildBenchBig — each replica keeps its
+    // own users, so session structure replicates instead of merging).
+    // Own post-write guard so a pre-existing _BUILT corpus gains it.
+    val evG = new java.io.File(s"$bigDir/_EVENTS_BUILT")
+    if (!evG.exists()) {
+      val df = spark.read.parquet(s"$baseDir/events.parquet")
+      (0 until replicas)
+        .map(i => df
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      evG.createNewFile()
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return

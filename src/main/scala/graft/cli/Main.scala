@@ -1360,12 +1360,68 @@ object Main {
             }
           case _ => usage
         }
+      case "mix" =>
+        // mixture planning in one command: per-source raw vs deduped
+        // (available) tokens, a water-filled no-repeat allocation under
+        // the availability caps (qp31's solver), the implied epochs if
+        // the target were taken by repetition instead, and the
+        // dyadic-decay effective value of those epochs (qp30) — the
+        // table a data lead reads before committing a training mix.
+        // One corpus aggregation feeds a #sources-row plan table; the
+        // solver runs on that table.
+        import org.apache.spark.sql.functions._
+        val t = opt("--table").getOrElse("documents")
+        val thr = opt("--threshold").map(_.toDouble).getOrElse(0.3)
+        val docs = catalogFor(cfg.src).read(spark, t)
+        val kept = graft.operators.dedup.PortableMinHash
+          .dedupKeepFirst(docs, col("text"), "doc_id", thr)
+          .select(col("doc_id"), lit(1L).as("kept"))
+        val per = docs.select(col("doc_id"), col("source"),
+            graft.operators.text.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("nt"))
+          .join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            sum("nt").cast("bigint").as("raw_tokens"),
+            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
+              .cast("bigint").as("avail_tokens"))
+          .transform(graft.operators.Barrier.apply)
+        val tot = per.agg(sum("raw_tokens")).head.getLong(0)
+        val budget = opt("--budget").map(_.toLong).getOrElse(tot * 3L / 10L)
+        val plan = graft.operators.text.MixtureSolver
+          .waterFill(per, budget)(spark)
+          .withColumn("epochs_milli",
+            when(col("avail_tokens") > 0,
+              floor((col("target_tokens") * lit(1000L)).cast("double") /
+                col("avail_tokens").cast("double")).cast("long")))
+          .withColumn("effective_tokens",
+            graft.operators.text.CorpusOps.effectiveTokens(
+              col("target_tokens"), col("avail_tokens")))
+        val rows = plan.orderBy("source").collect()
+        val allocated = rows.map(_.getAs[Long]("target_tokens")).sum
+        val nSat = rows.count(_.getAs[Boolean]("saturated"))
+        opt("--into").foreach(into =>
+          sinkFor(cfg.dest, cfg).overwrite(plan, into))
+        println(table(
+          Seq("Source", "Raw", "Avail", "Target", "Sat", "Epochs(m)", "Effective") +:
+          rows.toSeq.map(r => Seq(
+            r.getAs[String]("source"),
+            r.getAs[Long]("raw_tokens").toString,
+            r.getAs[Long]("avail_tokens").toString,
+            r.getAs[Long]("target_tokens").toString,
+            if (r.getAs[Boolean]("saturated")) "yes" else "",
+            Option(r.get(r.fieldIndex("epochs_milli")))
+              .map(_.toString).getOrElse("-"),
+            r.getAs[Long]("effective_tokens").toString))))
+        println(f"Mix plan finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs: " +
+          s"budget $budget, allocated $allocated, $nSat/${rows.length} sources saturated")
+        0
       case "version" =>
         // reference parity: cmd/version.go prints the build version
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

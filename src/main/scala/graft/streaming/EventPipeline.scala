@@ -58,17 +58,22 @@ object EventPipeline {
     * row becomes at most one n-gram row via n−1 window leads riding
     * the one (user, session) sort.
     *
-    * 100 TB shape: one shuffle on user_id (the same key sessionization
-    * pays — per-user windows, never global), an algebraic count over a
-    * tiny path domain (|event types|^n), and a TakeOrdered(k) cut with
-    * path-string tiebreak — no global sort. */
+    * 100 TB shape: ONE shuffle and ONE sort — session ids are a
+    * cumulative sum in event_id order, so they are monotone within the
+    * user partition, which lets the n-gram leads ride the SAME
+    * per-user window as the session cut (a per-(user, session) window
+    * would force a second full exchange + sort of every event): a lead
+    * n-gram is a real in-session path iff its (n−1)-th lead still
+    * carries the same session id, and session monotonicity makes that
+    * check sufficient for every intermediate position too. Then an
+    * algebraic count over the tiny path domain (|event types|^n) and a
+    * TakeOrdered(k) cut with path-string tiebreak — no global sort. */
   def pathNgrams(
       events: DataFrame, n: Int, k: Int, gapSeconds: Long = 1800): DataFrame = {
     require(n >= 2 && k > 0, s"bad n=$n k=$k")
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val gap = unix_timestamp(col("ts")) -
       unix_timestamp(lag("ts", 1).over(byUser))
-    val bySess = Window.partitionBy("user_id", "session_id").orderBy("event_id")
     events
       .withColumn("new_session",
         when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
@@ -76,10 +81,12 @@ object EventPipeline {
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
           .cast("bigint"))
       .withColumn("path", concat_ws(">",
-        (0 until n).map(i => lead(col("event_type"), i).over(bySess)): _*))
-      .withColumn("__full", lead(col("event_type"), n - 1).over(bySess))
-      // the last n−1 events of a session have no full n-gram
-      .filter(col("__full").isNotNull)
+        (0 until n).map(i => lead(col("event_type"), i).over(byUser)): _*))
+      // the n-gram stays inside one session iff its LAST position does
+      // (session ids are monotone in event_id); a lead past the user's
+      // events is null and drops here too
+      .withColumn("__endSess", lead(col("session_id"), n - 1).over(byUser))
+      .filter(col("__endSess") === col("session_id"))
       .groupBy("path")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))

@@ -280,6 +280,29 @@ class MainSpec extends SparkSpec {
       s"fuzzy pass should drop the paraphrase: ${fuzzyKept.mkString(",")}")
   }
 
+  test("mix plans a capped allocation and writes the plan table") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_mix_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |""".stripMargin)
+    assert(Main.run(Array("mix", "--table", "documents", "--budget", "5000",
+      "--into", "mix_plan", "--config", cfg), spark) == 0)
+    val plan = spark.read.parquet(s"$out/mix_plan.parquet")
+    assert(plan.columns.toSet == Set("source", "raw_tokens", "avail_tokens",
+      "target_tokens", "saturated", "epochs_milli", "effective_tokens"))
+    val targets = plan.select("target_tokens").as[Long].collect()
+    assert(targets.sum <= 5000L, s"allocated ${targets.sum} over budget")
+    // every allocation respects its availability cap
+    val over = plan.filter(
+      org.apache.spark.sql.functions.col("target_tokens") >
+        org.apache.spark.sql.functions.col("avail_tokens")).count()
+    assert(over == 0, s"$over sources allocated past their cap")
+  }
+
   test("compact collapses a fragmented table without changing content") {
     val dir = Files.createTempDirectory("graft_cli_compact").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

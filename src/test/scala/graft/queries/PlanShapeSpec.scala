@@ -150,7 +150,7 @@ class PlanShapeSpec extends SparkSpec {
       s"band join degraded to a nested loop:\n$p")
   }
 
-  test("qe21: every path window is per-user, never global") {
+  test("qe21: session cut and path leads share ONE per-user exchange") {
     val p = plan("qe21_path_ngrams")
     val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(winLines.nonEmpty, s"expected per-user windows:\n$p")
@@ -158,6 +158,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(l.contains("user_id"),
         s"window not partitioned by user (global single-task window):\n$l")
     }
+    // session monotonicity lets the leads ride the session window's
+    // exchange — a per-(user, session) window would pay a second full
+    // shuffle of every event (measured 13x at 10x data before this)
+    val eventExchanges = dataExchanges(p) -
+      p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Reused") && !l.contains("RoundRobinPartitioning") &&
+        !l.contains("user_id"))
+    assert(eventExchanges == 1,
+      s"expected exactly one per-user event shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must cut without a global sort:\n$p")
   }
