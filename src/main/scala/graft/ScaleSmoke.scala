@@ -145,7 +145,7 @@ object ScaleSmoke {
     replicate("lineitem", Seq("l_orderkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("customer", Seq("c_custkey"))
-    replicate("events", Seq("event_id", "user_id"))
+    // events are replicated by buildBig (same id/user shift convention)
     Seq("nation", "region", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")

@@ -1373,20 +1373,12 @@ object Main {
         val t = opt("--table").getOrElse("documents")
         val thr = opt("--threshold").map(_.toDouble).getOrElse(0.3)
         val docs = catalogFor(cfg.src).read(spark, t)
-        val kept = graft.operators.dedup.PortableMinHash
-          .dedupKeepFirst(docs, col("text"), "doc_id", thr)
-          .select(col("doc_id"), lit(1L).as("kept"))
-        val per = docs.select(col("doc_id"), col("source"),
-            graft.operators.text.TextAnalysis.tokenCount(col("text"))
-              .cast("long").as("nt"))
-          .join(kept, Seq("doc_id"), "left")
-          .groupBy("source")
-          .agg(
-            sum("nt").cast("bigint").as("raw_tokens"),
-            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
-              .cast("bigint").as("avail_tokens"))
+        val per = graft.operators.text.MixtureSolver
+          .perSourceTokens(docs, thr)
           .transform(graft.operators.Barrier.apply)
-        val tot = per.agg(sum("raw_tokens")).head.getLong(0)
+        // NULL sum on an empty table -> empty plan, never an NPE
+        val tot = Option(per.agg(sum("raw_tokens")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val budget = opt("--budget").map(_.toLong).getOrElse(tot * 3L / 10L)
         val plan = graft.operators.text.MixtureSolver
           .waterFill(per, budget)(spark)

@@ -311,12 +311,7 @@ object PerceptualHash {
     * Spark side's signed Long). */
   private def dhCte: String =
     s"""dh AS (
-       |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, 64), i ->
-       |      CASE WHEN ${pixSql("i % 8", "i // 8")} < ${pixSql("i % 8 + 1", "i // 8")}
-       |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
-       |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
-       |           ELSE 0 END)) AS BIGINT) AS dh
+       |  SELECT doc_id, ${dhExprSql("doc_id")} AS dh
        |  FROM documents)""".stripMargin
 
   /** DuckDB rendition of qm05: re-derives the planted pixels, folds the

@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object MixtureSolver {
 
+  /** Per-source (raw, available = near-dedup-surviving) token table —
+    * the plan input shared by qp30/qp31 and the `mix` CLI verb, so the
+    * kept-token accounting exists exactly once: one token scan joined
+    * to the qd15 keep-first survivors, one grouped aggregation. */
+  def perSourceTokens(docs: DataFrame, threshold: Double): DataFrame = {
+    val kept = graft.operators.dedup.PortableMinHash
+      .dedupKeepFirst(docs, col("text"), "doc_id", threshold)
+      .select(col("doc_id"), lit(1L).as("kept"))
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        sum("nt").cast("bigint").as("raw_tokens"),
+        sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
+          .cast("bigint").as("avail_tokens"))
+  }
+
   /** @param per (source, raw_tokens, avail_tokens) — one row per source
     * @param budget total tokens to allocate (exact integer)
     * @param rounds fixed water-filling round count

@@ -694,20 +694,10 @@ object PipelineQueries {
       // misround-free for raw·B < 2^52 (fixture ~1e11).
       (s, dir) => {
         import org.apache.spark.sql.functions._
+        val per = graft.operators.text.MixtureSolver
+          .perSourceTokens(Tables.load(s, dir, "documents"), 0.3)
+          .withColumnRenamed("avail_tokens", "unique_tokens")
         val B = 500000L
-        val docs = Tables.load(s, dir, "documents")
-        val kept = graft.operators.dedup.PortableMinHash
-          .dedupKeepFirst(docs, col("text"), "doc_id", 0.3)
-          .select(col("doc_id"), lit(1L).as("kept"))
-        val per = docs.select(col("doc_id"), col("source"),
-            graft.operators.text.TextAnalysis.tokenCount(col("text"))
-              .cast("long").as("nt"))
-          .join(kept, Seq("doc_id"), "left")
-          .groupBy("source")
-          .agg(
-            sum("nt").cast("bigint").as("raw_tokens"),
-            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
-              .cast("bigint").as("unique_tokens"))
         per.crossJoin(per.agg(sum("raw_tokens").cast("bigint").as("tot")))
           .withColumn("target_tokens",
             floor((col("raw_tokens") * lit(B)).cast("double") /
@@ -761,19 +751,8 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         implicit val sp: org.apache.spark.sql.SparkSession = s
-        val docs = Tables.load(s, dir, "documents")
-        val kept = graft.operators.dedup.PortableMinHash
-          .dedupKeepFirst(docs, col("text"), "doc_id", 0.3)
-          .select(col("doc_id"), lit(1L).as("kept"))
-        val per = docs.select(col("doc_id"), col("source"),
-            graft.operators.text.TextAnalysis.tokenCount(col("text"))
-              .cast("long").as("nt"))
-          .join(kept, Seq("doc_id"), "left")
-          .groupBy("source")
-          .agg(
-            sum("nt").cast("bigint").as("raw_tokens"),
-            sum(when(col("kept").isNotNull, col("nt")).otherwise(lit(0L)))
-              .cast("bigint").as("avail_tokens"))
+        val per = graft.operators.text.MixtureSolver
+          .perSourceTokens(Tables.load(s, dir, "documents"), 0.3)
           .transform(graft.operators.Barrier.apply)
         val tot = per.agg(sum("raw_tokens")).head.getLong(0)
         graft.operators.text.MixtureSolver.waterFill(

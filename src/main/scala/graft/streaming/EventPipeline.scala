@@ -29,19 +29,26 @@ object EventPipeline {
         col("n"),
         col("total_value"))
 
-  /** Gap-based sessionization (30-min default): a new session starts
-    * when a user's inter-event gap exceeds the timeout. Deterministic
-    * ordering by (ts, event_id). Batch shape; the streaming analog is
-    * `session_window` (see [[streamingSessions]]). */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+  /** The qe03 session derivation, shared by [[sessionize]] and
+    * [[pathNgrams]]: per-event session ids from a gap cut on
+    * truncated-second ts in event_id order (one per-user window). */
+  private def sessionLabeled(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val gap = unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser))
-    val newSession = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
     events
-      .withColumn("new_session", newSession)
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
       .withColumn("session_id",
         sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
           .cast("bigint"))
+  }
+
+  /** Gap-based sessionization (30-min default): a new session starts
+    * when a user's inter-event gap exceeds the timeout. Batch shape;
+    * the streaming analog is `session_window`
+    * (see [[streamingSessions]]). */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    sessionLabeled(events, gapSeconds)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -72,14 +79,7 @@ object EventPipeline {
       events: DataFrame, n: Int, k: Int, gapSeconds: Long = 1800): DataFrame = {
     require(n >= 2 && k > 0, s"bad n=$n k=$k")
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
-    val gap = unix_timestamp(col("ts")) -
-      unix_timestamp(lag("ts", 1).over(byUser))
-    events
-      .withColumn("new_session",
-        when(gap.isNull || gap > gapSeconds, 1).otherwise(0))
-      .withColumn("session_id",
-        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("bigint"))
+    sessionLabeled(events, gapSeconds)
       .withColumn("path", concat_ws(">",
         (0 until n).map(i => lead(col("event_type"), i).over(byUser)): _*))
       // the n-gram stays inside one session iff its LAST position does

@@ -6,26 +6,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Custom-state funnel attribution via `flatMapGroupsWithState` — the
   * streaming form of qe10's view→purchase conversion join: a view
-  * CONVERTS when the same user purchases within `gapUs` after it.
-  * Semantics match the band-join formulation exactly (strict
-  * ptus > tus, inclusive ptus <= tus + gap), and the spec asserts the
-  * two agree row-for-row in batch; the registry query qe20 rolls the
-  * per-view verdicts up to qe10's hourly shape under qe10's own oracle.
+  * CONVERTS when the same user purchases within `gapUs` after it
+  * (strict ptus > tus, inclusive ptus <= tus + gap). The spec asserts
+  * batch mode agrees with the band-join formulation row-for-row, and
+  * the registry query qe20 rolls the per-view verdicts up to qe10's
+  * hourly shape under qe10's own oracle.
   *
   * Why state instead of the join, at stream time: the join needs both
-  * sides complete, but a stream sees purchases AFTER their views across
-  * micro-batch boundaries. State per user is only the OPEN views — the
-  * ones still inside their conversion window; every purchase settles
-  * the whole buffer (any buffered view strictly older than the purchase
-  * either converts via it or is past its window and can never convert
-  * via a later, even-later purchase), so state size is bounded by one
-  * user's views per window, not history. Unconverted views flush on
-  * event-time timeout once the watermark passes tus + gap; in batch,
-  * end of input closes them.
+  * sides complete, but a stream sees the two sides interleaved across
+  * micro-batches — IN EITHER ORDER within the watermark delay. So
+  * state per user buffers BOTH sides of the still-settleable window:
+  * open views (not yet converted, window not yet passed by the
+  * watermark) and recent purchases (which may still convert a late
+  * view). A purchase converts matching buffered views immediately
+  * (conversion is final — a true verdict can never be revised);
+  * unconverted views stay buffered, because an out-of-order purchase
+  * in a LATER micro-batch may still fall inside their window — this
+  * is exactly the case a settle-on-first-later-purchase scheme gets
+  * wrong. A view arriving after its converting purchase settles
+  * against the purchase buffer on arrival. Unconverted views flush as
+  * final verdicts on event-time timeout once the watermark passes
+  * tus + gap; purchases age out on the same horizon. In batch, end of
+  * input closes every open view.
   *
   * Scale shape: the one shuffle is the groupByKey on user_id — the
-  * same key the join formulation shuffles on; state records are
-  * (event_id, tus) pairs only, never event payloads.
+  * same key the join formulation shuffles on; state holds (id, µs)
+  * pairs bounded by one conversion window plus the watermark delay,
+  * never history; event payloads never enter state.
   */
 object StatefulFunnel {
 
@@ -43,76 +50,86 @@ object StatefulFunnel {
       event_id: Long,
       tus: Long,
       converted: Boolean)
-  /** Open views: (event_id, tus), every one still inside its window. */
-  final case class OpenViews(views: List[(Long, Long)])
+  /** Both still-settleable sides: open views as (event_id, tus),
+    * recent purchases as tus. */
+  final case class FunnelState(
+      views: List[(Long, Long)],
+      purchases: List[Long])
 
   private def walk(
       uid: Long,
       events: Iterator[FunnelEvent],
-      state: GroupState[OpenViews],
+      state: GroupState[FunnelState],
       gapUs: Long,
       streaming: Boolean): Iterator[ViewConv] = {
+    def converts(tus: Long, ptus: Long): Boolean =
+      ptus > tus && ptus <= tus + gapUs
     if (streaming && state.hasTimedOut) {
-      // watermark passed some open view's horizon: flush expired views
-      // as unconverted, keep the rest armed on the next horizon
+      // watermark passed some horizon: flush expired views as FINAL
+      // unconverted verdicts (no admissible purchase can still arrive
+      // inside their window), age out expired purchases, re-arm
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val views = state.getOption.map(_.views).getOrElse(Nil)
-      val (expired, open) = views.partition { case (_, t) => t + gapUs < wmUs }
-      if (open.isEmpty) state.remove()
+      val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+      val (expired, open) = st.views.partition { case (_, t) => t + gapUs < wmUs }
+      val keptP = st.purchases.filter(p => p + gapUs >= wmUs)
+      if (open.isEmpty && keptP.isEmpty) state.remove()
       else {
-        state.update(OpenViews(open))
-        armTimeout(state, open, gapUs)
+        state.update(FunnelState(open, keptP))
+        armTimeout(state, open.map(_._2) ++ keptP, gapUs)
       }
       return expired.map { case (eid, t) =>
         ViewConv(uid, eid, t, converted = false)
       }.iterator
     }
     val sorted = events.toArray.sortBy(e => (e.tus, e.event_id))
-    var buf = state.getOption.map(_.views).getOrElse(Nil)
+    val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+    val views = scala.collection.mutable.ArrayBuffer.from(st.views)
+    val purchases = scala.collection.mutable.ArrayBuffer.from(st.purchases)
     val out = scala.collection.mutable.ArrayBuffer[ViewConv]()
     sorted.foreach { e =>
-      if (!e.is_purchase) buf = buf :+ ((e.event_id, e.tus))
-      else {
-        val ptus = e.tus
-        // strictly-older views settle NOW: in-window ones convert via
-        // this purchase; out-of-window ones can never convert (later
-        // purchases are even later). Same-microsecond views stay open
-        // (qe10's strict ptus > tus).
-        val (stay, decide) = buf.partition { case (_, t) => t >= ptus }
-        decide.foreach { case (eid, t) =>
-          out += ViewConv(uid, eid, t, converted = t >= ptus - gapUs)
-        }
-        buf = stay
+      if (e.is_purchase) {
+        // settle conversions NOW; unconverted views STAY buffered (a
+        // later-arriving out-of-order purchase may still convert them)
+        val (conv, keep) = views.partition { case (_, t) => converts(t, e.tus) }
+        conv.foreach { case (eid, t) => out += ViewConv(uid, eid, t, true) }
+        views.clear(); views ++= keep
+        purchases += e.tus
+      } else {
+        // an out-of-order view settles against already-seen purchases
+        if (purchases.exists(p => converts(e.tus, p)))
+          out += ViewConv(uid, e.event_id, e.tus, converted = true)
+        else views += ((e.event_id, e.tus))
       }
     }
     if (streaming) {
-      if (buf.nonEmpty) {
-        state.update(OpenViews(buf))
-        armTimeout(state, buf, gapUs)
-      } else state.remove()
+      if (views.isEmpty && purchases.isEmpty) state.remove()
+      else {
+        state.update(FunnelState(views.toList, purchases.toList))
+        armTimeout(state, views.map(_._2).toList ++ purchases.toList, gapUs)
+      }
     } else {
-      // batch: end of input closes every open view unconverted
-      buf.foreach { case (eid, t) => out += ViewConv(uid, eid, t, false) }
+      // batch: one sorted pass saw everything — close open views
+      views.foreach { case (eid, t) => out += ViewConv(uid, eid, t, false) }
       state.remove()
     }
     out.iterator
   }
 
-  /** Timeout at the EARLIEST open view's horizon (+1 ms to cover the
-    * µs→ms truncation), clamped above the current watermark, which
+  /** Timeout at the EARLIEST buffered element's horizon (+1 ms to cover
+    * the µs→ms truncation), clamped above the current watermark, which
     * setTimeoutTimestamp requires. */
   private def armTimeout(
-      state: GroupState[OpenViews], open: List[(Long, Long)], gapUs: Long): Unit = {
-    val horizonMs = (open.map(_._2).min + gapUs) / 1000L + 1L
+      state: GroupState[FunnelState], tus: Seq[Long], gapUs: Long): Unit = {
+    val horizonMs = (tus.min + gapUs) / 1000L + 1L
     state.setTimeoutTimestamp(
       math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
   }
 
   /** Batch or streaming entry over an `events`-shaped frame (user_id,
     * event_id, ts, event_type): per-view conversion verdicts. In
-    * streaming, converted views emit when their purchase arrives and
-    * unconverted ones when the watermark passes their window; views
-    * still open at stream end stay in state (not final). */
+    * streaming, converted views emit when their purchase side is known
+    * and unconverted ones once the watermark passes their window;
+    * views still open at stream end stay in state (not final). */
   def funnel(
       events: DataFrame,
       gapUs: Long = 3600L * 1000000L,
@@ -135,7 +152,7 @@ object StatefulFunnel {
         col("ts"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenViews, ViewConv](OutputMode.Append, timeout) {
+      .flatMapGroupsWithState[FunnelState, ViewConv](OutputMode.Append, timeout) {
         (uid, it, state) => walk(uid, it, state, gapUs, streaming)
       }
   }

@@ -63,6 +63,44 @@ class StatefulFunnelSpec extends SparkSpec {
       "a missing verdict was a conversion, not an open view")
   }
 
+  test("out-of-order purchase in a later batch still converts a buffered view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_id", "secs", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("secs") * 1000000L).as("ts"), col("event_type"))
+    val q = StatefulFunnel
+      .funnel(df, gapUs = 3600L * 1000000L, watermarkDelay = "30 minutes")
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ooo_out").start()
+    try {
+      // batch 1: view V at 3600s; purchase P0 at 7210s is OUTSIDE V's
+      // 1h window (ends 7200s) — a settle-on-first-later-purchase
+      // scheme would finalize V as unconverted here. Watermark after
+      // this batch: 7210 - 1800 = 5410s < V's 7200s horizon.
+      mem.addData((1L, 10L, 3600L, "view"), (1L, 11L, 7210L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER purchase at 5500s — later than the
+      // watermark (admissible) and inside V's window: must convert V
+      mem.addData((1L, 12L, 5500L, "purchase"))
+      q.processAllAvailable()
+      // advance the watermark far past every horizon to flush state
+      mem.addData((9L, 98L, 100000L, "view"))
+      q.processAllAvailable()
+      mem.addData((9L, 99L, 200000L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("funnel_ooo_out")
+      .filter(col("event_id") === 10L)
+      .select("converted").as[Boolean].collect().toSeq
+    assert(verdicts == Seq(true),
+      s"view must convert via the late out-of-order purchase: $verdicts")
+  }
+
   test("window edges: strict ptus > tus, inclusive tus + gap") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
