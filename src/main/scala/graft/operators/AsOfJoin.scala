@@ -57,17 +57,43 @@ object AsOfJoin {
       keys: Seq[String],
       ord: String,
       rightPrefix: String = "r_",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    // sort position of a right row relative to a left row with EQUAL ord:
+    // strict   -> right sorts after  (excluded from "preceding")
+    // inclusive-> right sorts before (included)
+    asofDirected(left, right, keys, ord, rightPrefix,
+      rightSideRank = if (strict) 1 else -1, forward = false)
+
+  /** Forward as-of join: for each left row, the FIRST right row with
+    * r.ord STRICTLY after the left's — "the next event after this one"
+    * (DuckDB renders it as ASOF with l.ord < r.ord). The same single
+    * union + sort + window pass as [[asofBackward]] with the frame
+    * looking FORWARD; equal-ord right rows sort BEFORE left rows and
+    * fall outside the frame ("next" never means "simultaneous").
+    * Same right-side tie caveat as [[asofBackward]]. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      rightPrefix: String = "r_"): DataFrame =
+    asofDirected(left, right, keys, ord, rightPrefix,
+      rightSideRank = -1, forward = true)
+
+  private def asofDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      rightPrefix: String,
+      rightSideRank: Int,
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one equality key")
     val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
     val leftCols = left.columns.toSeq
 
     // right rows carry their payload in one struct; left rows carry null
     val payload = struct(rightPayloadCols.map(right(_)): _*)
-    // sort position of a right row relative to a left row with EQUAL ord:
-    // strict   -> right sorts after  (excluded from "preceding")
-    // inclusive-> right sorts before (included)
-    val rightSideRank = if (strict) 1 else -1
 
     // NULL ordering values never participate in an as-of match (a
     // comparison-based formulation — DuckDB ASOF, l.ord >= r.ord — is
@@ -91,21 +117,33 @@ object AsOfJoin {
         lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
 
-    val w = Window
+    val sortedW = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ord").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (forward)
+        (sortedW.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__payload"), ignoreNulls = true))
+      else
+        (sortedW.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__payload"), ignoreNulls = true))
 
     val matched = taggedLeft
       .unionByName(taggedRight)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", pick.over(w))
       .where(col("__side") === 0)
 
     val leftOut: Seq[Column] = leftCols.map { c =>
       if (keys.contains(c)) col(c) else col(s"__l_$c").as(c)
     }
+    // a null-ord LEFT row sorts nulls-first: harmless backward (running
+    // payload still null there) but the FORWARD frame would hand it the
+    // key's first right row — null it explicitly (no-match, matching
+    // the comparison formulation where NULL < r.ord is never true)
+    val guard = if (forward) col(s"__l_$ord").isNotNull else lit(true)
     val rightOut: Seq[Column] =
-      rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c"))
+      rightPayloadCols.map(c =>
+        when(guard, col("__match").getField(c)).as(s"$rightPrefix$c"))
     matched.select(leftOut ++ rightOut: _*)
   }
 
@@ -195,6 +233,26 @@ object AsOfJoin {
     val joined = asofBackward(left, right, keys, ord, rightPrefix, strict)
     val rOrd = col(s"$rightPrefix$ord")
     val fresh = rOrd.isNotNull && (col(ord) - rOrd <= lit(maxGap))
+    right.columns.filterNot(keys.contains).foldLeft(joined) { (df, c) =>
+      df.withColumn(s"$rightPrefix$c", when(fresh, col(s"$rightPrefix$c")))
+    }
+  }
+
+  /** [[asofForward]] bounded to `maxGap` ahead: the first right row in
+    * (l.ord, l.ord + maxGap] — "the next click within 30 minutes".
+    * Matches beyond the horizon null out, exactly like
+    * [[asofBackwardWithin]]'s staleness bound. */
+  def asofForwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      ord: String,
+      maxGap: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(maxGap >= 0, s"bad maxGap=$maxGap")
+    val joined = asofForward(left, right, keys, ord, rightPrefix)
+    val rOrd = col(s"$rightPrefix$ord")
+    val fresh = rOrd.isNotNull && (rOrd - col(ord) <= lit(maxGap))
     right.columns.filterNot(keys.contains).foldLeft(joined) { (df, c) =>
       df.withColumn(s"$rightPrefix$c", when(fresh, col(s"$rightPrefix$c")))
     }

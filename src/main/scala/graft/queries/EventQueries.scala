@@ -839,6 +839,67 @@ object EventQueries {
               SELECT event_type || '>' || t1 || '>' || t2 AS path,
                      count(*)::BIGINT AS n
               FROM t WHERE t2 IS NOT NULL
-              GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
+    Q(
+      "qe22_staged_funnel",
+      // THREE-stage funnel (qe10 is two): view → first click within 30
+      // min → first purchase within 60 min OF THE CLICK, hourly
+      // rollup. Each stage is one forward-within as-of (one shuffle on
+      // user_id, union + sort + forward frame — never a range join);
+      // the oracle chains DuckDB's native forward ASOF twice. Rates
+      // are floor-milli; stage columns are ord-derived, tie-proof.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def side(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            date_trunc("hour", col("ts")).as("w_start"))
+        val s2 = graft.operators.AsOfJoin.asofForwardWithin(
+          views, side("click"), Seq("user_id"), "tus",
+          maxGap = 1800L * 1000000L, rightPrefix = "c_")
+        val s3 = graft.operators.AsOfJoin.asofForwardWithin(
+          s2.select(col("user_id"), col("event_id"), col("w_start"),
+            col("c_tus").as("tus")),
+          side("purchase"), Seq("user_id"), "tus",
+          maxGap = 3600L * 1000000L, rightPrefix = "p_")
+        s3.groupBy("w_start")
+          .agg(
+            count(lit(1)).as("n_views"),
+            count(col("tus")).as("n_clicked"),
+            count(col("p_tus")).as("n_purchased"))
+          .withColumn("click_rate", graft.operators.PortableRound.floorTo(
+            col("n_clicked").cast("double") / col("n_views").cast("double"), 4))
+          .withColumn("purchase_rate", graft.operators.PortableRound.floorTo(
+            col("n_purchased").cast("double") / col("n_views").cast("double"), 4))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                                date_trunc('hour', ts) AS w_start
+                         FROM events WHERE event_type = 'view'),
+              c AS (SELECT user_id, epoch_us(ts) AS tus
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, epoch_us(ts) AS tus
+                    FROM events WHERE event_type = 'purchase'),
+              s2 AS (SELECT v.user_id, v.event_id, v.w_start,
+                            CASE WHEN c.tus - v.tus <= 1800000000 THEN c.tus END
+                              AS ctus
+                     FROM v ASOF LEFT JOIN c
+                       ON v.user_id = c.user_id AND v.tus < c.tus),
+              s3 AS (SELECT s2.*,
+                            CASE WHEN p.tus - s2.ctus <= 3600000000 THEN p.tus END
+                              AS ptus
+                     FROM s2 ASOF LEFT JOIN p
+                       ON s2.user_id = p.user_id AND s2.ctus < p.tus)
+              SELECT w_start, count(*) AS n_views,
+                     count(ctus) AS n_clicked, count(ptus) AS n_purchased,
+                     (floor((CAST(count(ctus) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
+                       AS click_rate,
+                     (floor((CAST(count(ptus) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0)
+                       AS purchase_rate
+              FROM s3 GROUP BY w_start"""))
   )
 }

@@ -222,6 +222,37 @@ object JoinQueries {
                      least(v.e, p.e) - greatest(v.s, p.s) AS overlap_us
               FROM v JOIN p ON v.user_id = p.user_id
                             AND v.s < p.e AND p.s < v.e"""),
-      bench = true)
+      bench = true),
+
+    Q(
+      "qj07_asof_forward",
+      // forward as-of within a bound — "the NEXT purchase within 4
+      // hours of this view" (qj03's mirror): one shuffle, union + sort
+      // + forward window frame, never a range join. DuckDB executes
+      // the forward direction natively (ASOF on v.tus < p.tus), an
+      // independent implementation of the semantics. Output is
+      // ord-derived only, so right-side ties cannot wobble it.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        AsOfJoin.asofForwardWithin(
+          views, purchases, Seq("user_id"), "tus",
+          maxGap = 4L * 3600L * 1000000L, rightPrefix = "next_")
+          .select(col("user_id"), col("event_id"), col("tus"),
+            col("next_tus"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                         FROM events WHERE event_type = 'view'),
+              p AS (SELECT user_id, epoch_us(ts) AS tus
+                    FROM events WHERE event_type = 'purchase')
+              SELECT v.user_id, v.event_id, v.tus,
+                     CASE WHEN p.tus - v.tus <= 14400000000 THEN p.tus END
+                       AS next_tus
+              FROM v ASOF LEFT JOIN p
+                ON v.user_id = p.user_id AND v.tus < p.tus"""))
   )
 }

@@ -149,6 +149,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("nokey").isEmpty)
   }
 
+  test("forward-within: next row strictly after, bounded, null ords inert") {
+    val left = Seq(
+      (1L, 10L, "hit"),      // next right at 15 (within 10)
+      (1L, 20L, "tie"),      // right at 20 is simultaneous: strict, no match; next is 40, beyond bound
+      (2L, 5L, "stale"),     // next right at 100: beyond bound -> nulled
+      (3L, 7L, "nokey"),     // no right rows for key 3
+      (4L, -1L, "nullord"))  // vs a key-4 right row; then a null-ord left below
+      .toDF("k", "ord", "tag")
+      .unionByName(Seq((4L, Option.empty[Long], "nullleft"))
+        .toDF("k", "ord", "tag"))
+    val right = Seq(
+      (1L, 15L), (1L, 20L), (1L, 40L),
+      (2L, 100L),
+      (4L, 3L))
+      .toDF("k", "ord")
+    val got = AsOfJoin
+      .asofForwardWithin(left, right, Seq("k"), "ord", maxGap = 10L)
+      .select("tag", "r_ord").as[(String, Option[Long])]
+      .collect().toMap
+    assert(got("hit").contains(15L), got.toString)
+    assert(got("tie").isEmpty, "simultaneous right row must not match (strict)")
+    assert(got("stale").isEmpty, "match beyond maxGap must null out")
+    assert(got("nokey").isEmpty)
+    assert(got("nullord").contains(3L))
+    assert(got("nullleft").isEmpty,
+      "null-ord left row must match nothing in forward mode")
+  }
+
+  test("forward matches the naive join+argmin formulation on fixture events") {
+    val ev = graft.Tables.load(spark, sf0001, "events")
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), col("event_id"),
+        unix_micros(col("ts")).as("ord"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("ord"))
+    val ours = AsOfJoin.asofForward(l, r, Seq("k"), "ord")
+      .select(col("event_id"), col("r_ord"))
+    val naive = l.join(r.toDF("k", "p_ord"), Seq("k"))
+      .where(col("p_ord") > col("ord"))
+      .groupBy("event_id").agg(min("p_ord").as("r_ord"))
+    val joined = ours.join(naive.withColumnRenamed("r_ord", "naive_ord"),
+      Seq("event_id"), "left")
+    assert(joined.where(
+      (col("r_ord").isNotNull || col("naive_ord").isNotNull) &&
+        !(col("r_ord") <=> col("naive_ord"))).isEmpty,
+      "forward as-of disagrees with the naive argmin join")
+  }
+
   test("interpolate plans one shuffle: a single window sort, no join") {
     val right = Seq((1L, 10L, 1.0)).toDF("k", "ord", "value")
     val left = Seq((1L, 15L, "x")).toDF("k", "ord", "lv")
