@@ -644,6 +644,71 @@ object ParityQueries {
       (s, dir) => graft.operators.TableProfile.profile(
         t(s, dir, "embeddings")),
       Some(graft.operators.TableProfile.oracleSql(
-        "embeddings", graft.operators.TableProfile.embeddingsKinds)))
+        "embeddings", graft.operators.TableProfile.embeddingsKinds))),
+
+    Q(
+      "q44_fk_audit",
+      // referential-integrity audit — the check a user runs after a
+      // sync / delta repair touched only SOME tables (an interrupted
+      // truncate-load or a one-table repair leaves dangling children):
+      // per child→parent relation, child rows whose FK has no parent.
+      // Each relation is one ids-only left join against the DISTINCT
+      // parent keys (AQE broadcasts the small parent sides) and one
+      // algebraic rollup. A sentinel orphan (fk = -999) is planted
+      // in-query per relation so the detector's positive path is
+      // value-verified, not just its all-green path.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        def audit(name: String, child: org.apache.spark.sql.DataFrame,
+            fk: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String) =
+          child.select(col(fk).cast("long").as("fk"))
+            .unionByName(s.range(1).select(lit(-999L).as("fk")))
+            .join(parent.select(col(pk).cast("long").as("fk")).distinct()
+              .withColumn("hit", lit(1L)), Seq("fk"), "left")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(col("hit").isNull, 1L).otherwise(0L))
+                .cast("bigint").as("n_orphans"))
+            .select(lit(name).as("relation"), col("n_child"),
+              col("n_orphans"),
+              floor((col("n_orphans") * lit(1000L)).cast("double") /
+                col("n_child").cast("double")).cast("long")
+                .as("orphan_milli"))
+        Seq(
+          audit("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"),
+          audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"),
+          audit("customer->nation", t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey"),
+          audit("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+            t(s, dir, "nation"), "n_nationkey"))
+          .reduce(_ unionByName _)
+      },
+      Some {
+        def rel(name: String, child: String, fk: String,
+            parent: String, pk: String) =
+          s"""SELECT '$name' AS relation,
+             |  count(*)::BIGINT AS n_child,
+             |  CAST(sum(CASE WHEN p.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphans,
+             |  CAST(floor(CAST(sum(CASE WHEN p.fk IS NULL THEN 1 ELSE 0 END)
+             |                  * 1000 AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE)) AS BIGINT)
+             |    AS orphan_milli
+             |FROM (SELECT CAST($fk AS BIGINT) AS fk FROM $child
+             |      UNION ALL SELECT -999) c
+             |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS fk
+             |           FROM $parent) p ON c.fk = p.fk""".stripMargin
+        Seq(
+          rel("lineitem->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          rel("orders->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          rel("customer->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          rel("supplier->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey")).mkString("\nUNION ALL\n")
+      })
   )
 }
