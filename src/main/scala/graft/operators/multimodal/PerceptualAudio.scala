@@ -195,9 +195,23 @@ object PerceptualAudio {
     out
   }
 
-  private def sampSql(t: String): String =
-    s"(CASE WHEN doc_id % 2 = 1 THEN (((doc_id // 2) * 37 + ($t) * ($t) * 13) % 20001) * 9 // 10 " +
-      s"ELSE ((doc_id // 2) * 37 + ($t) * ($t) * 13) % 20001 END)"
+  private[multimodal] def sampSqlAt(idRef: String, t: String): String =
+    s"(CASE WHEN $idRef % 2 = 1 THEN ((($idRef // 2) * 37 + ($t) * ($t) * 13) % 20001) * 9 // 10 " +
+      s"ELSE (($idRef // 2) * 37 + ($t) * ($t) * 13) % 20001 END)"
+
+  private def sampSql(t: String): String = sampSqlAt("doc_id", t)
+
+  /** The 64-bit planted contour hash as a bare SQL expression over an
+    * arbitrary integer id expression — the [[ahCte]] fold lifted out
+    * of its documents-bound CTE so derived id spaces (qm14's stream
+    * segments) hash identically. */
+  private[multimodal] def ahExprSql(idRef: String): String =
+    s"""CAST(list_sum(list_transform(range(0, ${Windows - 1}), i ->
+       |  CASE WHEN (${sampSqlAt(idRef, "2 * i")} + ${sampSqlAt(idRef, "2 * i + 1")})
+       |           > (${sampSqlAt(idRef, "2 * (i + 1)")} + ${sampSqlAt(idRef, "2 * (i + 1) + 1")})
+       |       THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |                  ELSE (1::BIGINT << CAST(i AS INT)) END)
+       |       ELSE 0 END)) AS BIGINT)""".stripMargin
 
   /** DuckDB rendition of qm06: re-derives the planted samples, folds
     * the 65-window envelope (2 samples each — counts equal, so the
@@ -206,19 +220,9 @@ object PerceptualAudio {
     * [[PerceptualHash.oracleSql]]) and joins within the doc_id/2
     * pair-group. */
   private def ahCte: String =
-    s"""env AS (
-       |  SELECT doc_id,
-       |    list_transform(range(0, $Windows), j ->
-       |      ${sampSql("2 * j")} + ${sampSql("2 * j + 1")}) AS e
-       |  FROM documents),
-       |ah AS (
-       |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, ${Windows - 1}), i ->
-       |      CASE WHEN e[CAST(i + 1 AS INT)] > e[CAST(i + 2 AS INT)]
-       |           THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
-       |                      ELSE (1::BIGINT << CAST(i AS INT)) END)
-       |           ELSE 0 END)) AS BIGINT) AS dh
-       |  FROM env)""".stripMargin
+    s"""ah AS (
+       |  SELECT doc_id, ${ahExprSql("doc_id")} AS dh
+       |  FROM documents)""".stripMargin
 
   def oracleSql(maxHamming: Int): String =
     s"""WITH $ahCte

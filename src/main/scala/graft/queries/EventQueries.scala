@@ -335,6 +335,39 @@ object EventQueries {
       },
       Some(graft.operators.multimodal.ImageInVideo.oracleSql(3, 3))),
     Q(
+      "qm14_audio_in_stream",
+      // cross-modal containment, audio leg (qm13's machinery over the
+      // gain-invariant loudness-contour hash): indexed clips found
+      // inside stream segments through the real WAV PCM16 decode;
+      // banded Hamming cross-table join, pigeonhole-exact for
+      // maxHamming < bands, oracled by the brute-force cross join.
+      // Fixture: streams = docs with id % 4 = 0, segment f carries the
+      // planted clip (2*stream_id + f).
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast("long"))
+        val clips = graft.operators.Parallelism.ensureMin(ids).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, "audio/wav", PerceptualAudio.plantedWav(id))))
+          .toDF("id", "media_type", "content")
+        val segments = graft.operators.Parallelism.ensureMin(
+          ids.filter(col("doc_id") % 4 === 0)).as[Long]
+          .mapPartitions(_.flatMap(v => (0 until 3).iterator.map(f =>
+            (v, f, PerceptualAudio.plantedWav(v * 2 + f)))))
+          .toDF("stream_id", "seg_idx", "content")
+        // the planted contour space is LOW-ENTROPY by construction (the
+        // per-group 37·g offset cancels in every gradient comparison;
+        // only mod-20001 wraps differentiate groups), so fixture band
+        // buckets legitimately exceed the production maxBlock default
+        // at sf0.1 without being floods — raise the cap so the capless
+        // brute-force oracle stays the recall proof (qm08's contract)
+        graft.operators.multimodal.AudioInStream.hits(
+          clips, segments, maxHamming = 3, maxBlock = 20000)
+      },
+      Some(graft.operators.multimodal.AudioInStream.oracleSql(3, 3))),
+    Q(
       "qm09_video_copy_pairs",
       // content-based video partial-copy detection: videos sharing
       // >= 2 distinct frame fingerprints (the qm03 frame stream) are

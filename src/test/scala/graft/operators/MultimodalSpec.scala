@@ -365,6 +365,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 10L && r._2 == 100L && r._4 == 0))
   }
 
+  test("audio-in-stream equals a driver-side brute-force Hamming cross join") {
+    import spark.implicits._
+    import graft.operators.multimodal.{AudioInStream, PerceptualAudio}
+    val clipIds = Seq(10L, 11L, 500L, 999L)
+    val segSrc = Seq((100L, 0, 10L), (100L, 1, 500L), (101L, 0, 11L))
+    val clips = clipIds.map(i => (i, "audio/wav", PerceptualAudio.plantedWav(i)))
+      .toDF("id", "media_type", "content")
+    val segments = segSrc.map { case (sid, f, src) =>
+      (sid, f, PerceptualAudio.plantedWav(src))
+    }.toDF("stream_id", "seg_idx", "content")
+    val got = AudioInStream.hits(clips, segments, maxHamming = 3)
+      .select("clip_id", "stream_id", "n_segments", "best_hamming")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val ch = clipIds.map(i =>
+      i -> PerceptualAudio.audioHash64(PerceptualAudio.plantedWav(i)).get)
+    val sh = segSrc.map { case (sid, f, src) =>
+      (sid, f, PerceptualAudio.audioHash64(PerceptualAudio.plantedWav(src)).get)
+    }
+    val expected = (for {
+      (c, cdh) <- ch
+      (sid, _, sdh) <- sh
+      h = java.lang.Long.bitCount(cdh ^ sdh)
+      if h <= 3
+    } yield (c, sid, h))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((c, sid), ms) => (c, sid, ms.size.toLong, ms.map(_._3).min) }
+      .toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.exists(r => r._1 == 10L && r._2 == 100L && r._4 == 0))
+  }
+
   test("frame sampling covers payloads with the requested stride") {
     val frames = Multimodal.frameSampleStub(media, frameBytes = 64, stride = 2)
     val byDoc = frames.groupByKey(_.id).count().collect().toMap
