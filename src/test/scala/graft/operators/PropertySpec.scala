@@ -113,6 +113,52 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("interval overlapJoin equals the naive inequality join on random intervals") {
+    // intervals never longer than the bucket width (the operator's
+    // documented precondition); negative starts included
+    val w = 10L
+    val genSide = Gen.listOfN(12, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(-30L, 30L), Gen.choose(0L, w)))
+    holds(Prop.forAll(genSide, genSide) { (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, s, len), i) =>
+        (k, i.toLong, s, s + len) }
+      val r = rs.zipWithIndex.map { case ((k, s, len), i) =>
+        (k, (100 + i).toLong, s, s + len) }
+      val got = IntervalJoin.overlapJoin(
+          l.toDF("k", "lid", "ls", "le"), r.toDF("k", "rid", "rs", "re"),
+          Seq("k"), "ls", "le", "rs", "re", bucketWidth = w)
+        .select("lid", "r_rid", "overlap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = (for {
+        (lk, lid, s1, e1) <- l
+        (rk, rid, s2, e2) <- r
+        if lk == rk && s1 < e2 && s2 < e1
+      } yield (lid, rid, math.min(e1, e2) - math.max(s1, s2))).toSet
+      got == expect
+    })
+  }
+
+  test("asofForward matches a naive argmin join on random series") {
+    val genRows = Gen.listOfN(14,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    holds(Prop.forAll(genRows, genRows) { (ls, rs) =>
+      val l = ls.distinct
+      val r = rs.distinct
+      val got = AsOfJoin.asofForward(
+          l.map { case (k, o) => (k, o, s"l$k-$o") }.toDF("k", "ord", "lv"),
+          r.map { case (k, o) => (k, o) }.toDF("k", "ord"),
+          Seq("k"), "ord")
+        .select("k", "ord", "r_ord")
+        .as[(Long, Long, Option[Long])].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      l.forall { case (k, o) =>
+        val after = r.filter(c => c._1 == k && c._2 > o)
+        val expect = if (after.isEmpty) None else Some(after.map(_._2).min)
+        got((k, o)) == expect
+      }
+    })
+  }
+
   test("asofInterpolate matches naive per-key bracketing on random series") {
     val genL = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
     val genR = Gen.listOfN(12, Gen.zip(
