@@ -54,6 +54,11 @@ object DedupQueries {
                 GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""")),
     Q(
       "qd03_minhash_pairs",
+      // PRODUCTION FNV+splitmix64 family, now fully value-oracled:
+      // MinHashOracle re-derives the hash family once per DISTINCT
+      // shingle in vectorized HUGEINT arithmetic (2.8 s at sf0.01 /
+      // 7.5 s at sf0.1 — the round-10 "minutes per run" adjudication
+      // was the per-occurrence lambda formulation, now obsolete)
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         MinHashLSH
@@ -62,7 +67,8 @@ object DedupQueries {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             graft.operators.PortableRound.floorTo(col("est_jaccard"), 4).as("est_jaccard"))
       },
-      None,
+      Some(MinHashOracle.oraclePairsSql(
+        MinHashLSH.Params(shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3))),
       bench = true),
     Q(
       "qd04_minhash_dedup",
@@ -73,7 +79,8 @@ object DedupQueries {
             MinHashLSH.Params(shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3))
           .select("doc_id")
       },
-      None),
+      Some(MinHashOracle.oracleDedupSql(
+        MinHashLSH.Params(shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3)))),
     Q(
       "qd05_simhash_fingerprints",
       // the PRODUCTION FNV-1a SimHash path, now fully value-oracled:
@@ -171,7 +178,11 @@ object DedupQueries {
       (s, dir) => {
         // corpus-level sketch: element-wise-min merge of per-doc MinHash
         // signatures per source (partial+final aggregation via the typed
-        // Aggregator — the merged sig estimates Jaccard of shingle UNIONS)
+        // Aggregator — the merged sig estimates Jaccard of shingle UNIONS).
+        // Output is the merged signature EXPLODED to scalar rows
+        // (source, i, sig_el) so the production family value-oracles:
+        // element-wise min over doc signatures == min over the source's
+        // (shingle, i) hash values, which MinHashOracle re-derives.
         val docs = Tables.load(s, dir, "documents")
         val sigs = MinHashLSH.signatures(docs, col("text"), col("doc_id"),
           MinHashLSH.Params())
@@ -182,9 +193,9 @@ object DedupQueries {
           .join(sigs, "id")
           .groupBy("source")
           .agg(merge(col("sig")).as("group_sig"))
-          .select(col("source"), xxhash64(col("group_sig")).as("sig_hash"))
+          .select(col("source"), posexplode(col("group_sig")).as(Seq("i", "sig_el")))
       },
-      None),
+      Some(MinHashOracle.oracleSourceSignatureSql(MinHashLSH.Params()))),
     Q(
       "qd10_minhash_portable_pairs",
       (s, dir) =>
@@ -234,8 +245,10 @@ object DedupQueries {
       "qd18_incremental_pairs",
       // incremental ingest: even doc ids play the signed corpus index,
       // odd ids the daily increment; pairs come from ONE streaming scan
-      // of the index against broadcast increment buckets (production
-      // FNV family — rows-only; the algorithm is value-oracled by qd19)
+      // of the index against broadcast increment buckets. Production
+      // FNV+splitmix64 family, value-oracled via MinHashOracle (hot
+      // buckets on the oracle side come from the corpus half only,
+      // exactly as buildIndex precomputes them).
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val p = MinHashLSH.Params(
@@ -247,7 +260,8 @@ object DedupQueries {
           .select(col("id_new").as("doc_new"), col("id_old").as("doc_old"),
             graft.operators.PortableRound.floorTo(col("est_jaccard"), 4).as("est_jaccard"))
       },
-      None,
+      Some(MinHashOracle.oracleIncrementalSql(MinHashLSH.Params(
+        shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3))),
       bench = true),
     Q(
       "qd19_incremental_portable",
