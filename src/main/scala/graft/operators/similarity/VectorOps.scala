@@ -29,9 +29,17 @@ object VectorOps {
     * and inlined as literals — tiny (nbits × dim doubles), no
     * broadcast needed. Cosine-similar vectors collide with probability
     * 1 - theta/pi per bit (Charikar 2002). */
-  def hyperplaneBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+  /** The seeded Gaussian hyperplanes themselves — driver-side constants
+    * shared by [[hyperplaneBucket]] and the oracle SQL builders
+    * ([[HyperplaneOracle]]), which inline them as round-trip-exact
+    * double literals so the PRODUCTION seeded-LSH paths value-oracle. */
+  def hyperplanes(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nbits, seed)
     (0 until nbits)
       .map { i =>
         val plane = typedLit(planes(i).toSeq)

@@ -418,7 +418,11 @@ object DedupQueries {
           .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
             graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
-      None),
+      // PRODUCTION seeded-hyperplane family, value-oracled since r13:
+      // the planes are driver-side constants, so the oracle builder
+      // regenerates them and inlines exact double literals
+      Some(graft.operators.similarity.HyperplaneOracle
+        .oracleEmbeddingPairsSql(dim = 64, threshold = 0.35, nbits = 4, numTables = 4))),
     Q(
       "qd20_bloom_guard",
       // the scalable exact-dup guard: a bloom over the corpus (even

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.similarity.{IvfIndex, PortableIvf, Quantize, SimilaritySearch}
+import graft.operators.similarity.{HyperplaneOracle, IvfIndex, PortableIvf, Quantize, SimilaritySearch}
 
 /** Similarity-search inventory over `embeddings`. The exact queries
   * (brute force, batch top-k) ARE oracled: both engines fold the dot
@@ -70,7 +70,9 @@ object SimilarityQueries {
             dim = 64, nbits = 4, numTables = 4)
           .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
-      None),
+      // PRODUCTION seeded-hyperplane LSH, value-oracled since r13 via
+      // inlined exact plane literals (see HyperplaneOracle)
+      Some(HyperplaneOracle.oracleAnnTopKSql(dim = 64, k = 10, nbits = 4, numTables = 4))),
     Q(
       "qs04_topk_ivf",
       (s, dir) => {
