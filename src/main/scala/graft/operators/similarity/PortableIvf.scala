@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * (train offline, apply online) — so cell assignment (argmax cosine
   * over the codebook), probe selection, and the in-cell exact top-k are
   * all reproducible in SQL and value-oracled (query qs07). The fitted
-  * variant ([[IvfIndex]], qs04) keeps data-adapted centroids and is
-  * cross-checked against brute force in SimilaritySpec.
+  * variant ([[IvfIndex]], qs04) keeps data-adapted centroids — and is
+  * ALSO value-oracled since round 13 ([[IvfOracle]] replays the fit) —
+  * plus cross-checked against brute force in SimilaritySpec.
   */
 object PortableIvf {
 

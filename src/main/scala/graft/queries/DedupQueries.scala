@@ -6,18 +6,16 @@ import graft.Tables
 import graft.operators.dedup._
 
 /** Deduplication operator inventory over the `documents` /
-  * `embeddings` corpora. Exact variants are DuckDB-oracled, as are the
-  * portable sketch pipelines (qd10-qd14: md5-family MinHash/SimHash,
-  * blocked cosine, merged signatures). The production FNV/seeded-LSH
-  * paths (qd03-qd04, qd08-qd09) keep rows-only checks — their hash
-  * families are faster but not SQL-reproducible at oracle-budget cost
-  * (the FNV SimHash path qd05/qd06 IS now value-oracled via HUGEINT
-  * limb arithmetic; MinHash's 48-member splitmix64 family is also
-  * expressible but runs minutes in DuckDB, past the gate's budget) —
-  * with value-level
-  * assertions in DedupSpec and algorithm-level oracles via their
-  * portable twins — plus qd17, an in-Spark estimate-vs-exact quality
-  * gate on the FNV MinHash path pinned by a constant oracle.
+  * `embeddings` corpora. As of round 13 EVERY query here is fully
+  * value-oracled, production hash families included: the FNV SimHash
+  * path (qd05/qd06) via HUGEINT limb arithmetic since round 10; the
+  * FNV+splitmix64 MinHash family (qd03/qd04/qd09/qd18) via
+  * [[graft.operators.dedup.MinHashOracle]]'s per-DISTINCT-shingle
+  * vectorized re-derivation; the seeded hyperplane LSH (qd08) via
+  * [[graft.operators.similarity.HyperplaneOracle]]'s inlined exact
+  * plane literals. The md5-family portable twins (qd10-qd15, qd19)
+  * remain as the simpler cross-engine pipelines they always were, and
+  * qd17 keeps the in-Spark estimate-vs-exact quality gate.
   */
 object DedupQueries {
 

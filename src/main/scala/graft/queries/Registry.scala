@@ -4,15 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One verifiable query: a Spark implementation plus (when the semantics
   * are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
-  * tables. Queries without an oracle get the driver's weaker rows-only
-  * check — reserved for ops whose hash family or seeds SQL can't
-  * reproduce within the oracle budget (FNV MinHash, seeded hyperplane
-  * LSH, k-means IVF; the FNV SimHash and rolling-polynomial paths ARE
-  * value-oracled via HUGEINT wraparound arithmetic as of round 10).
-  * Each of those has a PORTABLE twin (qd10-qd15) running the same
-  * pipeline on md5-based primitives both engines compute bit-identically,
-  * so every algorithm is value-verified even where the production
-  * variant is not.
+  * tables. As of round 13 every registry entry carries a full value
+  * oracle — the last rows-only holdouts graduated: FNV+splitmix64
+  * MinHash via per-DISTINCT-shingle HUGEINT re-derivation
+  * (MinHashOracle), seeded hyperplane LSH via inlined exact plane
+  * literals (HyperplaneOracle), and fitted IVF via Lloyd-in-SQL over
+  * an md5-ranked sample (IvfOracle). The md5-family portable twins
+  * (qd10-qd15) predate those and remain as simpler cross-checks.
   *
   * Determinism rules every entry follows (the driver hash-compares
   * values after sorting columns by name):

@@ -10,9 +10,12 @@ import graft.operators.similarity.{HyperplaneOracle, IvfIndex, PortableIvf, Quan
   * product sequentially in double (Spark `aggregate`/`zip_with`,
   * DuckDB `list_reduce`), so cosines are bit-identical and the ranked
   * top-k sets agree, with ids as deterministic tie-breaks. The
-  * LSH/IVF variants depend on seeded driver-side randomness SQL can't
-  * reproduce — rows-only there; SimilaritySpec cross-checks them
-  * against the exact brute force.
+  * LSH/IVF variants are value-oracled too as of round 13: their seeded
+  * driver-side constants (hyperplanes) are inlined into the oracle SQL
+  * as exact double literals, and the IVF fit's sample/init run on md5
+  * rank so the Lloyd iterations replay in SQL (HyperplaneOracle,
+  * IvfOracle); SimilaritySpec additionally cross-checks recall against
+  * the exact brute force.
   */
 object SimilarityQueries {
 
@@ -77,12 +80,16 @@ object SimilarityQueries {
       "qs04_topk_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+        val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
         index
           .topK(emb, col("embedding"), col("vec_id"), probe(s, dir), 10, nprobe = 3)
           .select(col("id").as("vec_id"), graft.operators.PortableRound.floorTo(col("cosine"), 4).as("cosine"))
       },
-      None),
+      // FITTED IVF, value-oracled since r13: fit's sample + init moved
+      // to md5 rank, so IvfOracle re-derives the whole pipeline in SQL
+      // — Lloyd iterations, corpus assignment, probe cells, top-k
+      Some(graft.operators.similarity.IvfOracle
+        .oracleTopKSql(numCells = 8, k = 10, nprobe = 3))),
     Q(
       "qs06_topk_ann_portable",
       (s, dir) => {
@@ -104,8 +111,9 @@ object SimilarityQueries {
     Q(
       "qs08_ann_recall",
       (s, dir) => {
-        // Driver-verifiable quality gate for the two seeded-randomness ANN
-        // paths (qs03 LSH, qs04 IVF) that SQL can't reproduce: compute the
+        // Driver-verifiable QUALITY gate for the two approximate ANN
+        // paths (qs03 LSH, qs04 IVF) — value-oracled for correctness
+        // since r13, but correctness says nothing about recall: compute the
         // quality measures INSIDE Spark against the exact brute force and
         // emit frozen-threshold booleans the constant oracle pins down.
         //   self_found   — the probe's own vector must be retrieved (a
@@ -142,7 +150,7 @@ object SimilarityQueries {
         val ann = SimilaritySearch
           .annTopK(emb, col("embedding"), col("vec_id"), p, 10,
             dim = 64, nbits = 4, numTables = 4)
-        val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+        val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
         val ivf = index
           .topK(emb, col("embedding"), col("vec_id"), p, 10, nprobe = 3)
         eval("ann", ann).unionAll(eval("ivf", ivf))
@@ -398,7 +406,7 @@ object SimilarityQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val p = probe(s, dir)
-        val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+        val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
         val bf = SimilaritySearch
           .bruteForceTopK(emb, col("embedding"), col("vec_id"), p, 10)
         def missed(nprobe: Int) = bf.join(

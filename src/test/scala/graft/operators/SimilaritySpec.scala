@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivf top-10 recalls most of the exact top-10 with 3/8 cells probed") {
-    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
     val got = index
       .topK(emb, col("embedding"), col("vec_id"), probe, 10, nprobe = 3)
       .select("id").as[Long].collect().toSet
@@ -58,11 +58,11 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivf fit is invariant under input partition count and row order") {
-    val base = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val base = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
     // same rows, different physical layout: re-sharded and re-ordered —
     // a limit()-based sample would see different "first" rows here
     val shuffled = emb.repartition(7, col("vec_id")).sortWithinPartitions(col("vec_id").desc)
-    val again = IvfIndex.fit(shuffled, col("embedding"), numCells = 8)
+    val again = IvfIndex.fit(shuffled, col("embedding"), col("vec_id"), numCells = 8)
     assert(base.centroids.length == again.centroids.length)
     base.centroids.zip(again.centroids).foreach { case (a, b) =>
       assert(a.sameElements(b), "centroids changed under partition reordering")
@@ -70,7 +70,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivf cell assignment partitions the corpus completely") {
-    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
     val cells = emb.select(index.cell(col("embedding")).as("c"))
     assert(cells.filter(col("c").isNull).count() == 0)
     assert(cells.count() == emb.count())
@@ -78,7 +78,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("written IVF index: probes prune at the partition level, same results") {
-    val index = IvfIndex.fit(emb, col("embedding"), numCells = 8)
+    val index = IvfIndex.fit(emb, col("embedding"), col("vec_id"), numCells = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     index.writeIndex(emb, col("embedding"), col("vec_id"), dir)
     val indexed = index.topKIndexed(spark, dir, probe, 10, nprobe = 3)
