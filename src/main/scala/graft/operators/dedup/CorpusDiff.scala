@@ -23,12 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** Digest dispatch on the content column's type: BinaryType is
+    * hashed over the RAW bytes (a string round-trip is not a faithful
+    * identity for arbitrary payloads — invalid-UTF8 bytes can collapse,
+    * and char counts misstate sizes; `MediaIngest` set this precedent)
+    * and sized in bytes; everything else keeps the string digest, whose
+    * oracle parity qd31 pins. */
   private def digests(
-      df: DataFrame, id: Column, content: Column, side: String): DataFrame =
+      df: DataFrame, id: Column, content: Column, side: String): DataFrame = {
+    val isBinary = df.select(content).schema.head.dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val (dig, len) =
+      if (isBinary) (md5(content), length(content).cast("long"))
+      else (md5(content.cast("string")), length(content.cast("string")).cast("long"))
     graft.operators.Parallelism.ensureMin(df).select(
       id.as(s"${side}_id"),
-      md5(content.cast("string")).as(s"${side}_digest"),
-      length(content.cast("string")).cast("long").as(s"${side}_len"))
+      dig.as(s"${side}_digest"),
+      len.as(s"${side}_len"))
+  }
 
   /** Per-id status: (id, status) for added/removed/changed ids plus
     * the unchanged ids — callers filtering to the non-unchanged

@@ -444,6 +444,42 @@ class MainSpec extends SparkSpec {
       "--config", cfg), spark) == 2)
   }
 
+  test("diff verb: BinaryType content digests raw bytes (invalid UTF-8 safe)") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_cli_diff_bin").toString
+    val idx = Files.createTempDirectory("graft_cli_diffb").toString + "/diff"
+    import spark.implicits._
+    // payloads carry invalid-UTF8 bytes (0xFF lead, lone 0xC3); v2
+    // changes doc 2's bytes INSIDE the invalid region and leaves doc 1
+    // alone — a string-collapsing digest could report both unchanged
+    val v1 = Seq(
+      (1L, Array[Byte](0x61, 0xC3.toByte, 0xA9.toByte)),        // "aé" – 3 bytes, 2 chars
+      (2L, Array[Byte](0xFF.toByte, 0xC3.toByte, 0x01))).toDF("doc_id", "payload")
+    val v2 = Seq(
+      (1L, Array[Byte](0x61, 0xC3.toByte, 0xA9.toByte)),
+      (2L, Array[Byte](0xFF.toByte, 0xC2.toByte, 0x01))).toDF("doc_id", "payload")
+    v1.write.parquet(s"$src/b1.parquet")
+    v2.write.parquet(s"$src/b2.parquet")
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$src
+         |dest:
+         |  url: parquet:$src
+         |""".stripMargin)
+    assert(Main.run(Array("diff", "build", "--table", "b1", "--index", idx,
+      "--id", "doc_id", "--text", "payload", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("diff", "against", "--table", "b2", "--index", idx,
+      "--id", "doc_id", "--text", "payload", "--config", cfg), spark) == 0)
+    val sum = graft.operators.dedup.CorpusDiff.diffAgainstManifest(
+        spark.read.parquet(s"$src/b2.parquet"),
+        col("doc_id"), col("payload"), idx)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(sum("changed") == ((1L, 3L)), s"byte-level change missed: $sum")
+    // n_chars for binary content counts BYTES (3 for "aé"), not chars
+    assert(sum("unchanged") == ((1L, 3L)), s"byte sizing wrong: $sum")
+    assert(!sum.contains("added") && !sum.contains("removed"))
+  }
+
   test("profile verb: exact, sketch, and skew faces") {
     val src = Files.createTempDirectory("graft_cli_profile").toString
     spark.read.parquet(s"$sf0001/events.parquet")
