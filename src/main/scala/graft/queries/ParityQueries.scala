@@ -624,11 +624,11 @@ object ParityQueries {
       // the pre-migration diagnostic next to compare/checksum: every
       // lineitem column profiled (nulls, exact distinct, typed
       // min/max, string lengths) as narrow metric rows in ONE
-      // aggregation pass; the multi-distinct Expand is the documented
-      // exact-tier ceiling — TableProfile.distinctSketch is the
-      // no-expand 100 TB path (spec-bounded vs exact)
+      // aggregation pass; the exact tier is PINNED here for the
+      // oracle — the bare profile(df) auto-routes to the HLL sketch
+      // tier when plan stats exceed spark.graft.profile.sketchBytes
       (s, dir) => graft.operators.TableProfile.profile(
-        t(s, dir, "lineitem")),
+        t(s, dir, "lineitem"), useSketch = false),
       Some(graft.operators.TableProfile.oracleSql(
         "lineitem", graft.operators.TableProfile.lineitemKinds)),
       bench = true),
@@ -642,7 +642,7 @@ object ParityQueries {
       // VALUE (both engines compare lists natively; the Spark side's
       // string key is injective per engine, so counts agree)
       (s, dir) => graft.operators.TableProfile.profile(
-        t(s, dir, "embeddings")),
+        t(s, dir, "embeddings"), useSketch = false),
       Some(graft.operators.TableProfile.oracleSql(
         "embeddings", graft.operators.TableProfile.embeddingsKinds))),
 

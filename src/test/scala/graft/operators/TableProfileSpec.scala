@@ -68,6 +68,45 @@ class TableProfileSpec extends SparkSpec {
     }
   }
 
+  test("auto-tier: stats-large input routes distinct through the sketch") {
+    val df = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val key = "spark.graft.profile.sketchBytes"
+    spark.conf.set(key, "1") // every real input is "large" under 1 byte
+    try {
+      assert(TableProfile.sketchByStats(df), "stats should exceed 1 byte")
+      val prof = TableProfile.profile(df)
+      // the estimate tier is named distinct_est — never mistakable for
+      // an exact count — and the exact tier is absent
+      val metrics = prof.select("metric").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(metrics.contains("distinct_est") && !metrics.contains("distinct"))
+      // no Expand (the multi-count-DISTINCT rewrite) and no exact
+      // dedup: the only aggregations are the metrics pass and the
+      // register fold — a full-column distinct shuffle would show as
+      // a HashAggregate pair keyed on the value column
+      val plan = prof.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("expand"), "sketch tier must not Expand")
+      // exactDistinct's dedup shuffle aggregates on the (column-index,
+      // value) key pair — its plan signature is a HashAggregate keyed
+      // on `ci`; the sketch tier only ever groups on col_name/registers
+      assert(!plan.contains("keys=[ci"),
+        s"sketch tier must not run the exact value dedup:\n$plan")
+      // estimates still track reality (same bound as the sketch spec)
+      val est = prof.where(col("metric") === "distinct_est")
+        .select("col_name", "value").as[(String, Long)].collect().toMap
+      Seq("l_orderkey", "l_returnflag", "l_quantity").foreach { c =>
+        val exact = df.select(countDistinct(col(c))).head().getLong(0).toDouble
+        val rel = math.abs(est(c) - exact) / math.max(exact, 1.0)
+        assert(rel < 0.15, s"$c est ${est(c)} vs exact $exact")
+      }
+    } finally spark.conf.unset(key)
+    // back at the 4 GiB default, the same input profiles exactly
+    assert(!TableProfile.sketchByStats(df))
+    val exactMetrics = TableProfile.profile(df).select("metric").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(exactMetrics.contains("distinct") && !exactMetrics.contains("distinct_est"))
+  }
+
   test("distinctSketch ignores nulls like count(DISTINCT)") {
     val est = TableProfile.distinctSketch(fixture, Seq("score", "tag"))
       .select("col_name", "est").as[(String, Double)].collect().toMap
