@@ -825,15 +825,48 @@ object Main {
         // free-text corpus search, no model and no pre-built index:
         //   search --query "..." [--mode bm25|hashed|hybrid]
         //          [--table documents] [--k 10]
+        //   search --probe-file f [--table t] [--k 10]
         // bm25 = exact-term lexical ranking; hashed = cosine over
         // feature-hashed embeddings (catches co-occurrence the exact
         // terms miss); hybrid (default) = integer RRF fusion of both.
+        // --probe-file runs a BATCH of hybrid queries (one per line)
+        // through one corpus pass per leg with per-query windows.
         import org.apache.spark.sql.functions.{col, substring => ssub}
-        opt("--query") match {
-          case None =>
-            println("usage: graft search --query \"...\" [--mode bm25|hashed|hybrid] --table t --config cfg.yml")
+        (opt("--query"), opt("--probe-file")) match {
+          case (None, Some(f)) =>
+            val lines = scala.io.Source.fromFile(f)
+            val queries =
+              try lines.getLines().map(_.trim).filter(_.nonEmpty)
+                .zipWithIndex.map { case (q, i) => (i.toLong, q) }.toSeq
+              finally lines.close()
+            if (queries.isEmpty) { println(s"no queries in $f"); 1 }
+            else {
+              val t = opt("--table").getOrElse("documents")
+              val k = opt("--k").map(_.toInt).getOrElse(10)
+              val docs = catalogFor(cfg.src).read(spark, t)
+              val fused = graft.operators.text.HybridRetrieval
+                .textTopKBatch(docs, col("text"), col("doc_id"),
+                  queries, kOut = k)
+                .orderBy(col("query_id"),
+                  col("rrf_scaled").desc, col("id"))
+                .collect()
+              val byQ = queries.toMap
+              println(table(
+                Seq(Seq("Query", "Doc", "RRF", "LexRank", "DenseRank")) ++
+                  fused.map(r => Seq(
+                    byQ(r.getAs[Long]("query_id")).take(30),
+                    r.getAs[Long]("id").toString,
+                    r.getAs[Long]("rrf_scaled").toString,
+                    Option(r.getAs[java.lang.Long]("lex_rank")).fold("-")(_.toString),
+                    Option(r.getAs[java.lang.Long]("dense_rank")).fold("-")(_.toString)))))
+              println(f"Search finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
+                s"${fused.length} hits for ${queries.length} queries (hybrid batch)")
+              0
+            }
+          case (None, None) =>
+            println("usage: graft search <--query \"...\" [--mode bm25|hashed|hybrid] | --probe-file f> --table t --config cfg.yml")
             2
-          case Some(q) =>
+          case (Some(q), _) =>
             val t = opt("--table").getOrElse("documents")
             val k = opt("--k").map(_.toInt).getOrElse(10)
             val mode = opt("--mode").getOrElse("hybrid")

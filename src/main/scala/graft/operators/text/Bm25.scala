@@ -73,6 +73,68 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Top-k per query for a BATCH of queries in ONE corpus pass — the
+    * qs27/qe16 batch discipline applied to lexical retrieval: the
+    * corpus tokenizes once, the union of all query terms joins the hit
+    * stream as one broadcast (so rows leaving the map stage are still
+    * per-(doc, hit)), per-term df and the corpus stats are computed
+    * once and shared across queries, and the only per-query work is
+    * the grouped ranking window (partitionBy query_id — never a global
+    * sort). Scoring is the identical IEEE chain as [[topK]], so each
+    * query's batch rows equal its solo rows value-for-value (pinned in
+    * Bm25Spec). Returns (query_id, id, score, lex_rank ≤ k). */
+  def topKBatch(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      queries: Seq[(Long, Seq[String])],
+      k: Int = 15,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k >= 1,
+      "empty query batch or bad k")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val docs = graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), TextOps.tokens(text).as("toks"))
+      .select(col("id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+    val stats = docs.agg(
+      (sum("dl") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val hits = docs
+      .select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+    // df(term) is query-independent: distinct docs per term over the
+    // hit stream (duplicate (qid, term) hits cannot inflate it)
+    val dfq = hits.select("term", "id").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
+    val tf = hits.groupBy("query_id", "id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+    val contrib = tf
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    contrib
+      .groupBy("query_id", "id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("raw"))
+      .select(col("query_id"), col("id"),
+        graft.operators.PortableRound.floorTo(col("raw"), 4).as("score"))
+      .withColumn("lex_rank", row_number().over(w).cast("long"))
+      .filter(col("lex_rank") <= k)
+  }
+
   /** DuckDB rendition: identical tokenization, identical IEEE operation
     * chain (constants interpolated via shortest-round-trip repr, so
     * both engines parse the same doubles), identical ordered fold and

@@ -108,6 +108,47 @@ object HashedEmbedding {
     rankAgainst(comp, probe, k, excludeId = None)
   }
 
+  /** [[queryTopK]] for a BATCH of query strings in ONE corpus pass:
+    * corpus components and norms are computed once, every query's
+    * sparse probe broadcasts as one (query_id, j, pv) table into a
+    * single hit join, and ranking is a per-query grouped window
+    * (partitionBy query_id — the qs27/qe16 batch discipline). Scoring
+    * is bit-identical to the solo path. Returns
+    * (query_id, id, dot, cos, dense_rank ≤ k). */
+  def queryTopKBatch(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      queries: Seq[(Long, String)],
+      dim: Int = 64,
+      k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val comp = components(df, text, id, dim)
+    val probes = components(
+        queries.toDF("qid", "qtext"), col("qtext"), col("qid"), dim)
+      .select(col("id").as("query_id"), col("j"), col("v").as("pv"))
+    val norms = comp.groupBy("id").agg(sum(col("v") * col("v")).as("nn"))
+    val pnorms = probes.groupBy("query_id")
+      .agg(sum(col("pv") * col("pv")).as("pn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    comp
+      .join(broadcast(probes), Seq("j"))
+      .groupBy("query_id", "id").agg(sum(col("v") * col("pv")).as("dot"))
+      .join(norms, Seq("id"))
+      .join(broadcast(pnorms), Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        col("dot").cast("bigint").as("dot"),
+        PortableRound.floorTo(
+          col("dot").cast("double") /
+            sqrt(col("nn").cast("double") * col("pn").cast("double")),
+          4).as("cos"))
+      .withColumn("dense_rank", row_number().over(w).cast("long"))
+      .filter(col("dense_rank") <= k)
+  }
+
   private def rankAgainst(
       comp: DataFrame,
       probe: DataFrame,

@@ -17,6 +17,15 @@ import graft.operators.similarity.{HyperplaneOracle, IvfIndex, PortableIvf, Quan
   * IvfOracle); SimilaritySpec additionally cross-checks recall against
   * the exact brute force.
   */
+/** The qs39 probe batch — shared between the registry query, its
+  * oracle, and the CLI `search --probe-file` MainSpec fixture. */
+object HybridBatchFixture {
+  val queries: Seq[(Long, String)] = Seq(
+    0L -> "spark window shuffle partition",
+    1L -> "vector index search",
+    2L -> "data quality filter")
+}
+
 object SimilarityQueries {
 
   /** DuckDB sequential double dot product over the 64-dim embeddings —
@@ -639,6 +648,23 @@ object SimilarityQueries {
           query = "spark window shuffle partition", dim = 64, k = 10),
       Some(graft.operators.text.HashedEmbedding.oracleQueryTopKSql(
         "spark window shuffle partition", 64, 10))),
+    Q(
+      "qs39_hybrid_batch",
+      // batch hybrid search (round-12 advice #4): THREE free-text
+      // queries through both retrieval legs in one corpus pass each —
+      // BM25 hits join one broadcast union-of-terms table, the hashed
+      // dense leg broadcasts one (query_id, j, pv) probe table — and
+      // every ranking/fusion window is grouped PARTITION BY query_id
+      // (the qs27/qe16 batch discipline; PlanShapeSpec pins it), so
+      // the single-probe path's single-task windows never reappear at
+      // batch scale. Integer RRF per (query, doc); ≤ kOut per query.
+      (s, dir) =>
+        graft.operators.text.HybridRetrieval.textTopKBatch(
+          Tables.load(s, dir, "documents"), col("text"), col("doc_id"),
+          queries = HybridBatchFixture.queries,
+          kPerList = 20, kOut = 10),
+      Some(graft.operators.text.HybridRetrieval.oracleBatchSql(
+        HybridBatchFixture.queries, kPerList = 20, kOut = 10))),
     Q(
       "qs33_centroid_drift",
       // embedding-space drift monitor: per-label centroid distance to

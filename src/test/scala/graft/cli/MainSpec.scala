@@ -996,6 +996,30 @@ class MainSpec extends SparkSpec {
     assert(top == 1L)
     // a missing --query is a usage error
     assert(Main.run(Array("search", "--config", cfg), spark) == 2)
+
+    // --probe-file: a BATCH of hybrid queries, one per line; each
+    // planted query ranks its own document first
+    val pf = Files.createTempFile("graft_probes", ".txt")
+    Files.write(pf, java.util.Arrays.asList(
+      "watermark checkpoint stream", "cake sugar oven", ""))
+    assert(Main.run(Array("search", "--probe-file", pf.toString,
+      "--table", "docs", "--k", "3", "--config", cfg), spark) == 0)
+    val batch = graft.operators.text.HybridRetrieval.textTopKBatch(
+        spark.read.parquet(s"$src/docs.parquet"),
+        col("text"), col("doc_id"),
+        Seq(0L -> "watermark checkpoint stream", 1L -> "cake sugar oven"),
+        kOut = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.minBy(r => (-r.getAs[Long]("rrf_scaled"), r.getAs[Long]("id")))
+          .getAs[Long]("id")
+      }
+    assert(batch == Map(0L -> 1L, 1L -> 2L), batch.toString)
+    // an empty probe file is a clean error, not a crash
+    val empty = Files.createTempFile("graft_probes_empty", ".txt")
+    assert(Main.run(Array("search", "--probe-file", empty.toString,
+      "--table", "docs", "--config", cfg), spark) == 1)
   }
 
   test("embed -> ann build -> ann search: text-only corpus through the vector lifecycle") {

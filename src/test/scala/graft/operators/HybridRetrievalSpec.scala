@@ -34,6 +34,27 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(both.nonEmpty, "no document appeared in both lists — fusion untested")
   }
 
+  test("batch hybrid equals the solo path query-for-query") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val queries = graft.queries.HybridBatchFixture.queries
+    val batch = HybridRetrieval.textTopKBatch(
+        docs, col("text"), col("doc_id"), queries,
+        kPerList = 20, kOut = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    queries.foreach { case (qid, q) =>
+      val solo = HybridRetrieval.textTopK(
+          docs, col("text"), col("doc_id"), q, kPerList = 20, kOut = 10)
+        .collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3)))
+        .toSeq
+      val got = batch(qid).toSeq
+        .sortBy(r => (-r.getAs[Long]("rrf_scaled"), r.getAs[Long]("id")))
+        .map(r => (r.get(1), r.get(2), r.get(3), r.get(4)))
+      assert(got == solo, s"query $qid: batch != solo\n$got\n$solo")
+    }
+  }
+
   test("single-list docs still surface when lists are disjoint") {
     val docs = Tables.load(spark, sf0001, "documents")
     val emb = Tables.load(spark, sf0001, "embeddings")

@@ -426,6 +426,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qs39: every batch-hybrid window carries the query key") {
+    // the single-probe hybrid path's windows are deliberately
+    // single-task (kPerList rows); the BATCH path must never inherit
+    // that — every ranking/fusion window partitions by query_id, so a
+    // large probe batch spreads instead of serializing through one task
+    val p = plan("qs39_hybrid_batch")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l =>
+      assert(l.contains("query_id#"),
+        s"batch window not partitioned by query_id: $l"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("qd29/qp27: divergence scans prune to (source, text); pair stage is an equi-join") {
     // qd29's plan carries the corpus scan; qp27's corpus work hides
     // behind the perSrc Barrier (its final plan reads the S-row
