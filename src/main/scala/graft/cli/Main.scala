@@ -171,13 +171,20 @@ object Main {
           deliveryFormat(cfg.dest.url).nonEmpty =>
         refuseDelivery("watermark incremental sync", cfg.dest.url).get
       case "sync" =>
+        // --ledger d makes the full load RESUMABLE: completed tables
+        // are recorded per-commit, a killed run's rerun skips them and
+        // runs only the interrupted rest; --from-scratch overrides
         val catalog = catalogFor(cfg.src)
         val sink = sinkFor(cfg.dest, cfg)
-        val reports = Sync.syncAll(spark, catalog, sink, cfg)
+        val reports = Sync.syncAll(spark, catalog, sink, cfg,
+          ledgerDir = opt("--ledger"),
+          fromScratch = args.contains("--from-scratch"))
         println(table(
           Seq("Object", "Rows", "ElapsedMs", "Result") +:
             reports.map(r => Seq(r.table, r.rows.toString, r.elapsedMs.toString,
-              if (r.ok) "OK" else s"FAILED ${r.error.getOrElse("")}"))))
+              if (r.skipped) "SKIPPED (ledger)"
+              else if (r.ok) "OK"
+              else s"FAILED ${r.error.getOrElse("")}"))))
         println(f"Sync finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"failed ${reports.count(!_.ok)}")
         reports.count(!_.ok)
@@ -1446,7 +1453,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta|--ledger d [--from-scratch]]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

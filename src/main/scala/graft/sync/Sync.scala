@@ -425,7 +425,8 @@ final case class TableReport(
     rows: Long,
     elapsedMs: Long,
     ok: Boolean,
-    error: Option[String] = None)
+    error: Option[String] = None,
+    skipped: Boolean = false)
 
 /** The reference's full-migration pipeline (cmd/root.go:58-208),
   * Spark-shaped: discovery -> per-table [read, normalize, truncate-load]
@@ -570,19 +571,41 @@ object Sync {
     } finally pool.shutdown()
   }
 
+  /** All-tables sync, optionally RESUMABLE through a [[SyncLedger]]:
+    * with `ledgerDir` set, each table that commits is recorded (staged
+    * swap — never half-written), a rerun after a kill skips recorded
+    * tables and runs only the rest, and a fully-green run closes the
+    * ledger so the NEXT sync is a fresh full load. `fromScratch`
+    * discards an in-progress ledger up front. */
   def syncAll(
       spark: SparkSession,
       catalog: Catalog,
       sink: Sink,
-      config: SyncConfig): Seq[TableReport] =
-    parMap(catalog.listTables(config.exclude), config.maxParallel) { t =>
-      config.watermarks.get(t) match {
-        case Some(wmCol) =>
-          syncIncremental(spark, catalog, sink, t, wmCol, config.pageSize.toLong)
-        case None =>
-          syncTable(spark, catalog, sink, t, config.pageSize.toLong)
+      config: SyncConfig,
+      ledgerDir: Option[String] = None,
+      fromScratch: Boolean = false): Seq[TableReport] = {
+    if (fromScratch) ledgerDir.foreach(d => SyncLedger.clear(spark, d))
+    val done = ledgerDir.map(d => SyncLedger.completed(spark, d))
+      .getOrElse(Map.empty[String, Long])
+    val reports = parMap(catalog.listTables(config.exclude), config.maxParallel) { t =>
+      if (done.contains(t))
+        TableReport(t, done(t), 0L, ok = true, skipped = true)
+      else {
+        val r = config.watermarks.get(t) match {
+          case Some(wmCol) =>
+            syncIncremental(spark, catalog, sink, t, wmCol, config.pageSize.toLong)
+          case None =>
+            syncTable(spark, catalog, sink, t, config.pageSize.toLong)
+        }
+        if (r.ok) ledgerDir.foreach(d => SyncLedger.markDone(spark, d, t, r.rows))
+        r
       }
     }
+    // run complete -> close the ledger (next sync = fresh full load);
+    // any failure keeps it, so the NEXT run resumes from here
+    if (reports.forall(_.ok)) ledgerDir.foreach(d => SyncLedger.clear(spark, d))
+    reports
+  }
 }
 
 /** compareDb (cmd/compare.go): per-table source/target row-count

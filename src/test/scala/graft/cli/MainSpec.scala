@@ -37,6 +37,52 @@ class MainSpec extends SparkSpec {
     assert(new java.io.File(s"$out/nation.parquet").exists())
   }
 
+  test("sync --ledger: a killed run's rerun touches only the incomplete table") {
+    val out = Files.createTempDirectory("graft_cli_resume_out").toString
+    val led = Files.createTempDirectory("graft_cli_resume_led").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$sf0001
+         |dest:
+         |  url: parquet:$out
+         |maxParallel: 2
+         |exclude: lineitem orders events documents embeddings part customer supplier
+         |""".stripMargin)
+    // simulate a run killed after `nation` committed: its table is in
+    // the dest and its ledger row is written, `region` never ran
+    val catalog = new graft.catalog.ParquetCatalog(sf0001)
+    val sink = graft.sync.FileSink(out, "parquet")
+    val r1 = graft.sync.Sync.syncTable(spark, catalog, sink, "nation")
+    assert(r1.ok)
+    graft.sync.SyncLedger.markDone(spark, led, "nation", r1.rows)
+    def listing(t: String): Set[String] = {
+      val d = new java.io.File(s"$out/$t.parquet")
+      if (!d.exists()) Set.empty else d.listFiles().map(_.getName).toSet
+    }
+    val nationBefore = listing("nation")
+    assert(nationBefore.nonEmpty)
+    // the resumed run: nation skipped (files untouched), region synced
+    assert(Main.run(Array("sync", "--ledger", led, "--config", cfg), spark) == 0)
+    assert(listing("nation") == nationBefore,
+      "resume rewrote the already-committed table")
+    assert(listing("region").nonEmpty, "resume did not run the missing table")
+    // and the final compare is clean
+    assert(Main.run(Array("compare", "--config", cfg), spark) == 0)
+    // the green run closed the ledger: the NEXT sync is a fresh full
+    // load and rewrites everything
+    assert(graft.sync.SyncLedger.completed(spark, led).isEmpty)
+    assert(Main.run(Array("sync", "--ledger", led, "--config", cfg), spark) == 0)
+    assert(listing("nation") != nationBefore,
+      "fresh run after a completed ledger did not re-copy")
+    // --from-scratch discards an in-progress ledger up front
+    graft.sync.SyncLedger.markDone(spark, led, "nation", r1.rows)
+    val staleNation = listing("nation")
+    assert(Main.run(Array("sync", "--ledger", led, "--from-scratch",
+      "--config", cfg), spark) == 0)
+    assert(listing("nation") != staleNation,
+      "--from-scratch honored the stale ledger")
+  }
+
   test("sync + compare parquet->Derby JDBC via CLI") {
     val url = "jdbc:derby:memory:clidb;create=true"
     val cfg = writeCfg(
