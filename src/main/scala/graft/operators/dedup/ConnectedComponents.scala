@@ -167,6 +167,165 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** INCREMENTAL components — the release-over-release mode (round-12
+    * advice #6: pairs qd18/qd19 and the ANN index qs24 were already
+    * incremental; labels recomputed from scratch). Seeds from a
+    * persisted base labeling and iterates ONLY on components the
+    * increment touches:
+    *
+    *   1. every edge endpoint maps through the base labels (old node →
+    *      its component representative, new node → itself) — correct
+    *      because a base component is already collapsed, and its label
+    *      IS the min id of its old nodes;
+    *   2. components() runs on the REDUCED graph: new ids plus the
+    *      touched component representatives — increment-sized, never
+    *      corpus-sized;
+    *   3. untouched base rows pass through BY CONSTRUCTION (an
+    *      anti-join, no recompute), touched old nodes relabel through
+    *      their representative, new nodes take their reduced label.
+    *
+    * Equivalence to a full recompute on the union graph is
+    * value-oracled (qd37) and property-tested. `newEdges` may carry
+    * new-new, new-old, and late old-old bridge edges alike.
+    *
+    * @param base (nodeId, component) — correct labeling of the old graph
+    * @param newEdges increment edges (two long-compatible columns)
+    * @param newIds one row per increment node id */
+  def appendComponents(
+      base: DataFrame,
+      newEdges: DataFrame,
+      edgeA: String,
+      edgeB: String,
+      newIds: DataFrame,
+      nodeId: String,
+      maxIter: Int = 20)(implicit spark: SparkSession): DataFrame = {
+    val (untouched, updated) =
+      appendParts(base, newEdges, edgeA, edgeB, newIds, nodeId, maxIter)
+    untouched.unionByName(updated)
+  }
+
+  /** (untouched base rows, updated rows = relabeled old + new nodes) —
+    * the split [[appendComponentsStore]] needs to rewrite only the
+    * touched label buckets. */
+  private[dedup] def appendParts(
+      base: DataFrame,
+      newEdges: DataFrame,
+      edgeA: String,
+      edgeB: String,
+      newIds: DataFrame,
+      nodeId: String,
+      maxIter: Int = 20)(implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val baseL = Barrier(base.select(col(nodeId).as("__n"), col("component").as("__c")))
+    val e0 = newEdges.select(col(edgeA).as("a"), col(edgeB).as("b"))
+    // endpoint → base component where the endpoint is an old node
+    val la = baseL.select(col("__n").as("a"), col("__c").as("ca"))
+    val lb = baseL.select(col("__n").as("b"), col("__c").as("cb"))
+    val mapped = Barrier(e0
+      .join(la, Seq("a"), "left")
+      .join(lb, Seq("b"), "left")
+      .select(
+        coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")))
+    // touched old components: reps that appear as mapped endpoints
+    val comps = baseL.select(col("__c")).distinct()
+    val touched = Barrier(mapped.select(col("a").as("__c"))
+      .unionByName(mapped.select(col("b").as("__c")))
+      .distinct()
+      .join(comps, Seq("__c"), "semi"))
+    val rnodes = newIds.select(col(nodeId).as("rn"))
+      .unionByName(touched.select(col("__c").as("rn")))
+      .distinct()
+    val rlabels = Barrier(
+      components(mapped, "a", "b", rnodes, "rn", maxIter)
+        .select(col("rn"), col("component").as("__newc")))
+    val untouched = baseL
+      .join(touched, Seq("__c"), "left_anti")
+      .select(col("__n").as(nodeId), col("__c").as("component"))
+    val relabeledOld = baseL
+      .join(rlabels.withColumnRenamed("rn", "__c"), Seq("__c"))
+      .select(col("__n").as(nodeId), col("__newc").as("component"))
+    val newRows = rlabels
+      .join(newIds.select(col(nodeId).as("rn")), Seq("rn"), "semi")
+      .select(col("rn").as(nodeId), col("__newc").as("component"))
+    (untouched, relabeledOld.unionByName(newRows))
+  }
+
+  // ---- persisted label store (bucket-partitioned, append-in-place) ----
+  //
+  // Labels persist partitioned by comp_bucket = component % nBuckets
+  // (the IVF-cell discipline: a bounded partition count at any corpus
+  // size). An append rewrites ONLY buckets that gain or lose rows —
+  // buckets holding untouched components keep their files byte-for-byte
+  // (spec-pinned), which is what makes nightly increments cheap when
+  // 99% of yesterday's clusters are untouched.
+
+  private def bucketCol(nBuckets: Int) =
+    pmod(col("component"), lit(nBuckets.toLong)).as("comp_bucket")
+
+  def writeComponentsStore(
+      labels: DataFrame, nodeId: String, dir: String, nBuckets: Int = 64): Unit =
+    labels.select(col(nodeId), col("component"), bucketCol(nBuckets))
+      .write.mode("overwrite").partitionBy("comp_bucket").parquet(dir)
+
+  def readComponentsStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Incremental append against the persisted store: computes the
+    * delta via [[appendParts]], then rewrites only the buckets whose
+    * membership changes — the union of buckets holding a TOUCHED old
+    * label (rows leave) and buckets receiving updated labels (rows
+    * arrive). Untouched buckets are never opened for write. */
+  def appendComponentsStore(
+      spark: SparkSession,
+      dir: String,
+      newEdges: DataFrame,
+      edgeA: String,
+      edgeB: String,
+      newIds: DataFrame,
+      nodeId: String,
+      nBuckets: Int = 64): Unit = {
+    implicit val ss: SparkSession = spark
+    val store = readComponentsStore(spark, dir)
+      .select(col(nodeId), col("component"))
+    val (_, updated0) =
+      appendParts(store, newEdges, edgeA, edgeB, newIds, nodeId)
+    val updated = Barrier(updated0)
+    // buckets losing rows: old buckets of nodes that got relabeled
+    val oldRows = store.join(
+      updated.select(col(nodeId)), Seq(nodeId), "semi")
+    val loseBuckets = oldRows.select(bucketCol(nBuckets))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val gainBuckets = updated.select(bucketCol(nBuckets))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rewrite = (loseBuckets ++ gainBuckets).toSeq
+    if (rewrite.isEmpty) return
+    // full new content of the rewritten buckets: survivors (rows of
+    // those buckets NOT relabeled) plus the updated rows landing there
+    val survivors = readComponentsStore(spark, dir)
+      .where(col("comp_bucket").isin(rewrite: _*))
+      .join(updated.select(col(nodeId)), Seq(nodeId), "left_anti")
+      .select(col(nodeId), col("component"))
+    val content = survivors.unionByName(updated)
+      .select(col(nodeId), col("component"), bucketCol(nBuckets))
+      .where(col("comp_bucket").isin(rewrite: _*))
+      .transform(Barrier.apply)
+    val present = content.select("comp_bucket")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a bucket can end EMPTY (every row moved out): dynamic overwrite
+    // would skip it and leave stale files — drop its partition dir
+    (rewrite.toSet -- present).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/comp_bucket=$b"), true)
+    }
+    content.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("comp_bucket")
+      .parquet(dir)
+  }
+
   /** Order-independent edge-set signature: (count, sum of 64-bit row
     * hashes). Equal signatures across a round = the contraction
     * reached its fixed point; one aggregate, no edge collect. The sum

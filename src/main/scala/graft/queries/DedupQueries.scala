@@ -294,6 +294,34 @@ object DedupQueries {
       },
       Some(PortableMinHash.oracleComponentsSql(0.3))),
     Q(
+      "qd37_incremental_components",
+      // qd16's labels, INCREMENTALLY (round-12 advice #6): even docs
+      // are the persisted base labeling (the old graph = full pair
+      // graph restricted to even-even, so union(base, increment) is
+      // exactly the full graph at any scale, cap engagement included);
+      // odd docs arrive as the increment with every pair touching an
+      // odd endpoint. appendComponents seeds from the base, runs CC
+      // only on the increment-touched REDUCED graph, and passes
+      // untouched components through by anti-join — yet the result
+      // must equal the full recompute, which is what the full-graph
+      // transitive-closure oracle (qd16's) pins.
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.Barrier(
+          PortableMinHash.pairs(docs, col("text"), col("doc_id"), 0.3))
+        val evens = docs.filter(col("doc_id") % 2 === 0)
+        val odds = docs.filter(col("doc_id") % 2 === 1)
+        val baseEdges = pairs
+          .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+        val incEdges = pairs
+          .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+        val base = ConnectedComponents.components(
+          baseEdges, "doc_a", "doc_b", evens, "doc_id")(s)
+        ConnectedComponents.appendComponents(
+          base, incEdges, "doc_a", "doc_b", odds, "doc_id")(s)
+      },
+      Some(PortableMinHash.oracleComponentsSql(0.3))),
+    Q(
       "qd11_simhash_portable",
       (s, dir) =>
         PortableSimHash.fingerprints(

@@ -68,4 +68,59 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.toSet == Set(1L))
   }
+
+  test("appendComponents equals a full recompute on the union graph") {
+    // base graph: comp {1,2}, comp {5,6}, singletons 3, 10
+    val baseEdges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val baseNodes = Seq(1L, 2L, 3L, 5L, 6L, 10L).toDF("id")
+    val base = ConnectedComponents.components(baseEdges, "a", "b", baseNodes, "id")
+    // increment: 20 bridges into comp 1; 21-22 form a new pair; 23 is
+    // a singleton; a late old-old bridge merges comp 5 with node 3
+    val incEdges = Seq((20L, 2L), (21L, 22L), (3L, 6L)).toDF("a", "b")
+    val incNodes = Seq(20L, 21L, 22L, 23L).toDF("id")
+    val got = ConnectedComponents.appendComponents(
+        base, incEdges, "a", "b", incNodes, "id")
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.components(
+        baseEdges.unionByName(incEdges), "a", "b",
+        baseNodes.unionByName(incNodes), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"append diverged from full recompute:\n$got\n$full")
+    assert(got(20L) == 1L && got(3L) == 3L && got(6L) == 3L && got(23L) == 23L)
+  }
+
+  test("appendComponentsStore rewrites only touched label buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_store").toString + "/cc"
+    val baseEdges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val baseNodes = Seq(1L, 2L, 3L, 5L, 6L, 10L).toDF("id")
+    val base = ConnectedComponents.components(baseEdges, "a", "b", baseNodes, "id")
+    ConnectedComponents.writeComponentsStore(base, "id", dir, nBuckets = 8)
+    def listing(b: Long): Set[String] = {
+      val d = new java.io.File(s"$dir/comp_bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    // components 1 (bucket 1), 3 (3), 5 (5), 10 (2)
+    val untouched3 = listing(3L)
+    val bucket2 = listing(2L)
+    assert(untouched3.nonEmpty && bucket2.nonEmpty)
+    // increment: 20 joins comp 1 (bucket 1 rewrites); 10 bridges to 20
+    // so comp 10 merges into comp 1 — bucket 2 LOSES all its rows and
+    // must end deleted, not stale
+    val incEdges = Seq((20L, 2L), (10L, 20L)).toDF("a", "b")
+    val incNodes = Seq(20L).toDF("id")
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, incEdges, "a", "b", incNodes, "id", nBuckets = 8)
+    assert(listing(3L) == untouched3,
+      "untouched component's bucket files were rewritten")
+    assert(listing(5L).nonEmpty, "untouched bucket 5 lost its files")
+    assert(listing(2L).isEmpty, "emptied bucket kept stale rows")
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.components(
+        baseEdges.unionByName(incEdges), "a", "b",
+        baseNodes.unionByName(incNodes), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, s"store content diverged:\n$got\n$full")
+  }
 }
