@@ -259,23 +259,134 @@ object ConnectedComponents {
   // buckets holding untouched components keep their files byte-for-byte
   // (spec-pinned), which is what makes nightly increments cheap when
   // 99% of yesterday's clusters are untouched.
+  //
+  // Crash safety (round-13 review: the former delete-then-dynamic-
+  // overwrite lost relabeled rows if killed between the two): appends
+  // are JOURNALED. The rewritten buckets' full new content lands in a
+  // hidden staging dir, an atomically-renamed marker records the apply
+  // plan, and the plan executes per bucket with idempotent steps — a
+  // crash in any window replays through [[recoverComponentsStore]],
+  // which every store entry point runs first. Hidden (_-prefixed)
+  // names keep staging/marker/meta invisible to parquet partition
+  // discovery. Single-writer per store dir, like every persisted
+  // artifact here.
 
   private def bucketCol(nBuckets: Int) =
     pmod(col("component"), lit(nBuckets.toLong)).as("comp_bucket")
 
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_cc_meta")
+  private def stagingDir(dir: String) = s"$dir/_cc_staging"
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_cc_apply")
+
+  /** Atomic small-file write: content to a hidden tmp, rename into
+    * place (file renames are atomic on HDFS and local FS). */
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target.toString + "_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"cc store: cannot publish $target")
+  }
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, nBuckets: Int): Unit =
+    writeSidecar(fs, metaPath(dir), s"nBuckets=$nBuckets\n")
+
+  /** The bucket count the store was written with — None for stores
+    * written before the meta sidecar existed (they used the default
+    * 64). [[appendComponentsStore]] resolves its bucketing from here,
+    * so a [[compactComponentsStore]] re-bucketing is transparent to
+    * later appends. */
+  def storeBuckets(spark: SparkSession, dir: String): Option[Int] = {
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(metaPath(dir))) None
+    else readSidecar(fs, metaPath(dir)).linesIterator
+      .collectFirst { case l if l.startsWith("nBuckets=") =>
+        l.stripPrefix("nBuckets=").trim.toInt }
+  }
+
   def writeComponentsStore(
-      labels: DataFrame, nodeId: String, dir: String, nBuckets: Int = 64): Unit =
+      labels: DataFrame, nodeId: String, dir: String, nBuckets: Int = 64): Unit = {
     labels.select(col(nodeId), col("component"), bucketCol(nBuckets))
       .write.mode("overwrite").partitionBy("comp_bucket").parquet(dir)
+    writeMeta(fsFor(labels.sparkSession, dir), dir, nBuckets)
+  }
 
-  def readComponentsStore(spark: SparkSession, dir: String): DataFrame =
+  def readComponentsStore(spark: SparkSession, dir: String): DataFrame = {
+    recoverComponentsStore(spark, dir)
     spark.read.parquet(dir)
+  }
+
+  /** Adopt any interrupted store mutation before touching the store:
+    * an interrupted whole-dir compact restores via [[StagedSwap]]; an
+    * interrupted append replays its journal (the marker is written
+    * only after staging is complete, so replay always has the full
+    * new content); a crash BEFORE the marker leaves the live store
+    * untouched and staging is garbage to sweep. Returns true when an
+    * append journal was replayed. */
+  def recoverComponentsStore(spark: SparkSession, dir: String): Boolean = {
+    val fs = fsFor(spark, dir)
+    graft.operators.StagedSwap.restoreIfInterrupted(
+      fs, new org.apache.hadoop.fs.Path(dir))
+    if (fs.exists(markerPath(dir))) { applyRewrite(fs, dir); true }
+    else {
+      fs.delete(new org.apache.hadoop.fs.Path(stagingDir(dir)), true)
+      false
+    }
+  }
+
+  /** Execute (or re-execute) the journaled bucket rewrite. Idempotent
+    * per line: a "write" bucket whose staged dir is gone was already
+    * swapped in; an "empty" bucket's delete re-runs harmlessly. The
+    * marker is dropped only after every staged dir is consumed. */
+  private def applyRewrite(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val plan = readSidecar(fs, markerPath(dir)).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(b, kind) = l.split(" ", 2)
+        (b.toLong, kind)
+      }.toList
+    plan.foreach { case (b, kind) =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/comp_bucket=$b")
+      val staged =
+        new org.apache.hadoop.fs.Path(s"${stagingDir(dir)}/comp_bucket=$b")
+      kind match {
+        case "write" if fs.exists(staged) =>
+          fs.delete(live, true)
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(
+              s"cc store: cannot swap bucket $b into place")
+        case "write" => // already applied by an interrupted earlier pass
+        case _ => fs.delete(live, true) // "empty": every row moved out
+      }
+    }
+    fs.delete(markerPath(dir), false)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir(dir)), true)
+  }
 
   /** Incremental append against the persisted store: computes the
     * delta via [[appendParts]], then rewrites only the buckets whose
     * membership changes — the union of buckets holding a TOUCHED old
     * label (rows leave) and buckets receiving updated labels (rows
-    * arrive). Untouched buckets are never opened for write. */
+    * arrive). Untouched buckets are never opened for write. The
+    * bucket count comes from the store's meta sidecar when present;
+    * `nBuckets` is the fallback for meta-less (pre-sidecar) stores. */
   def appendComponentsStore(
       spark: SparkSession,
       dir: String,
@@ -286,7 +397,9 @@ object ConnectedComponents {
       nodeId: String,
       nBuckets: Int = 64): Unit = {
     implicit val ss: SparkSession = spark
-    val store = readComponentsStore(spark, dir)
+    recoverComponentsStore(spark, dir)
+    val nb = storeBuckets(spark, dir).getOrElse(nBuckets)
+    val store = spark.read.parquet(dir)
       .select(col(nodeId), col("component"))
     val (_, updated0) =
       appendParts(store, newEdges, edgeA, edgeB, newIds, nodeId)
@@ -294,36 +407,67 @@ object ConnectedComponents {
     // buckets losing rows: old buckets of nodes that got relabeled
     val oldRows = store.join(
       updated.select(col(nodeId)), Seq(nodeId), "semi")
-    val loseBuckets = oldRows.select(bucketCol(nBuckets))
+    val loseBuckets = oldRows.select(bucketCol(nb))
       .distinct().collect().map(_.getLong(0)).toSet
-    val gainBuckets = updated.select(bucketCol(nBuckets))
+    val gainBuckets = updated.select(bucketCol(nb))
       .distinct().collect().map(_.getLong(0)).toSet
     val rewrite = (loseBuckets ++ gainBuckets).toSeq
     if (rewrite.isEmpty) return
     // full new content of the rewritten buckets: survivors (rows of
     // those buckets NOT relabeled) plus the updated rows landing there
-    val survivors = readComponentsStore(spark, dir)
+    val survivors = spark.read.parquet(dir)
       .where(col("comp_bucket").isin(rewrite: _*))
       .join(updated.select(col(nodeId)), Seq(nodeId), "left_anti")
       .select(col(nodeId), col("component"))
     val content = survivors.unionByName(updated)
-      .select(col(nodeId), col("component"), bucketCol(nBuckets))
+      .select(col(nodeId), col("component"), bucketCol(nb))
       .where(col("comp_bucket").isin(rewrite: _*))
       .transform(Barrier.apply)
     val present = content.select("comp_bucket")
       .distinct().collect().map(_.getLong(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // a bucket can end EMPTY (every row moved out): dynamic overwrite
-    // would skip it and leave stale files — drop its partition dir
-    (rewrite.toSet -- present).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/comp_bucket=$b"), true)
-    }
-    content.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("comp_bucket")
-      .parquet(dir)
+    val fs = fsFor(spark, dir)
+    // journaled apply: stage the content, publish the plan atomically,
+    // then execute it — see the section comment for the crash windows
+    content.write.mode("overwrite").partitionBy("comp_bucket")
+      .parquet(stagingDir(dir))
+    writeSidecar(fs, markerPath(dir),
+      rewrite.sorted.map(b =>
+        if (present(b)) s"$b write" else s"$b empty").mkString("", "\n", "\n"))
+    applyRewrite(fs, dir)
+  }
+
+  /** Rewrite the whole store at a new bucket count — the maintenance
+    * verb for a store whose buckets outgrew the target (the `ann
+    * compact` discipline). `nBuckets = 0` derives the count from
+    * `targetRows`: never fewer buckets than before, enough that the
+    * AVERAGE bucket holds at most `targetRows` labels. One task per
+    * bucket (repartition on the new bucket id) also collapses
+    * append-accumulated small files. The rewrite rotates through
+    * [[StagedSwap]] — readers never see a half-written store — and the
+    * meta sidecar travels with it, so later appends bucket correctly.
+    * Returns (rows, bucketsBefore, bucketsAfter). */
+  def compactComponentsStore(
+      spark: SparkSession, dir: String,
+      nBuckets: Int = 0, targetRows: Long = 1L << 22): (Long, Int, Int) = {
+    recoverComponentsStore(spark, dir)
+    val before = storeBuckets(spark, dir).getOrElse(64)
+    val df = spark.read.parquet(dir).drop("comp_bucket")
+    val rows = df.count()
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else math.max(before.toLong,
+        (rows + targetRows - 1) / targetRows).min(Int.MaxValue.toLong).toInt
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsFor(spark, dir)
+    val tmp = graft.operators.StagedSwap.tmpPath(live)
+    df.withColumn("comp_bucket",
+        pmod(col("component"), lit(nb.toLong)))
+      .repartition(col("comp_bucket"))
+      .write.mode("overwrite").partitionBy("comp_bucket")
+      .parquet(tmp.toString)
+    writeMeta(fs, tmp.toString, nb)
+    graft.operators.StagedSwap.swapIn(fs, live, tmp)
+    (rows, before, nb)
   }
 
   /** Order-independent edge-set signature: (count, sum of 64-bit row

@@ -123,4 +123,103 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == full, s"store content diverged:\n$got\n$full")
   }
+
+  private def freshStore(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_store").toString + "/cc"
+    val base = Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("id", "component")
+    ConnectedComponents.writeComponentsStore(base, "id", dir, nBuckets = 8)
+    dir
+  }
+
+  test("an append journal interrupted after the marker replays on read") {
+    val dir = freshStore()
+    // manufacture the post-marker crash window by hand: staged content
+    // moves node 10 into component 1 (bucket 1 rewrites, bucket 2
+    // empties), the marker is published, but apply never ran
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (10L, 1L, 1L))
+      .toDF("id", "component", "comp_bucket")
+      .write.partitionBy("comp_bucket").parquet(s"$dir/_cc_staging")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_cc_apply"),
+      "1 write\n2 empty\n".getBytes("UTF-8"))
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
+      s"journal replay lost rows: $got")
+    assert(!new java.io.File(s"$dir/comp_bucket=2").exists(),
+      "emptied bucket survived the replay")
+    assert(!new java.io.File(s"$dir/_cc_apply").exists() &&
+      !new java.io.File(s"$dir/_cc_staging").exists(),
+      "journal artifacts not cleaned up")
+    // replaying AGAIN (marker gone) must be a no-op on the new content
+    ConnectedComponents.recoverComponentsStore(spark, dir)
+    val again = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("a half-applied journal replays idempotently") {
+    val dir = freshStore()
+    // the "write" bucket was already swapped in (staged dir consumed),
+    // the "empty" bucket's delete never ran — replay must keep the new
+    // bucket-1 content and finish the bucket-2 delete
+    val b1 = new java.io.File(s"$dir/comp_bucket=1")
+    b1.listFiles().foreach(_.delete())
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (10L, 1L, 1L))
+      .toDF("id", "component", "comp_bucket")
+      .write.mode("overwrite").partitionBy("comp_bucket")
+      .parquet(s"$dir/_tmp_new")
+    new java.io.File(s"$dir/_tmp_new/comp_bucket=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(
+        f.toPath, new java.io.File(b1, f.getName).toPath))
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$dir/_tmp_new"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_cc_staging"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_cc_apply"),
+      "1 write\n2 empty\n".getBytes("UTF-8"))
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
+      s"idempotent replay destroyed applied content: $got")
+    assert(!new java.io.File(s"$dir/comp_bucket=2").exists())
+  }
+
+  test("staging without a marker is swept, live store untouched") {
+    val dir = freshStore()
+    Seq((99L, 99L, 3L)).toDF("id", "component", "comp_bucket")
+      .write.partitionBy("comp_bucket").parquet(s"$dir/_cc_staging")
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L),
+      "pre-marker staging garbage leaked into the store")
+    assert(!new java.io.File(s"$dir/_cc_staging").exists(),
+      "stale staging not swept")
+  }
+
+  test("compact re-buckets, and later appends pick up the new meta") {
+    val dir = freshStore()
+    assert(ConnectedComponents.storeBuckets(spark, dir).contains(8))
+    val (rows, before, after) =
+      ConnectedComponents.compactComponentsStore(spark, dir, nBuckets = 4)
+    assert(rows == 3L && before == 8 && after == 4)
+    assert(ConnectedComponents.storeBuckets(spark, dir).contains(4))
+    // component 10 now lives in bucket 10 % 4 = 2
+    assert(new java.io.File(s"$dir/comp_bucket=2").exists())
+    // an append with the DEFAULT nBuckets param must still bucket by
+    // the meta's 4 — node 20 joins component 10, whose bucket is
+    // 10 % 4 = 2 (a stale 64-bucket append would land it in bucket 10)
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+      Seq(20L).toDF("id"), "id")
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+    assert(got.where(col("id") === 20L).select("comp_bucket")
+      .as[Long].head() == 2L, "append ignored the compacted bucket count")
+    assert(got.select("id", "component").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L))
+  }
 }
