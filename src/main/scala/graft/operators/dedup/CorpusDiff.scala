@@ -82,14 +82,30 @@ object CorpusDiff {
 
   private def manifestPath(dir: String) = s"$dir/manifest"
 
-  /** The (id, digest, n_chars) projection every manifest face
-    * shares — Barrier it when feeding BOTH a diff and an update, so
-    * the corpus is digested once (review finding: `diff against
-    * --update` used to md5 the corpus twice). */
-  def snapshotDigests(df: DataFrame, id: Column, content: Column): DataFrame =
+  /** The (id, digest, n_chars, digest_v) projection every manifest
+    * face shares — Barrier it when feeding BOTH a diff and an update,
+    * so the corpus is digested once (review finding: `diff against
+    * --update` used to md5 the corpus twice). `digest_v` names the
+    * digest scheme ("md5_bin" for raw-byte BinaryType digests,
+    * "md5_str" for the string digest) so a manifest built under one
+    * scheme is never silently diffed under another — the round-13
+    * binary-safety change would otherwise make an old binary manifest
+    * report EVERY row changed on its first post-upgrade diff. */
+  def snapshotDigests(df: DataFrame, id: Column, content: Column): DataFrame = {
+    val isBinary = df.select(content).schema.head.dataType ==
+      org.apache.spark.sql.types.BinaryType
     digests(df, id, content, "l")
       .select(col("l_id").as("id"), col("l_digest").as("digest"),
-        col("l_len").as("n_chars"))
+        col("l_len").as("n_chars"),
+        lit(if (isBinary) "md5_bin" else "md5_str").as("digest_v"))
+  }
+
+  /** The digest scheme a digested frame carries — one-row read; frames
+    * predating the `digest_v` column report "legacy". */
+  private def schemeOf(df: DataFrame): String =
+    if (!df.columns.contains("digest_v")) "legacy"
+    else df.select("digest_v").head(1).headOption
+      .map(_.getString(0)).getOrElse("md5_str")
 
   /** Persist the snapshot's digest manifest; returns rows written. */
   def writeManifest(
@@ -124,11 +140,35 @@ object CorpusDiff {
       dir: String): DataFrame =
     diffAgainstManifestFrom(snapshotDigests(right, id, content), dir)
 
-  /** [[diffAgainstManifest]] from an already-digested snapshot. */
+  /** [[diffAgainstManifest]] from an already-digested snapshot.
+    *
+    * Scheme guard: the manifest's recorded `digest_v` must match the
+    * snapshot's. A manifest WITHOUT the column (built before the
+    * scheme was versioned) is accepted only for string digests —
+    * "md5_str" has been stable across every build — and rejected with
+    * a rebuild instruction for binary content, where pre-versioning
+    * manifests are ambiguous (string-cast vs raw-byte digests) and a
+    * silent mismatch would report the whole corpus as changed. */
   def diffAgainstManifestFrom(digested: DataFrame, dir: String): DataFrame = {
     val spark = digested.sparkSession
     require(manifestExists(spark, dir), s"no manifest at $dir")
-    val l = spark.read.parquet(manifestPath(dir))
+    val manifest = spark.read.parquet(manifestPath(dir))
+    val snapScheme = schemeOf(digested) match {
+      case "legacy" => "md5_str" // pre-versioning caller, string digests
+      case s => s
+    }
+    schemeOf(manifest) match {
+      case `snapScheme` => ()
+      case "legacy" if snapScheme == "md5_str" => ()
+      case "legacy" => throw new IllegalStateException(
+        s"manifest at $dir predates digest-scheme versioning but the " +
+          s"snapshot digests binary content ($snapScheme): its digests " +
+          "are ambiguous — rebuild it (diff build) once before diffing")
+      case other => throw new IllegalStateException(
+        s"digest scheme mismatch at $dir: manifest=$other " +
+          s"snapshot=$snapScheme — rebuild the manifest (diff build)")
+    }
+    val l = manifest
       .select(col("id").as("l_id"), col("digest").as("l_digest"),
         col("n_chars").as("l_len"))
     diffDigested(l, digested

@@ -32,6 +32,16 @@ package graft.operators.dedup
   * maxBucket cap is replicated on the oracle side over the same
   * membership, so cap engagement stays engine-identical (the qm14
   * discipline: a capped operator never gets a capless oracle).
+  *
+  * ASCII-fixture assumption (the [[SimHashDedup]] contract, inherited
+  * here): the oracle shingles by DuckDB substring/len — CHARACTERS —
+  * and FNV-folds ord() CODEPOINTS, while the production kernel slides
+  * a byte window over UTF-8 bytes and folds each byte. The two agree
+  * exactly iff every character is single-byte (ord = UTF-8 byte), which
+  * the ASCII fixture corpus guarantees; non-ASCII text would make this
+  * gate report a false divergence, not a real one. A byte-exact oracle
+  * would need encode()-derived byte lists per shingle — deliberately
+  * not paid while the fixtures are ASCII (round-13 review).
   */
 object MinHashOracle {
 

@@ -66,6 +66,11 @@ object IvfOracle {
          |ic_1 AS MATERIALIZED (
          |  SELECT CAST(0 AS INT) AS cell, v AS w, na AS nb
          |  FROM smpn WHERE rnk = 1)""".stripMargin
+    // the WHERE guard mirrors the fit loop's stop condition
+    // `centers.length < min(numCells, sample.length)`: the t-th center
+    // is added only while t <= |sample| — without it, a corpus smaller
+    // than numCells would re-pick already-chosen rows here (duplicate
+    // centroids) while the Spark fit simply stops (round-13 review)
     val initSteps = (2 to numCells).map { t =>
       s"""icd_$t AS MATERIALIZED (
          |  SELECT s.rnk, max(${cosine(dotW("s.v", "c.w", dim), "s.na", "c.nb")}) AS d
@@ -75,7 +80,8 @@ object IvfOracle {
          |  SELECT * FROM ic_${t - 1}
          |  UNION ALL
          |  SELECT CAST(${t - 1} AS INT) AS cell, s.v AS w, s.na AS nb
-         |  FROM smpn s JOIN pick_$t p ON s.rnk = p.rnk)""".stripMargin
+         |  FROM smpn s JOIN pick_$t p ON s.rnk = p.rnk
+         |  WHERE $t <= (SELECT count(*) FROM smpn))""".stripMargin
     }.mkString(",\n")
     val centInit =
       s"cent_0 AS MATERIALIZED (SELECT cell, w, nb FROM ic_$numCells)"

@@ -190,7 +190,11 @@ object IvfIndex {
     * rows and would train centroids on one shard's distribution when a
     * 100 TB corpus is laid out by source or time. `orderBy + limit`
     * plans as TakeOrderedAndProject (per-partition top-k, no full sort
-    * shuffle). Init is deterministic farthest-point (k-center greedy:
+    * shuffle). The id column must be UNIQUE: the sample key is derived
+    * from the id alone, so duplicate ids share a key and the boundary
+    * draw between them would be partition-order-dependent — the same
+    * contract every id column in this library carries, and the one
+    * [[IvfOracle]]'s row_number replay assumes (round-13 review). Init is deterministic farthest-point (k-center greedy:
     * start at the rank-1 sample row, then repeatedly add the sample
     * vector whose max-cosine to the chosen set is smallest, ties to the
     * lower rank) — spread seeds beat the seeded shuffle's arbitrary

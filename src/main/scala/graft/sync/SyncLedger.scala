@@ -16,23 +16,88 @@ import org.apache.spark.sql.SparkSession
   * next `sync` is a fresh full load, matching truncate-load semantics
   * run-over-run. `--from-scratch` clears it up front.
   *
-  * Concurrency: tables commit from [[Sync.parMap]]'s driver threads;
-  * the read-union-swap is serialized on a JVM lock (one driver owns a
-  * sync run — the reference's model too). The ledger is tables-sized,
-  * so the collect is bounded by the catalog, never data.
+  * Concurrency: tables commit from [[Sync.parMap]]'s driver threads —
+  * a JVM lock serializes those — and, since round 14, a filesystem
+  * lock ([[withFsLock]]) serializes DIFFERENT drivers pointed at the
+  * same ledger dir: two concurrent `sync --ledger` runs no longer
+  * interleave the read-union-swap and lose each other's commits
+  * (round-13 review). The critical section is a tables-sized parquet
+  * write, so holding an FS lock across it costs microseconds relative
+  * to the table syncs themselves.
   */
 object SyncLedger {
 
   private val lock = new Object
 
   private def livePath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/ledger")
+  private def lockPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
 
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Tables already committed by the interrupted run (with their row
-    * counts) — empty when no run is in progress. */
-  def completed(spark: SparkSession, dir: String): Map[String, Long] = {
+  /** Cross-process mutual exclusion for the ledger's read-union-swap:
+    * atomic create-if-absent of a lock sentinel (HDFS and local FS
+    * both guarantee `create(overwrite = false)` fails if the path
+    * exists). A holder that died inside the critical section leaves
+    * the sentinel behind — any lock older than `staleMs` is adopted
+    * as orphaned (deleted and re-contended); the critical section is
+    * a sidecar-sized parquet write, so a healthy holder never keeps
+    * the lock anywhere near that long. Waiting contenders spin with a
+    * short sleep and give up with a usable error after `timeoutMs`
+    * (naming the holder recorded inside the sentinel). */
+  private[sync] def withFsLock[T](
+      spark: SparkSession, dir: String,
+      staleMs: Long = 10L * 60 * 1000,
+      timeoutMs: Long = 2L * 60 * 1000)(body: => T): T = {
+    val lp = lockPath(dir)
+    val fs = fsFor(spark, lp)
+    val tag =
+      s"${java.lang.ProcessHandle.current().pid()}@" +
+        s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+        java.util.UUID.randomUUID().toString
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lp, false)
+        try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try fs.getFileStatus(lp).getModificationTime <
+              System.currentTimeMillis() - staleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) {
+            // adopt the orphan via rename: exactly ONE contender wins
+            // the rename (a plain delete could clobber the fresh lock
+            // a faster adopter just created); losers loop and
+            // re-contend on create-if-absent
+            val orphan = new org.apache.hadoop.fs.Path(
+              lp.toString + "_stale_" + java.util.UUID.randomUUID())
+            if (fs.rename(lp, orphan)) fs.delete(orphan, false)
+          }
+          else if (System.nanoTime() > deadline) {
+            val holder =
+              try {
+                val in = fs.open(lp)
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+              } catch { case _: Exception => "<unknown>" }
+            throw new IllegalStateException(
+              s"ledger at $dir is locked by $holder — another sync " +
+                "--ledger run is writing it; wait for it, or delete " +
+                s"$lp if that run is known dead")
+          } else Thread.sleep(50)
+      }
+    }
+    try body
+    finally fs.delete(lp, false)
+  }
+
+  private def completedUnlocked(
+      spark: SparkSession, dir: String): Map[String, Long] = {
     val live = livePath(dir)
     val fs = fsFor(spark, live)
     graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
@@ -43,26 +108,40 @@ object SyncLedger {
       .toMap
   }
 
+  /** Tables already committed by the interrupted run (with their row
+    * counts) — empty when no run is in progress. */
+  def completed(spark: SparkSession, dir: String): Map[String, Long] =
+    lock.synchronized {
+      withFsLock(spark, dir)(completedUnlocked(spark, dir))
+    }
+
   /** Record `table` as committed. Idempotent per table (last write
-    * wins on rows). */
+    * wins on rows). Serialized against every other ledger writer —
+    * same-JVM threads by the object lock, other drivers by the FS
+    * lock — so no interleaving can drop a committed table. */
   def markDone(spark: SparkSession, dir: String, table: String, rows: Long): Unit =
     lock.synchronized {
-      val entries = (completed(spark, dir) + (table -> rows)).toSeq
-      import spark.implicits._
-      val live = livePath(dir)
-      val fs = fsFor(spark, live)
-      val tmp = graft.operators.StagedSwap.tmpPath(live)
-      entries.toDF("table", "rows")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      graft.operators.StagedSwap.swapIn(fs, live, tmp)
+      withFsLock(spark, dir) {
+        val entries = (completedUnlocked(spark, dir) + (table -> rows)).toSeq
+        import spark.implicits._
+        val live = livePath(dir)
+        val fs = fsFor(spark, live)
+        val tmp = graft.operators.StagedSwap.tmpPath(live)
+        entries.toDF("table", "rows")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        graft.operators.StagedSwap.swapIn(fs, live, tmp)
+      }
     }
 
   /** Close the ledger (run complete, or `--from-scratch`). */
   def clear(spark: SparkSession, dir: String): Unit = lock.synchronized {
-    val live = livePath(dir)
-    val fs = fsFor(spark, live)
-    graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
-    if (fs.exists(live)) fs.delete(live, true)
+    withFsLock(spark, dir) {
+      val live = livePath(dir)
+      val fs = fsFor(spark, live)
+      graft.operators.StagedSwap.restoreIfInterrupted(fs, live)
+      if (fs.exists(live)) fs.delete(live, true)
+      ()
+    }
   }
 }

@@ -1,0 +1,72 @@
+package graft.sync
+
+import graft.SparkSpec
+
+class SyncLedgerSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ledger").toString
+
+  test("interleaved markDone writers never lose a commit") {
+    val dir = freshDir()
+    val tables = (1 to 8).map(i => s"t$i")
+    // hammer the ledger from concurrent threads (the parMap shape);
+    // every table must survive the read-union-swap interleaving
+    val threads = tables.map { t =>
+      new Thread(() => SyncLedger.markDone(spark, dir, t, t.length.toLong))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val got = SyncLedger.completed(spark, dir)
+    assert(got.keySet == tables.toSet, s"lost commits: $got")
+    SyncLedger.clear(spark, dir)
+    assert(SyncLedger.completed(spark, dir).isEmpty)
+  }
+
+  test("the FS lock serializes critical sections across lock objects") {
+    val dir = freshDir()
+    // two raw withFsLock users (bypassing the JVM object lock, i.e.
+    // the two-driver shape): a read-sleep-write on an unsynchronized
+    // cell loses updates unless the FS lock serializes them
+    @volatile var log = Vector.empty[String]
+    var cell = 0
+    def contender(name: String) = new Thread(() =>
+      SyncLedger.withFsLock(spark, dir) {
+        val seen = cell
+        log :+= s"$name enter"
+        Thread.sleep(200)
+        cell = seen + 1
+        log :+= s"$name exit"
+      })
+    val a = contender("a"); val b = contender("b")
+    a.start(); Thread.sleep(50); b.start()
+    a.join(); b.join()
+    assert(cell == 2, s"interleaved critical sections lost an update: $cell")
+    // strict nesting: each enter is followed by its own exit
+    assert(log.grouped(2).forall(p => p(0).startsWith(p(1).take(1))),
+      s"critical sections overlapped: $log")
+  }
+
+  test("a stale lock is adopted; a live lock fails with a usable error") {
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(): Unit = {
+      val out = fs.create(lp, true)
+      out.write("dead-run@nowhere".getBytes("UTF-8"))
+      out.close()
+    }
+    // live (fresh mtime) -> contender times out with the holder named
+    plant()
+    val e = intercept[IllegalStateException] {
+      SyncLedger.withFsLock(spark, dir, timeoutMs = 300)(())
+    }
+    assert(e.getMessage.contains("dead-run@nowhere"), e.getMessage)
+    // stale (old mtime) -> adopted, body runs, lock released after
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    var ran = false
+    SyncLedger.withFsLock(spark, dir) { ran = true }
+    assert(ran, "stale lock was not adopted")
+    assert(!fs.exists(lp), "lock not released after the body")
+  }
+}
