@@ -48,6 +48,16 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *                                          a parquet/CSV of probe vectors
   *                                          answered in one distributed
   *                                          cell-pruned pass (qs27 path)
+  *   graft cc build --table t --store d     mine near-dup pairs once,
+  *                                          label duplicate clusters,
+  *                                          persist bucket-partitioned
+  *   graft cc append --table t --store d [--index lsh]
+  *                                          fold an increment into the
+  *                                          label store rewriting only
+  *                                          touched buckets (new-old
+  *                                          edges via the LSH index)
+  *   graft cc compact --store d             re-bucket an outgrown store
+  *                                          ([--buckets n | --target-rows n])
   *   graft hist build|append|show --table t --index d
   *                                          quantile-sketch sidecar
   *                                          (ledger-guarded additive
@@ -1230,6 +1240,87 @@ object Main {
               "[--file <payload-path>] --config cfg.yml")
             2
         }
+      case "cc" =>
+        // the duplicate-CLUSTER lifecycle over the persisted label
+        // store (qd16's surface, maintained incrementally): `build`
+        // mines the near-dup pair graph once and labels it, `append`
+        // folds an increment in by rewriting only the touched label
+        // buckets (new-vs-corpus edges come from the LSH index dir
+        // when --index names one — the corpus is never re-signed),
+        // `compact` re-buckets when buckets outgrow their target —
+        // the index/ann/media lifecycle discipline applied to
+        // connected components.
+        import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+        implicit val sp: SparkSession = spark
+        val idC = opt("--id").getOrElse("doc_id")
+        val txtC = opt("--text").getOrElse("text")
+        val p = graft.operators.dedup.MinHashLSH.Params(
+          threshold = opt("--threshold").map(_.toDouble).getOrElse(0.5),
+          maxBucket = opt("--max-bucket").map(_.toInt).getOrElse(1000))
+        val CC = graft.operators.dedup.ConnectedComponents
+        (args.lift(1), opt("--store"), opt("--table")) match {
+          case (Some("build"), Some(dir), Some(t)) =>
+            val corpus = catalogFor(cfg.src).read(spark, t)
+            val pairs = graft.operators.dedup.MinHashLSH
+              .candidatePairs(corpus, col(txtC), col(idC), p)
+            val labels = graft.operators.Barrier(
+              CC.components(pairs, "id_a", "id_b", corpus, idC))
+            CC.writeComponentsStore(labels, idC, dir,
+              opt("--buckets").map(_.toInt).getOrElse(64))
+            val r = labels
+              .agg(count(lit(1)), countDistinct(col("component"))).head()
+            println(table(Seq(
+              Seq("Store", "Labels", "Clusters"),
+              Seq(dir, r.getLong(0).toString, r.getLong(1).toString))))
+            println(f"CC build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("append"), Some(dir), Some(t)) =>
+            val inc = catalogFor(cfg.src).read(spark, t)
+            // within-increment pairs always; increment-vs-corpus pairs
+            // ride the persisted LSH index (one broadcast scan) — the
+            // only source of new-old merge edges
+            val within = graft.operators.dedup.MinHashLSH
+              .candidatePairs(inc, col(txtC), col(idC), p)
+              .select(col("id_a"), col("id_b"))
+            val edges = opt("--index") match {
+              case Some(ix) =>
+                val lsh = graft.operators.dedup.MinHashLSH.readIndex(spark, ix)
+                within.unionByName(graft.operators.dedup.MinHashLSH
+                  .pairsAgainstIndex(lsh, inc, col(txtC), col(idC), p)
+                  .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+              case None => within
+            }
+            // replay idempotence: ids already labeled are NOT re-added
+            // as new nodes (their edges still merge through the base
+            // labels) — a re-sent batch changes nothing
+            val newIds = inc.select(col(idC)).distinct()
+              .join(CC.readComponentsStore(spark, dir).select(col(idC)),
+                Seq(idC), "left_anti")
+            val rewritten = CC.appendComponentsStore(
+              spark, dir, edges, "id_a", "id_b", newIds, idC)
+            val total = CC.readComponentsStore(spark, dir).count()
+            println(table(Seq(
+              Seq("Store", "BucketsRewritten", "TotalLabels"),
+              Seq(dir, rewritten.toString, total.toString))))
+            println(f"CC append finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case (Some("compact"), Some(dir), _) =>
+            val (rows, before, after) = CC.compactComponentsStore(
+              spark, dir,
+              nBuckets = opt("--buckets").map(_.toInt).getOrElse(0),
+              targetRows = opt("--target-rows").map(_.toLong).getOrElse(1L << 22))
+            println(table(Seq(
+              Seq("Store", "Labels", "BucketsBefore", "BucketsAfter"),
+              Seq(dir, rows.toString, before.toString, after.toString))))
+            println(f"CC compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case _ =>
+            println("usage: graft cc <build|append|compact> --store <dir> " +
+              "[--table <docs-table>] [--index <lsh-dir>] [--id doc_id] " +
+              "[--text text] [--threshold 0.5] [--max-bucket 1000] " +
+              "[--buckets 64 | --target-rows n] --config cfg.yml")
+            2
+        }
       case "card" =>
         // the per-source dataset card (qt45) as a one-command release
         // step: recompute in one corpus pass after curate/append, write
@@ -1453,7 +1544,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta|--ledger d [--from-scratch]]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta|--ledger d [--from-scratch]]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|cc <build|append|compact>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

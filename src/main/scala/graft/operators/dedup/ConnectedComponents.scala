@@ -386,7 +386,9 @@ object ConnectedComponents {
     * label (rows leave) and buckets receiving updated labels (rows
     * arrive). Untouched buckets are never opened for write. The
     * bucket count comes from the store's meta sidecar when present;
-    * `nBuckets` is the fallback for meta-less (pre-sidecar) stores. */
+    * `nBuckets` is the fallback for meta-less (pre-sidecar) stores.
+    * Returns the number of buckets rewritten (0 = the increment
+    * touched nothing). */
   def appendComponentsStore(
       spark: SparkSession,
       dir: String,
@@ -395,7 +397,7 @@ object ConnectedComponents {
       edgeB: String,
       newIds: DataFrame,
       nodeId: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64): Int = {
     implicit val ss: SparkSession = spark
     recoverComponentsStore(spark, dir)
     val nb = storeBuckets(spark, dir).getOrElse(nBuckets)
@@ -412,7 +414,7 @@ object ConnectedComponents {
     val gainBuckets = updated.select(bucketCol(nb))
       .distinct().collect().map(_.getLong(0)).toSet
     val rewrite = (loseBuckets ++ gainBuckets).toSeq
-    if (rewrite.isEmpty) return
+    if (rewrite.isEmpty) return 0
     // full new content of the rewritten buckets: survivors (rows of
     // those buckets NOT relabeled) plus the updated rows landing there
     val survivors = spark.read.parquet(dir)
@@ -434,6 +436,7 @@ object ConnectedComponents {
       rewrite.sorted.map(b =>
         if (present(b)) s"$b write" else s"$b empty").mkString("", "\n", "\n"))
     applyRewrite(fs, dir)
+    rewrite.size
   }
 
   /** Rewrite the whole store at a new bucket count — the maintenance

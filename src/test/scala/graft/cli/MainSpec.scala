@@ -249,6 +249,87 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("index", "rebuild", "--config", cfg), spark) == 2)
   }
 
+  test("cc build + append + compact lifecycle maintains the label store") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_cc_src").toString
+    val lshDir = Files.createTempDirectory("graft_cc_lsh").toString + "/lsh"
+    val ccDir = Files.createTempDirectory("graft_cc_cli").toString + "/cc"
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:${Files.createTempDirectory("graft_cc_out")}
+         |""".stripMargin)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (2L, base),
+      (4L, "completely different corpus content about spark partitions and shuffles"),
+      (6L, "yet another unrelated document speaking of benchmarks and latencies"))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/corpus.parquet")
+    // 11 near-dups corpus doc 2 (the new-old merge edge only the LSH
+    // index can mine), 13 is novel, 2 re-ingests itself (replay row)
+    Seq(
+      (11L, base + " tonight"),
+      (13L, "a wholly new document with nothing in common with the corpus at all"),
+      (2L, base))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/increment.parquet")
+
+    assert(Main.run(Array("index", "build", "--table", "corpus",
+      "--index", lshDir, "--threshold", "0.3", "--config", cfg), spark) == 0)
+    assert(Main.run(Array("cc", "build", "--table", "corpus",
+      "--store", ccDir, "--threshold", "0.3", "--buckets", "8",
+      "--config", cfg), spark) == 0)
+    def labels(): Map[Long, Long] = graft.operators.dedup.ConnectedComponents
+      .readComponentsStore(spark, ccDir)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(labels() == Map(2L -> 2L, 4L -> 4L, 6L -> 6L))
+
+    // untouched buckets (components 4 and 6) must not be rewritten
+    def listing(b: Long): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$ccDir/comp_bucket=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before4 = listing(4L); val before6 = listing(6L)
+    assert(before4.nonEmpty && before6.nonEmpty)
+    assert(Main.run(Array("cc", "append", "--table", "increment",
+      "--store", ccDir, "--index", lshDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    assert(labels() == Map(2L -> 2L, 4L -> 4L, 6L -> 6L, 11L -> 2L, 13L -> 13L))
+    assert(listing(4L) == before4 && listing(6L) == before6,
+      "append rewrote untouched buckets")
+
+    // the store equals a full recompute over the union corpus
+    val union = spark.read.parquet(s"$srcDir/corpus.parquet")
+      .unionByName(spark.read.parquet(s"$srcDir/increment.parquet"))
+      .dropDuplicates("doc_id")
+    val p = graft.operators.dedup.MinHashLSH.Params(threshold = 0.3)
+    val full = graft.operators.dedup.ConnectedComponents.components(
+        graft.operators.dedup.MinHashLSH
+          .candidatePairs(union, col("text"), col("doc_id"), p),
+        "id_a", "id_b", union, "doc_id")(spark)
+      .as[(Long, Long)].collect().toMap
+    assert(labels() == full, s"store diverged from full recompute: ${labels()} vs $full")
+
+    // compact re-buckets; labels unchanged; appends keep working
+    assert(Main.run(Array("cc", "compact", "--store", ccDir,
+      "--buckets", "4", "--config", cfg), spark) == 0)
+    assert(graft.operators.dedup.ConnectedComponents
+      .storeBuckets(spark, ccDir).contains(4))
+    assert(labels() == full)
+
+    // replaying the SAME increment is a no-op (ids already labeled)
+    assert(Main.run(Array("cc", "append", "--table", "increment",
+      "--store", ccDir, "--index", lshDir, "--threshold", "0.3",
+      "--config", cfg), spark) == 0)
+    assert(labels() == full)
+
+    // malformed invocation exits 2
+    assert(Main.run(Array("cc", "rebuild", "--config", cfg), spark) == 2)
+  }
+
   test("curate end-to-end via CLI: dedup funnel, rules, decontamination") {
     val out = Files.createTempDirectory("graft_cli_curate").toString
     val cfg = writeCfg(
