@@ -1128,6 +1128,10 @@ object Main {
         // the image/audio face of `index` (text) and `ann` (vectors)
         import org.apache.spark.sql.functions.col
         val idC = opt("--id").getOrElse("id")
+        // --audio switches the perceptual kernel to the gain-invariant
+        // loudness-contour hash (WAV PCM16); the index records its
+        // mode and every later operation verifies it
+        val audio = args.contains("--audio")
         val maxHamming = opt("--max-hamming").map(_.toInt).getOrElse(
           graft.streaming.MediaIngest.DefaultMaxHamming)
         // exact recall needs maxHamming < bands (admitBatch's require,
@@ -1145,14 +1149,14 @@ object Main {
             col("content").cast("binary").as("content")))
         }
         (args.lift(1), opt("--index"), opt("--table")) match {
-          case (Some("append"), _, _) if badHamming =>
+          case (Some("append" | "contain"), _, _) if badHamming =>
             println(s"media: --max-hamming must be in [0, " +
               s"${graft.streaming.MediaIngest.DefaultBands - 1}], got $maxHamming")
             2
           case (Some("build"), Some(dir), Some(t)) => mediaFrame(t) match {
             case None => 2
             case Some(m) =>
-              graft.streaming.MediaIngest.buildIndexDir(m, dir)
+              graft.streaming.MediaIngest.buildIndexDir(m, dir, audio = audio)
               val n = spark.read.parquet(s"$dir/hashes").count()
               println(s"Media index built at $dir: $n distinct hashes")
               println(f"Media build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -1166,7 +1170,8 @@ object Main {
               // payloads before the hash commit — a rerun after a crash
               // in between re-admits (at-least-once duplicates) instead
               // of dropping the payloads forever (see MediaIngest)
-              val a = graft.streaming.MediaIngest.admitBatch(m, dir, maxHamming)
+              val a = graft.streaming.MediaIngest.admitBatch(m, dir, maxHamming,
+                audio = audio)
               val src = catalogFor(cfg.src).read(spark, t)
               sink.append(
                 src.join(
@@ -1215,7 +1220,8 @@ object Main {
                 val payload = java.nio.file.Files.readAllBytes(
                   java.nio.file.Paths.get(f))
                 graft.streaming.MediaIngest
-                  .searchIndex(spark, dir, payload, maxHamming) match {
+                  .searchIndex(spark, dir, payload, maxHamming,
+                    audio = audio) match {
                   case None =>
                     println(s"media search: cannot decode $f")
                     1
@@ -1234,10 +1240,63 @@ object Main {
                     0
                 }
             }
+          case (Some("contain"), Some(dir), Some(t)) =>
+            // cross-modal containment against the admission index (the
+            // qm13/qm14 operators productized): report every INDEXED
+            // image/clip appearing inside the given frames/segments
+            // table. The index's recorded hash mode picks the decode
+            // kernel, so an audio index probes WAV segments and an
+            // image index probes video frames with the same verb.
+            val sidC = opt("--stream-id").getOrElse("video_id")
+            val frC = opt("--frame").getOrElse("frame_idx")
+            val df = catalogFor(cfg.src).read(spark, t)
+            if (!Seq(sidC, frC, "content").forall(df.columns.contains)) {
+              println(s"media contain: $t lacks columns $sidC/$frC/content " +
+                s"(has ${df.columns.mkString(", ")})")
+              2
+            } else {
+              val isAudio = graft.streaming.MediaIngest
+                .indexMode(spark, dir).getOrElse("image") == "audio"
+              val hits =
+                if (isAudio)
+                  graft.operators.multimodal.AudioInStream.hitsIndexed(
+                    spark, dir,
+                    df.select(col(sidC).cast("long").as("stream_id"),
+                      col(frC).cast("int").as("seg_idx"),
+                      col("content").cast("binary").as("content")),
+                    maxHamming)
+                else
+                  graft.operators.multimodal.ImageInVideo.hitsIndexed(
+                    spark, dir,
+                    df.select(col(sidC).cast("long").as("video_id"),
+                      col(frC).cast("int").as("frame_idx"),
+                      col("content").cast("binary").as("content")),
+                    maxHamming)
+              opt("--out") match {
+                case Some(out) =>
+                  hits.write.mode("overwrite").parquet(out)
+                  println(s"Media contain: ${spark.read.parquet(out).count()} " +
+                    s"containment rows -> $out")
+                case None =>
+                  val cols = hits.columns
+                  val rows = hits.orderBy(cols.head, cols(1)).collect()
+                  if (rows.isEmpty)
+                    println(s"media contain: no indexed " +
+                      s"${if (isAudio) "clip" else "image"} appears in $t " +
+                      s"within Hamming $maxHamming")
+                  else
+                    println(table(
+                      cols.toSeq +: rows.toSeq.map(r =>
+                        cols.indices.map(i => String.valueOf(r.get(i))).toSeq)))
+              }
+              println(f"Media contain finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+              0
+            }
           case _ =>
-            println("usage: graft media <build|append|compact|search> --table <media-table> --index <dir> " +
-              "[--id id] [--into <dest-table>] [--max-hamming 3] " +
-              "[--file <payload-path>] --config cfg.yml")
+            println("usage: graft media <build|append|compact|search|contain> --table <media-table> --index <dir> " +
+              "[--id id] [--into <dest-table>] [--max-hamming 3] [--audio] " +
+              "[--file <payload-path>] " +
+              "[--stream-id video_id --frame frame_idx [--out dir]] --config cfg.yml")
             2
         }
       case "cc" =>

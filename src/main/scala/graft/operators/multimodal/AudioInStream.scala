@@ -31,17 +31,51 @@ object AudioInStream {
       maxDecodeBytes: Int = 1 << 22,
       maxBlock: Int = PerceptualHash.DefaultMaxBlock)(
       implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val ch = PerceptualAudio.audioHashes(clips, maxDecodeBytes)
       .withColumnRenamed("id", "image_id")
-    val sh = graft.operators.Parallelism.ensureMin(segments)
+    ImageInVideo.joinHashed(ch, segmentHashes(segments, maxDecodeBytes),
+        maxHamming, bands, maxBlock)
+      .select(
+        col("image_id").as("clip_id"), col("video_id").as("stream_id"),
+        col("n_frames").as("n_segments"), col("best_hamming"))
+  }
+
+  /** The segments side reduced to contour hashes — one decode pass
+    * (columns renamed to the shared joinHashed convention). */
+  private def segmentHashes(
+      segments: DataFrame, maxDecodeBytes: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.operators.Parallelism.ensureMin(segments)
       .select(col("stream_id"), col("seg_idx"), col("content"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions(_.map { case (sid, i, b) =>
         (sid, i, PerceptualAudio.audioHash64(b, maxDecodeBytes))
       })
       .toDF("video_id", "frame_idx", "dhash")
-    ImageInVideo.joinHashed(ch, sh, maxHamming, bands, maxBlock)
+  }
+
+  /** [[hits]] against a persisted audio-mode
+    * [[graft.streaming.MediaIngest]] index (contour hashes in
+    * `dir/hashes`): the clip corpus is never re-decoded; only the
+    * probe segments pay a decode pass. The productized face of qm14
+    * (`media contain` on an `--audio` index). */
+  def hitsIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      segments: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = PerceptualHash.DefaultMaxBlock): DataFrame = {
+    implicit val sp: SparkSession = spark
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    val ch = spark.read.parquet(s"$indexDir/hashes")
+      .select(col("id").as("image_id"), col("dhash"))
+    ImageInVideo.joinHashed(ch, segmentHashes(segments, maxDecodeBytes),
+        maxHamming, bands, maxBlock)
       .select(
         col("image_id").as("clip_id"), col("video_id").as("stream_id"),
         col("n_frames").as("n_segments"), col("best_hamming"))

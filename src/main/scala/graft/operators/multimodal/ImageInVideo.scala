@@ -49,17 +49,49 @@ object ImageInVideo {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
-    import spark.implicits._
     val ih = PerceptualHash.dHashes(images, maxDecodeBytes)
       .withColumnRenamed("id", "image_id")
-    val fh = graft.operators.Parallelism.ensureMin(frames)
+    joinHashed(ih, frameHashes(frames, maxDecodeBytes), maxHamming, bands,
+      maxBlock)
+  }
+
+  /** The frames side reduced to (video_id, frame_idx, dhash) — one
+    * decode pass. */
+  private[multimodal] def frameHashes(
+      frames: DataFrame, maxDecodeBytes: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.operators.Parallelism.ensureMin(frames)
       .select(col("video_id"), col("frame_idx"), col("content"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions(_.map { case (v, f, b) =>
         (v, f, PerceptualHash.dHash64(b, maxDecodeBytes))
       })
       .toDF("video_id", "frame_idx", "dhash")
-    joinHashed(ih, fh, maxHamming, bands, maxBlock)
+  }
+
+  /** [[hits]] against a persisted [[graft.streaming.MediaIngest]]
+    * admission index: the images side is ALREADY hashed (`dir/hashes`,
+    * 16 bytes a row — the corpus payloads are never re-decoded), so
+    * only the probe frames pay a decode pass. The productized face of
+    * qm13 (`media contain`): report every indexed image appearing
+    * inside the given video frame table. */
+  def hitsIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      frames: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxDecodeBytes: Int = 1 << 22,
+      maxBlock: Int = PerceptualHash.DefaultMaxBlock): DataFrame = {
+    implicit val sp: SparkSession = spark
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
+    val ih = spark.read.parquet(s"$indexDir/hashes")
+      .select(col("id").as("image_id"), col("dhash"))
+    joinHashed(ih, frameHashes(frames, maxDecodeBytes), maxHamming, bands,
+      maxBlock)
   }
 
   /** The banded cross-table Hamming join over already-derived hashes

@@ -47,9 +47,48 @@ object MediaIngest {
 
   private def bloomPath(dir: String) = s"$dir/bands.bloom"
   private def bloomMetaPath(dir: String) = s"$dir/bands.bloom.meta"
+  private def modePath(dir: String) = s"$dir/hash_mode"
 
   val DefaultBands = 4
   val DefaultMaxHamming = 3
+
+  // ---- hash mode (round 14): one index, two perceptual kernels ----
+  // "image" = PerceptualHash dHash over decoded pixels (the original
+  // mode, and what a sidecar-less legacy index is assumed to be);
+  // "audio" = PerceptualAudio gain-invariant loudness-contour hash
+  // over WAV PCM16. The mode persists beside the index and every
+  // later operation verifies it — appending image hashes into an
+  // audio index would silently poison the novelty guard.
+
+  private def modeName(audio: Boolean) = if (audio) "audio" else "image"
+
+  private def writeMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(modePath(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(modeName(audio).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index's recorded hash mode; None = no sidecar (legacy index,
+    * image mode by construction). */
+  def indexMode(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(modePath(dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def requireMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
+    val stored = indexMode(spark, dir).getOrElse("image")
+    require(stored == modeName(audio),
+      s"media index at $dir was built in '$stored' mode; this operation " +
+        s"requested '${modeName(audio)}' — pass the matching --audio flag " +
+        "or rebuild the index")
+  }
 
   /** "band:key" strings of a 64-bit hash column — the band width is
     * 64/bands bits; pure bit arithmetic, derivable on any scan. */
@@ -63,21 +102,26 @@ object MediaIngest {
   }
 
   /** (id, dhash) of decodable payloads, one representative per hash. */
-  private def hashed(media: DataFrame, maxDecodeBytes: Int)(
+  private def hashed(media: DataFrame, maxDecodeBytes: Int, audio: Boolean)(
       implicit spark: SparkSession): DataFrame =
-    PerceptualHash.dHashes(media, maxDecodeBytes)
+    (if (audio)
+      graft.operators.multimodal.PerceptualAudio.audioHashes(media, maxDecodeBytes)
+    else PerceptualHash.dHashes(media, maxDecodeBytes))
       .filter(col("dhash").isNotNull)
       .dropDuplicates("dhash")
 
-  /** Build (or rebuild) the index: hashes parquet + band-key bloom. */
+  /** Build (or rebuild) the index: hashes parquet + band-key bloom +
+    * the hash-mode sidecar. */
   def buildIndexDir(
       media: DataFrame,
       dir: String,
       maxDecodeBytes: Int = 1 << 22,
-      bands: Int = DefaultBands): Unit = {
+      bands: Int = DefaultBands,
+      audio: Boolean = false): Unit = {
     implicit val spark: SparkSession = media.sparkSession
-    hashed(media, maxDecodeBytes)
+    hashed(media, maxDecodeBytes, audio)
       .write.mode("overwrite").parquet(s"$dir/hashes")
+    writeMode(spark, dir, audio)
     writeBandBloom(spark, dir, bands)
   }
 
@@ -114,7 +158,8 @@ object MediaIngest {
       indexDir: String,
       maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxDecodeBytes: Int = 1 << 22): Admission = {
+      maxDecodeBytes: Int = 1 << 22,
+      audio: Boolean = false): Admission = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
@@ -122,7 +167,7 @@ object MediaIngest {
     // Barrier: the decode is the expensive stage and `rows` feeds the
     // gate probe, the key explode, the anti-join and the index append —
     // un-materialized lineage would re-decode the batch per consumer
-    val rows = graft.operators.Barrier(hashed(batch, maxDecodeBytes))
+    val rows = graft.operators.Barrier(hashed(batch, maxDecodeBytes, audio))
     val hashesPath = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
     val fs = hashesPath.getFileSystem(spark.sessionState.newHadoopConf())
     // missing-path checked explicitly; any OTHER index read failure
@@ -130,8 +175,10 @@ object MediaIngest {
     if (!fs.exists(hashesPath))
       return Admission(rows, rows, () => {
         rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
+        writeMode(spark, indexDir, audio)
         writeBandBloom(spark, indexDir, bands)
       })
+    requireMode(spark, indexDir, audio)
     val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))
     val batchKeys = rows.select(col("dhash").as("dh_b"),
       explode(bandKeyCol(col("dhash"), bands)).as("bk"))
@@ -179,8 +226,9 @@ object MediaIngest {
       indexDir: String,
       maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
-      maxDecodeBytes: Int = 1 << 22): DataFrame = {
-    val a = admitBatch(batch, indexDir, maxHamming, bands, maxDecodeBytes)
+      maxDecodeBytes: Int = 1 << 22,
+      audio: Boolean = false): DataFrame = {
+    val a = admitBatch(batch, indexDir, maxHamming, bands, maxDecodeBytes, audio)
     a.commit()
     a.admitted
   }
@@ -205,9 +253,14 @@ object MediaIngest {
     * way, since the scan is a full popcount filter, not banded). */
   def searchIndex(spark: SparkSession, dir: String, payload: Array[Byte],
       maxHamming: Int = DefaultMaxHamming, bands: Int = DefaultBands,
-      maxDecodeBytes: Int = 1 << 22): Option[DataFrame] = {
+      maxDecodeBytes: Int = 1 << 22, audio: Boolean = false): Option[DataFrame] = {
     import spark.implicits._
-    PerceptualHash.dHash64(payload, maxDecodeBytes).map { h =>
+    requireMode(spark, dir, audio)
+    val probeHash =
+      if (audio)
+        graft.operators.multimodal.PerceptualAudio.audioHash64(payload, maxDecodeBytes)
+      else PerceptualHash.dHash64(payload, maxDecodeBytes)
+    probeHash.map { h =>
       val gateMiss = maxHamming < bands &&
         IngestPipeline.readBloom(spark, bloomPath(dir)).exists(bf =>
           bandKeys(h, bands).forall(k => !bf.mightContainString(k)))
@@ -255,6 +308,7 @@ object MediaIngest {
       idCol: String = "id",
       maxHamming: Int = DefaultMaxHamming,
       bands: Int = DefaultBands,
+      audio: Boolean = false,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -276,7 +330,8 @@ object MediaIngest {
         val keyed =
           if (idCol == "id") batch
           else batch.drop("id").withColumnRenamed(idCol, "id")
-        val a = admitBatch(keyed, indexDir, maxHamming, bands)
+        val a = admitBatch(keyed, indexDir, maxHamming, bands,
+          audio = audio)
         sink.append(
           batch.join(broadcast(a.admitted.select(col("id").as(idCol))),
             Seq(idCol), "left_semi"),

@@ -249,6 +249,83 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("index", "rebuild", "--config", cfg), spark) == 2)
   }
 
+  test("media contain reports indexed images/clips inside frame tables") {
+    import spark.implicits._
+    import graft.operators.multimodal.{PerceptualAudio, PerceptualHash}
+    val srcDir = Files.createTempDirectory("graft_contain_src").toString
+    val imgIdx = Files.createTempDirectory("graft_contain_img").toString + "/idx"
+    val audIdx = Files.createTempDirectory("graft_contain_aud").toString + "/idx"
+    val outDir = Files.createTempDirectory("graft_contain_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:${Files.createTempDirectory("graft_contain_dst")}
+         |""".stripMargin)
+
+    // image leg: corpus {2, 4}; video 100 shows planted 2 (hit),
+    // video 200 shows planted 999 — expectations derived brute-force
+    // from the same kernels, so the assertions hold for ANY planted
+    // hash geometry (the audio space is low-entropy by construction)
+    val imgCorpus = Seq(2L, 4L); val frameEq = Seq((100L, 0, 2L), (200L, 0, 999L))
+    imgCorpus.map(id => (id, PerceptualHash.plantedPng(id)))
+      .toDF("id", "content").write.parquet(s"$srcDir/media.parquet")
+    frameEq.map { case (v, f, eq) => (v, f, PerceptualHash.plantedPng(eq)) }
+      .toDF("video_id", "frame_idx", "content")
+      .write.parquet(s"$srcDir/frames.parquet")
+    def dh(id: Long): Long = PerceptualHash.dHash64(PerceptualHash.plantedPng(id)).get
+    // the admission index keeps ONE representative id per distinct
+    // hash, so containment expectations derive from the index's own
+    // representatives, not the raw corpus
+    def indexed(idx: String): Seq[(Long, Long)] =
+      spark.read.parquet(s"$idx/hashes").select("id", "dhash")
+        .as[(Long, Long)].collect().toSeq
+    assert(Main.run(Array("media", "build", "--table", "media",
+      "--index", imgIdx, "--config", cfg), spark) == 0)
+    val expectImg = (for {
+      (i, h) <- indexed(imgIdx); (v, _, eq) <- frameEq
+      if java.lang.Long.bitCount(h ^ dh(eq)) <= 3
+    } yield (i, v)).toSet
+    assert(expectImg.contains((2L, 100L)), "fixture lost its planted hit")
+    assert(Main.run(Array("media", "contain", "--table", "frames",
+      "--index", imgIdx, "--out", s"$outDir/img", "--config", cfg), spark) == 0)
+    val gotImg = spark.read.parquet(s"$outDir/img")
+      .select("image_id", "video_id").as[(Long, Long)].collect().toSet
+    assert(gotImg == expectImg, s"image containment: $gotImg vs $expectImg")
+
+    // audio leg: clip corpus {2, 4}; stream 100 carries planted 4,
+    // stream 200 carries planted 777
+    val clipCorpus = Seq(2L, 4L); val segEq = Seq((100L, 0, 4L), (200L, 0, 777L))
+    clipCorpus.map(id => (id, PerceptualAudio.plantedWav(id)))
+      .toDF("id", "content").write.parquet(s"$srcDir/clips.parquet")
+    segEq.map { case (s, i, eq) => (s, i, PerceptualAudio.plantedWav(eq)) }
+      .toDF("stream_id", "seg_idx", "content")
+      .write.parquet(s"$srcDir/segments.parquet")
+    def ah(id: Long): Long =
+      PerceptualAudio.audioHash64(PerceptualAudio.plantedWav(id)).get
+    assert(Main.run(Array("media", "build", "--audio", "--table", "clips",
+      "--index", audIdx, "--config", cfg), spark) == 0)
+    val expectAud = (for {
+      (c, h) <- indexed(audIdx); (s, _, eq) <- segEq
+      if java.lang.Long.bitCount(h ^ ah(eq)) <= 3
+    } yield (c, s)).toSet
+    assert(expectAud.exists(_._2 == 100L), "audio fixture lost its planted hit")
+    assert(Main.run(Array("media", "contain", "--table", "segments",
+      "--index", audIdx, "--stream-id", "stream_id", "--frame", "seg_idx",
+      "--out", s"$outDir/aud", "--config", cfg), spark) == 0)
+    val gotAud = spark.read.parquet(s"$outDir/aud")
+      .select("clip_id", "stream_id").as[(Long, Long)].collect().toSet
+    assert(gotAud == expectAud, s"audio containment: $gotAud vs $expectAud")
+
+    // mode guard: an image-mode append into the audio index fails with
+    // a usable message instead of silently poisoning the novelty guard
+    val e = intercept[IllegalArgumentException] {
+      Main.run(Array("media", "append", "--table", "media",
+        "--index", audIdx, "--config", cfg), spark)
+    }
+    assert(e.getMessage.contains("'audio' mode"), e.getMessage)
+  }
+
   test("cc build + append + compact lifecycle maintains the label store") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
