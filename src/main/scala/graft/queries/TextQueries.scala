@@ -1363,6 +1363,62 @@ object TextQueries {
            |       md5(nfc_normalize(raw)) AS fp_nfc,
            |       md5(strip_accents(nfc_normalize(raw))) AS fp_fold
            |FROM p""".stripMargin
-      })
+      }),
+
+    Q(
+      "qt61_host_dedup_cap",
+      // CCNet's first stage, the one standard curation pass that had
+      // no query yet (round-13 advice #7): URL/host-keyed exact dedup
+      // + per-host caps. A re-crawl fetches the same page under a new
+      // URL; dedup keys on (host, md5(content)) keeping the FIRST
+      // crawl, then the per-host cap bounds any one domain's doc share
+      // (n_chars as the engine-stable quality, id tiebreak). The
+      // re-crawl fixture is derived IN-QUERY (the CorpusDiff
+      // syntheticV2 discipline): every 5th page re-arrives under a
+      // fresh id, same host, same bytes. Decision pipeline is narrow —
+      // text never enters either window's shuffle (HostDedup projects
+      // (id, host, digest, quality) at the scan).
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val crawl = docs.unionByName(
+          docs.where(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        val urled = crawl.withColumn("url",
+          concat(lit("https://crawl-"), col("source"),
+            lit(".example.com/p/"), col("doc_id").cast("string")))
+        graft.operators.text.HostDedup.dedupAndCap(
+            urled, col("url"), col("text"), "doc_id", col("n_chars"),
+            cap = 20)
+          .select(col("doc_id"), col("host"), col("rank"), col("keep"))
+      },
+      Some(
+        s"""WITH crawl AS (
+           |  SELECT doc_id, text, source, n_chars FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text, source, n_chars
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |urled AS (
+           |  SELECT doc_id, n_chars,
+           |         'https://crawl-' || source || '.example.com/p/' ||
+           |           CAST(doc_id AS VARCHAR) AS url,
+           |         md5(text) AS digest
+           |  FROM crawl),
+           |hosted AS (
+           |  SELECT doc_id, n_chars,
+           |         ${graft.operators.text.HostDedup.hostOfSql("url")} AS host,
+           |         digest
+           |  FROM urled),
+           |uniq AS (
+           |  SELECT doc_id, host, n_chars FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY host, digest ORDER BY doc_id ASC) AS rn
+           |    FROM hosted) WHERE rn = 1)
+           |SELECT doc_id, host,
+           |       row_number() OVER (PARTITION BY host
+           |                          ORDER BY n_chars DESC, doc_id ASC) AS rank,
+           |       row_number() OVER (PARTITION BY host
+           |                          ORDER BY n_chars DESC, doc_id ASC) <= 20 AS keep
+           |FROM uniq""".stripMargin))
   )
 }
