@@ -107,7 +107,16 @@ object ScaleSmoke {
     // mining is two window passes over the per-user sort + a tiny
     // grouped count (should track the event scan)
     "qd36_banding_recall_curve",
-    "qe21_path_ngrams")
+    "qe21_path_ngrams",
+    // round 14: incremental CC (full portable-MinHash pair mine + CC
+    // on the even graph + appendComponents — the pair mine dominates,
+    // so the ratio should track qd03's banding story), batch hybrid
+    // retrieval (both legs one corpus pass regardless of batch size —
+    // should track the scan), and host-keyed dedup+cap (two narrow
+    // keyed windows — should track the scan)
+    "qd37_incremental_components",
+    "qs39_hybrid_batch",
+    "qt61_host_dedup_cap")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
@@ -216,6 +225,70 @@ object ScaleSmoke {
     ()
   }
 
+  /** The 10x evidence for "untouched buckets are never opened": build
+    * the label store + LSH index over replicas 0-8 (one-time,
+    * untimed), then time the nightly increment fold of replica 9 —
+    * the production shape: a fresh crawl arrives with ids ABOVE every
+    * existing id, so under range bucketing its new components land in
+    * new top buckets — against the full-rebuild alternative. Also
+    * counts which bucket partition dirs the append actually touched.
+    * (An id-UNIFORM increment is the measured anti-shape: before the
+    * range switch a modulo store rewrote 63/64 buckets for 517
+    * scattered ids — recorded in SCALE.md round-14.) */
+  private def ccStoreSmoke(spark: SparkSession, bigDir: String): Unit = {
+    implicit val sp: SparkSession = spark
+    import graft.operators.dedup.{ConnectedComponents => CC, MinHashLSH}
+    val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+    val p = MinHashLSH.Params(threshold = 0.3)
+    val cut = 9L * 100000000L // replica 9's id range
+    val base = docs.filter(col("doc_id") < cut)
+    val inc = docs.filter(col("doc_id") >= cut)
+    val storeDir = s"$bigDir/_cc_smoke_store"
+    val lshDir = s"$bigDir/_cc_smoke_lsh"
+    val fullDir = s"$bigDir/_cc_smoke_full"
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // one-time corpus signing + base labeling (both untimed: the store
+    // exists before any nightly append runs)
+    MinHashLSH.writeIndex(
+      MinHashLSH.buildIndex(base, col("text"), col("doc_id"), p), lshDir)
+    val baseLabels = CC.components(
+      MinHashLSH.candidatePairs(base, col("text"), col("doc_id"), p),
+      "id_a", "id_b", base, "doc_id")
+    CC.writeComponentsStore(baseLabels, "doc_id", storeDir, nBuckets = 64)
+    def bucketMtimes(): Map[String, Long] =
+      new java.io.File(storeDir).listFiles()
+        .filter(_.getName.startsWith("comp_bucket="))
+        .flatMap(d => d.listFiles().map(f =>
+          s"${d.getName}/${f.getName}" -> f.lastModified())).toMap
+    val before = bucketMtimes()
+    // the nightly job, timed end-to-end: sign the increment, mine its
+    // edges (within + against the index), fold into the store
+    val (rewritten, tAppend) = timed {
+      val lsh = MinHashLSH.readIndex(spark, lshDir)
+      val within = MinHashLSH.candidatePairs(inc, col("text"), col("doc_id"), p)
+        .select(col("id_a"), col("id_b"))
+      val cross = MinHashLSH.pairsAgainstIndex(lsh, inc, col("text"), col("doc_id"), p)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      CC.appendComponentsStore(spark, storeDir, within.unionByName(cross),
+        "id_a", "id_b", inc.select(col("doc_id")), "doc_id")
+    }
+    val after = bucketMtimes()
+    val survivors = before.keySet.intersect(after.keySet)
+    val changedSurvivors = survivors.count(k => before(k) != after(k))
+    // the alternative: full pair mine + CC + every bucket rewritten
+    val (_, tRebuild) = timed {
+      val labels = CC.components(
+        MinHashLSH.candidatePairs(docs, col("text"), col("doc_id"), p),
+        "id_a", "id_b", docs, "doc_id")
+      CC.writeComponentsStore(labels, "doc_id", fullDir, nBuckets = 64)
+    }
+    println(f"""{"metric":"cc_store_smoke","docs":${docs.count()},"increment":${inc.count()},"append_sec":$tAppend%.3f,"rebuild_sec":$tRebuild%.3f,"ratio":${tRebuild / tAppend}%.2f,"buckets_rewritten":$rewritten,"surviving_files_touched":$changedSurvivors}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
@@ -236,6 +309,18 @@ object ScaleSmoke {
       return
     }
     buildBig(spark, baseDir, bigDir, replicas)
+    // SPARK_GRAFT_CC_SMOKE=1: measure the persisted-label-store claim
+    // at 10x instead of fixture scale — the nightly `cc append` shape
+    // (sign the ~1% increment, pairs against the prebuilt LSH index,
+    // journaled bucket rewrite) against the full-rebuild alternative
+    // (mine all pairs, CC, rewrite every bucket), with the
+    // untouched-bucket-files-byte-identical evidence counted from
+    // mtimes. One JSON line; exits without the Heavy sweep.
+    if (sys.env.get("SPARK_GRAFT_CC_SMOKE").contains("1")) {
+      ccStoreSmoke(spark, bigDir)
+      spark.stop()
+      return
+    }
 
     def time(q: queries.Q, dir: String): Double = {
       def once(): Double = {

@@ -253,12 +253,30 @@ object ConnectedComponents {
 
   // ---- persisted label store (bucket-partitioned, append-in-place) ----
   //
-  // Labels persist partitioned by comp_bucket = component % nBuckets
-  // (the IVF-cell discipline: a bounded partition count at any corpus
-  // size). An append rewrites ONLY buckets that gain or lose rows —
-  // buckets holding untouched components keep their files byte-for-byte
-  // (spec-pinned), which is what makes nightly increments cheap when
-  // 99% of yesterday's clusters are untouched.
+  // Labels persist partitioned by comp_bucket = component div span
+  // (RANGE bucketing; span fixed at build time as ~maxComponent /
+  // nBuckets and recorded in the meta sidecar). An append rewrites
+  // ONLY buckets that gain or lose rows — buckets holding untouched
+  // components keep their files byte-for-byte (spec-pinned), which is
+  // what makes nightly increments cheap when 99% of yesterday's
+  // clusters are untouched.
+  //
+  // Why RANGE and not modulo (round-14 measurement): a component's
+  // label is its min member id, so a NOVEL document becomes a new
+  // component labeled by its own id. Production ids are monotone
+  // (crawl/ingest sequence), so under range bucketing a nightly
+  // increment's new components all land in the TOP bucket(s) — the
+  // 10x smoke measured 2 buckets rewritten for a 10% fresh-id-range
+  // increment. Modulo bucketing scatters the same new components
+  // uniformly: the same smoke rewrote 63/64 buckets (measured before
+  // the switch), i.e. a near-full store rewrite every night. For
+  // id-UNIFORM increments no bucketing scheme can localize new
+  // singletons; the append then degrades to a full rewrite and
+  // `compactComponentsStore` is the honest maintenance path. New
+  // components past the build-time max simply open new bucket dirs
+  // (ids beyond nBuckets) — compact re-spans to the target count.
+  // Pre-range stores (meta without a span, or no meta) keep their
+  // modulo layout: the scheme is read from the sidecar, never assumed.
   //
   // Crash safety (round-13 review: the former delete-then-dynamic-
   // overwrite lost relabeled rows if killed between the two): appends
@@ -271,7 +289,15 @@ object ConnectedComponents {
   // discovery. Single-writer per store dir, like every persisted
   // artifact here.
 
-  private def bucketCol(nBuckets: Int) =
+  /** Range bucket: floor(component / span) in exact long arithmetic —
+    * (c − pmod(c, s)) is divisible by s, so the truncating `div`
+    * equals the floor for negative components too. */
+  private def bucketCol(span: Long) =
+    expr(s"(component - pmod(component, ${span}L)) div ${span}L")
+      .as("comp_bucket")
+
+  /** Legacy modulo bucket — pre-range stores (meta without a span). */
+  private def modBucketCol(nBuckets: Int) =
     pmod(col("component"), lit(nBuckets.toLong)).as("comp_bucket")
 
   private def fsFor(spark: SparkSession, dir: String) =
@@ -305,27 +331,54 @@ object ConnectedComponents {
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, nBuckets: Int): Unit =
-    writeSidecar(fs, metaPath(dir), s"nBuckets=$nBuckets\n")
+      dir: String, nBuckets: Int, span: Long): Unit =
+    writeSidecar(fs, metaPath(dir),
+      s"scheme=range\nspan=$span\nnBuckets=$nBuckets\n")
 
-  /** The bucket count the store was written with — None for stores
-    * written before the meta sidecar existed (they used the default
-    * 64). [[appendComponentsStore]] resolves its bucketing from here,
-    * so a [[compactComponentsStore]] re-bucketing is transparent to
-    * later appends. */
-  def storeBuckets(spark: SparkSession, dir: String): Option[Int] = {
+  private def metaLine(spark: SparkSession, dir: String, key: String): Option[String] = {
     val fs = fsFor(spark, dir)
     if (!fs.exists(metaPath(dir))) None
     else readSidecar(fs, metaPath(dir)).linesIterator
-      .collectFirst { case l if l.startsWith("nBuckets=") =>
-        l.stripPrefix("nBuckets=").trim.toInt }
+      .collectFirst { case l if l.startsWith(s"$key=") =>
+        l.stripPrefix(s"$key=").trim }
+  }
+
+  /** The bucket count the store targeted at build/compact time — None
+    * for stores written before the meta sidecar existed.
+    * [[appendComponentsStore]] resolves its bucketing from the meta,
+    * so a [[compactComponentsStore]] re-bucketing is transparent to
+    * later appends. */
+  def storeBuckets(spark: SparkSession, dir: String): Option[Int] =
+    metaLine(spark, dir, "nBuckets").map(_.toInt)
+
+  /** The range span the store buckets by — None for legacy modulo
+    * stores (no meta, or a meta predating the range scheme). */
+  def storeSpan(spark: SparkSession, dir: String): Option[Long] =
+    metaLine(spark, dir, "span").map(_.toLong)
+
+  /** The bucket column matching how THIS store is laid out on disk —
+    * range when the meta records a span, legacy modulo otherwise. */
+  private def storeBucketCol(spark: SparkSession, dir: String,
+      fallbackBuckets: Int): org.apache.spark.sql.Column =
+    storeSpan(spark, dir) match {
+      case Some(s) => bucketCol(s)
+      case None =>
+        modBucketCol(storeBuckets(spark, dir).getOrElse(fallbackBuckets))
+    }
+
+  private def spanFor(labels: DataFrame, nBuckets: Int): Long = {
+    val maxComp = Option(
+      labels.agg(max(col("component"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    math.max(1L, maxComp / nBuckets + 1)
   }
 
   def writeComponentsStore(
       labels: DataFrame, nodeId: String, dir: String, nBuckets: Int = 64): Unit = {
-    labels.select(col(nodeId), col("component"), bucketCol(nBuckets))
+    val span = spanFor(labels, nBuckets)
+    labels.select(col(nodeId), col("component"), bucketCol(span))
       .write.mode("overwrite").partitionBy("comp_bucket").parquet(dir)
-    writeMeta(fsFor(labels.sparkSession, dir), dir, nBuckets)
+    writeMeta(fsFor(labels.sparkSession, dir), dir, nBuckets, span)
   }
 
   def readComponentsStore(spark: SparkSession, dir: String): DataFrame = {
@@ -400,7 +453,7 @@ object ConnectedComponents {
       nBuckets: Int = 64): Int = {
     implicit val ss: SparkSession = spark
     recoverComponentsStore(spark, dir)
-    val nb = storeBuckets(spark, dir).getOrElse(nBuckets)
+    val bCol = storeBucketCol(spark, dir, nBuckets)
     val store = spark.read.parquet(dir)
       .select(col(nodeId), col("component"))
     val (_, updated0) =
@@ -409,9 +462,9 @@ object ConnectedComponents {
     // buckets losing rows: old buckets of nodes that got relabeled
     val oldRows = store.join(
       updated.select(col(nodeId)), Seq(nodeId), "semi")
-    val loseBuckets = oldRows.select(bucketCol(nb))
+    val loseBuckets = oldRows.select(bCol)
       .distinct().collect().map(_.getLong(0)).toSet
-    val gainBuckets = updated.select(bucketCol(nb))
+    val gainBuckets = updated.select(bCol)
       .distinct().collect().map(_.getLong(0)).toSet
     val rewrite = (loseBuckets ++ gainBuckets).toSeq
     if (rewrite.isEmpty) return 0
@@ -422,7 +475,7 @@ object ConnectedComponents {
       .join(updated.select(col(nodeId)), Seq(nodeId), "left_anti")
       .select(col(nodeId), col("component"))
     val content = survivors.unionByName(updated)
-      .select(col(nodeId), col("component"), bucketCol(nb))
+      .select(col(nodeId), col("component"), bCol)
       .where(col("comp_bucket").isin(rewrite: _*))
       .transform(Barrier.apply)
     val present = content.select("comp_bucket")
@@ -454,21 +507,22 @@ object ConnectedComponents {
       nBuckets: Int = 0, targetRows: Long = 1L << 22): (Long, Int, Int) = {
     recoverComponentsStore(spark, dir)
     val before = storeBuckets(spark, dir).getOrElse(64)
-    val df = spark.read.parquet(dir).drop("comp_bucket")
+    val df = Barrier(spark.read.parquet(dir).drop("comp_bucket"))
     val rows = df.count()
     val nb =
       if (nBuckets > 0) nBuckets
       else math.max(before.toLong,
         (rows + targetRows - 1) / targetRows).min(Int.MaxValue.toLong).toInt
+    val span = spanFor(df, nb)
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = fsFor(spark, dir)
     val tmp = graft.operators.StagedSwap.tmpPath(live)
-    df.withColumn("comp_bucket",
-        pmod(col("component"), lit(nb.toLong)))
+    df.select(df.columns.filterNot(_ == "comp_bucket").map(col) :+
+        bucketCol(span): _*)
       .repartition(col("comp_bucket"))
       .write.mode("overwrite").partitionBy("comp_bucket")
       .parquet(tmp.toString)
-    writeMeta(fs, tmp.toString, nb)
+    writeMeta(fs, tmp.toString, nb, span)
     graft.operators.StagedSwap.swapIn(fs, live, tmp)
     (rows, before, nb)
   }

@@ -320,7 +320,8 @@ object DedupQueries {
         ConnectedComponents.appendComponents(
           base, incEdges, "doc_a", "doc_b", odds, "doc_id")(s)
       },
-      Some(PortableMinHash.oracleComponentsSql(0.3))),
+      Some(PortableMinHash.oracleComponentsSql(0.3)),
+      bench = true),
     Q(
       "qd11_simhash_portable",
       (s, dir) =>

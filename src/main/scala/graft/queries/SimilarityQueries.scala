@@ -664,7 +664,8 @@ object SimilarityQueries {
           queries = HybridBatchFixture.queries,
           kPerList = 20, kOut = 10),
       Some(graft.operators.text.HybridRetrieval.oracleBatchSql(
-        HybridBatchFixture.queries, kPerList = 20, kOut = 10))),
+        HybridBatchFixture.queries, kPerList = 20, kOut = 10)),
+      bench = true),
     Q(
       "qs33_centroid_drift",
       // embedding-space drift monitor: per-label centroid distance to

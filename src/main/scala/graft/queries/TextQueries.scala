@@ -1419,6 +1419,7 @@ object TextQueries {
            |                          ORDER BY n_chars DESC, doc_id ASC) AS rank,
            |       row_number() OVER (PARTITION BY host
            |                          ORDER BY n_chars DESC, doc_id ASC) <= 20 AS keep
-           |FROM uniq""".stripMargin))
+           |FROM uniq""".stripMargin),
+      bench = true)
   )
 }

@@ -100,21 +100,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       if (!d.exists()) Set.empty
       else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
     }
-    // components 1 (bucket 1), 3 (3), 5 (5), 10 (2)
-    val untouched3 = listing(3L)
-    val bucket2 = listing(2L)
-    assert(untouched3.nonEmpty && bucket2.nonEmpty)
-    // increment: 20 joins comp 1 (bucket 1 rewrites); 10 bridges to 20
-    // so comp 10 merges into comp 1 — bucket 2 LOSES all its rows and
+    // range span = max(10)/8 + 1 = 2: comp 1 -> bucket 0, comp 3 ->
+    // bucket 1, comp 5 -> bucket 2, comp 10 -> bucket 5
+    val untouched3 = listing(1L)
+    val bucket10 = listing(5L)
+    assert(untouched3.nonEmpty && bucket10.nonEmpty)
+    // increment: 20 joins comp 1 (bucket 0 rewrites); 10 bridges to 20
+    // so comp 10 merges into comp 1 — bucket 5 LOSES all its rows and
     // must end deleted, not stale
     val incEdges = Seq((20L, 2L), (10L, 20L)).toDF("a", "b")
     val incNodes = Seq(20L).toDF("id")
     ConnectedComponents.appendComponentsStore(
       spark, dir, incEdges, "a", "b", incNodes, "id", nBuckets = 8)
-    assert(listing(3L) == untouched3,
+    assert(listing(1L) == untouched3,
       "untouched component's bucket files were rewritten")
-    assert(listing(5L).nonEmpty, "untouched bucket 5 lost its files")
-    assert(listing(2L).isEmpty, "emptied bucket kept stale rows")
+    assert(listing(2L).nonEmpty, "untouched comp-5 bucket lost its files")
+    assert(listing(5L).isEmpty, "emptied bucket kept stale rows")
     val got = ConnectedComponents.readComponentsStore(spark, dir)
       .select("id", "component").as[(Long, Long)].collect().toMap
     val full = ConnectedComponents.components(
@@ -133,20 +134,21 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("an append journal interrupted after the marker replays on read") {
     val dir = freshStore()
-    // manufacture the post-marker crash window by hand: staged content
-    // moves node 10 into component 1 (bucket 1 rewrites, bucket 2
-    // empties), the marker is published, but apply never ran
-    Seq((1L, 1L, 1L), (2L, 1L, 1L), (10L, 1L, 1L))
+    // span = 2: comp 1 -> bucket 0, comp 10 -> bucket 5. Manufacture
+    // the post-marker crash window by hand: staged content moves node
+    // 10 into component 1 (bucket 0 rewrites, bucket 5 empties), the
+    // marker is published, but apply never ran
+    Seq((1L, 1L, 0L), (2L, 1L, 0L), (10L, 1L, 0L))
       .toDF("id", "component", "comp_bucket")
       .write.partitionBy("comp_bucket").parquet(s"$dir/_cc_staging")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_cc_apply"),
-      "1 write\n2 empty\n".getBytes("UTF-8"))
+      "0 write\n5 empty\n".getBytes("UTF-8"))
     val got = ConnectedComponents.readComponentsStore(spark, dir)
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
       s"journal replay lost rows: $got")
-    assert(!new java.io.File(s"$dir/comp_bucket=2").exists(),
+    assert(!new java.io.File(s"$dir/comp_bucket=5").exists(),
       "emptied bucket survived the replay")
     assert(!new java.io.File(s"$dir/_cc_apply").exists() &&
       !new java.io.File(s"$dir/_cc_staging").exists(),
@@ -160,19 +162,20 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("a half-applied journal replays idempotently") {
     val dir = freshStore()
-    // the "write" bucket was already swapped in (staged dir consumed),
+    // span = 2: comp 1 lives in bucket 0, comp 10 in bucket 5. The
+    // "write" bucket was already swapped in (staged dir consumed),
     // the "empty" bucket's delete never ran — replay must keep the new
-    // bucket-1 content and finish the bucket-2 delete
-    val b1 = new java.io.File(s"$dir/comp_bucket=1")
-    b1.listFiles().foreach(_.delete())
-    Seq((1L, 1L, 1L), (2L, 1L, 1L), (10L, 1L, 1L))
+    // bucket-0 content and finish the bucket-5 delete
+    val b0 = new java.io.File(s"$dir/comp_bucket=0")
+    b0.listFiles().foreach(_.delete())
+    Seq((1L, 1L, 0L), (2L, 1L, 0L), (10L, 1L, 0L))
       .toDF("id", "component", "comp_bucket")
       .write.mode("overwrite").partitionBy("comp_bucket")
       .parquet(s"$dir/_tmp_new")
-    new java.io.File(s"$dir/_tmp_new/comp_bucket=1").listFiles()
+    new java.io.File(s"$dir/_tmp_new/comp_bucket=0").listFiles()
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => java.nio.file.Files.move(
-        f.toPath, new java.io.File(b1, f.getName).toPath))
+        f.toPath, new java.io.File(b0, f.getName).toPath))
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
     }
@@ -181,12 +184,12 @@ class ConnectedComponentsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/_cc_staging"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_cc_apply"),
-      "1 write\n2 empty\n".getBytes("UTF-8"))
+      "0 write\n5 empty\n".getBytes("UTF-8"))
     val got = ConnectedComponents.readComponentsStore(spark, dir)
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
       s"idempotent replay destroyed applied content: $got")
-    assert(!new java.io.File(s"$dir/comp_bucket=2").exists())
+    assert(!new java.io.File(s"$dir/comp_bucket=5").exists())
   }
 
   test("staging without a marker is swept, live store untouched") {
@@ -204,22 +207,45 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("compact re-buckets, and later appends pick up the new meta") {
     val dir = freshStore()
     assert(ConnectedComponents.storeBuckets(spark, dir).contains(8))
+    assert(ConnectedComponents.storeSpan(spark, dir).contains(2L))
     val (rows, before, after) =
       ConnectedComponents.compactComponentsStore(spark, dir, nBuckets = 4)
     assert(rows == 3L && before == 8 && after == 4)
     assert(ConnectedComponents.storeBuckets(spark, dir).contains(4))
-    // component 10 now lives in bucket 10 % 4 = 2
-    assert(new java.io.File(s"$dir/comp_bucket=2").exists())
+    // new span = max(10)/4 + 1 = 3: component 10 now lives in bucket 3
+    assert(ConnectedComponents.storeSpan(spark, dir).contains(3L))
+    assert(new java.io.File(s"$dir/comp_bucket=3").exists())
     // an append with the DEFAULT nBuckets param must still bucket by
-    // the meta's 4 — node 20 joins component 10, whose bucket is
-    // 10 % 4 = 2 (a stale 64-bucket append would land it in bucket 10)
+    // the meta's span — node 20 joins component 10, whose bucket is
+    // 10 div 3 = 3 (a stale legacy-modulo append would land it in 10)
     ConnectedComponents.appendComponentsStore(
       spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
       Seq(20L).toDF("id"), "id")
     val got = ConnectedComponents.readComponentsStore(spark, dir)
     assert(got.where(col("id") === 20L).select("comp_bucket")
-      .as[Long].head() == 2L, "append ignored the compacted bucket count")
+      .as[Long].head() == 3L, "append ignored the compacted span")
     assert(got.select("id", "component").as[(Long, Long)].collect().toMap ==
       Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L))
+  }
+
+  test("a legacy modulo store (no meta) still appends correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_legacy")
+      .toString + "/cc"
+    // hand-write the pre-range layout: comp_bucket = component % 8,
+    // no meta sidecar — exactly what a round-13 store looks like
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (10L, 10L, 2L))
+      .toDF("id", "component", "comp_bucket")
+      .write.partitionBy("comp_bucket").parquet(dir)
+    assert(ConnectedComponents.storeSpan(spark, dir).isEmpty)
+    // 20 joins comp 10: modulo bucketing must be used (10 % 8 = 2) —
+    // a wrongly-assumed range span would mis-route the rewrite
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+      Seq(20L).toDF("id"), "id", nBuckets = 8)
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+    assert(got.select("id", "component").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L))
+    assert(got.where(col("id") === 20L).select("comp_bucket")
+      .as[Long].head() == 2L, "legacy store not appended by modulo")
   }
 }
