@@ -1333,6 +1333,12 @@ object Main {
               Seq(dir, r.getLong(0).toString, r.getLong(1).toString))))
             println(f"CC build finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
             0
+          case (Some("append"), Some(dir), Some(t)) if {
+              val dp = new org.apache.hadoop.fs.Path(dir)
+              !dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp)
+            } =>
+            println(s"cc append: no label store at $dir — run `cc build` first")
+            1
           case (Some("append"), Some(dir), Some(t)) =>
             val inc = catalogFor(cfg.src).read(spark, t)
             // within-increment pairs always; increment-vs-corpus pairs

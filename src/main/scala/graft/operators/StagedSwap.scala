@@ -52,6 +52,28 @@ object StagedSwap {
     }
   }
 
+  /** Atomic small-sidecar write: content to a hidden tmp file, rename
+    * into place (file renames are atomic on HDFS and local FS) — the
+    * ONE implementation for every meta/marker/mode sidecar (review
+    * finding: hand-rolled `fs.create(p, true)` writers leave a crash
+    * window where the sidecar exists EMPTY, which reads as a corrupt
+    * scheme/mode instead of a missing one). */
+  def writeSidecar(fs: FileSystem, target: Path, content: String): Unit = {
+    val tmp = new Path(target.toString + "_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"staged swap: cannot publish sidecar $target")
+  }
+
+  def readSidecar(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Swap `tmp` (already fully written by the caller) into `live`.
     * On failure the live dir is restored — the artifact never
     * vanishes within the run; [[restoreIfInterrupted]] covers the

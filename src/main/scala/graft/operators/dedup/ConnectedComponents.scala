@@ -310,25 +310,13 @@ object ConnectedComponents {
   private def markerPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_cc_apply")
 
-  /** Atomic small-file write: content to a hidden tmp, rename into
-    * place (file renames are atomic on HDFS and local FS). */
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      target: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(target.toString + "_tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"cc store: cannot publish $target")
-  }
+      target: org.apache.hadoop.fs.Path, content: String): Unit =
+    graft.operators.StagedSwap.writeSidecar(fs, target, content)
 
   private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      p: org.apache.hadoop.fs.Path): String =
+    graft.operators.StagedSwap.readSidecar(fs, p)
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, nBuckets: Int, span: Long): Unit =
@@ -390,18 +378,21 @@ object ConnectedComponents {
     * an interrupted whole-dir compact restores via [[StagedSwap]]; an
     * interrupted append replays its journal (the marker is written
     * only after staging is complete, so replay always has the full
-    * new content); a crash BEFORE the marker leaves the live store
-    * untouched and staging is garbage to sweep. Returns true when an
+    * new content). A crash BEFORE the marker leaves the live store
+    * untouched; its stale staging is NOT swept here (review finding:
+    * recovery also runs on the READ path, and a reader racing a live
+    * appender's staging window must never destroy it) — the next
+    * append's own staging overwrite replaces it. Readers replaying a
+    * marker concurrently with the crashed-writer window is excluded
+    * by the single-writer contract: the marker exists on disk only
+    * while an append is mid-apply or dead. Returns true when an
     * append journal was replayed. */
   def recoverComponentsStore(spark: SparkSession, dir: String): Boolean = {
     val fs = fsFor(spark, dir)
     graft.operators.StagedSwap.restoreIfInterrupted(
       fs, new org.apache.hadoop.fs.Path(dir))
     if (fs.exists(markerPath(dir))) { applyRewrite(fs, dir); true }
-    else {
-      fs.delete(new org.apache.hadoop.fs.Path(stagingDir(dir)), true)
-      false
-    }
+    else false
   }
 
   /** Execute (or re-execute) the journaled bucket rewrite. Idempotent
@@ -454,6 +445,20 @@ object ConnectedComponents {
     implicit val ss: SparkSession = spark
     recoverComponentsStore(spark, dir)
     val bCol = storeBucketCol(spark, dir, nBuckets)
+    // layout guard (review finding): a range store whose meta sidecar
+    // was lost would silently fall back to legacy modulo, compute the
+    // WRONG rewrite set and delete live rows — verify the chosen
+    // bucketing against on-disk rows before any mutation (a scheme
+    // mismatch is global, so a small sample catches it; an empty
+    // store passes vacuously)
+    val mismatched = spark.read.parquet(dir)
+      .select(col("comp_bucket").as("__disk"), bCol.as("__want"))
+      .where(col("__disk") =!= col("__want"))
+      .head(1)
+    require(mismatched.isEmpty,
+      s"cc store at $dir: on-disk bucket layout disagrees with the " +
+        "meta/fallback bucketing (lost or wrong _cc_meta sidecar?) — " +
+        "restore the sidecar or compact the store before appending")
     val store = spark.read.parquet(dir)
       .select(col(nodeId), col("component"))
     val (_, updated0) =

@@ -94,18 +94,34 @@ object CorpusDiff {
   def snapshotDigests(df: DataFrame, id: Column, content: Column): DataFrame = {
     val isBinary = df.select(content).schema.head.dataType ==
       org.apache.spark.sql.types.BinaryType
+    val scheme = if (isBinary) "md5_bin" else "md5_str"
+    // the scheme rides COLUMN METADATA (persisted through parquet's
+    // Spark-schema footer), so it is recoverable statically — an empty
+    // snapshot or manifest must not default to the wrong scheme and
+    // throw a spurious mismatch (review finding)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(SchemeKey, scheme).build()
     digests(df, id, content, "l")
       .select(col("l_id").as("id"), col("l_digest").as("digest"),
         col("l_len").as("n_chars"),
-        lit(if (isBinary) "md5_bin" else "md5_str").as("digest_v"))
+        lit(scheme).as("digest_v", md))
   }
 
-  /** The digest scheme a digested frame carries — one-row read; frames
-    * predating the `digest_v` column report "legacy". */
+  private val SchemeKey = "graft_digest_scheme"
+
+  /** The digest scheme a digested frame carries: column metadata when
+    * present (static, empty-safe), else one data row; "unknown" = the
+    * column exists but the frame is empty and unannotated — an empty
+    * side never compares digests, so callers treat it as vacuously
+    * safe; "legacy" = the column itself is missing. */
   private def schemeOf(df: DataFrame): String =
     if (!df.columns.contains("digest_v")) "legacy"
-    else df.select("digest_v").head(1).headOption
-      .map(_.getString(0)).getOrElse("md5_str")
+    else {
+      val md = df.schema("digest_v").metadata
+      if (md.contains(SchemeKey)) md.getString(SchemeKey)
+      else df.select("digest_v").head(1).headOption
+        .map(_.getString(0)).getOrElse("unknown")
+    }
 
   /** Persist the snapshot's digest manifest; returns rows written. */
   def writeManifest(
@@ -157,14 +173,15 @@ object CorpusDiff {
       case "legacy" => "md5_str" // pre-versioning caller, string digests
       case s => s
     }
-    schemeOf(manifest) match {
-      case `snapScheme` => ()
-      case "legacy" if snapScheme == "md5_str" => ()
-      case "legacy" => throw new IllegalStateException(
+    (schemeOf(manifest), snapScheme) match {
+      case ("unknown", _) | (_, "unknown") => () // an empty side never compares digests
+      case (m, s) if m == s => ()
+      case ("legacy", "md5_str") => ()
+      case ("legacy", _) => throw new IllegalStateException(
         s"manifest at $dir predates digest-scheme versioning but the " +
           s"snapshot digests binary content ($snapScheme): its digests " +
           "are ambiguous — rebuild it (diff build) once before diffing")
-      case other => throw new IllegalStateException(
+      case (other, _) => throw new IllegalStateException(
         s"digest scheme mismatch at $dir: manifest=$other " +
           s"snapshot=$snapScheme — rebuild the manifest (diff build)")
     }

@@ -52,6 +52,20 @@ object CcIngest {
       lshDir: String,
       storeDir: String,
       p: MinHashLSH.Params = MinHashLSH.Params()): Int = {
+    // fail fast with the prerequisite named (review finding: a fresh
+    // deployment otherwise dies inside foreachBatch with a raw
+    // PATH_NOT_FOUND) — this fold MAINTAINS a store and an index, it
+    // does not bootstrap them
+    def exists(path: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    }
+    require(exists(s"$lshDir/docs"),
+      s"no LSH index at $lshDir — run `index build` (or " +
+        "MinHashLSH.writeIndex) before streaming CC maintenance")
+    require(exists(storeDir),
+      s"no label store at $storeDir — run `cc build` (or " +
+        "writeComponentsStore) before streaming CC maintenance")
     val lsh = MinHashLSH.readIndex(spark, lshDir)
     val storeIds = ConnectedComponents.readComponentsStore(spark, storeDir)
       .select(col(idCol))

@@ -64,9 +64,8 @@ object MediaIngest {
 
   private def writeMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(modePath(dir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(modeName(audio).getBytes("UTF-8")) finally out.close()
+    graft.operators.StagedSwap.writeSidecar(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p, modeName(audio))
   }
 
   /** The index's recorded hash mode; None = no sidecar (legacy index,
@@ -75,11 +74,7 @@ object MediaIngest {
     val p = new org.apache.hadoop.fs.Path(modePath(dir))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    }
+    else Some(graft.operators.StagedSwap.readSidecar(fs, p).trim)
   }
 
   private def requireMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
@@ -164,21 +159,24 @@ object MediaIngest {
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands (got $maxHamming >= $bands)")
     implicit val spark: SparkSession = batch.sparkSession
+    val hashesPath = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+    val fs = hashesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // mode guard BEFORE the decode (review finding: failing after
+    // Barrier'd hashing pays the most expensive stage for nothing)
+    val bootstrap = !fs.exists(hashesPath)
+    if (!bootstrap) requireMode(spark, indexDir, audio)
     // Barrier: the decode is the expensive stage and `rows` feeds the
     // gate probe, the key explode, the anti-join and the index append —
     // un-materialized lineage would re-decode the batch per consumer
     val rows = graft.operators.Barrier(hashed(batch, maxDecodeBytes, audio))
-    val hashesPath = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
-    val fs = hashesPath.getFileSystem(spark.sessionState.newHadoopConf())
     // missing-path checked explicitly; any OTHER index read failure
     // propagates (swallowing it would drop the dedup guard entirely)
-    if (!fs.exists(hashesPath))
+    if (bootstrap)
       return Admission(rows, rows, () => {
         rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
         writeMode(spark, indexDir, audio)
         writeBandBloom(spark, indexDir, bands)
       })
-    requireMode(spark, indexDir, audio)
     val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))
     val batchKeys = rows.select(col("dhash").as("dh_b"),
       explode(bandKeyCol(col("dhash"), bands)).as("bk"))

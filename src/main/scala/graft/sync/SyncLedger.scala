@@ -40,11 +40,20 @@ object SyncLedger {
     * both guarantee `create(overwrite = false)` fails if the path
     * exists). A holder that died inside the critical section leaves
     * the sentinel behind — any lock older than `staleMs` is adopted
-    * as orphaned (deleted and re-contended); the critical section is
-    * a sidecar-sized parquet write, so a healthy holder never keeps
-    * the lock anywhere near that long. Waiting contenders spin with a
-    * short sleep and give up with a usable error after `timeoutMs`
-    * (naming the holder recorded inside the sentinel). */
+    * as orphaned (rename-won, so exactly one adopter); the critical
+    * section is a sidecar-sized parquet write, so a healthy holder
+    * never keeps the lock anywhere near that long. Waiting contenders
+    * spin with a short sleep and give up with a usable error after
+    * `timeoutMs` (naming the holder recorded inside the sentinel).
+    *
+    * This is a LEASE, not a fenced lock (review note): a holder
+    * stalled past `staleMs` can be adopted while still alive, and the
+    * two may interleave — `staleMs` must dominate the worst-case
+    * critical section (default 10 min vs a seconds-long write) for
+    * the exclusion to hold. Release is OWNERSHIP-CHECKED: the holder
+    * deletes the sentinel only if it still carries its own tag, so a
+    * stalled holder that WAS adopted cannot release the adopter's
+    * lock and let a third writer in. */
   private[sync] def withFsLock[T](
       spark: SparkSession, dir: String,
       staleMs: Long = 10L * 60 * 1000,
@@ -93,7 +102,16 @@ object SyncLedger {
       }
     }
     try body
-    finally fs.delete(lp, false)
+    finally {
+      // release only OUR sentinel: if a contender adopted us as stale
+      // mid-section, the sentinel on disk is theirs now — deleting it
+      // would hand the ledger to a third writer while they still hold
+      val ours =
+        try graft.operators.StagedSwap.readSidecar(fs, lp) == tag
+        catch { case _: Exception => false }
+      if (ours) fs.delete(lp, false)
+      ()
+    }
   }
 
   private def completedUnlocked(

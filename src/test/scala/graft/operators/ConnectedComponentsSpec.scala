@@ -192,7 +192,7 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/comp_bucket=5").exists())
   }
 
-  test("staging without a marker is swept, live store untouched") {
+  test("staging without a marker is ignored by readers, replaced by appends") {
     val dir = freshStore()
     Seq((99L, 99L, 3L)).toDF("id", "component", "comp_bucket")
       .write.partitionBy("comp_bucket").parquet(s"$dir/_cc_staging")
@@ -200,8 +200,39 @@ class ConnectedComponentsSpec extends SparkSpec {
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L),
       "pre-marker staging garbage leaked into the store")
+    // readers must NOT destroy it — it may belong to a LIVE appender
+    // (review finding); the next append's own staging overwrite + the
+    // journal cleanup replace it
+    assert(new java.io.File(s"$dir/_cc_staging").exists(),
+      "a reader destroyed an in-flight append's staging")
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+      Seq(20L).toDF("id"), "id")
     assert(!new java.io.File(s"$dir/_cc_staging").exists(),
-      "stale staging not swept")
+      "the append did not clean the journal")
+    val after = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L))
+    assert(!after.contains(99L), "stale staging rows leaked via the append")
+  }
+
+  test("a lost meta sidecar fails the append instead of corrupting") {
+    val dir = freshStore()
+    // simulate a crash between the data write and the meta publish
+    // (or a copy that dropped underscore files): range layout on disk,
+    // no sidecar — the legacy-modulo fallback would rewrite the wrong
+    // buckets, so the append must refuse
+    new java.io.File(s"$dir/_cc_meta").delete()
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.appendComponentsStore(
+        spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+        Seq(20L).toDF("id"), "id", nBuckets = 8)
+    }
+    assert(e.getMessage.contains("_cc_meta"), e.getMessage)
+    // and the refused append mutated nothing
+    assert(ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L))
   }
 
   test("compact re-buckets, and later appends pick up the new meta") {
