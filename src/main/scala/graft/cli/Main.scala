@@ -48,6 +48,14 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *                                          a parquet/CSV of probe vectors
   *                                          answered in one distributed
   *                                          cell-pruned pass (qs27 path)
+  *   graft media contain --table frames --index d
+  *                                          indexed images/clips found
+  *                                          inside a video-frame /
+  *                                          stream-segment table (the
+  *                                          index's hash_mode picks
+  *                                          the image/audio kernel;
+  *                                          build with --audio for
+  *                                          contour-hash indexes)
   *   graft cc build --table t --store d     mine near-dup pairs once,
   *                                          label duplicate clusters,
   *                                          persist bucket-partitioned
