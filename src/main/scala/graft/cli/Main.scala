@@ -378,20 +378,39 @@ object Main {
         val thr = opt("--threshold").map(_.toDouble).getOrElse(0.3)
         val docs = catalogFor(cfg.src).read(spark, t)
         val n0 = docs.count()
+        // --host-cap N: the CCNet FIRST stage (qt61 productized) —
+        // host-keyed exact dedup (re-crawls collapse, first id wins)
+        // plus a per-host doc cap, BEFORE anything downstream spends
+        // compute on duplicates; --url-col names the URL-shaped column
+        // (default `source`: a non-URL string keys by itself,
+        // HostDedup's documented fallback). Decision frame is narrow —
+        // text never shuffles; the kept ids semi-join back.
+        val hosted = opt("--host-cap") match {
+          case Some(cap) =>
+            val urlC = col(opt("--url-col").getOrElse("source"))
+            val keep = graft.operators.text.HostDedup.dedupAndCap(
+                docs, urlC, col("text"), "doc_id",
+                org.apache.spark.sql.functions.length(col("text")),
+                cap.toInt)
+              .where(col("keep")).select(col("doc_id"))
+            graft.operators.Barrier(docs.join(keep, Seq("doc_id"), "left_semi"))
+          case None => docs
+        }
+        val nHost = if (opt("--host-cap").isDefined) hosted.count() else n0
         val selected = opt("--dsir-lang") match {
           case Some(lang) =>
             val k = opt("--dsir-k").map(_.toInt).getOrElse(100)
             val sel = graft.operators.text.ImportanceResample.weights(
-                docs, col("text"), col("doc_id"), col("lang") === lang,
+                hosted, col("text"), col("doc_id"), col("lang") === lang,
                 buckets = 1024, smoothing = 1L)
               .orderBy(col("lr_micro").desc, col("id")).limit(k)
               .select(col("id").as("doc_id"))
-            graft.operators.Barrier(docs.join(broadcast(sel), Seq("doc_id")))
-          case None => docs
+            graft.operators.Barrier(hosted.join(broadcast(sel), Seq("doc_id")))
+          case None => hosted
         }
         // skipped stages reuse the adjacent count -- recounting an
         // identical frame would re-scan the source per skipped stage
-        val nSel = if (opt("--dsir-lang").isDefined) selected.count() else n0
+        val nSel = if (opt("--dsir-lang").isDefined) selected.count() else nHost
         val afterRules =
           if (args.contains("--rules"))
             graft.operators.Barrier(
@@ -438,6 +457,7 @@ object Main {
         println(table(Seq(
           Seq("Stage", "Docs"),
           Seq("incoming", n0.toString),
+          Seq("host-dedup+cap", nHost.toString),
           Seq("dsir-select", nSel.toString),
           Seq("rule-clean", n1.toString),
           Seq("dedup+gate", n2.toString),

@@ -407,6 +407,33 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("cc", "rebuild", "--config", cfg), spark) == 2)
   }
 
+  test("curate --host-cap collapses re-crawls and caps per host first") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_hostcap_src").toString
+    val outDir = Files.createTempDirectory("graft_hostcap_out").toString
+    val cfg = writeCfg(
+      s"""src:
+         |  url: parquet:$srcDir
+         |dest:
+         |  url: parquet:$outDir
+         |""".stripMargin)
+    // host A: doc 1 and its re-crawl 2 (identical bytes, collapses to
+    // the lower id), plus the shorter doc 3 (capped out at cap 1 —
+    // length is the stage's quality); host B: one doc
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "hostA"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "hostA"),
+      (3L, "short survivor that loses the cap to its longer sibling", "hostA"),
+      (4L, "an entirely different document about benchmark latencies now", "hostB"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$srcDir/docs.parquet")
+    assert(Main.run(Array("curate", "--table", "docs", "--into", "kept",
+      "--host-cap", "1", "--min-tokens", "1", "--threshold", "0.99",
+      "--config", cfg), spark) == 0)
+    val kept = spark.read.parquet(s"$outDir/kept.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L)), kept.mkString(","))
+  }
+
   test("curate end-to-end via CLI: dedup funnel, rules, decontamination") {
     val out = Files.createTempDirectory("graft_cli_curate").toString
     val cfg = writeCfg(
