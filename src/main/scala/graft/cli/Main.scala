@@ -66,6 +66,9 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *                                          edges via the LSH index)
   *   graft cc compact --store d             re-bucket an outgrown store
   *                                          ([--buckets n | --target-rows n])
+  *   graft cc show --store d [--k n]        cluster totals + the k
+  *                                          largest duplicate clusters,
+  *                                          served from the store alone
   *   graft hist build|append|show --table t --index d
   *                                          quantile-sketch sidecar
   *                                          (ledger-guarded additive
@@ -1337,7 +1340,7 @@ object Main {
         // `compact` re-buckets when buckets outgrow their target —
         // the index/ann/media lifecycle discipline applied to
         // connected components.
-        import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+        import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
         implicit val sp: SparkSession = spark
         val idC = opt("--id").getOrElse("doc_id")
         val txtC = opt("--text").getOrElse("text")
@@ -1407,11 +1410,40 @@ object Main {
               Seq(dir, rows.toString, before.toString, after.toString))))
             println(f"CC compact finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
             0
+          case (Some("show"), Some(dir), _) =>
+            // serve cluster structure from the store without touching
+            // the corpus (the hll/hist `show` discipline): totals plus
+            // the k largest duplicate clusters — the audit face of
+            // qd16's labels. One store scan; sizes are an algebraic
+            // count, the cut a TakeOrdered.
+            val k = opt("--k").map(_.toInt).getOrElse(10)
+            val labels = CC.readComponentsStore(spark, dir)
+            val sizes = graft.operators.Barrier(labels
+              .groupBy("component")
+              .agg(count(lit(1)).as("size")))
+            val r = sizes.agg(
+              sum(col("size")), count(lit(1)),
+              sum(when(col("size") > 1, col("size")).otherwise(0L)),
+              count(when(col("size") > 1, lit(1)))).head()
+            println(table(Seq(
+              Seq("Store", "Labels", "Clusters", "DocsInDupClusters",
+                "DupClusters"),
+              Seq(dir, r.getLong(0).toString, r.getLong(1).toString,
+                r.getLong(2).toString, r.getLong(3).toString))))
+            val top = sizes.orderBy(col("size").desc, col("component"))
+              .limit(k).collect()
+            if (top.nonEmpty)
+              println(table(
+                Seq("Component", "Size") +:
+                  top.toSeq.map(x => Seq(x.getLong(0).toString,
+                    x.getLong(1).toString))))
+            println(f"CC show finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
           case _ =>
-            println("usage: graft cc <build|append|compact> --store <dir> " +
+            println("usage: graft cc <build|append|compact|show> --store <dir> " +
               "[--table <docs-table>] [--index <lsh-dir>] [--id doc_id] " +
               "[--text text] [--threshold 0.5] [--max-bucket 1000] " +
-              "[--buckets 64 | --target-rows n] --config cfg.yml")
+              "[--buckets 64 | --target-rows n] [--k 10] --config cfg.yml")
             2
         }
       case "card" =>

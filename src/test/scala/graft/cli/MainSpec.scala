@@ -403,6 +403,15 @@ class MainSpec extends SparkSpec {
       "--config", cfg), spark) == 0)
     assert(labels() == full)
 
+    // show serves cluster structure from the store alone
+    assert(Main.run(Array("cc", "show", "--store", ccDir, "--k", "3",
+      "--config", cfg), spark) == 0)
+
+    // appending into a missing store fails usably, not with a stack
+    assert(Main.run(Array("cc", "append", "--table", "increment",
+      "--store", s"$ccDir-nowhere", "--index", lshDir,
+      "--config", cfg), spark) == 1)
+
     // malformed invocation exits 2
     assert(Main.run(Array("cc", "rebuild", "--config", cfg), spark) == 2)
   }
