@@ -116,7 +116,12 @@ object ScaleSmoke {
     // keyed windows — should track the scan)
     "qd37_incremental_components",
     "qs39_hybrid_batch",
-    "qt61_host_dedup_cap")
+    "qt61_host_dedup_cap",
+    // round 14 (late): the audio containment leg joins its image twin
+    // (qm13) in the smoke — same banded cross-table Hamming join, but
+    // over the LOW-ENTROPY planted contour space where bucket fan-in
+    // grows faster than the corpus (the qm14 fixture-cap story)
+    "qm14_audio_in_stream")
 
   private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
