@@ -35,83 +35,21 @@ object SyncLedger {
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Cross-process mutual exclusion for the ledger's read-union-swap:
-    * atomic create-if-absent of a lock sentinel (HDFS and local FS
-    * both guarantee `create(overwrite = false)` fails if the path
-    * exists). A holder that died inside the critical section leaves
-    * the sentinel behind — any lock older than `staleMs` is adopted
-    * as orphaned (rename-won, so exactly one adopter); the critical
-    * section is a sidecar-sized parquet write, so a healthy holder
-    * never keeps the lock anywhere near that long. Waiting contenders
-    * spin with a short sleep and give up with a usable error after
-    * `timeoutMs` (naming the holder recorded inside the sentinel).
-    *
-    * This is a LEASE, not a fenced lock (review note): a holder
-    * stalled past `staleMs` can be adopted while still alive, and the
-    * two may interleave — `staleMs` must dominate the worst-case
-    * critical section (default 10 min vs a seconds-long write) for
-    * the exclusion to hold. Release is OWNERSHIP-CHECKED: the holder
-    * deletes the sentinel only if it still carries its own tag, so a
-    * stalled holder that WAS adopted cannot release the adopter's
-    * lock and let a third writer in. */
+  /** Cross-process mutual exclusion for the ledger's read-union-swap —
+    * [[graft.operators.FsLock]] (lease semantics, stale adoption,
+    * ownership-checked release; see its doc, incl. why local-FS
+    * acquisition goes through an atomic java.nio CREATE_NEW rather
+    * than Hadoop's exists-then-create). The critical section here is
+    * a tables-sized parquet write, so a healthy holder never ages
+    * anywhere near `staleMs`. */
   private[sync] def withFsLock[T](
       spark: SparkSession, dir: String,
       staleMs: Long = 10L * 60 * 1000,
       timeoutMs: Long = 2L * 60 * 1000)(body: => T): T = {
     val lp = lockPath(dir)
-    val fs = fsFor(spark, lp)
-    val tag =
-      s"${java.lang.ProcessHandle.current().pid()}@" +
-        s"${java.net.InetAddress.getLocalHost.getHostName}:" +
-        java.util.UUID.randomUUID().toString
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try {
-        val out = fs.create(lp, false)
-        try out.write(tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val stale =
-            try fs.getFileStatus(lp).getModificationTime <
-              System.currentTimeMillis() - staleMs
-            catch { case _: java.io.FileNotFoundException => false }
-          if (stale) {
-            // adopt the orphan via rename: exactly ONE contender wins
-            // the rename (a plain delete could clobber the fresh lock
-            // a faster adopter just created); losers loop and
-            // re-contend on create-if-absent
-            val orphan = new org.apache.hadoop.fs.Path(
-              lp.toString + "_stale_" + java.util.UUID.randomUUID())
-            if (fs.rename(lp, orphan)) fs.delete(orphan, false)
-          }
-          else if (System.nanoTime() > deadline) {
-            val holder =
-              try {
-                val in = fs.open(lp)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-              } catch { case _: Exception => "<unknown>" }
-            throw new IllegalStateException(
-              s"ledger at $dir is locked by $holder — another sync " +
-                "--ledger run is writing it; wait for it, or delete " +
-                s"$lp if that run is known dead")
-          } else Thread.sleep(50)
-      }
-    }
-    try body
-    finally {
-      // release only OUR sentinel: if a contender adopted us as stale
-      // mid-section, the sentinel on disk is theirs now — deleting it
-      // would hand the ledger to a third writer while they still hold
-      val ours =
-        try graft.operators.StagedSwap.readSidecar(fs, lp) == tag
-        catch { case _: Exception => false }
-      if (ours) fs.delete(lp, false)
-      ()
-    }
+    graft.operators.FsLock.withLock(
+      fsFor(spark, lp), lp, s"ledger at $dir (sync --ledger)",
+      staleMs, timeoutMs)(body)
   }
 
   private def completedUnlocked(
@@ -138,18 +76,25 @@ object SyncLedger {
     * same-JVM threads by the object lock, other drivers by the FS
     * lock — so no interleaving can drop a committed table. */
   def markDone(spark: SparkSession, dir: String, table: String, rows: Long): Unit =
-    lock.synchronized {
-      withFsLock(spark, dir) {
-        val entries = (completedUnlocked(spark, dir) + (table -> rows)).toSeq
-        import spark.implicits._
-        val live = livePath(dir)
-        val fs = fsFor(spark, live)
-        val tmp = graft.operators.StagedSwap.tmpPath(live)
-        entries.toDF("table", "rows")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        graft.operators.StagedSwap.swapIn(fs, live, tmp)
-      }
+    lock.synchronized { markDoneFsLocked(spark, dir, table, rows) }
+
+  /** [[markDone]] under the FS lock ONLY — the multi-driver shape
+    * with no same-JVM serialization, split out so the contention
+    * stress test can stand N threads in for N drivers (the JVM lock
+    * would otherwise serialize them before the FS lock is ever
+    * contended). Production callers go through [[markDone]]. */
+  private[sync] def markDoneFsLocked(
+      spark: SparkSession, dir: String, table: String, rows: Long): Unit =
+    withFsLock(spark, dir) {
+      val entries = (completedUnlocked(spark, dir) + (table -> rows)).toSeq
+      import spark.implicits._
+      val live = livePath(dir)
+      val fs = fsFor(spark, live)
+      val tmp = graft.operators.StagedSwap.tmpPath(live)
+      entries.toDF("table", "rows")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.operators.StagedSwap.swapIn(fs, live, tmp)
     }
 
   /** Close the ledger (run complete, or `--from-scratch`). */
