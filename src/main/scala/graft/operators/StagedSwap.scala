@@ -57,7 +57,12 @@ object StagedSwap {
     * ONE implementation for every meta/marker/mode sidecar (review
     * finding: hand-rolled `fs.create(p, true)` writers leave a crash
     * window where the sidecar exists EMPTY, which reads as a corrupt
-    * scheme/mode instead of a missing one). */
+    * scheme/mode instead of a missing one). A crash BETWEEN the delete
+    * and the rename leaves the sidecar MISSING rather than stale
+    * (round-15 review) — every consumer must treat a missing sidecar
+    * as "unknown", never as a semantic default, unless first-write
+    * ordering guarantees the sidecar exists whenever the data does
+    * (see [[graft.streaming.MediaIngest.buildIndexDir]]). */
   def writeSidecar(fs: FileSystem, target: Path, content: String): Unit = {
     val tmp = new Path(target.toString + "_tmp")
     val out = fs.create(tmp, true)

@@ -281,10 +281,13 @@ object IngestPipeline {
       meta: BloomMeta,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val os = fs.create(p, true)
-    try os.write(s"${meta.expectedItems} ${meta.fpp}".getBytes("UTF-8"))
-    finally os.close()
+    // ArtifactMeta (round-15 consolidation): the former raw
+    // fs.create(overwrite = true) writer had the torn-write window —
+    // a crash left the meta EXISTING but EMPTY, and every later fold
+    // died parsing it — that StagedSwap.writeSidecar was built to close
+    graft.operators.ArtifactMeta.write(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      Seq("items" -> meta.expectedItems.toString, "fpp" -> meta.fpp.toString))
   }
 
   private[graft] def readBloomMeta(
@@ -292,16 +295,15 @@ object IngestPipeline {
       path: String): Option[BloomMeta] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val is = fs.open(p)
-      try {
-        is.readFully(0, buf)
-        val parts = new String(buf, "UTF-8").trim.split(" ")
-        Some(BloomMeta(parts(0).toLong, parts(1).toDouble))
-      } finally is.close()
+    graft.operators.ArtifactMeta.read(fs, p).map { m =>
+      (m.get("items"), m.get("fpp"), m.get("value")) match {
+        case (Some(items), Some(fpp), _) => BloomMeta(items.toLong, fpp.toDouble)
+        case (_, _, Some(legacy)) => // pre-round-15 "items fpp" file
+          val parts = legacy.split(" ")
+          BloomMeta(parts(0).toLong, parts(1).toDouble)
+        case _ => throw new java.io.IOException(
+          s"bloom meta at $path is unreadable: $m — rebuild the index bloom")
+      }
     }
   }
 
