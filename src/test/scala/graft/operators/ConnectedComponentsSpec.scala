@@ -279,4 +279,94 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.where(col("id") === 20L).select("comp_bucket")
       .as[Long].head() == 2L, "legacy store not appended by modulo")
   }
+
+  test("per-bucket counts ride the meta: totals served with ZERO Spark jobs") {
+    val dir = freshStore() // 3 labels: comps 1 (bucket 0) and 10 (bucket 5)
+    assert(ConnectedComponents.storeCounts(spark, dir)
+      .contains(Map(0L -> 2L, 5L -> 1L)))
+    // append: 20 joins comp 10 -> bucket 5 rewrites with 2 rows
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+      Seq(20L).toDF("id"), "id")
+    assert(ConnectedComponents.storeCounts(spark, dir)
+      .contains(Map(0L -> 2L, 5L -> 2L)),
+      s"append did not fold counts: ${ConnectedComponents.storeCounts(spark, dir)}")
+    // the count report runs NO Spark job — the meta sidecar serves it
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(ConnectedComponents.storeLabelCount(spark, dir) == 4L)
+      Thread.sleep(300) // let any stray job-start events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"storeLabelCount scanned the store ($jobs jobs)")
+    // compact re-derives counts at the new bucketing
+    ConnectedComponents.compactComponentsStore(spark, dir, nBuckets = 4)
+    val after = ConnectedComponents.storeCounts(spark, dir)
+    assert(after.exists(_.values.sum == 4L), s"compact lost counts: $after")
+    assert(ConnectedComponents.storeLabelCount(spark, dir) == 4L)
+    // a bucket emptied by an append drops out of the counts
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((10L, 1L)).toDF("a", "b"), "a", "b",
+      spark.emptyDataset[Long].toDF("id"), "id")
+    val merged = ConnectedComponents.storeCounts(spark, dir).get
+    assert(merged.values.sum == 4L, s"merge corrupted counts: $merged")
+    assert(ConnectedComponents.readComponentsStore(spark, dir).count() == 4L)
+  }
+
+  test("a reader's journal replay waits for the store lock (live appender)") {
+    val dir = freshStore()
+    // the round-15 race: an appender is INSIDE applyRewrite (marker
+    // on disk, buckets half-swapped) when a reader calls
+    // readComponentsStore — an unserialized reader would replay the
+    // journal concurrently and could delete a freshly-swapped bucket.
+    // Model the live appender by holding the store's FsLock while the
+    // marker exists; the reader must block until release, then find
+    // the journal already consumed and replay nothing.
+    Seq((1L, 1L, 0L), (2L, 1L, 0L), (10L, 1L, 0L))
+      .toDF("id", "component", "comp_bucket")
+      .write.partitionBy("comp_bucket").parquet(s"$dir/_cc_staging")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_cc_apply"),
+      "0 write\n5 empty\n".getBytes("UTF-8"))
+    val lockP = new org.apache.hadoop.fs.Path(s"${dir}_cclock")
+    val fs = lockP.getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var readerDone = false
+    @volatile var replayed = false
+    val reader = new Thread(() => {
+      replayed = ConnectedComponents.recoverComponentsStore(spark, dir)
+      readerDone = true
+    })
+    graft.operators.FsLock.withLock(fs, lockP, "test appender") {
+      reader.start()
+      // the reader sees the marker and must QUEUE on the lock
+      Thread.sleep(400)
+      assert(!readerDone,
+        "reader replayed the journal while the appender held the lock")
+      // the appender completes its apply under the lock by hand: swap
+      // staged bucket 0 in, delete bucket 5, consume marker + staging
+      val live0 = new java.io.File(s"$dir/comp_bucket=0")
+      live0.listFiles().foreach(_.delete()); live0.delete()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/_cc_staging/comp_bucket=0"),
+        live0.toPath)
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+      }
+      rmr(new java.io.File(s"$dir/comp_bucket=5"))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_cc_apply"))
+      rmr(new java.io.File(s"$dir/_cc_staging"))
+    }
+    reader.join(10000)
+    assert(readerDone, "reader never finished")
+    assert(!replayed, "reader re-ran a journal the appender had consumed")
+    val content = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(content == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
+      s"store corrupted by the reader/appender race: $content")
+  }
 }
