@@ -64,17 +64,18 @@ object MediaIngest {
 
   private def writeMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(modePath(dir))
-    graft.operators.StagedSwap.writeSidecar(
-      p.getFileSystem(spark.sessionState.newHadoopConf()), p, modeName(audio))
+    graft.operators.ArtifactMeta.write(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      Seq("mode" -> modeName(audio)))
   }
 
   /** The index's recorded hash mode; None = no sidecar (legacy index,
-    * image mode by construction). */
+    * image mode by construction). Reads both the ArtifactMeta k=v
+    * form and the pre-round-15 bare-value file. */
   def indexMode(spark: SparkSession, dir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(modePath(dir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else Some(graft.operators.StagedSwap.readSidecar(fs, p).trim)
+    graft.operators.ArtifactMeta.valueOrLegacy(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p, "mode")
   }
 
   private def requireMode(spark: SparkSession, dir: String, audio: Boolean): Unit = {
@@ -105,8 +106,17 @@ object MediaIngest {
       .filter(col("dhash").isNotNull)
       .dropDuplicates("dhash")
 
-  /** Build (or rebuild) the index: hashes parquet + band-key bloom +
-    * the hash-mode sidecar. */
+  /** Build (or rebuild) the index: old hashes dropped, then the
+    * hash-mode sidecar, then hashes parquet + band-key bloom.
+    * Drop-then-mode-then-hashes is the crash ordering that keeps the
+    * sidecar's guarantee (round-15 review): the former hashes-first
+    * order left a killed AUDIO build as hashes with no sidecar, which
+    * every later operation defaulted to 'image' and silently poisoned;
+    * mode-first alone still left a killed image→audio REBUILD as an
+    * audio sidecar over the old image hashes. With the old hashes
+    * deleted up front, every crash window reads as either an empty
+    * index (re-run the build) or a consistent one — whenever hashes
+    * exist, the mode beside them is the mode that produced them. */
   def buildIndexDir(
       media: DataFrame,
       dir: String,
@@ -114,9 +124,11 @@ object MediaIngest {
       bands: Int = DefaultBands,
       audio: Boolean = false): Unit = {
     implicit val spark: SparkSession = media.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    writeMode(spark, dir, audio)
     hashed(media, maxDecodeBytes, audio)
       .write.mode("overwrite").parquet(s"$dir/hashes")
-    writeMode(spark, dir, audio)
     writeBandBloom(spark, dir, bands)
   }
 
@@ -173,8 +185,9 @@ object MediaIngest {
     // propagates (swallowing it would drop the dedup guard entirely)
     if (bootstrap)
       return Admission(rows, rows, () => {
-        rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
+        // mode before hashes — the buildIndexDir crash ordering
         writeMode(spark, indexDir, audio)
+        rows.write.mode("overwrite").parquet(s"$indexDir/hashes")
         writeBandBloom(spark, indexDir, bands)
       })
     val bloom = IngestPipeline.readBloom(spark, bloomPath(indexDir))

@@ -138,4 +138,34 @@ class MediaIngestSpec extends SparkSpec {
       .awaitTermination()
     assert(sink.readBack(spark, "imgs").count() == 2)
   }
+
+  test("a build killed between mode and hashes reads as empty, never wrong-mode") {
+    // buildIndexDir's crash ordering (round-15 review): old hashes
+    // drop first, then the mode sidecar, then new hashes — so a torn
+    // audio build is a mode-only dir, NOT audio hashes defaulting to
+    // 'image'. Model the torn state directly and check both readers.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_torn").toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir/hash_mode")
+    graft.operators.StagedSwap.writeSidecar(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p, "audio")
+    assert(MediaIngest.indexMode(spark, dir).contains("audio"))
+    // an append against the torn dir bootstraps (no hashes) and its
+    // commit rewrites the mode to its own kernel — no poisoning
+    val admitted = MediaIngest.appendBatch(media(Seq(0L, 2L)), dir)
+    assert(admitted.count() == 2)
+    assert(MediaIngest.indexMode(spark, dir).contains("image"),
+      "bootstrap commit did not claim the index for its own mode")
+    // and a REBUILD to the other mode drops the old hashes before
+    // anything else: after the build the mode matches the hashes
+    val wavs = Seq(0L, 2L).toDF("id").as[Long]
+      .mapPartitions(_.map(id => (id, "audio/wav",
+        graft.operators.multimodal.PerceptualAudio.plantedWav(id))))
+      .toDF("id", "media_type", "content")
+    MediaIngest.buildIndexDir(wavs, dir, audio = true)
+    assert(MediaIngest.indexMode(spark, dir).contains("audio"))
+    val e = intercept[IllegalArgumentException] {
+      MediaIngest.appendBatch(media(Seq(4L)), dir) // image op, audio index
+    }
+    assert(e.getMessage.contains("audio"), e.getMessage)
+  }
 }
