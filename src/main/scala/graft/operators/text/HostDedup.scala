@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object HostDedup {
 
-  /** Host key of a URL-shaped string: scheme (`xyz://`) and userinfo
-    * (`user@`) stripped, cut at the first of `/ ? # :` (path, query,
-    * fragment, port), lowercased. One regexp both engines run
-    * identically (no backrefs/lookarounds — RE2-safe for the DuckDB
-    * oracle). A bare host without a scheme passes through unchanged;
-    * a non-URL string simply keys by itself, which is the right
-    * fallback for source-labeled corpora. */
-  val HostPattern = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)"
+  /** Host key of a URL-shaped string: scheme (`xyz://`, any case) or a
+    * scheme-relative `//` stripped, userinfo (`user@`) stripped, then
+    * either a bracketed IPv6 literal (`[::1]`, kept whole — round-15
+    * hardening: the former `[^/?#:]*` cut at the first `:` and keyed
+    * every bracketed-IPv6 URL as `[`) or a reg-name cut at the first
+    * of `/ ? # :` (path, query, fragment, port); lowercased. One
+    * regexp both engines run identically (no backrefs/lookarounds —
+    * RE2-safe for the DuckDB oracle; alternation is leftmost-first in
+    * both engines, so the bracket arm wins whenever it matches). A
+    * bare host without a scheme passes through unchanged; a non-URL
+    * string simply keys by itself, which is the right fallback for
+    * source-labeled corpora. The scheme arm requires the full `://` —
+    * a lone `name:` prefix is NOT treated as a scheme, so bare
+    * `host:port` strings still key by host. */
+  val HostPattern =
+    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://|//)?(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:]*)"
 
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, HostPattern, 1))
@@ -43,8 +51,9 @@ object HostDedup {
     * group (the first crawl wins — deterministic and join-free), then
     * cap surviving docs per host at `cap`, keeping the best `quality`
     * (id tiebreak). Returns the NARROW decision frame
-    * (idCol, host, quality-as-given, rank, keep) — text never moves;
-    * semi-join `keep` ids back to the corpus to materialize. */
+    * (idCol, host, rank, keep) — the quality column is consumed by the
+    * ranking and dropped; text never moves. Semi-join `keep` ids back
+    * to the corpus to materialize. */
   def dedupAndCap(
       df: DataFrame,
       url: Column,

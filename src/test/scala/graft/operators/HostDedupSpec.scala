@@ -17,7 +17,15 @@ class HostDedupSpec extends SparkSpec {
       "no-url-at-all" -> "no-url-at-all",
       "https://h.io?q" -> "h.io",
       "scheme+v1.2://H.DE#frag" -> "h.de",
-      "" -> "")
+      "" -> "",
+      // round-15 hardening: real-crawl URL shapes
+      "http://[::1]:8080/x" -> "[::1]", // bracketed IPv6 keeps its brackets
+      "http://user@[2001:DB8::1]:80/y" -> "[2001:db8::1]",
+      "[::1]:443/x" -> "[::1]", // scheme-less IPv6 literal
+      "//example.com/path" -> "example.com", // scheme-relative
+      "HTTPS://Example.COM/x" -> "example.com", // uppercase scheme
+      "example.com:8080" -> "example.com", // bare host:port — ':' is no scheme
+      "[abc" -> "[abc") // unclosed bracket falls back to the reg-name arm
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), HostDedup.hostOf(col("url")).as("host"))
       .as[(String, String)].collect().toMap
