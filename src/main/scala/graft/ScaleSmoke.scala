@@ -118,16 +118,58 @@ object ScaleSmoke {
     "qs39_hybrid_batch",
     "qt61_host_dedup_cap",
     // round 14 (late): the audio containment leg joins its image twin
-    // (qm13) in the smoke — same banded cross-table Hamming join, but
-    // over the LOW-ENTROPY planted contour space where bucket fan-in
-    // grows faster than the corpus (the qm14 fixture-cap story)
-    "qm14_audio_in_stream")
+    // (qm13) in the smoke — same banded cross-table Hamming join.
+    // Round 15 fixed the fixture that made its r14 smoke at-linear:
+    // the planted contour space now spreads like qm13's pixels
+    // (PerceptualAudio.plantedSample's slope+epoch terms), and the
+    // smoke ASSERTS that entropy before timing (audioEntropy below)
+    "qm14_audio_in_stream",
+    // round 15: the two bench-top heavyweights that had never been
+    // smoke-timed — distributed IVFxPQ batch serving (cell files DPP,
+    // zero driver jobs at construction) and the unblocked banded image
+    // self-join (hash bands as blocks, caps bound degenerate buckets)
+    "qs27_topk_ivfpq_batch_distributed",
+    "qm08_image_near_dup_unblocked")
 
-  private def caesar(c: org.apache.spark.sql.Column, shift: Int) = {
+  /** Distinct-contour-hash entropy of the derived corpus' audio
+    * fixture — printed (and checked) before qm14 is timed, so a
+    * future fixture regression to a degenerate hash space fails the
+    * smoke loudly instead of silently re-measuring banding fan-in
+    * (the round-14 qm14 adjudication). Returns
+    * (ids, distinctHashes). */
+  private def audioEntropy(spark: SparkSession, dir: String): (Long, Long) = {
+    import spark.implicits._
+    import graft.operators.multimodal.PerceptualAudio
+    val r = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        PerceptualAudio.audioHash64(PerceptualAudio.plantedWav(id)).getOrElse(0L)))
+      .toDF("h")
+      .agg(count(lit(1)), countDistinct(col("h"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Per-replica alphabet decorrelation. Round 14 used a Caesar
+    * rotation (shift = i mod 26) — only 26 distinct rotations, so a
+    * 100-replica corpus would hand replicas 0/26/52/78 IDENTICAL text
+    * and quadratically inflate every cross-replica shingle/near-dup
+    * structure (the qm14 fixture lesson applied to text). Round 15
+    * generalizes to the AFFINE permutation j -> a·j + b (mod 26) with
+    * a coprime to 26: 12 units x 26 offsets = 312 distinct
+    * permutations; the (a, b) picked below repeat only at
+    * lcm(12, 26) = 156 replicas, and two distinct affine maps agree
+    * on at most gcd(a-a', 26) letters, so cross-replica shingles
+    * disagree. Replica 0 keeps the identity (a=1, b=0) — the base
+    * corpus rides through unchanged. Lengths, case structure,
+    * whitespace and punctuation survive, so token/shingle STATISTICS
+    * are scale-invariant, as before. */
+  private def alphaPerm(c: org.apache.spark.sql.Column, replica: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
-    val AZ = az.toUpperCase
-    val s = shift % 26
-    translate(c, az + AZ, az.drop(s) + az.take(s) + AZ.drop(s) + AZ.take(s))
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = units(replica % units.size)
+    val b = (replica * 7) % 26
+    val mapped = (0 until 26).map(j => az((a * j + b) % 26)).mkString
+    translate(c, az + az.toUpperCase, mapped + mapped.toUpperCase)
   }
 
   /** Replicate the FULL fixture so the real bench harness can run at
@@ -207,22 +249,32 @@ object ScaleSmoke {
     (0 until replicas)
       .map(i => docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        caesar(col("text"), i).as("text"),
+        alphaPerm(col("text"), i).as("text"),
         col("lang"), col("source"), col("n_chars")))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     (0 until replicas)
       .map { i =>
+        // component rotation decorrelates 64 replicas; past that the
+        // rotation repeats, so each 64-replica EPOCH also flips the
+        // vector's sign (odd epochs) — norms and within-replica
+        // geometry survive, cross-replica cosines of a repeated
+        // rotation land at the NEGATIVE of their epoch-0 value, below
+        // every similarity threshold (round-15: the 100-replica decade
+        // needs more than 64 distinct transforms)
         val rot = i % 64
         val rotated =
           if (rot == 0) col("embedding")
           else concat(
             slice(col("embedding"), rot + 1, 64 - rot),
             slice(col("embedding"), 1, rot))
+        val signed =
+          if ((i / 64) % 2 == 0) rotated
+          else transform(rotated, x => -x)
         emb.select(
           (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-          rotated.as("embedding"), col("label"))
+          signed.as("embedding"), col("label"))
       }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
@@ -341,8 +393,20 @@ object ScaleSmoke {
     // the whole Heavy list
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val rows = Heavy
-      .filter(n => only.forall(f => f.exists(n.startsWith)))
+    val picked = Heavy.filter(n => only.forall(f => f.exists(n.startsWith)))
+    if (picked.contains("qm14_audio_in_stream")) {
+      val (ids, distinct) = audioEntropy(spark, bigDir)
+      println(s"""{"metric":"audio_entropy","ids":$ids,"distinct_hashes":$distinct}""")
+      // >= 4% distinct: the fixed fixture measures 40% at sf0.1, 21%
+      // at 10 replicas, 4.5% at 100 (sign-pattern quantization of a
+      // two-parameter sample family saturates slowly); the broken r14
+      // fixture sat at 3.2% ALREADY at 10 replicas and fell from there
+      require(distinct * 25 >= ids,
+        s"audio fixture degenerated: $distinct distinct contour hashes " +
+          s"over $ids ids — the qm14 smoke would measure banding fan-in, " +
+          "not the operator (see PerceptualAudio.plantedSample)")
+    }
+    val rows = picked
       .map { name =>
       val q = Registry.byName(name)
       val base = time(q, baseDir)

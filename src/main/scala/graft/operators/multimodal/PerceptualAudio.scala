@@ -159,11 +159,28 @@ object PerceptualAudio {
   // division matches DuckDB's floor division, 2 samples per window so
   // the envelope is a closed form both engines compute.
 
-  /** Planted sample t of a doc: base = (group*37 + t²·13) mod 20001
-    * with group = docId/2; odd ids are a 0.9-gain copy (floor(s·9/10))
-    * — the re-normalized near-duplicate the contour hash must catch. */
+  /** Planted sample t of a doc:
+    * base = (g·37 + t²·13 + g·t·7 + (g div 20001)·(t+13)·5) mod 20001
+    * with g = docId/2; odd ids are a 0.9-gain copy (floor(s·9/10)) —
+    * the re-normalized near-duplicate the contour hash must catch.
+    * The two g-dependent SLOPE terms are the round-15 fixture fix:
+    * the original g·37 offset was constant across t, so it cancelled
+    * in every window comparison and only mod-20001 wraps
+    * differentiated groups — the contour space was low-entropy by
+    * construction and the 10× scale smoke measured banding fan-in,
+    * not the operator (the qm14 adjudication). g·t·7 varies the
+    * gradient within a modulus period; the (g div 20001) epoch term
+    * keeps hashes spreading PAST the period, so replica-shifted id
+    * spaces (ScaleSmoke's +r·10⁸) decorrelate instead of colliding
+    * back onto 20001 contours. Measured spread (offline sweep):
+    * 60k ids → 24k distinct hashes, max band-bucket 112; 600k ids
+    * (10 replicas) → 125k distinct, max bucket 573 — both under the
+    * production maxBlock=1000 default, so qm14 runs uncapped-exact
+    * at every fixture scale and its smoke measures the join. */
   def plantedSample(docId: Long, t: Int): Int = {
-    val base = (((docId / 2) * 37L + t.toLong * t * 13L) % 20001L).toInt
+    val g = docId / 2
+    val base = ((g * 37L + t.toLong * t * 13L + g * t * 7L +
+      (g / 20001L) * (t + 13L) * 5L) % 20001L).toInt
     if (docId % 2 == 1) (base * 9) / 10 else base
   }
 
@@ -195,9 +212,11 @@ object PerceptualAudio {
     out
   }
 
-  private[multimodal] def sampSqlAt(idRef: String, t: String): String =
-    s"(CASE WHEN $idRef % 2 = 1 THEN ((($idRef // 2) * 37 + ($t) * ($t) * 13) % 20001) * 9 // 10 " +
-      s"ELSE (($idRef // 2) * 37 + ($t) * ($t) * 13) % 20001 END)"
+  private[multimodal] def sampSqlAt(idRef: String, t: String): String = {
+    val raw = s"(($idRef // 2) * 37 + ($t) * ($t) * 13 + ($idRef // 2) * ($t) * 7" +
+      s" + ($idRef // 2 // 20001) * (($t) + 13) * 5) % 20001"
+    s"(CASE WHEN $idRef % 2 = 1 THEN ($raw) * 9 // 10 ELSE $raw END)"
+  }
 
   private def sampSql(t: String): String = sampSqlAt("doc_id", t)
 

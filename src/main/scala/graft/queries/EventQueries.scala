@@ -357,14 +357,14 @@ object EventQueries {
           .mapPartitions(_.flatMap(v => (0 until 3).iterator.map(f =>
             (v, f, PerceptualAudio.plantedWav(v * 2 + f)))))
           .toDF("stream_id", "seg_idx", "content")
-        // the planted contour space is LOW-ENTROPY by construction (the
-        // per-group 37·g offset cancels in every gradient comparison;
-        // only mod-20001 wraps differentiate groups), so fixture band
-        // buckets legitimately exceed the production maxBlock default
-        // at sf0.1 without being floods — raise the cap so the capless
-        // brute-force oracle stays the recall proof (qm08's contract)
+        // production maxBlock default throughout: the round-15 fixture
+        // fix gave the planted contour space qm13-like entropy (the
+        // g·t·7 + epoch slope terms in PerceptualAudio.plantedSample),
+        // so no fixture bucket approaches the cap at any test scale —
+        // the capless brute-force oracle is the recall proof (qm08's
+        // contract) with no override to reconcile
         graft.operators.multimodal.AudioInStream.hits(
-          clips, segments, maxHamming = 3, maxBlock = 20000)
+          clips, segments, maxHamming = 3)
       },
       Some(graft.operators.multimodal.AudioInStream.oracleSql(3, 3))),
     Q(
