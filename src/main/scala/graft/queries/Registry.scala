@@ -26,6 +26,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     has no tie semantics at all;
   *   - alias every computed column identically in Spark and SQL;
   *   - no ordering dependence: results are compared as bags.
+  *
+  * New-query checklist additions from the round-14/15 adjudications:
+  *   - CAPPED operators need their caps reconciled with the oracle: a
+  *     capless brute-force oracle proves recall ONLY while no fixture
+  *     bucket/block approaches the in-code cap — verify that headroom
+  *     at sf0.1 AND at the 10x smoke scale, not just at sf0.01 (the
+  *     qm14 lesson: a low-entropy fixture silently pushed buckets past
+  *     the cap and the smoke measured fan-in, not the operator);
+  *   - PLANTED fixtures must spread: before adding a planted-payload
+  *     query, measure its derived key/hash entropy at 1x/10x/100x ids
+  *     (distinct values, max dup group, max band-bucket) — constant
+  *     per-group offsets cancel in comparison-based hashes, so put a
+  *     group-dependent SLOPE in the plant (see
+  *     [[graft.operators.multimodal.PerceptualAudio.plantedSample]])
+  *     and, where a smoke times the query, assert the entropy in the
+  *     smoke itself (ScaleSmoke.audioEntropy is the template);
+  *   - fixture oracles over byte windows (MinHashOracle) assume
+  *     single-byte chars — keep planted text ASCII or re-derive.
   */
 final case class Q(
     name: String,
