@@ -447,10 +447,20 @@ object ConnectedComponents {
     }
   }
 
+  /** Store-lock lease sizing: the guarded sections are marker-publish
+    * + per-bucket renames and the compact swap — metadata ops, seconds
+    * at worst (the heavy staging WRITE happens outside the lock) — so
+    * a 3-minute staleness bound dominates any healthy holder. The
+    * contender timeout must EXCEED staleMs (unlike FsLock's defaults,
+    * where 2 min < 10 min): a reader queued behind an appender that
+    * CRASHED mid-apply has to outlive the staleness window to adopt
+    * the orphan and run recovery itself, rather than failing with a
+    * locked-by error while pointing at a dead pid. */
   private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
       dir: String)(body: => T): T =
     graft.operators.FsLock.withLock(
-      fs, lockPath(dir), s"cc store at $dir")(body)
+      fs, lockPath(dir), s"cc store at $dir",
+      staleMs = 3L * 60 * 1000, timeoutMs = 5L * 60 * 1000)(body)
 
   /** Execute (or re-execute) the journaled bucket rewrite. Idempotent
     * per line: a "write" bucket whose staged dir is gone was already
