@@ -63,10 +63,21 @@ object StagedSwap {
     * as "unknown", never as a semantic default, unless first-write
     * ordering guarantees the sidecar exists whenever the data does
     * (see [[graft.streaming.MediaIngest.buildIndexDir]]). */
-  def writeSidecar(fs: FileSystem, target: Path, content: String): Unit = {
+  def writeSidecar(fs: FileSystem, target: Path, content: String): Unit =
+    writeSidecarVia(fs, target, out =>
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** The same staged publish for BINARY sidecars (bloom bits, any
+    * serialized sketch): the caller streams into the hidden tmp file,
+    * the rename makes it visible whole-or-not-at-all — a crash
+    * mid-write can no longer leave a truncated artifact that fails
+    * every later read (round-15: the bloom-bits writer had exactly
+    * that window). */
+  def writeSidecarVia(fs: FileSystem, target: Path,
+      fill: java.io.OutputStream => Unit): Unit = {
     val tmp = new Path(target.toString + "_tmp")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try fill(out)
     finally out.close()
     fs.delete(target, false)
     if (!fs.rename(tmp, target))

@@ -234,8 +234,10 @@ object IngestPipeline {
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val os = fs.create(p, true)
-    try bloom.writeTo(os) finally os.close()
+    // staged publish (round-15): a raw overwrite create left a crash
+    // window where the bloom existed TRUNCATED, and every later fold
+    // then died inside BloomFilter.readFrom
+    graft.operators.StagedSwap.writeSidecarVia(fs, p, bloom.writeTo)
   }
 
   def readBloom(
