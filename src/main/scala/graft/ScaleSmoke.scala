@@ -386,7 +386,15 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup: footers + codegen
-      math.min(once(), once())
+      val t = math.min(once(), once())
+      // shuffle files and localCheckpoint blocks are reclaimed by the
+      // ContextCleaner only when their RDDs are GC'd — with the big
+      // heap this JVM runs, GC may not fire for thousands of stages
+      // and the 100x sweep fills the local disk with dead shuffle
+      // data mid-run (measured: ENOSPC at ~78 GB of accumulation).
+      // One explicit GC per timed query bounds the float.
+      System.gc()
+      t
     }
     // SPARK_GRAFT_SMOKE_ONLY=qp15,... subsets (the Bench/Verify
     // convention): new entries can be ratio-checked without re-timing
