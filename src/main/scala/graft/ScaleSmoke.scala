@@ -417,8 +417,11 @@ object ScaleSmoke {
     val rows = picked
       .map { name =>
       val q = Registry.byName(name)
+      System.err.println(s"[smoke] timing $name (base)")
       val base = time(q, baseDir)
+      System.err.println(f"[smoke] $name base=$base%.3f; timing (big)")
       val big = time(q, bigDir)
+      System.err.println(f"[smoke] $name big=$big%.3f ratio=${big / base}%.2f")
       (name, base, big, big / base)
     }
     val qs = rows
