@@ -351,10 +351,19 @@ object ScaleSmoke {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/graft_scale_big")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the thread count (the Bench
+    // convention), but at 100x-replica scale a fixed-per-box count
+    // makes per-partition volume grow with the data and the smoke
+    // starts measuring spill constants instead of the operator — a
+    // real cluster runs more partitions as data grows. Override to
+    // size partitions to the scale under test (AQE coalesces the
+    // small side back down).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = GraftSession
       .builder("graft-scale-smoke")
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_BENCH_BUILD=1: materialize the FULL ~sf1 fixture and
