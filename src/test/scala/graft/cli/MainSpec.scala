@@ -324,6 +324,21 @@ class MainSpec extends SparkSpec {
         "--index", audIdx, "--config", cfg), spark)
     }
     assert(e.getMessage.contains("'audio' mode"), e.getMessage)
+
+    // wrong-TYPED id/frame columns fail with the column named, before
+    // the decode kernels see them (round-15: the opaque cast/encoder
+    // death had no usable message)
+    Seq(("not-a-number", 0, Array[Byte](1)))
+      .toDF("video_id", "frame_idx", "content")
+      .write.parquet(s"$srcDir/badframes.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("media", "contain", "--table", "badframes",
+        "--index", imgIdx, "--config", cfg), spark)
+    }
+    assert(rc == 2, s"wrong-typed column accepted (rc=$rc)")
+    assert(out.toString.contains("video_id") &&
+      out.toString.contains("non-numeric"), out.toString)
   }
 
   test("cc build + append + compact lifecycle maintains the label store") {
