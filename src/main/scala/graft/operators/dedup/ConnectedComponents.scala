@@ -399,10 +399,20 @@ object ConnectedComponents {
     // per-bucket counts from the just-written files (NOT the labels
     // lineage, which an un-checkpointed caller would recompute) — one
     // partition-column aggregate, nBuckets rows (partition discovery
-    // infers comp_bucket as INT, hence the cast back to long)
-    val counts = spark.read.parquet(dir)
-      .groupBy(col("comp_bucket").cast("long").as("comp_bucket")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // infers comp_bucket as INT, hence the cast back to long). An
+    // EMPTY labels frame writes no partition dirs, and reading that
+    // back cannot infer a schema — the store is legitimately empty,
+    // counts are too (round-15 self-review: the read-back would throw
+    // where the pre-counts build succeeded)
+    val counts =
+      try spark.read.parquet(dir)
+        .groupBy(col("comp_bucket").cast("long").as("comp_bucket")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          Map.empty[Long, Long]
+      }
     writeMeta(fsFor(spark, dir), dir, nBuckets, span, Some(counts))
   }
 

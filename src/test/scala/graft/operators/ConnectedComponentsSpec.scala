@@ -280,6 +280,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[Long].head() == 2L, "legacy store not appended by modulo")
   }
 
+  test("building a store from an empty labeling neither throws nor mis-counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_empty")
+      .toString + "/cc"
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    ConnectedComponents.writeComponentsStore(empty, "id", dir, nBuckets = 8)
+    assert(ConnectedComponents.storeCounts(spark, dir).contains(Map.empty),
+      "empty store should carry counted-but-empty meta")
+    assert(ConnectedComponents.storeLabelCount(spark, dir) == 0L)
+  }
+
   test("per-bucket counts ride the meta: totals served with ZERO Spark jobs") {
     val dir = freshStore() // 3 labels: comps 1 (bucket 0) and 10 (bucket 5)
     assert(ConnectedComponents.storeCounts(spark, dir)
