@@ -125,7 +125,16 @@ object MediaIngest {
       audio: Boolean = false): Unit = {
     implicit val spark: SparkSession = media.sparkSession
     val hp = new org.apache.hadoop.fs.Path(s"$dir/hashes")
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hp, true)
+    // the OLD bloom goes with the old hashes (round-15 self-review): a
+    // build killed before writeBandBloom would otherwise leave a stale
+    // bloom over the new hashes, whose false NEGATIVES make the gate
+    // admit near-duplicates without a scan; a MISSING bloom is the
+    // conservative state — admitBatch falls back to the full scan and
+    // the next commit adopts a fresh one
+    fs.delete(new org.apache.hadoop.fs.Path(bloomPath(dir)), false)
+    fs.delete(new org.apache.hadoop.fs.Path(bloomMetaPath(dir)), false)
     writeMode(spark, dir, audio)
     hashed(media, maxDecodeBytes, audio)
       .write.mode("overwrite").parquet(s"$dir/hashes")
