@@ -131,8 +131,17 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Two lines, spread FIRST and the compact headline LAST: the
+    // per-round driver keeps only a ~2 KB tail of stdout, and the old
+    // single line (headline + full min/med/max/snt spread, ~6 KB)
+    // truncated to its spread half — BENCH_r*.json carried only ~21 of
+    // 35 query minimums and never parsed (round-15 judge item 6). The
+    // headline alone is ~1.4 KB at 35 queries, so the tail now carries
+    // every minimum and a parseable JSON line; the spread stays
+    // available in full logs for turbulence adjudication.
+    println(f"""{"metric":"spread","sentinel":$sentinel%.3f,"spread":$spread}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":$sentinel%.3f,"queries":$qs,"spread":$spread$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":$sentinel%.3f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

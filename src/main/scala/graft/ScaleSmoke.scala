@@ -245,6 +245,16 @@ object ScaleSmoke {
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return
+    // embedding decorrelation has exactly 128 distinct transforms
+    // (64 rotations x 2 sign epochs): replicas i and i+128 would get
+    // byte-identical vectors, silently re-inflating cross-replica
+    // near-dup structure — fail fast at the boundary instead of
+    // measuring a different workload (round-15 advice)
+    require(replicas <= 128,
+      s"buildBig decorrelates at most 128 embedding replicas " +
+        s"(64 rotations x 2 sign epochs); $replicas would repeat " +
+        "transforms and quadratically inflate cross-replica structure " +
+        "— extend the transform family before the third decade")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     (0 until replicas)
       .map(i => docs.select(

@@ -35,6 +35,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * artifact itself, because their state must commit atomically WITH
   * the data in one staged swap — a separate sidecar would reintroduce
   * the disagree-after-crash window their designs exist to close.
+  *
+  * Two companion rules every NEW artifact family inherits with this
+  * idiom (rounds 15/16 — each was found as a live crash window before
+  * it became a rule): (1) mutating recovery that runs on a READ path
+  * must serialize behind the same [[FsLock]] the writers hold — a
+  * reader replaying a journal or adopting a swap can otherwise race a
+  * live writer's apply step and destroy a freshly-published piece;
+  * (2) when a lock guards unattended writers, size the lease with
+  * `timeoutMs > staleMs` so contenders outlive the staleness window
+  * and ADOPT a crashed holder's sentinel instead of erroring at a
+  * dead pid (the adoption-unreachable trap — see the lease-sizing
+  * rule on [[FsLock]]'s object doc). A third, for any state the meta
+  * re-derives after a crash: carry what replay needs IN the journal
+  * marker itself — the sidecar's delete-then-rename publish can
+  * leave it missing while the marker survives, and replay must be
+  * able to rebuild it (see ConnectedComponents' marker header).
   */
 object ArtifactMeta {
 

@@ -30,6 +30,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * sentinel only if it still carries its own tag, so a stalled holder
   * that WAS adopted cannot release the adopter's lock and let a third
   * writer in.
+  *
+  * LEASE-SIZING RULE (rounds 15/16, learned twice): wherever
+  * autonomous crash recovery is wanted, size `timeoutMs` ABOVE
+  * `staleMs` — a contender whose timeout is below the staleness
+  * window gives up before any dead holder's sentinel can ever age
+  * into adoptability, so a crash always needs a HUMAN to delete the
+  * lock ("adoption unreachable"). The defaults below are the
+  * fail-fast shape (2 min timeout vs 10 min stale: a contender
+  * reports a live holder quickly and never adopts); call sites that
+  * must self-heal after a crashed holder — every store/ledger whose
+  * writers are unattended jobs — pass their own pair with
+  * timeout > stale, sized so staleMs still dominates the critical
+  * section (the CC store and SyncLedger use 3 min stale / 5 min
+  * timeout over sub-second sections). The second rule that travels
+  * with this one: recovery that MUTATES and runs on a READ path must
+  * serialize behind the same lock the writers hold (see
+  * [[graft.operators.dedup.ConnectedComponents.recoverComponentsStore]]).
   */
 object FsLock {
 

@@ -30,8 +30,12 @@ object StagedSwap {
     * `__old`/`__compact`): an index compacted — and interrupted — by
     * an older build left its data under these names, which the
     * current restore must still adopt or the live dir stays missing
-    * forever. */
-  private def legacyOldPath(live: Path) = new Path(live.toString + "__old")
+    * forever. Visible to the operator package so recovery FAST-PATHS
+    * (which gate on "does any interrupted-swap evidence exist" before
+    * taking a lock) can check the legacy name too — a gate that only
+    * checks [[oldPath]] would leave a legacy-`__old` store
+    * path-not-found forever (round-15 advice). */
+  private[operators] def legacyOldPath(live: Path) = new Path(live.toString + "__old")
   private def legacyTmpPath(live: Path) = new Path(live.toString + "__compact")
 
   /** Adopt a completed-but-unswapped interruption: if the live dir is

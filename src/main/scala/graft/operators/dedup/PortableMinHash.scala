@@ -183,51 +183,145 @@ object PortableMinHash {
     * curve from theory; this query measures it on the corpus, which is
     * what an operator actually tunes from).
     *
-    * 100 TB shape: signatures are computed ONCE behind a Barrier; each
-    * curve row re-bands the 48-long signature column (a projection,
-    * no re-shingling) and pays one ids-only bucket self-join — the
-    * same bounded join as qd10, b times. Counts are exact BIGINTs;
-    * the recall ratio floors through the shared misround-free
-    * floor(a/b) (n_pairs · 1000 < 2^52 at any realistic pair count). */
+    * 100 TB shape (round-16 rewrite — the old form materialized +
+    * deduped every candidate PAIR per leg, and the loosest leg's
+    * legitimately-linear ~593 M distinct pairs cost an ~80 GB shuffle
+    * at the 100× smoke, ENOSPC on one box): pair rows are never
+    * shuffled. Per leg,
+    *
+    *   - `n_candidates` (DISTINCT colliding pairs) is counted
+    *     ALGEBRAICALLY: buckets partition docs within a band, so
+    *     Σ_buckets C(m,2) counts collisions with multiplicity = the
+    *     number of colliding bands c(p) per pair, a pure group-by; the
+    *     over-count Σ_p (c(p)−1) is paid only by MULTI-band pairs,
+    *     which are enumerated from compound (band-pair, key-pair)
+    *     buckets — an input-linear explode (C(bMax,2) rows/doc), never
+    *     the pair set — and distinct = Σ c − Σ (c−1);
+    *   - `n_pairs` is scored in ONE pass at the FINEST leg (band
+    *     boundaries nest when every b divides bMax — required below —
+    *     so a coarse collision implies a fine one and A(b) ⊆ A(bMax)):
+    *     the bucket self-join carries signatures inline and the
+    *     est-Jaccard filter runs BEFORE anything pair-shaped is
+    *     shuffled; survivors (the tiny ≥-threshold set) carry one
+    *     sig-derived hit flag per coarser leg.
+    *
+    * Signatures are computed once behind a Barrier; multi-pair
+    * enumeration and the scored join are the only super-scan work, and
+    * both shuffle input-linear volumes. Counts are exact BIGINTs; the
+    * recall ratio floors through the shared misround-free floor(a/b)
+    * (n_pairs · 1000 < 2^52 at any realistic pair count). */
   def bandingCurve(
       df: DataFrame, text: Column, id: Column, threshold: Double,
       bandCounts: Seq[Int]): DataFrame = {
     require(bandCounts.nonEmpty &&
       bandCounts.forall(b => b > 0 && numHashes % b == 0),
       s"band counts must divide $numHashes: $bandCounts")
+    val bMax = bandCounts.max
+    require(bandCounts.forall(bMax % _ == 0),
+      s"band counts must nest into the finest banding $bMax (each " +
+        s"coarse band = consecutive fine bands): $bandCounts — the " +
+        "curve scores candidates once at the finest leg and derives " +
+        "the coarser legs from band nesting")
     val sigs = graft.operators.Parallelism.ensureMin(df)
       .select(id.as("id"), signature(TextOps.normalized(text)).as("sig"))
       .transform(Barrier.apply)
-    def countsAt(b: Int): DataFrame = {
+    def bandKeys(b: Int): Column = {
       val rpb = numHashes / b
-      val buckets = sigs.select(col("id"), posexplode(transform(
-        sequence(lit(0), lit(b - 1)),
+      transform(sequence(lit(0), lit(b - 1)),
         j => md5(array_join(
           transform(slice(col("sig"), j * lit(rpb) + lit(1), lit(rpb)),
-            x => x.cast("string")), ",")))).as(Seq("band", "bk")))
-      val cand = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
-        .join(buckets.select(col("band"), col("bk"), col("id").as("doc_b")),
-          Seq("band", "bk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates("doc_a", "doc_b")
-        .transform(Barrier.apply)
-      val bySig = sigs.select(col("id"), col("sig"))
-      val pairs = cand
-        .join(bySig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(bySig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .filter(MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
-          >= threshold)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
-        .select(lit(b).as("bands"), lit(rpb).as("rows_per_band"),
-          col("n_candidates"), col("n_pairs"))
+            x => x.cast("string")), ",")))
+    }
+    // ---- multi-band pairs at the finest leg, with their full fine
+    // band set: a pair colliding at bands B appears in exactly one
+    // compound bucket per 2-subset of B, so grouping docs by (j1, j2,
+    // key_j1 ++ key_j2) enumerates every such pair without touching
+    // the (vastly larger) single-band collision mass
+    val multiPairs =
+      if (bMax < 2)
+        // one band: no pair can collide twice (and sequence(0, bMax-2)
+        // would count DOWN) — an empty multi set with the right schema
+        sigs.select(col("id").as("doc_a"), col("id").as("doc_b"),
+          array().cast("array<int>").as("fine_bands")).limit(0)
+      else {
+        val compounds = sigs
+          .select(col("id"), bandKeys(bMax).as("ks"))
+          .select(col("id"), explode(
+            flatten(transform(sequence(lit(0), lit(bMax - 2)), j1 =>
+              transform(sequence(j1 + lit(1), lit(bMax - 1)), j2 =>
+                struct(j1.as("j1"), j2.as("j2"),
+                  concat(
+                    unhex(element_at(col("ks"), j1 + lit(1))),
+                    unhex(element_at(col("ks"), j2 + lit(1)))).as("ck")))))
+          ).as("c"))
+          .select(col("c.j1"), col("c.j2"), col("c.ck"), col("id"))
+        compounds
+          .select(col("j1"), col("j2"), col("ck"), col("id").as("doc_a"))
+          .join(compounds
+            .select(col("j1"), col("j2"), col("ck"), col("id").as("doc_b")),
+            Seq("j1", "j2", "ck"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            explode(array(col("j1"), col("j2"))).as("j"))
+          .distinct()
+          .groupBy("doc_a", "doc_b")
+          .agg(collect_set(col("j")).as("fine_bands"))
+          .transform(Barrier.apply)
+      }
+    // a coarse band collides iff ALL its fine bands do (nesting)
+    def cLeg(b: Int): Column = {
+      val g = bMax / b
+      aggregate(sequence(lit(0), lit(b - 1)), lit(0L),
+        (acc, bigJ) => acc + when(
+          forall(sequence(bigJ * lit(g), bigJ * lit(g) + lit(g - 1)),
+            f => array_contains(col("fine_bands"), f)),
+          lit(1L)).otherwise(lit(0L)))
+    }
+    // ---- ≥-threshold pairs, scored ONCE at the finest leg with the
+    // filter inline (sigs ride the bucket shuffle; pair rows exist
+    // only as streamed join output), plus per-leg collision flags
+    def hitCol(b: Int): Column = {
+      val rpb = numHashes / b
+      exists(sequence(lit(0), lit(b - 1)), j =>
+        slice(col("sig_a"), j * lit(rpb) + lit(1), lit(rpb)) ===
+          slice(col("sig_b"), j * lit(rpb) + lit(1), lit(rpb)))
+    }
+    val fineBuckets = sigs.select(col("id"), col("sig"),
+      posexplode(bandKeys(bMax)).as(Seq("band", "bk")))
+    val survivors = fineBuckets
+      .select(col("band"), col("bk"),
+        col("id").as("doc_a"), col("sig").as("sig_a"))
+      .join(fineBuckets.select(col("band"), col("bk"),
+        col("id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
+        >= threshold)
+      .select(Seq(col("doc_a"), col("doc_b")) ++
+        bandCounts.map(b => hitCol(b).as(s"hit_$b")): _*)
+      .dropDuplicates("doc_a", "doc_b")
+      .transform(Barrier.apply)
+    def legRow(b: Int): DataFrame = {
+      val tot = sigs
+        .select(col("id"), posexplode(bandKeys(b)).as(Seq("band", "bk")))
+        .groupBy("band", "bk").agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+          .as("total_coll"))
+      val ex = multiPairs.agg(coalesce(
+        sum(greatest(cLeg(b) - lit(1L), lit(0L))), lit(0L)).as("excess"))
+      val np = survivors.agg(coalesce(
+        sum(when(col(s"hit_$b"), lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("n_pairs"))
+      tot.crossJoin(ex).crossJoin(np)
+        .select(lit(b).as("bands"), lit(numHashes / b).as("rows_per_band"),
+          (col("total_coll") - col("excess")).as("n_candidates"),
+          col("n_pairs"))
     }
     // the curve is len(bandCounts) rows — Barrier it so the reference
     // row below reads the materialized counts instead of re-running
-    // the max-b bucket join through lineage
-    val curve = Barrier(bandCounts.map(countsAt).reduce(_ unionByName _))
-    val ref = curve.filter(col("bands") === bandCounts.max)
+    // the scored join through lineage
+    val curve = Barrier(bandCounts.map(legRow).reduce(_ unionByName _))
+    val ref = curve.filter(col("bands") === bMax)
       .select(col("n_pairs").as("ref_pairs"))
     curve.crossJoin(ref)
       .withColumn("recall_milli",

@@ -35,6 +35,18 @@ object SyncLedger {
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Ledger lease sizing (round-16, the CC-store shape): the critical
+    * section is a tables-sized parquet write — sub-second — so a
+    * 3-minute staleness bound dominates any healthy holder, and the
+    * contender timeout EXCEEDS staleMs so a driver queued behind a
+    * CRASHED holder adopts the orphan and commits autonomously,
+    * instead of failing at timeout with a locked-by error naming a
+    * dead pid (FsLock's fail-fast defaults were adoption-unreachable
+    * here — the trap its object doc now names; resumable sync runs
+    * unattended, so self-healing wins over fail-fast). */
+  private[sync] val LeaseStaleMs: Long = 3L * 60 * 1000
+  private[sync] val LeaseTimeoutMs: Long = 5L * 60 * 1000
+
   /** Cross-process mutual exclusion for the ledger's read-union-swap —
     * [[graft.operators.FsLock]] (lease semantics, stale adoption,
     * ownership-checked release; see its doc, incl. why local-FS
@@ -44,8 +56,8 @@ object SyncLedger {
     * anywhere near `staleMs`. */
   private[sync] def withFsLock[T](
       spark: SparkSession, dir: String,
-      staleMs: Long = 10L * 60 * 1000,
-      timeoutMs: Long = 2L * 60 * 1000)(body: => T): T = {
+      staleMs: Long = LeaseStaleMs,
+      timeoutMs: Long = LeaseTimeoutMs)(body: => T): T = {
     val lp = lockPath(dir)
     graft.operators.FsLock.withLock(
       fsFor(spark, lp), lp, s"ledger at $dir (sync --ledger)",

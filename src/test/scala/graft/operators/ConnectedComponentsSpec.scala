@@ -379,4 +379,98 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(content == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
       s"store corrupted by the reader/appender race: $content")
   }
+
+  test("an EMPTY store is readable, appendable, and compactable") {
+    // round-15 made counted-but-empty stores legal to WRITE; round-16
+    // verdict: append/read threw UNABLE_TO_INFER_SCHEMA on one (no
+    // partition dirs to infer from). The meta's idCol/idType contract
+    // now carries the schema: build-empty -> append must equal a
+    // fresh build on the increment alone.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_empty")
+      .toString + "/cc"
+    val empty = Seq.empty[(Long, Long)].toDF("id", "component")
+    ConnectedComponents.writeComponentsStore(empty, "id", dir, nBuckets = 8)
+    assert(ConnectedComponents.storeIdColumn(spark, dir)
+      .contains(("id", "bigint")))
+    val read0 = ConnectedComponents.readComponentsStore(spark, dir)
+    assert(read0.columns.toSet == Set("id", "component", "comp_bucket"))
+    assert(read0.count() == 0L)
+    val rewritten = ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), "a", "b",
+      Seq(1L, 2L, 5L, 6L, 9L).toDF("id"), "id", nBuckets = 8)
+    assert(rewritten > 0, "append into an empty store rewrote nothing")
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    val fresh = ConnectedComponents.components(
+        Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), "a", "b",
+        Seq(1L, 2L, 5L, 6L, 9L).toDF("id"), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == fresh, s"empty-store append diverged from a fresh " +
+      s"build:\n$got\n$fresh")
+    // and a compact of a still-empty store neither throws nor loses
+    // the id contract
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_empty2")
+      .toString + "/cc"
+    ConnectedComponents.writeComponentsStore(empty, "id", dir2, nBuckets = 8)
+    val (rows, _, _) = ConnectedComponents.compactComponentsStore(spark, dir2)
+    assert(rows == 0L)
+    assert(ConnectedComponents.storeIdColumn(spark, dir2)
+      .contains(("id", "bigint")))
+    assert(ConnectedComponents.readComponentsStore(spark, dir2).count() == 0L)
+  }
+
+  test("a live-missing store with only a legacy __old dir recovers on read") {
+    // round-15 advice: the needsRecovery fast-path gated on the
+    // post-extraction '_old' name alone, so a swap interrupted under a
+    // pre-extraction build (legacy '__old') read as path-not-found
+    // forever
+    val dir = freshStore()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + "__old"))
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L),
+      s"legacy __old store not restored: $got")
+    assert(!new java.io.File(dir + "__old").exists(),
+      "legacy __old leftover survived the restore")
+  }
+
+  test("replay REBUILDS a meta lost in the sidecar-publish crash window") {
+    // round-15 advice: StagedSwap.writeSidecar's delete-then-rename can
+    // crash with the meta MISSING while the marker survives; replay
+    // then folded nothing, dropped the marker, and the store was
+    // permanently meta-less (every later append failed). The marker's
+    // header now carries span/nBuckets/idCol so replay re-derives the
+    // contract (counts stay dropped — the untouched buckets' counts
+    // died with the sidecar; the next compact recounts).
+    val dir = freshStore()
+    val span = ConnectedComponents.storeSpan(spark, dir).get
+    val nb = ConnectedComponents.storeBuckets(spark, dir).get
+    val (idCol, idType) = ConnectedComponents.storeIdColumn(spark, dir).get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_cc_meta"))
+    // the crash state: header-bearing marker on disk, meta gone; the
+    // plan line is a harmless no-op delete so replay exercises only
+    // the meta path
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_cc_apply"),
+      s"meta $span $nb $idCol $idType\n999 empty\n".getBytes("UTF-8"))
+    assert(ConnectedComponents.recoverComponentsStore(spark, dir),
+      "marker present but nothing replayed")
+    assert(ConnectedComponents.storeSpan(spark, dir).contains(span),
+      "span not re-derived from the marker header")
+    assert(ConnectedComponents.storeBuckets(spark, dir).contains(nb))
+    assert(ConnectedComponents.storeIdColumn(spark, dir)
+      .contains((idCol, idType)))
+    assert(ConnectedComponents.storeCounts(spark, dir).isEmpty,
+      "counts must be dropped, not invented, when the old meta is lost")
+    // the store is appendable again without a manual compact
+    ConnectedComponents.appendComponentsStore(
+      spark, dir, Seq((20L, 10L)).toDF("a", "b"), "a", "b",
+      Seq(20L).toDF("id"), "id", nBuckets = nb)
+    val got = ConnectedComponents.readComponentsStore(spark, dir)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L),
+      s"post-recovery append diverged: $got")
+  }
 }

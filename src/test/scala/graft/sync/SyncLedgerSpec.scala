@@ -118,4 +118,34 @@ class SyncLedgerSpec extends SparkSpec {
     assert(ran, "stale lock was not adopted")
     assert(!fs.exists(lp), "lock not released after the body")
   }
+
+  test("a contender queued behind a dead holder ADOPTS instead of timing out") {
+    // the adoption-unreachable trap (round-15 verdict): with
+    // timeout < stale (FsLock's fail-fast defaults, and this ledger's
+    // shape until round 16) a contender that queued behind a CRASHED
+    // holder gave up at timeout with a locked-by error naming a dead
+    // pid — it could never outlive the staleness window that makes
+    // the orphan adoptable. The production lease now sizes
+    // timeout > stale; this runs the same shape scaled down: the
+    // sentinel is FRESH when the contender arrives (holder just
+    // died), and the contender must wait out staleMs, adopt, and
+    // complete with no human deleting the lock.
+    val dir = freshDir()
+    SyncLedger.markDoneFsLocked(spark, dir, "pre", 1L)
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lp, true)
+    out.write("crashed-run@nowhere".getBytes("UTF-8")); out.close()
+    var ran = false
+    SyncLedger.withFsLock(spark, dir, staleMs = 500, timeoutMs = 30000) {
+      ran = true
+    }
+    assert(ran, "contender never adopted the dead holder's lease")
+    assert(!fs.exists(lp), "adopted lock not released after the body")
+    assert(SyncLedger.completed(spark, dir).keySet == Set("pre"))
+    // pin the production shape itself: adoption must stay reachable
+    assert(SyncLedger.LeaseTimeoutMs > SyncLedger.LeaseStaleMs,
+      "ledger lease regressed to adoption-unreachable " +
+        s"(timeout ${SyncLedger.LeaseTimeoutMs} <= stale ${SyncLedger.LeaseStaleMs})")
+  }
 }
