@@ -356,6 +356,71 @@ object ScaleSmoke {
     println(f"""{"metric":"cc_store_smoke","docs":${docs.count()},"increment":${inc.count()},"append_sec":$tAppend%.3f,"rebuild_sec":$tRebuild%.3f,"ratio":${tRebuild / tAppend}%.2f,"buckets_rewritten":$rewritten,"surviving_files_touched":$changedSurvivors}""")
   }
 
+  /** Work-volume measurement for the elevated-ratio adjudications (the
+    * qm14 lesson as a reusable mode): the quantities that DRIVE the
+    * super-unit smoke ratios, counted algebraically from bucket/cell
+    * populations — Σ_groups C(m,2) via one groupBy each, never a pair
+    * materialization — so a 50× wall on 128× work reads as the
+    * sub-linear result it is. Covers the three candidate-generation
+    * families the Heavy list's elevated rows belong to:
+    * portable-MinHash banding (qd35/qd37/qp09/qp11, and qd36's loosest
+    * 24×2 leg), the capped containment inverted index (qd25), and
+    * SemDeDup's within-cell exact scoring at the oracle-pinned k=8
+    * (qs11 — quadratic at FIXED k by design; see the scale-k timed
+    * mode below for the production configuration). */
+  private def workSmoke(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.dedup.{PortableMinHash => PMH}
+    import graft.operators.TextOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val sigs = docs
+      .select(PMH.signature(TextOps.normalized(col("text"))).as("sig"))
+      .transform(graft.operators.Barrier.apply)
+    // banded collision mass with multiplicity: grouping on the raw
+    // band slice is exact (same slice values = same md5 bucket key)
+    def bandMass(b: Int): Long = {
+      val rpb = PMH.numHashes / b
+      sigs
+        .select(explode(transform(sequence(lit(0), lit(b - 1)), j =>
+          struct(j.as("band"),
+            slice(col("sig"), j * lit(rpb) + lit(1), lit(rpb)).as("key"))))
+          .as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+    }
+    val pm12 = bandMass(PMH.bands) // the production 12×4 banding
+    val pm24 = bandMass(24) // qd36's loosest curve leg
+    // the r15 continuity metrics: distinct banded candidates and
+    // >=0.3 survivors (ids-only join output, millions of rows at 100×)
+    val pairs = PMH.pairs(docs, col("text"), col("doc_id"), 0.3)
+      .count()
+    // qd25's capped containment index: post-cap posting-join volume
+    val gramCnt = docs
+      .select(col("source").as("blk"),
+        explode(graft.functions.ShingleExprs.sortedTokenShingles(
+          TextOps.normalized(col("text")), 2)).as("gram"))
+      .groupBy("blk", "gram").agg(count(lit(1)).as("m"))
+      .transform(graft.operators.Barrier.apply)
+    val qd25Capped = gramCnt
+      .filter(col("m") > graft.operators.dedup.NGramJaccard.DefaultMaxGramFreq)
+      .count()
+    val qd25Mass = gramCnt
+      .filter(col("m") <= graft.operators.dedup.NGramJaccard.DefaultMaxGramFreq)
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+    // qs11's within-cell exact budget at the oracle k=8
+    import graft.operators.similarity.KMeansCluster
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = KMeansCluster.fit(emb, col("embedding"), col("vec_id"), 8, 1)
+    val qs11Mass = KMeansCluster.assign(emb, col("embedding"), col("vec_id"), cents)
+      .groupBy("cluster").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+    println(
+      s"""{"metric":"work_smoke","dir":"$dir","docs":$nDocs,"pm12_coll":$pm12,"pm24_coll":$pm24,"pm_pairs":$pairs,"qd25_coll":$qd25Mass,"qd25_capped_grams":$qd25Capped,"qs11_cell_coll":$qs11Mass}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
@@ -394,6 +459,45 @@ object ScaleSmoke {
     // mtimes. One JSON line; exits without the Heavy sweep.
     if (sys.env.get("SPARK_GRAFT_CC_SMOKE").contains("1")) {
       ccStoreSmoke(spark, bigDir)
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_WORK_SMOKE=1: print the adjudication work volumes
+    // (banding collision mass, containment index mass, SemDeDup cell
+    // budget) for base and big — untimed, one JSON line per dir.
+    if (sys.env.get("SPARK_GRAFT_WORK_SMOKE").contains("1")) {
+      workSmoke(spark, baseDir)
+      workSmoke(spark, bigDir)
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_QS11_K=<k>: time qs11's operator at the big scale
+    // with k sized to it — cell population, not k, is SemDeDup's cost
+    // knob (class doc: k ≈ n/5000 in production; the registry query
+    // pins k=8 only for the DuckDB-oracle regime), so the fixed-k 100×
+    // smoke measures the exact-scoring ceiling at 100× the intended
+    // cell size while this mode measures the operator as it would
+    // actually be configured at that scale (the k analog of p192).
+    val qs11K = sys.env.get("SPARK_GRAFT_QS11_K").map(_.toInt)
+    if (qs11K.isDefined) {
+      val k = qs11K.get
+      import graft.operators.similarity.SemanticDedup
+      def once(dir: String, kk: Int): Double = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        SemanticDedup.prune(emb, col("embedding"), col("vec_id"), "vec_id",
+            k = kk, iters = 1, threshold = 0.2)
+          .select("vec_id", "label")
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def best(dir: String, kk: Int): Double = {
+        once(dir, kk); val t = math.min(once(dir, kk), once(dir, kk))
+        System.gc(); t
+      }
+      val base = best(baseDir, 8)
+      val big = best(bigDir, k)
+      println(f"""{"metric":"qs11_scale_k","k":$k,"base_k8":$base%.3f,"big":$big%.3f,"ratio":${big / base}%.2f}""")
       spark.stop()
       return
     }

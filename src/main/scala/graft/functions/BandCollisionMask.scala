@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bitmask of colliding LSH bands between two long-array signatures:
+  * bit f is set iff every component of band f (elements
+  * [f·rpb, (f+1)·rpb)) is equal. One native pass over the signatures
+  * turns every per-band question downstream — first colliding band,
+  * collision count at any coarser nested banding — into integer bit
+  * arithmetic (shiftright / & / bit_count), all codegen'd. This is the
+  * multiplicative hot loop of the banding-curve scan (collision rows ×
+  * k): the interpreted filter/forall/aggregate formulation of the same
+  * logic measured ~7× the whole-query wall at sf0.1.
+  *
+  * Bands beyond 63 would not fit the long; callers keep rpb ≥ 1 and
+  * signatures ≤ 63·rpb wide (the repo's k=48 families are far below).
+  */
+object BandCollisionMaskImpl {
+  def compute(a: ArrayData, b: ArrayData, rpb: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    val bands = math.min(n / rpb, 63)
+    var mask = 0L
+    var f = 0
+    while (f < bands) {
+      var eq = true
+      var i = f * rpb
+      val end = i + rpb
+      while (eq && i < end) {
+        if (a.getLong(i) != b.getLong(i)) eq = false
+        i += 1
+      }
+      if (eq) mask |= (1L << f)
+      f += 1
+    }
+    mask
+  }
+}
+
+case class BandCollisionMask(left: Expression, right: Expression, rpb: Int)
+    extends BinaryExpression {
+  require(rpb > 0, s"bad rows-per-band $rpb")
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"band_collision_mask needs two array<bigint>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BandCollisionMaskImpl.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], rpb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.BandCollisionMaskImpl.compute($a, $b, $rpb)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BandCollisionMask =
+    copy(left = l, right = r)
+  override def prettyName: String = "band_collision_mask"
+}
+
+object BandCollisionMask {
+  def apply(a: Column, b: Column, rpb: Int): Column =
+    ColumnBridge.column(BandCollisionMask(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), rpb))
+}

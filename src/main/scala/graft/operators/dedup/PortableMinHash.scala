@@ -183,32 +183,36 @@ object PortableMinHash {
     * curve from theory; this query measures it on the corpus, which is
     * what an operator actually tunes from).
     *
-    * 100 TB shape (round-16 rewrite — the old form materialized +
-    * deduped every candidate PAIR per leg, and the loosest leg's
-    * legitimately-linear ~593 M distinct pairs cost an ~80 GB shuffle
-    * at the 100× smoke, ENOSPC on one box): pair rows are never
-    * shuffled. Per leg,
+    * 100 TB shape (round-16, second revision — the original form
+    * materialized + deduped every candidate PAIR per leg, and the
+    * loosest leg's legitimately-linear ~593 M distinct pairs cost an
+    * ~80 GB shuffle at the 100× smoke, ENOSPC on one box; the first
+    * revision's compound band-pair buckets fixed that but re-derived
+    * distinctness through a C(bMax,2)-per-doc explode join that
+    * sextupled the base cost): pair rows are never shuffled, and the
+    * whole curve needs ONE bucket self-join. Band boundaries nest
+    * (every b divides bMax — required below — so a coarse band
+    * collides iff ALL its fine bands do, and any leg's colliding pair
+    * collides at the finest leg too). The finest-leg bucket join
+    * carries signatures inline, so at a collision row the pair's FULL
+    * fine-band collision set is computable from the two signatures
+    * alone; keeping only rows whose band is the pair's first colliding
+    * band yields exactly one row per DISTINCT colliding pair with no
+    * dedup shuffle. Everything aggregates from that one scan:
     *
-    *   - `n_candidates` (DISTINCT colliding pairs) is counted
-    *     ALGEBRAICALLY: buckets partition docs within a band, so
-    *     Σ_buckets C(m,2) counts collisions with multiplicity = the
-    *     number of colliding bands c(p) per pair, a pure group-by; the
-    *     over-count Σ_p (c(p)−1) is paid only by MULTI-band pairs,
-    *     which are enumerated from compound (band-pair, key-pair)
-    *     buckets — an input-linear explode (C(bMax,2) rows/doc), never
-    *     the pair set — and distinct = Σ c − Σ (c−1);
-    *   - `n_pairs` is scored in ONE pass at the FINEST leg (band
-    *     boundaries nest when every b divides bMax — required below —
-    *     so a coarse collision implies a fine one and A(b) ⊆ A(bMax)):
-    *     the bucket self-join carries signatures inline and the
-    *     est-Jaccard filter runs BEFORE anything pair-shaped is
-    *     shuffled; survivors (the tiny ≥-threshold set) carry one
-    *     sig-derived hit flag per coarser leg.
+    *   - `n_candidates` per leg = Σ_buckets C(m,2) (a pure group-by,
+    *     collisions with multiplicity c(p)) minus the over-count
+    *     Σ_p (c_leg(p)−1)⁺ summed on the distinct-pair scan;
+    *   - `n_pairs` per leg = distinct-pair rows with est-Jaccard ≥
+    *     threshold and ≥1 coarse-band collision at that leg — the
+    *     estimate runs once per distinct pair, inline, before anything
+    *     pair-shaped would shuffle (nothing does: the scan feeds a
+    *     one-row aggregate).
     *
-    * Signatures are computed once behind a Barrier; multi-pair
-    * enumeration and the scored join are the only super-scan work, and
-    * both shuffle input-linear volumes. Counts are exact BIGINTs; the
-    * recall ratio floors through the shared misround-free floor(a/b)
+    * Signatures are computed once behind a Barrier and ride the
+    * bucket-join shuffle (input-linear: rows × bMax, vs pair-linear
+    * for any re-attach join). Counts are exact BIGINTs; the recall
+    * ratio floors through the shared misround-free floor(a/b)
     * (n_pairs · 1000 < 2^52 at any realistic pair count). */
   def bandingCurve(
       df: DataFrame, text: Column, id: Column, threshold: Double,
@@ -232,94 +236,74 @@ object PortableMinHash {
           transform(slice(col("sig"), j * lit(rpb) + lit(1), lit(rpb)),
             x => x.cast("string")), ",")))
     }
-    // ---- multi-band pairs at the finest leg, with their full fine
-    // band set: a pair colliding at bands B appears in exactly one
-    // compound bucket per 2-subset of B, so grouping docs by (j1, j2,
-    // key_j1 ++ key_j2) enumerates every such pair without touching
-    // the (vastly larger) single-band collision mass
-    val multiPairs =
-      if (bMax < 2)
-        // one band: no pair can collide twice (and sequence(0, bMax-2)
-        // would count DOWN) — an empty multi set with the right schema
-        sigs.select(col("id").as("doc_a"), col("id").as("doc_b"),
-          array().cast("array<int>").as("fine_bands")).limit(0)
-      else {
-        val compounds = sigs
-          .select(col("id"), bandKeys(bMax).as("ks"))
-          .select(col("id"), explode(
-            flatten(transform(sequence(lit(0), lit(bMax - 2)), j1 =>
-              transform(sequence(j1 + lit(1), lit(bMax - 1)), j2 =>
-                struct(j1.as("j1"), j2.as("j2"),
-                  concat(
-                    unhex(element_at(col("ks"), j1 + lit(1))),
-                    unhex(element_at(col("ks"), j2 + lit(1)))).as("ck")))))
-          ).as("c"))
-          .select(col("c.j1"), col("c.j2"), col("c.ck"), col("id"))
-        compounds
-          .select(col("j1"), col("j2"), col("ck"), col("id").as("doc_a"))
-          .join(compounds
-            .select(col("j1"), col("j2"), col("ck"), col("id").as("doc_b")),
-            Seq("j1", "j2", "ck"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            explode(array(col("j1"), col("j2"))).as("j"))
-          .distinct()
-          .groupBy("doc_a", "doc_b")
-          .agg(collect_set(col("j")).as("fine_bands"))
-          .transform(Barrier.apply)
-      }
-    // a coarse band collides iff ALL its fine bands do (nesting)
+    // ---- the ONE distinct-pair scan: finest-leg bucket join with
+    // signatures inline; at a collision row the pair's full fine-band
+    // collision set falls out of the two signatures as ONE bitmask
+    // ([[graft.functions.BandCollisionMask]], native codegen — the
+    // interpreted higher-order formulation of the same logic measured
+    // ~7× this query's wall), and keeping only the pair's FIRST
+    // colliding band's row makes the stream distinct by construction —
+    // no compound join, no dedup shuffle. Everything per-band
+    // downstream is integer bit arithmetic on the mask.
+    val rpbMax = numHashes / bMax
+    // colliding band count at leg b (nesting: a coarse band collides
+    // iff ALL its g consecutive fine bands do): AND the mask with its
+    // own shifts, then count the surviving group-start bits
     def cLeg(b: Int): Column = {
       val g = bMax / b
-      aggregate(sequence(lit(0), lit(b - 1)), lit(0L),
-        (acc, bigJ) => acc + when(
-          forall(sequence(bigJ * lit(g), bigJ * lit(g) + lit(g - 1)),
-            f => array_contains(col("fine_bands"), f)),
-          lit(1L)).otherwise(lit(0L)))
-    }
-    // ---- ≥-threshold pairs, scored ONCE at the finest leg with the
-    // filter inline (sigs ride the bucket shuffle; pair rows exist
-    // only as streamed join output), plus per-leg collision flags
-    def hitCol(b: Int): Column = {
-      val rpb = numHashes / b
-      exists(sequence(lit(0), lit(b - 1)), j =>
-        slice(col("sig_a"), j * lit(rpb) + lit(1), lit(rpb)) ===
-          slice(col("sig_b"), j * lit(rpb) + lit(1), lit(rpb)))
+      val allFine = (1 until g)
+        .map(i => s"shiftright(mask, $i)")
+        .foldLeft("mask")((acc, s) => s"($acc & $s)")
+      val sel = (0 until b).map(bigJ => 1L << (g * bigJ)).reduce(_ | _)
+      expr(s"cast(bit_count($allFine & ${sel}L) as bigint)")
     }
     val fineBuckets = sigs.select(col("id"), col("sig"),
       posexplode(bandKeys(bMax)).as(Seq("band", "bk")))
-    val survivors = fineBuckets
+    val perPair = fineBuckets
       .select(col("band"), col("bk"),
         col("id").as("doc_a"), col("sig").as("sig_a"))
       .join(fineBuckets.select(col("band"), col("bk"),
         col("id").as("doc_b"), col("sig").as("sig_b")),
         Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
-      .filter(MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
-        >= threshold)
-      .select(Seq(col("doc_a"), col("doc_b")) ++
-        bandCounts.map(b => hitCol(b).as(s"hit_$b")): _*)
-      .dropDuplicates("doc_a", "doc_b")
-      .transform(Barrier.apply)
+      .withColumn("mask", graft.functions.BandCollisionMask(
+        col("sig_a"), col("sig_b"), rpbMax))
+      // the row's own band always collides (bucket key = md5 of the
+      // slice), so mask ≠ 0; keep the lowest-set-bit band's row only
+      .filter(expr("(mask & -mask) = cast(shiftleft(1, band) as bigint)"))
+      .select(Seq(
+        (MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
+          >= threshold).as("good")) ++
+        bandCounts.map(b => cLeg(b).as(s"c_$b")): _*)
+    // one row total: per-leg distinct-count correction + ≥-threshold
+    // pair count, folded map-side straight out of the join stream —
+    // Barrier'd, or every legRow below re-runs the whole scan
+    val folded = Barrier(perPair.agg(
+      bandCounts.flatMap(b => Seq(
+        coalesce(sum(greatest(col(s"c_$b") - lit(1L), lit(0L))), lit(0L))
+          .as(s"excess_$b"),
+        coalesce(sum(when(col("good") && col(s"c_$b") >= 1, lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as(s"pairs_$b"))).head,
+      bandCounts.flatMap(b => Seq(
+        coalesce(sum(greatest(col(s"c_$b") - lit(1L), lit(0L))), lit(0L))
+          .as(s"excess_$b"),
+        coalesce(sum(when(col("good") && col(s"c_$b") >= 1, lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as(s"pairs_$b"))).tail: _*))
     def legRow(b: Int): DataFrame = {
       val tot = sigs
         .select(col("id"), posexplode(bandKeys(b)).as(Seq("band", "bk")))
         .groupBy("band", "bk").agg(count(lit(1)).as("m"))
         .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
           .as("total_coll"))
-      val ex = multiPairs.agg(coalesce(
-        sum(greatest(cLeg(b) - lit(1L), lit(0L))), lit(0L)).as("excess"))
-      val np = survivors.agg(coalesce(
-        sum(when(col(s"hit_$b"), lit(1L)).otherwise(lit(0L))), lit(0L))
-        .as("n_pairs"))
-      tot.crossJoin(ex).crossJoin(np)
+      tot.crossJoin(folded)
         .select(lit(b).as("bands"), lit(numHashes / b).as("rows_per_band"),
-          (col("total_coll") - col("excess")).as("n_candidates"),
-          col("n_pairs"))
+          (col("total_coll") - col(s"excess_$b")).as("n_candidates"),
+          col(s"pairs_$b").as("n_pairs"))
     }
     // the curve is len(bandCounts) rows — Barrier it so the reference
     // row below reads the materialized counts instead of re-running
-    // the scored join through lineage
+    // the scan through lineage (folded would otherwise re-run once per
+    // leg AND once more for the reference row)
     val curve = Barrier(bandCounts.map(legRow).reduce(_ unionByName _))
     val ref = curve.filter(col("bands") === bMax)
       .select(col("n_pairs").as("ref_pairs"))
