@@ -139,9 +139,25 @@ object Bench {
     // headline alone is ~1.4 KB at 35 queries, so the tail now carries
     // every minimum and a parseable JSON line; the spread stays
     // available in full logs for turbulence adjudication.
-    println(f"""{"metric":"spread","sentinel":$sentinel%.3f,"spread":$spread}""")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":$sentinel%.3f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val spreadLine =
+      f"""{"metric":"spread","sentinel":$sentinel%.3f,"spread":$spread}"""
+    val headline =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sentinel":$sentinel%.3f,"queries":$qs$failedJson,"sf":"$sfDir"}"""
+    println(spreadLine)
+    println(headline)
+    // the artifact must not depend on how much stdout tail a harness
+    // keeps: the same two lines land in a file (headline FIRST — a
+    // reader taking line 1 gets the parseable summary), path
+    // overridable for ad-hoc runs
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (headline + "\n" + spreadLine + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

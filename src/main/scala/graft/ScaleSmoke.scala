@@ -162,14 +162,75 @@ object ScaleSmoke {
     * disagree. Replica 0 keeps the identity (a=1, b=0) — the base
     * corpus rides through unchanged. Lengths, case structure,
     * whitespace and punctuation survive, so token/shingle STATISTICS
-    * are scale-invariant, as before. */
-  private def alphaPerm(c: org.apache.spark.sql.Column, replica: Int) = {
+    * are scale-invariant, as before.
+    *
+    * Round 17 (third-decade prep): the 156-cycle left half the affine
+    * group unused — replicas 156+ repeated maps and re-inflated
+    * cross-replica shingle structure, capping the work-volume decade.
+    * Adding a +7 offset per 156-cycle walks the OTHER 156 maps:
+    * within a cycle b moves by 7·12t ≡ 6t (mod 26), nonzero for
+    * 0 < |t| < 13; across the two cycles it moves by 6t + 7, odd and
+    * hence never 0 (mod 26) — all 312 maps distinct, the full affine
+    * group, bijectively. 312 is the group's ORDER, so this family is
+    * exhausted at 312 replicas; [[buildBig]] fails fast there
+    * (ScaleSmokeSpec pins distinctness exhaustively). */
+  private[graft] def alphaPerm(c: org.apache.spark.sql.Column, replica: Int) = {
     val az = "abcdefghijklmnopqrstuvwxyz"
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val a = units(replica % units.size)
-    val b = (replica * 7) % 26
+    val b = (replica * 7 + (replica / 156) * 7) % 26
     val mapped = (0 until 26).map(j => az((a * j + b) % 26)).mkString
     translate(c, az + az.toUpperCase, mapped + mapped.toUpperCase)
+  }
+
+  /** The affine alphabet family's size — buildBig's documents bound. */
+  private[graft] val AlphaPermFamily = 312
+
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-epoch ±1 sign word for the embedding transform family: epoch
+    * 0 is the identity (all +1 — corpora built before round 17 are
+    * byte-identical), later epochs take the 64 bits of splitmix64(e).
+    * splitmix64 is a bijection on longs, so distinct epochs get
+    * distinct words; [[buildBig]] additionally checks (cheap, exact)
+    * that no word is another's COMPLEMENT — a complemented pattern is
+    * a global sign flip away from its partner, which the (i/64)%2
+    * flip factor would alias back onto an existing transform. */
+  private[graft] def epochSignWord(e: Int): Long =
+    if (e == 0) 0L else splitmix64(e.toLong)
+
+  /** The full per-replica embedding decorrelation: component rotation
+    * (64) × global sign flip (2) × per-epoch splitmix sign pattern.
+    * Orthogonal throughout — norms and within-replica geometry
+    * survive; cross-replica cosines scramble. Distinct for every
+    * replica pair: signed-permutation matrices factor UNIQUELY into
+    * permutation × diagonal sign, so T_i = T_j needs rot_i = rot_j
+    * (i ≡ j mod 64) and identical combined sign vectors — same epoch
+    * forces opposite global flips (differ everywhere), different
+    * epochs need word_e = word_e' or word_e = ~word_e', both excluded
+    * by the buildBig check. */
+  private[graft] def embPerm(c: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column = {
+    val rot = i % 64
+    val rotated =
+      if (rot == 0) c
+      else concat(slice(c, rot + 1, 64 - rot), slice(c, 1, rot))
+    val flipped =
+      if ((i / 64) % 2 == 0) rotated
+      else transform(rotated, x => -x)
+    val word = epochSignWord(i / 128)
+    if (word == 0L) flipped
+    else {
+      val signs = (0 until 64)
+        .map(j => if (((word >>> j) & 1L) == 1L) -1.0 else 1.0)
+      zip_with(flipped, typedLit(signs),
+        (x, s) => x * s.cast("float"))
+    }
   }
 
   /** Replicate the FULL fixture so the real bench harness can run at
@@ -213,6 +274,28 @@ object ScaleSmoke {
   /** Build the replicated corpus once; skip when present. */
   def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
       replicas: Int): Unit = {
+    // fail fast where a transform family would REPEAT and silently
+    // re-inflate cross-replica dup structure (round-15 advice; bound
+    // raised round 17) — BEFORE any partial table writes. The binding
+    // family is the documents alphabet: 312 distinct affine maps is
+    // the affine group's full order — past it the alphabet needs a
+    // non-affine generator, not a bigger constant. Embeddings go
+    // further (64 rot × 2 flip × splitmix sign epochs) but have no
+    // reason to outrun documents.
+    require(replicas <= AlphaPermFamily,
+      s"buildBig decorrelates at most $AlphaPermFamily document " +
+        s"replicas (the full affine alphabet group); $replicas would " +
+        "repeat maps and quadratically inflate cross-replica " +
+        "shingle structure — compose a non-affine generator first")
+    // exact check that the epoch sign words can't alias transforms:
+    // pairwise distinct AND no word the complement of another (a
+    // complement is one global-flip factor away from its partner)
+    val nEpochs = (replicas + 127) / 128
+    val words = (0 until nEpochs).map(epochSignWord)
+    require(words.distinct.size == nEpochs &&
+      words.map(~_).toSet.intersect(words.toSet).isEmpty,
+      s"epoch sign words collide over $nEpochs epochs — the splitmix " +
+        "family needs reseeding for this replica count")
     // q42 profiles lineitem: replicate it too, under its OWN guard so
     // a pre-round-12 _BUILT corpus dir gains it on the next run. The
     // guard is a marker written AFTER the write (like _BUILT) — the
@@ -245,16 +328,6 @@ object ScaleSmoke {
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return
-    // embedding decorrelation has exactly 128 distinct transforms
-    // (64 rotations x 2 sign epochs): replicas i and i+128 would get
-    // byte-identical vectors, silently re-inflating cross-replica
-    // near-dup structure — fail fast at the boundary instead of
-    // measuring a different workload (round-15 advice)
-    require(replicas <= 128,
-      s"buildBig decorrelates at most 128 embedding replicas " +
-        s"(64 rotations x 2 sign epochs); $replicas would repeat " +
-        "transforms and quadratically inflate cross-replica structure " +
-        "— extend the transform family before the third decade")
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     (0 until replicas)
       .map(i => docs.select(
@@ -265,27 +338,9 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     (0 until replicas)
-      .map { i =>
-        // component rotation decorrelates 64 replicas; past that the
-        // rotation repeats, so each 64-replica EPOCH also flips the
-        // vector's sign (odd epochs) — norms and within-replica
-        // geometry survive, cross-replica cosines of a repeated
-        // rotation land at the NEGATIVE of their epoch-0 value, below
-        // every similarity threshold (round-15: the 100-replica decade
-        // needs more than 64 distinct transforms)
-        val rot = i % 64
-        val rotated =
-          if (rot == 0) col("embedding")
-          else concat(
-            slice(col("embedding"), rot + 1, 64 - rot),
-            slice(col("embedding"), 1, rot))
-        val signed =
-          if ((i / 64) % 2 == 0) rotated
-          else transform(rotated, x => -x)
-        emb.select(
-          (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-          signed.as("embedding"), col("label"))
-      }
+      .map(i => emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        embPerm(col("embedding"), i).as("embedding"), col("label")))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     done.createNewFile()

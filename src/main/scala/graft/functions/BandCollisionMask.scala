@@ -17,13 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * k): the interpreted filter/forall/aggregate formulation of the same
   * logic measured ~7× the whole-query wall at sf0.1.
   *
-  * Bands beyond 63 would not fit the long; callers keep rpb ≥ 1 and
-  * signatures ≤ 63·rpb wide (the repo's k=48 families are far below).
+  * Bands beyond 63 would not fit the long, so the contract is
+  * ENFORCED, not clamped: a signature wider than 63·rpb shared slots
+  * throws rather than silently ignoring bands 64+ (which would
+  * under-count every coarser leg derived from the mask). The repo's
+  * k=48 families are far below; a future k=128/rpb=1 family would
+  * fault loudly here instead of producing a subtly wrong curve.
   */
 object BandCollisionMaskImpl {
   def compute(a: ArrayData, b: ArrayData, rpb: Int): Long = {
     val n = math.min(a.numElements(), b.numElements())
-    val bands = math.min(n / rpb, 63)
+    val bands = n / rpb
+    if (bands > 63) throw new IllegalArgumentException(
+      s"band_collision_mask: $bands bands (> 63) do not fit a long " +
+        s"bitmask (shared signature width $n, rpb=$rpb); widen rpb " +
+        "or split the signature family")
     var mask = 0L
     var f = 0
     while (f < bands) {

@@ -50,6 +50,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object FsLock {
 
+  /** Last fail-fast-shape warning emitted (test seam — the WARN path
+    * is otherwise write-only stderr). */
+  @volatile private[graft] var lastShapeWarn: Option[String] = None
+
   /** What a contender that times out is told the lock guards — pure
     * error-message context. */
   def withLock[T](
@@ -64,12 +68,31 @@ object FsLock {
         java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var acquired = false
+    var warnedShape = false
     while (!acquired) {
       try {
         createExclusive(fs, lockPath, tag)
         acquired = true
       } catch {
         case _: java.io.IOException =>
+          // the fail-fast shape (timeout < stale) can NEVER adopt a
+          // dead holder's sentinel — a contender gives up before the
+          // lock ages into adoptability, so a crash needs a human.
+          // That's a deliberate choice for interactive call sites;
+          // surface it at first CONTENTION so an unattended call site
+          // that wanted self-healing learns here, not at first crash
+          if (!warnedShape && timeoutMs < staleMs) {
+            warnedShape = true
+            val msg =
+              s"[fslock] WARN: $what lock is contended and this " +
+                s"caller's timeout (${timeoutMs}ms) is below the " +
+                s"staleness window (${staleMs}ms) — the fail-fast " +
+                "shape: a dead holder's sentinel will never be " +
+                "adopted by this caller; pass timeout > stale for " +
+                "self-healing (see FsLock lease-sizing rule)"
+            lastShapeWarn = Some(msg)
+            System.err.println(msg)
+          }
           val stale =
             try fs.getFileStatus(lockPath).getModificationTime <
               System.currentTimeMillis() - staleMs

@@ -269,8 +269,12 @@ object PortableMinHash {
       .withColumn("mask", graft.functions.BandCollisionMask(
         col("sig_a"), col("sig_b"), rpbMax))
       // the row's own band always collides (bucket key = md5 of the
-      // slice), so mask ≠ 0; keep the lowest-set-bit band's row only
-      .filter(expr("(mask & -mask) = cast(shiftleft(1, band) as bigint)"))
+      // slice), so mask ≠ 0; keep the lowest-set-bit band's row only.
+      // The shifted 1 must be a BIGINT: an INT literal wraps at
+      // band ≥ 32, silently corrupting pair selection for bMax ≥ 32
+      // (legal here — any divisor of numHashes, e.g. bMax=48/rpb=1).
+      .filter(expr(
+        "(mask & -mask) = shiftleft(cast(1 as bigint), band)"))
       .select(Seq(
         (MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes)
           >= threshold).as("good")) ++
@@ -278,17 +282,12 @@ object PortableMinHash {
     // one row total: per-leg distinct-count correction + ≥-threshold
     // pair count, folded map-side straight out of the join stream —
     // Barrier'd, or every legRow below re-runs the whole scan
-    val folded = Barrier(perPair.agg(
-      bandCounts.flatMap(b => Seq(
-        coalesce(sum(greatest(col(s"c_$b") - lit(1L), lit(0L))), lit(0L))
-          .as(s"excess_$b"),
-        coalesce(sum(when(col("good") && col(s"c_$b") >= 1, lit(1L))
-          .otherwise(lit(0L))), lit(0L)).as(s"pairs_$b"))).head,
-      bandCounts.flatMap(b => Seq(
-        coalesce(sum(greatest(col(s"c_$b") - lit(1L), lit(0L))), lit(0L))
-          .as(s"excess_$b"),
-        coalesce(sum(when(col("good") && col(s"c_$b") >= 1, lit(1L))
-          .otherwise(lit(0L))), lit(0L)).as(s"pairs_$b"))).tail: _*))
+    val foldAggs = bandCounts.flatMap(b => Seq(
+      coalesce(sum(greatest(col(s"c_$b") - lit(1L), lit(0L))), lit(0L))
+        .as(s"excess_$b"),
+      coalesce(sum(when(col("good") && col(s"c_$b") >= 1, lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as(s"pairs_$b")))
+    val folded = Barrier(perPair.agg(foldAggs.head, foldAggs.tail: _*))
     def legRow(b: Int): DataFrame = {
       val tot = sigs
         .select(col("id"), posexplode(bandKeys(b)).as(Seq("band", "bk")))

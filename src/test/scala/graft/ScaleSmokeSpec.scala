@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the ScaleSmoke decorrelation families (round 17: the third
+  * scaling decade needs > 128 distinct transforms; a repeated
+  * transform hands two replicas identical content and quadratically
+  * inflates every cross-replica dup/similarity structure, so the
+  * smoke would measure the fixture, not the operator). */
+class ScaleSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = ScaleSmoke.AlphaPermFamily // 312
+
+  test("all 312 alphabet maps are distinct; replica 0 is the identity") {
+    // a pangram exercises every letter, so two distinct affine maps
+    // must produce different transforms of it; one row, 312 columns,
+    // one collect
+    val pangram = "the quick brown fox jumps over the lazy dog AND " +
+      "SPHINX OF BLACK QUARTZ judge my vow 0123 ,.!"
+    val row = Seq(pangram).toDF("t")
+      .select((0 until N).map(i =>
+        ScaleSmoke.alphaPerm(col("t"), i).as(s"r$i")): _*)
+      .head()
+    val outs = (0 until N).map(row.getString)
+    assert(outs.head == pangram, "replica 0 must ride through unchanged")
+    assert(outs.distinct.size == N,
+      s"alphabet maps repeat: only ${outs.distinct.size} of $N distinct")
+    // statistics invariance: lengths and non-letter structure survive
+    assert(outs.forall(_.length == pangram.length))
+    assert(outs.forall(o => o.zip(pangram).forall { case (a, b) =>
+      a.isLetter == b.isLetter && a.isUpper == b.isUpper &&
+        (a.isLetter || a == b) }))
+  }
+
+  test("all 312 embedding transforms are distinct and orthogonal") {
+    // a vector with 64 distinct non-zero coords: any two DIFFERENT
+    // signed rotations of it differ in at least one slot
+    val v = (1 to 64).map(_.toFloat)
+    val row = Seq(Tuple1(v)).toDF("e")
+      .select((0 until N).map(i =>
+        ScaleSmoke.embPerm(col("e"), i).as(s"r$i")): _*)
+      .head()
+    val outs = (0 until N).map(i => row.getSeq[Float](i).toVector)
+    assert(outs.head == v.toVector, "replica 0 must ride through unchanged")
+    assert(outs.distinct.size == N,
+      s"embedding transforms repeat: ${outs.distinct.size} of $N distinct")
+    // replicas 128/129+ (the pre-round-17 boundary) really are new
+    // transforms, not replays of 0/1
+    assert(outs(128) != outs(0) && outs(129) != outs(1))
+    // orthogonality in effect: norms survive exactly (signed
+    // permutation of float slots — no arithmetic beyond sign)
+    val norm = v.map(x => x.toDouble * x).sum
+    assert(outs.forall(o => math.abs(o.map(x => x.toDouble * x).sum - norm)
+      < 1e-6))
+  }
+
+  test("epoch sign words: bijective, complement-free over 64 epochs") {
+    val words = (0 until 64).map(ScaleSmoke.epochSignWord)
+    assert(words.head == 0L, "epoch 0 must be the identity pattern")
+    assert(words.distinct.size == words.size)
+    assert(words.map(~_).toSet.intersect(words.toSet).isEmpty,
+      "a complemented word aliases a transform through the global flip")
+  }
+
+  test("buildBig fails fast past the family bound, before any write") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bigbound")
+      .toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleSmoke.buildBig(spark, "/root/testdata/sf0.001", s"$tmp/big", N + 1)
+    }
+    assert(e.getMessage.contains("affine"), e.getMessage)
+    assert(!new java.io.File(s"$tmp/big").exists(),
+      "failed build left partial tables behind")
+  }
+}

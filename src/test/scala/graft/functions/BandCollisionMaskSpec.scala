@@ -8,7 +8,7 @@ class BandCollisionMaskSpec extends SparkSpec {
   import spark.implicits._
 
   private def refMask(a: Seq[Long], b: Seq[Long], rpb: Int): Long = {
-    val bands = math.min(math.min(a.size, b.size) / rpb, 63)
+    val bands = math.min(a.size, b.size) / rpb
     (0 until bands).foldLeft(0L) { (m, f) =>
       val eq = (f * rpb until (f + 1) * rpb).forall(i => a(i) == b(i))
       if (eq) m | (1L << f) else m
@@ -54,6 +54,35 @@ class BandCollisionMaskSpec extends SparkSpec {
     val got = df.select(BandCollisionMask(col("a"), col("b"), 4).as("m"))
       .as[Long].collect().toSeq
     assert(got == Seq((1L << 12) - 1, 0L))
+  }
+
+  test("more than 63 bands throws instead of silently truncating") {
+    // a k=128/rpb=1 family would need 128 mask bits; the contract is
+    // a loud fault, not a clamp that under-counts bands 64+
+    val a = Seq.tabulate(128)(_.toLong)
+    val df = Seq((a, a)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(BandCollisionMask(col("a"), col("b"), 1).as("m"))
+        .as[Long].head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("band_collision_mask")),
+      s"unexpected error chain: $e")
+    // interpreted path faults identically
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val i = intercept[IllegalArgumentException] {
+      BandCollisionMaskImpl.compute(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(a.toArray), 1)
+    }
+    assert(i.getMessage.contains("band_collision_mask"))
+    // 63 bands exactly still fits
+    val b63 = Seq.tabulate(63)(_.toLong)
+    val ok = Seq((b63, b63)).toDF("a", "b")
+      .select(BandCollisionMask(col("a"), col("b"), 1).as("m"))
+      .as[Long].head()
+    assert(ok == -1L >>> 1, "all 63 bits set for identical 63-band sigs")
   }
 
   test("mismatched lengths mask only the shared prefix's full bands") {

@@ -473,4 +473,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 20L -> 10L),
       s"post-recovery append diverged: $got")
   }
+
+  test("marker meta header round-trips parameterized and multi-word id types") {
+    // the header parse splits on single spaces and re-joins the
+    // idType tail (applyRewrite) — pin the round-trip for a
+    // parameterized type and for a catalog type that itself contains
+    // spaces, through the full replay → meta → storeIdColumn path
+    def crashAndRecover(dir: String, span: Long, nb: Int,
+        idCol: String, idType: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/_cc_meta"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_cc_apply"),
+        s"meta $span $nb $idCol $idType\n999 empty\n".getBytes("UTF-8"))
+      assert(ConnectedComponents.recoverComponentsStore(spark, dir),
+        "marker present but nothing replayed")
+      assert(ConnectedComponents.storeIdColumn(spark, dir)
+        .contains((idCol, idType)),
+        s"id contract mangled: ${ConnectedComponents.storeIdColumn(spark, dir)}")
+      assert(ConnectedComponents.storeSpan(spark, dir).contains(span))
+      assert(ConnectedComponents.storeBuckets(spark, dir).contains(nb))
+    }
+    // decimal(20,0): a real store lifecycle — the rebuilt contract
+    // must also drive the empty-frame read schema (DataType.fromDDL)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_decimal")
+      .toString + "/cc"
+    val empty = Seq.empty[(java.math.BigDecimal, Long)]
+      .toDF("id", "component")
+      .select(col("id").cast("decimal(20,0)"), col("component"))
+    ConnectedComponents.writeComponentsStore(empty, "id", dir, nBuckets = 8)
+    assert(ConnectedComponents.storeIdColumn(spark, dir)
+      .contains(("id", "decimal(20,0)")))
+    val span = ConnectedComponents.storeSpan(spark, dir).get
+    crashAndRecover(dir, span, 8, "id", "decimal(20,0)")
+    val frame = ConnectedComponents.readComponentsStore(spark, dir)
+    assert(frame.schema("id").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(frame.count() == 0L)
+    // a multi-word catalog type string survives the split/re-join
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_mword")
+      .toString + "/cc"
+    ConnectedComponents.writeComponentsStore(
+      Seq.empty[(Long, Long)].toDF("id", "component"), "id", dir2,
+      nBuckets = 8)
+    val span2 = ConnectedComponents.storeSpan(spark, dir2).get
+    crashAndRecover(dir2, span2, 8, "id", "interval day to second")
+  }
 }

@@ -302,6 +302,54 @@ class DedupSpec extends SparkSpec {
     assert(curve(1)._3 == direct, s"${curve(1)._3} != $direct")
   }
 
+  test("banding curve at bMax=48 (band index ≥ 32) equals brute force") {
+    // regression for the 32-bit shiftleft literal: first-colliding-band
+    // selection must be exact for bands 32..47, or pairs whose first
+    // collision lands there are silently dropped / double-kept
+    val fixture = graft.Tables.load(spark, sf0001, "documents")
+    val curve = PortableMinHash
+      .bandingCurve(fixture, col("text"), col("doc_id"), 0.3, Seq(6, 48))
+      .select("bands", "n_candidates", "n_pairs", "recall_milli")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val sigs = fixture
+      .select(col("doc_id"), PortableMinHash.signature(
+        graft.operators.TextOps.normalized(col("text"))).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val k = PortableMinHash.numHashes
+    def legCounts(b: Int): (Long, Long) = {
+      val rpb = k / b
+      var cand = 0L
+      var good = 0L
+      for (i <- sigs.indices; j <- (i + 1) until sigs.length) {
+        val (sa, sb) = (sigs(i)._2, sigs(j)._2)
+        val collides = (0 until b).exists(f =>
+          (f * rpb until (f + 1) * rpb).forall(x => sa(x) == sb(x)))
+        if (collides) {
+          cand += 1
+          val matches = (0 until k).count(x => sa(x) == sb(x))
+          if (matches.toDouble / k >= 0.3) good += 1
+        }
+      }
+      (cand, good)
+    }
+    val want = Seq(6, 48).map { b =>
+      val (c, g) = legCounts(b); (b, c, g)
+    }
+    assert(curve.map(r => (r._1, r._2, r._3)) == want,
+      s"curve $curve vs brute $want")
+    assert(curve.last._4 == 1000L)
+    // the regression is only exercised if some pair's FIRST colliding
+    // band lands in 31..47 (where a 32-bit shifted literal wraps)
+    val lateFirst = (for {
+      i <- sigs.indices.iterator
+      j <- ((i + 1) until sigs.length).iterator
+      first = (0 until k).find(f => sigs(i)._2(f) == sigs(j)._2(f))
+      if first.exists(_ >= 31)
+    } yield 1).size
+    assert(lateFirst > 0, "no pair first-collides at band >= 31; " +
+      "fixture does not exercise the 64-bit shift path")
+  }
+
   test("LSH planner picks the grid-optimal banding per target threshold") {
     import graft.operators.dedup.MinHashLSH
     // hand-checked S-curve thresholds over divisors of 48:

@@ -119,6 +119,37 @@ class SyncLedgerSpec extends SparkSpec {
     assert(!fs.exists(lp), "lock not released after the body")
   }
 
+  test("fail-fast lease shape warns at first CONTENTION, not first crash") {
+    import graft.operators.FsLock
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/shape_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    // uncontended acquisition in the fail-fast shape: no warn
+    FsLock.lastShapeWarn = None
+    FsLock.withLock(fs, lp, "shape-test",
+      staleMs = 60000, timeoutMs = 300)(())
+    assert(FsLock.lastShapeWarn.isEmpty,
+      s"warned without contention: ${FsLock.lastShapeWarn}")
+    // contended + timeout < stale: the warn names the shape so an
+    // unattended call site that wanted self-healing learns here
+    val out = fs.create(lp, true)
+    out.write("live-holder@elsewhere".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException] {
+      FsLock.withLock(fs, lp, "shape-test",
+        staleMs = 60000, timeoutMs = 300)(())
+    }
+    assert(FsLock.lastShapeWarn.exists(m =>
+      m.contains("fail-fast") && m.contains("timeout > stale")),
+      s"missing/deformed shape warn: ${FsLock.lastShapeWarn}")
+    // contended + self-healing shape (timeout > stale): silent
+    FsLock.lastShapeWarn = None
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    FsLock.withLock(fs, lp, "shape-test",
+      staleMs = 500, timeoutMs = 30000)(())
+    assert(FsLock.lastShapeWarn.isEmpty,
+      s"self-healing shape must not warn: ${FsLock.lastShapeWarn}")
+  }
+
   test("a contender queued behind a dead holder ADOPTS instead of timing out") {
     // the adoption-unreachable trap (round-15 verdict): with
     // timeout < stale (FsLock's fail-fast defaults, and this ledger's

@@ -3,7 +3,9 @@
 # 24 threads, 48g heap, JDK-17 module opens, per-query GC inside
 # ScaleSmoke.time). Usage: scale100.sh <outlog> <query1> [query2 ...]
 # Env passthrough: SPARK_GRAFT_SHUFFLE_PARTITIONS (default = CPUS).
-set -u
+# pipefail: without it `java ... | tee` records tee's exit status and a
+# crashed/OOM'd JVM logs as exit=0
+set -u -o pipefail
 OUT="$1"; shift
 CPUS="${SPARK_GRAFT_CPUS:-24}"
 HEAP="${SPARK_GRAFT_HEAP:-48g}"
