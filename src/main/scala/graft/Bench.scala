@@ -148,8 +148,12 @@ object Bench {
     // the artifact must not depend on how much stdout tail a harness
     // keeps: the same two lines land in a file (headline FIRST — a
     // reader taking line 1 gets the parseable summary), path
-    // overridable for ad-hoc runs
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // overridable for ad-hoc runs. A BENCH_ONLY subset defaults to
+    // its OWN file (review finding): the adjudication loop re-timing
+    // one drifted query must not clobber the full-sweep artifact
+    // this file exists to preserve.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "bench_subset.json" else "bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (headline + "\n" + spreadLine + "\n")

@@ -171,20 +171,55 @@ object ScaleSmoke {
     * within a cycle b moves by 7·12t ≡ 6t (mod 26), nonzero for
     * 0 < |t| < 13; across the two cycles it moves by 6t + 7, odd and
     * hence never 0 (mod 26) — all 312 maps distinct, the full affine
-    * group, bijectively. 312 is the group's ORDER, so this family is
-    * exhausted at 312 replicas; [[buildBig]] fails fast there
-    * (ScaleSmokeSpec pins distinctness exhaustively). */
-  private[graft] def alphaPerm(c: org.apache.spark.sql.Column, replica: Int) = {
+    * group, bijectively. 312 is the affine group's ORDER, so past it
+    * the family composes a NON-AFFINE generator σ (a fixed
+    * permutation with cycle type 2+3+5+7+9, order lcm = 630): replica
+    * i applies aff(i mod 312) ∘ σ^(i div 312), still ONE translate
+    * table. Two composed maps coincide only if some nontrivial σ^d is
+    * itself affine — it is not (ScaleSmokeSpec checks all 629 powers,
+    * and pins the full 196,560-table family pairwise distinct
+    * exhaustively); [[buildBig]] additionally requires the REQUESTED
+    * replica tables distinct at build time, so the guarantee is
+    * checked where it is consumed. Replicas < 312 are byte-identical
+    * to the pre-σ family (σ^0 = identity). */
+  private[graft] val SigmaCycles =
+    Seq("ab", "cde", "fghij", "klmnopq", "rstuvwxyz")
+
+  /** σ^e as an index permutation over a..z — one rotation within each
+    * cycle per power. */
+  private[graft] def sigmaPow(e: Int): Array[Int] = {
+    val p = Array.tabulate(26)(identity)
+    for (cyc <- SigmaCycles) {
+      val idx = cyc.map(_ - 'a')
+      val n = idx.length
+      for (k <- 0 until n) p(idx(k)) = idx((k + e) % n)
+    }
+    p
+  }
+
+  /** The full per-replica lowercase translate table (26 chars). */
+  private[graft] def alphaTable(replica: Int): String = {
     val az = "abcdefghijklmnopqrstuvwxyz"
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    val a = units(replica % units.size)
-    val b = (replica * 7 + (replica / 156) * 7) % 26
-    val mapped = (0 until 26).map(j => az((a * j + b) % 26)).mkString
+    val k = replica % AffineOrder
+    val a = units(k % units.size)
+    val b = (k * 7 + (k / 156) * 7) % 26
+    val sig = sigmaPow(replica / AffineOrder)
+    (0 until 26).map(j => az((a * sig(j) + b) % 26)).mkString
+  }
+
+  private[graft] def alphaPerm(c: org.apache.spark.sql.Column, replica: Int) = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val mapped = alphaTable(replica)
     translate(c, az + az.toUpperCase, mapped + mapped.toUpperCase)
   }
 
-  /** The affine alphabet family's size — buildBig's documents bound. */
-  private[graft] val AlphaPermFamily = 312
+  /** The affine alphabet group's order — the pre-σ family size. */
+  private[graft] val AffineOrder = 312
+
+  /** The composed alphabet family's size (affine group × σ's order) —
+    * buildBig's documents bound. */
+  private[graft] val AlphaPermFamily = AffineOrder * 630
 
   private def splitmix64(x: Long): Long = {
     var z = x + 0x9e3779b97f4a7c15L
@@ -271,44 +306,61 @@ object ScaleSmoke {
     ()
   }
 
+  /** All the tables buildBig replicates; pass a subset to build only
+    * what a mode reads (the work-volume smoke needs documents +
+    * embeddings — replicating lineitem 1000× for an aggregates-only
+    * run would cost 10× the disk of everything it measures). */
+  private[graft] val AllBigTables =
+    Set("lineitem", "events", "documents", "embeddings")
+
   /** Build the replicated corpus once; skip when present. */
   def buildBig(spark: SparkSession, baseDir: String, bigDir: String,
-      replicas: Int): Unit = {
+      replicas: Int, tables: Set[String] = AllBigTables): Unit = {
     // fail fast where a transform family would REPEAT and silently
     // re-inflate cross-replica dup structure (round-15 advice; bound
     // raised round 17) — BEFORE any partial table writes. The binding
-    // family is the documents alphabet: 312 distinct affine maps is
-    // the affine group's full order — past it the alphabet needs a
-    // non-affine generator, not a bigger constant. Embeddings go
-    // further (64 rot × 2 flip × splitmix sign epochs) but have no
-    // reason to outrun documents.
+    // family is the documents alphabet: affine group × σ's order.
     require(replicas <= AlphaPermFamily,
       s"buildBig decorrelates at most $AlphaPermFamily document " +
-        s"replicas (the full affine alphabet group); $replicas would " +
-        "repeat maps and quadratically inflate cross-replica " +
-        "shingle structure — compose a non-affine generator first")
-    // exact check that the epoch sign words can't alias transforms:
-    // pairwise distinct AND no word the complement of another (a
-    // complement is one global-flip factor away from its partner)
+        s"replicas (affine group × the non-affine σ's order); " +
+        s"$replicas would repeat maps and quadratically inflate " +
+        "cross-replica shingle structure — extend σ's cycle type first")
+    // the distinctness guarantees, checked EXACTLY where they are
+    // consumed (cheap: table construction is pure Scala): every
+    // requested replica's translate table distinct, ...
+    require((0 until replicas).map(alphaTable).toSet.size == replicas,
+      s"alphabet tables collide over $replicas replicas — a σ power " +
+        "aliased an affine map; change SigmaCycles")
+    // ... and the epoch sign words pairwise distinct AND no word the
+    // complement of another (a complement is one global-flip factor
+    // away from its partner)
     val nEpochs = (replicas + 127) / 128
     val words = (0 until nEpochs).map(epochSignWord)
     require(words.distinct.size == nEpochs &&
       words.map(~_).toSet.intersect(words.toSet).isEmpty,
       s"epoch sign words collide over $nEpochs epochs — the splitmix " +
         "family needs reseeding for this replica count")
+    // replica writes CHUNK at 128-way unions: a 1000-child Union is
+    // one analysis-heavy plan and one giant job; chunked appends keep
+    // plan size flat (the guard-marker-after-write convention keeps
+    // every crash window readable as not-built)
+    def writeReplicated(out: String)(one: Int => DataFrame): Unit =
+      (0 until replicas).grouped(128).zipWithIndex.foreach {
+        case (chunk, ci) =>
+          chunk.map(one).reduce(_ unionByName _)
+            .write.mode(if (ci == 0) "overwrite" else "append")
+            .parquet(out)
+      }
     // q42 profiles lineitem: replicate it too, under its OWN guard so
     // a pre-round-12 _BUILT corpus dir gains it on the next run. The
     // guard is a marker written AFTER the write (like _BUILT) — the
     // output dir itself would adopt a killed half-write as complete
     // (review finding)
     val li = new java.io.File(s"$bigDir/_LINEITEM_BUILT")
-    if (!li.exists()) {
+    if (tables("lineitem") && !li.exists()) {
       val df = spark.read.parquet(s"$baseDir/lineitem.parquet")
-      (0 until replicas)
-        .map(i => df.withColumn(
-          "l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      writeReplicated(s"$bigDir/lineitem.parquet")(i => df.withColumn(
+        "l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
       li.createNewFile()
     }
     // qe21 mines paths over events: replicate with per-replica user/id
@@ -316,34 +368,32 @@ object ScaleSmoke {
     // own users, so session structure replicates instead of merging).
     // Own post-write guard so a pre-existing _BUILT corpus gains it.
     val evG = new java.io.File(s"$bigDir/_EVENTS_BUILT")
-    if (!evG.exists()) {
+    if (tables("events") && !evG.exists()) {
       val df = spark.read.parquet(s"$baseDir/events.parquet")
-      (0 until replicas)
-        .map(i => df
-          .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      writeReplicated(s"$bigDir/events.parquet")(i => df
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
       evG.createNewFile()
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
     if (done.exists()) return
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until replicas)
-      .map(i => docs.select(
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      writeReplicated(s"$bigDir/documents.parquet")(i => docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         alphaPerm(col("text"), i).as("text"),
         col("lang"), col("source"), col("n_chars")))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    (0 until replicas)
-      .map(i => emb.select(
+    }
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      writeReplicated(s"$bigDir/embeddings.parquet")(i => emb.select(
         (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
         embPerm(col("embedding"), i).as("embedding"), col("label")))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
-    done.createNewFile()
+    }
+    // the _BUILT marker means "documents+embeddings complete" — a
+    // subset build that wrote both may claim it; one that didn't
+    // leaves the corpus adoptable by a later full build
+    if (tables("documents") && tables("embeddings")) done.createNewFile()
     ()
   }
 
@@ -504,7 +554,13 @@ object ScaleSmoke {
       spark.stop()
       return
     }
-    buildBig(spark, baseDir, bigDir, replicas)
+    // SPARK_GRAFT_WORK_SMOKE=1 builds only what it reads: documents +
+    // embeddings — the aggregates-only mode is how the THIRD decade
+    // (1000×) is measured, where replicating lineitem/events would
+    // cost ~10× the disk of every table the mode touches
+    val workOnly = sys.env.get("SPARK_GRAFT_WORK_SMOKE").contains("1")
+    buildBig(spark, baseDir, bigDir, replicas,
+      if (workOnly) Set("documents", "embeddings") else AllBigTables)
     // SPARK_GRAFT_CC_SMOKE=1: measure the persisted-label-store claim
     // at 10x instead of fixture scale — the nightly `cc append` shape
     // (sign the ~1% increment, pairs against the prebuilt LSH index,

@@ -75,28 +75,36 @@ object FsLock {
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          // the fail-fast shape (timeout < stale) can NEVER adopt a
-          // dead holder's sentinel — a contender gives up before the
-          // lock ages into adoptability, so a crash needs a human.
-          // That's a deliberate choice for interactive call sites;
-          // surface it at first CONTENTION so an unattended call site
-          // that wanted self-healing learns here, not at first crash
-          if (!warnedShape && timeoutMs < staleMs) {
+          val mtime =
+            try Some(fs.getFileStatus(lockPath).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          val now = System.currentTimeMillis()
+          val stale = mtime.exists(_ < now - staleMs)
+          // the fail-fast shape (timeout < stale) cannot adopt a
+          // sentinel that will still be younger than staleMs when
+          // this caller's deadline hits — if the holder is dead, the
+          // crash needs a human. Deliberate for interactive call
+          // sites; surface it at first CONTENTION so an unattended
+          // call site that wanted self-healing learns here, not at
+          // first crash. Age-qualified (review finding): a sentinel
+          // ALREADY old enough to cross staleMs within the wait
+          // adopts fine under this shape, and warning there would
+          // put a wrong diagnostic on a successful self-heal.
+          if (!warnedShape && timeoutMs < staleMs &&
+              mtime.exists(_ > now - (staleMs - timeoutMs))) {
             warnedShape = true
             val msg =
               s"[fslock] WARN: $what lock is contended and this " +
                 s"caller's timeout (${timeoutMs}ms) is below the " +
                 s"staleness window (${staleMs}ms) — the fail-fast " +
-                "shape: a dead holder's sentinel will never be " +
-                "adopted by this caller; pass timeout > stale for " +
-                "self-healing (see FsLock lease-sizing rule)"
+                "shape: this sentinel cannot age into adoptability " +
+                "within this caller's wait, so if its holder is " +
+                "dead, a human must delete the lock; pass " +
+                "timeout > stale for self-healing (see the FsLock " +
+                "lease-sizing rule)"
             lastShapeWarn = Some(msg)
             System.err.println(msg)
           }
-          val stale =
-            try fs.getFileStatus(lockPath).getModificationTime <
-              System.currentTimeMillis() - staleMs
-            catch { case _: java.io.FileNotFoundException => false }
           if (stale) {
             // adopt the orphan via rename: exactly ONE contender wins
             // the rename (a plain delete could clobber the fresh lock

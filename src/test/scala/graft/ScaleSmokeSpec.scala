@@ -10,7 +10,38 @@ import org.apache.spark.sql.functions._
 class ScaleSmokeSpec extends SparkSpec {
   import spark.implicits._
 
-  private val N = ScaleSmoke.AlphaPermFamily // 312
+  private val N = ScaleSmoke.AffineOrder // 312 — the pre-σ family
+
+  test("all 196,560 composed alphabet tables are pairwise distinct") {
+    // the COMPLETE family: affine group (312) × σ epochs (630). Table
+    // construction is pure Scala, so the proof is exhaustive, not
+    // sampled; distinctness of the translate table implies
+    // distinctness of the text transform
+    val total = ScaleSmoke.AlphaPermFamily
+    assert(total == 312 * 630)
+    val tables = (0 until total).map(ScaleSmoke.alphaTable)
+    assert(tables.toSet.size == total,
+      s"only ${tables.toSet.size} of $total tables distinct")
+    // replicas < 312 are byte-identical to the pre-σ family
+    assert(tables(0) == "abcdefghijklmnopqrstuvwxyz")
+  }
+
+  test("no nontrivial power of σ is affine (the composition's keystone)") {
+    // if σ^d were affine for some 0 < d < 630, two composed maps
+    // aff1∘σ^e and aff2∘σ^(e+d) could coincide; check all 629 powers
+    for (d <- 1 until 630) {
+      val p = ScaleSmoke.sigmaPow(d)
+      val a = (p(1) - p(0) + 26) % 26
+      val b = p(0)
+      val affine = (0 until 26).forall(j => p(j) == (a * j + b) % 26)
+      assert(!affine, s"sigma^$d is the affine map j -> $a*j+$b")
+    }
+    // and σ's order really is 630: no earlier return to identity
+    assert(ScaleSmoke.sigmaPow(630).toSeq == (0 until 26).toSeq)
+    for (d <- Seq(2, 3, 5, 7, 9, 315, 210, 126, 90, 70))
+      assert(ScaleSmoke.sigmaPow(d).toSeq != (0 until 26).toSeq,
+        s"sigma order divides $d")
+  }
 
   test("all 312 alphabet maps are distinct; replica 0 is the identity") {
     // a pangram exercises every letter, so two distinct affine maps
@@ -67,7 +98,8 @@ class ScaleSmokeSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bigbound")
       .toString
     val e = intercept[IllegalArgumentException] {
-      ScaleSmoke.buildBig(spark, "/root/testdata/sf0.001", s"$tmp/big", N + 1)
+      ScaleSmoke.buildBig(spark, sf0001, s"$tmp/big",
+        ScaleSmoke.AlphaPermFamily + 1)
     }
     assert(e.getMessage.contains("affine"), e.getMessage)
     assert(!new java.io.File(s"$tmp/big").exists(),

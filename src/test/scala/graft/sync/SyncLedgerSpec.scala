@@ -141,8 +141,24 @@ class SyncLedgerSpec extends SparkSpec {
     assert(FsLock.lastShapeWarn.exists(m =>
       m.contains("fail-fast") && m.contains("timeout > stale")),
       s"missing/deformed shape warn: ${FsLock.lastShapeWarn}")
+    // contended + fail-fast shape but the sentinel is ALREADY old
+    // enough to adopt within the wait: self-heal succeeds and the
+    // warn must stay silent (review finding: warning there puts a
+    // wrong "needs a human" diagnostic on a successful adoption)
+    FsLock.lastShapeWarn = None
+    val out2 = fs.create(lp, true)
+    out2.write("crashed-long-ago@nowhere".getBytes("UTF-8")); out2.close()
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    var ran = false
+    FsLock.withLock(fs, lp, "shape-test",
+      staleMs = 60000, timeoutMs = 300) { ran = true }
+    assert(ran, "stale sentinel not adopted under the fail-fast shape")
+    assert(FsLock.lastShapeWarn.isEmpty,
+      s"warned on a successful self-heal: ${FsLock.lastShapeWarn}")
     // contended + self-healing shape (timeout > stale): silent
     FsLock.lastShapeWarn = None
+    val out3 = fs.create(lp, true)
+    out3.write("live-holder@elsewhere".getBytes("UTF-8")); out3.close()
     fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
     FsLock.withLock(fs, lp, "shape-test",
       staleMs = 500, timeoutMs = 30000)(())
