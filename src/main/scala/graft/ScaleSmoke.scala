@@ -557,10 +557,18 @@ object ScaleSmoke {
     // SPARK_GRAFT_WORK_SMOKE=1 builds only what it reads: documents +
     // embeddings — the aggregates-only mode is how the THIRD decade
     // (1000×) is measured, where replicating lineitem/events would
-    // cost ~10× the disk of every table the mode touches
+    // cost ~10× the disk of every table the mode touches.
+    // SPARK_GRAFT_BIG_TABLES=documents,embeddings subsets the build
+    // for TIMED runs too: the shuffle-light Heavy queries that read
+    // only those tables can then be timed at 1000× on the same
+    // corpus (queries reading an unbuilt table fail loudly at read).
     val workOnly = sys.env.get("SPARK_GRAFT_WORK_SMOKE").contains("1")
-    buildBig(spark, baseDir, bigDir, replicas,
-      if (workOnly) Set("documents", "embeddings") else AllBigTables)
+    val bigTables = sys.env.get("SPARK_GRAFT_BIG_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+      .getOrElse(if (workOnly) Set("documents", "embeddings")
+                 else AllBigTables)
+    buildBig(spark, baseDir, bigDir, replicas, bigTables)
     // SPARK_GRAFT_CC_SMOKE=1: measure the persisted-label-store claim
     // at 10x instead of fixture scale — the nightly `cc append` shape
     // (sign the ~1% increment, pairs against the prebuilt LSH index,

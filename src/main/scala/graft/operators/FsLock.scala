@@ -109,10 +109,16 @@ object FsLock {
             // adopt the orphan via rename: exactly ONE contender wins
             // the rename (a plain delete could clobber the fresh lock
             // a faster adopter just created); losers loop and
-            // re-contend on create-if-absent
+            // re-contend on create-if-absent. The loser's rename can
+            // THROW rather than return false: LocalFileSystem falls
+            // back to FileUtil.copy when renameTo fails, and copy
+            // faults FileNotFound on the already-adopted source
+            // (found by the adoption-race stress spec) — a lost race
+            // here is a normal loop-and-re-contend, never an error
             val orphan = new Path(
               lockPath.toString + "_stale_" + java.util.UUID.randomUUID())
-            if (fs.rename(lockPath, orphan)) fs.delete(orphan, false)
+            try { if (fs.rename(lockPath, orphan)) fs.delete(orphan, false) }
+            catch { case _: java.io.IOException => () }
           }
           else if (System.nanoTime() > deadline) {
             val holder =
