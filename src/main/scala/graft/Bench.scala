@@ -159,7 +159,10 @@ object Bench {
       (headline + "\n" + spreadLine + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
-      case e: Throwable =>
+      // IOException only (Files.write's failure mode): a Throwable
+      // catch here would swallow fatal JVM errors (OOM, interrupt)
+      // into a "could not write" line and still exit 0 (r17 advice)
+      case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

@@ -280,7 +280,7 @@ object ScaleSmoke {
   def buildBenchBig(spark: SparkSession, baseDir: String, bigDir: String,
       replicas: Int): Unit = {
     val done = new java.io.File(s"$bigDir/_BENCH_BUILT")
-    if (done.exists()) return
+    if (checkMarker(done, replicas)) return
     buildBig(spark, baseDir, bigDir, replicas)
     val S = 100000000L
     def replicate(table: String, shifted: Seq[String]): Unit = {
@@ -302,7 +302,36 @@ object ScaleSmoke {
       spark.read.parquet(s"$baseDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$bigDir/$t.parquet")
     }
-    done.createNewFile()
+    writeMarker(done, replicas)
+    ()
+  }
+
+  /** Guard markers are written AFTER their table writes complete (a
+    * killed half-write reads as not-built) and, since round 18, RECORD
+    * the replica count that built them: subset builds
+    * (SPARK_GRAFT_BIG_TABLES) against one bigDir may run with
+    * different SPARK_GRAFT_REPLICAS, and without the stamp a corpus
+    * whose tables disagree on scale reads as complete (round-17
+    * advice). An existing marker whose count differs from the request
+    * fails fast; a pre-round-18 EMPTY marker is adopted as-is (its
+    * count is unknowable — delete the corpus dir to rebuild clean). */
+  private def checkMarker(f: java.io.File, replicas: Int): Boolean =
+    if (!f.exists()) false
+    else {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(recorded.isEmpty || recorded == replicas.toString,
+        s"${f.getName} in ${f.getParent} records a replicas=$recorded " +
+          s"build but this run requests replicas=$replicas — the corpus " +
+          "would silently mix scales across tables; point the big dir " +
+          "at a fresh location or match the replica count")
+      true
+    }
+
+  private def writeMarker(f: java.io.File, replicas: Int): Unit = {
+    java.nio.file.Files.write(f.toPath,
+      replicas.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 
@@ -357,26 +386,26 @@ object ScaleSmoke {
     // output dir itself would adopt a killed half-write as complete
     // (review finding)
     val li = new java.io.File(s"$bigDir/_LINEITEM_BUILT")
-    if (tables("lineitem") && !li.exists()) {
+    if (tables("lineitem") && !checkMarker(li, replicas)) {
       val df = spark.read.parquet(s"$baseDir/lineitem.parquet")
       writeReplicated(s"$bigDir/lineitem.parquet")(i => df.withColumn(
         "l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
-      li.createNewFile()
+      writeMarker(li, replicas)
     }
     // qe21 mines paths over events: replicate with per-replica user/id
     // shifts (same convention as buildBenchBig — each replica keeps its
     // own users, so session structure replicates instead of merging).
     // Own post-write guard so a pre-existing _BUILT corpus gains it.
     val evG = new java.io.File(s"$bigDir/_EVENTS_BUILT")
-    if (tables("events") && !evG.exists()) {
+    if (tables("events") && !checkMarker(evG, replicas)) {
       val df = spark.read.parquet(s"$baseDir/events.parquet")
       writeReplicated(s"$bigDir/events.parquet")(i => df
         .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
         .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L)))
-      evG.createNewFile()
+      writeMarker(evG, replicas)
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
-    if (done.exists()) return
+    if (checkMarker(done, replicas)) return
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       writeReplicated(s"$bigDir/documents.parquet")(i => docs.select(
@@ -393,7 +422,7 @@ object ScaleSmoke {
     // the _BUILT marker means "documents+embeddings complete" — a
     // subset build that wrote both may claim it; one that didn't
     // leaves the corpus adoptable by a later full build
-    if (tables("documents") && tables("embeddings")) done.createNewFile()
+    if (tables("documents") && tables("embeddings")) writeMarker(done, replicas)
     ()
   }
 

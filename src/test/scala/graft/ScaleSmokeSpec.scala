@@ -105,4 +105,37 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/big").exists(),
       "failed build left partial tables behind")
   }
+
+  test("build markers record the replica count; a mismatched rebuild fails fast") {
+    // round-17 advice: subset builds (SPARK_GRAFT_BIG_TABLES) against
+    // one bigDir can run with different SPARK_GRAFT_REPLICAS — without
+    // the stamp, tables silently disagree on scale and the corpus
+    // still reads as complete
+    val big = java.nio.file.Files.createTempDirectory("graft_bigmark")
+      .toString + "/big"
+    val sub = Set("documents", "embeddings")
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 2, tables = sub)
+    val marker = java.nio.file.Paths.get(s"$big/_BUILT")
+    assert(new String(java.nio.file.Files.readAllBytes(marker),
+      "UTF-8").trim == "2", "marker must record the replica count")
+    // same count: idempotent no-op (corpus untouched)
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet"))
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 2, tables = sub)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet")) == mtime,
+      "a matching rebuild must not rewrite the corpus")
+    // different count against the same dir: fail fast, corpus untouched
+    val e = intercept[IllegalArgumentException] {
+      ScaleSmoke.buildBig(spark, sf0001, big, replicas = 3, tables = sub)
+    }
+    assert(e.getMessage.contains("replicas=2") &&
+      e.getMessage.contains("replicas=3"), e.getMessage)
+    // a pre-round-18 EMPTY marker (count unknowable) is adopted as-is
+    java.nio.file.Files.write(marker, Array.empty[Byte])
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 3, tables = sub)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet")) == mtime,
+      "a legacy empty marker must adopt the corpus, not rebuild it")
+  }
 }

@@ -329,6 +329,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("a reader's journal replay waits for the store lock (live appender)") {
+    graft.RaceStress.loop {
     val dir = freshStore()
     // the round-15 race: an appender is INSIDE applyRewrite (marker
     // on disk, buckets half-swapped) when a reader calls
@@ -378,6 +379,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       .select("id", "component").as[(Long, Long)].collect().toMap
     assert(content == Map(1L -> 1L, 2L -> 1L, 10L -> 1L),
       s"store corrupted by the reader/appender race: $content")
+    }
   }
 
   test("an EMPTY store is readable, appendable, and compactable") {
