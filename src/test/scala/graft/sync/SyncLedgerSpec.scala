@@ -182,6 +182,44 @@ class SyncLedgerSpec extends SparkSpec {
     }
   }
 
+  test("a crashed adopter's stray lower generation self-heals") {
+    // generation-chain edge: an adopter that dies between winning its
+    // claim (creating lockPath.g1) and superseding the orphan leaves
+    // BOTH generations on disk. The live lock is the HIGHEST
+    // generation, so a contender must adopt g1 (via g2), not the
+    // stray g0 — and once that chain releases, the stray g0 becomes
+    // the highest again, reads as stale, and is adopted away like any
+    // orphan: no human cleanup.
+    import graft.operators.FsLock
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 60L * 60 * 1000
+    def plant(p: org.apache.hadoop.fs.Path, tag: String): Unit = {
+      val out = fs.create(p, true)
+      out.write(tag.getBytes("UTF-8")); out.close()
+      fs.setTimes(p, old, -1)
+    }
+    plant(lp, "dead-holder@nowhere")
+    plant(new org.apache.hadoop.fs.Path(s"$dir/ledger_lock.g1"),
+      "crashed-adopter@nowhere")
+    var ran = false
+    FsLock.withLock(fs, lp, "stray-test",
+      staleMs = 500, timeoutMs = 30000) { ran = true }
+    assert(ran, "contender never adopted past the crashed adopter")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ledger_lock.g1")),
+      "the adopted g1 sentinel was not superseded")
+    // the stray g0 is now the highest generation: the next acquirer
+    // must self-heal it (adopt + supersede), not queue behind a ghost
+    var ran2 = false
+    FsLock.withLock(fs, lp, "stray-test",
+      staleMs = 500, timeoutMs = 30000) { ran2 = true }
+    assert(ran2, "stray g0 blocked the next acquisition")
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("ledger_lock")).toSeq
+    assert(residue.isEmpty, s"stray generations survived self-heal: $residue")
+  }
+
   test("a stale lock is adopted; a live lock fails with a usable error") {
     val dir = freshDir()
     val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
