@@ -182,6 +182,47 @@ class SyncLedgerSpec extends SparkSpec {
     }
   }
 
+  test("N real PROCESSES contending on one lock strictly nest (incl. adoption)") {
+    // the production shape is multi-DRIVER: separate JVMs, where the
+    // thread-based specs above cannot exercise the process-level
+    // primitives (CREATE_NEW atomicity across processes, rename and
+    // delete visibility). Four real child JVMs contend on one lock —
+    // against a pre-planted stale sentinel, so one of them must take
+    // the adoption path — and their enter/exit log must strictly
+    // nest; any interleaving means two PROCESSES held together.
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/xproc_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lp, true)
+    out.write("dead-driver@nowhere".getBytes("UTF-8")); out.close()
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    val log = java.nio.file.Paths.get(s"$dir/xproc_log")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to 4).map { _ =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.operators.FsLockChild",
+        lp.toString, log.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(java.io.File.createTempFile("xproc", ".out"))
+        .start()
+    }
+    procs.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "a child JVM hung on the lock")
+      assert(p.exitValue == 0, s"a child JVM failed (exit ${p.exitValue})")
+    }
+    val lines = new String(java.nio.file.Files.readAllBytes(log), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    assert(lines.size == 8, s"expected 4 enter/exit pairs, got: $lines")
+    lines.grouped(2).foreach { pair =>
+      val (e, x) = (pair(0).split(" "), pair(1).split(" "))
+      assert(e(0) == "enter" && x(0) == "exit" && e(1) == x(1),
+        s"processes interleaved inside the critical section: $lines")
+    }
+    assert(!fs.exists(lp), "lock sentinel leaked after the processes exited")
+  }
+
   test("a crashed adopter's stray lower generation self-heals") {
     // generation-chain edge: an adopter that dies between winning its
     // claim (creating lockPath.g1) and superseding the orphan leaves
