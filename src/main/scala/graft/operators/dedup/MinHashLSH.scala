@@ -184,23 +184,51 @@ object MinHashLSH {
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex =
     LshIndex(spark.read.parquet(s"$path/docs"), spark.read.parquet(s"$path/hot"))
 
+  /** Broadcast ceiling for the increment-vs-corpus join shape
+    * ([[pairsAgainstIndex]], [[graft.operators.dedup.PortableMinHash
+    * .incrementalPairs]]): the increment rides the hint only while its
+    * PLAN-estimated raw size × [[IncrementPayloadExpansion]] fits
+    * under this. Found by measurement (round-18 1000× smoke): the
+    * unconditional hint collected a corpus-scale "increment" to the
+    * driver and aborted on spark.driver.maxResultSize — at 100 TB a
+    * real nightly crawl can be 100 GB, which must never be a
+    * driver-and-every-executor object. */
+  val IncrementBroadcastBytes: Long = 128L << 20
+
+  /** Derived-payload multiplier for the gate: the broadcast relation
+    * is the band-EXPLODED signature rows (`bands` rows per doc, each
+    * carrying the numHashes-wide sig), a few KB per document vs the
+    * compressed raw text row the plan estimate measures. */
+  val IncrementPayloadExpansion: Int = 4
+
   /** Near-dup pairs between a NEW batch and the persisted corpus —
     * the daily-increment shape: dedup today's crawl against the whole
     * corpus WITHOUT re-processing the corpus.
     *
     * Scale shape (the reason this is not just candidatePairs on the
-    * union): the increment is small relative to the corpus by
-    * definition, so its band buckets (and signatures) ride a BROADCAST
-    * into one streaming scan of the index — the 100 TB side is never
-    * shuffled, never re-signed, never re-aggregated. Hot corpus
-    * buckets were excluded at build time via the broadcast `hot`
-    * anti-join on the new side (removing a bucket from one side of an
-    * equi-join removes its pairs). A pair where the increment re-sends
-    * an id already in the corpus (same id, est 1.0) is kept — that is
-    * the re-ingest signal [[dedupAgainstIndex]] must act on. */
+    * union): a genuinely small increment's band buckets (and
+    * signatures) ride a BROADCAST into one streaming scan of the
+    * index — the 100 TB side is never shuffled, never re-signed,
+    * never re-aggregated. The hint is GATED (round 18, found by the
+    * 1000× smoke overflowing spark.driver.maxResultSize): "small
+    * relative to the corpus" is not "small in absolute terms", so an
+    * increment whose plan-estimated payload exceeds
+    * [[IncrementBroadcastBytes]] joins unhinted — both sides shuffle
+    * on (band, bh), which is what mining a corpus-scale batch costs
+    * anyway (the [[graft.operators.similarity.ProbeBatch]] rule). Hot
+    * corpus buckets were excluded at build time via the broadcast
+    * `hot` anti-join on the new side (removing a bucket from one side
+    * of an equi-join removes its pairs); `hot` is capped small by
+    * construction and always rides the hint. A pair where the
+    * increment re-sends an id already in the corpus (same id, est
+    * 1.0) is kept — that is the re-ingest signal
+    * [[dedupAgainstIndex]] must act on. */
   def pairsAgainstIndex(
       index: LshIndex, newDf: DataFrame, text: Column, id: Column,
-      p: Params = Params()): DataFrame = {
+      p: Params = Params(),
+      broadcastBytes: Long = IncrementBroadcastBytes): DataFrame = {
+    val small = graft.operators.similarity.ProbeBatch.fitsBroadcast(
+      newDf, broadcastBytes, IncrementPayloadExpansion)
     val newSigs = signatures(newDf, text, id, p)
       .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
       .transform(Barrier.apply)
@@ -211,7 +239,8 @@ object MinHashLSH {
     val idxB = index.docs.select(
       col("id").as("id_old"), col("sig").as("sig_old"),
       posexplode(col("bks")).as(Seq("band", "bh")))
-    idxB.join(broadcast(newB), Seq("band", "bh"))
+    idxB.join(graft.operators.similarity.ProbeBatch.hinted(newB, small),
+        Seq("band", "bh"))
       .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_old"), p.numHashes))
       .filter(col("est_jaccard") >= p.threshold)
       .select("id_new", "id_old", "est_jaccard")

@@ -91,17 +91,25 @@ object PortableMinHash {
     * near-dup pairs between an increment and a corpus — same
     * broadcast-the-increment join shape, md5 family, so the
     * incremental-dedup algorithm carries a full value oracle (qd19).
-    * Same-id re-ingest pairs are kept, as in the production path. */
+    * Same-id re-ingest pairs are kept, as in the production path.
+    * The broadcast hint carries the production path's size gate
+    * (round 18): an increment past [[MinHashLSH
+    * .IncrementBroadcastBytes]] of plan-estimated payload joins
+    * unhinted instead of collecting to the driver. */
   def incrementalPairs(
       corpus: DataFrame, inc: DataFrame, text: Column, id: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      broadcastBytes: Long = MinHashLSH.IncrementBroadcastBytes): DataFrame = {
+    val small = graft.operators.similarity.ProbeBatch.fitsBroadcast(
+      inc, broadcastBytes, MinHashLSH.IncrementPayloadExpansion)
     val cb = banded(corpus, text, id).transform(Barrier.apply)
       .select(col("id").as("doc_old"), col("sig").as("sig_old"),
         posexplode(col("bks")).as(Seq("band", "bk")))
     val nb = banded(inc, text, id).transform(Barrier.apply)
       .select(col("id").as("doc_new"), col("sig").as("sig_new"),
         posexplode(col("bks")).as(Seq("band", "bk")))
-    cb.join(broadcast(nb), Seq("band", "bk"))
+    cb.join(graft.operators.similarity.ProbeBatch.hinted(nb, small),
+        Seq("band", "bk"))
       .withColumn("est_jaccard",
         MinHashLSH.estJaccard(col("sig_new"), col("sig_old"), numHashes))
       .filter(col("est_jaccard") >= threshold)

@@ -70,6 +70,52 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus side merged-sorted:\n$plan")
   }
 
+  test("the increment broadcast is GATED: hinted small, shuffled big, same pairs") {
+    // round-18 1000x smoke finding: the unconditional broadcast hint
+    // collected a corpus-scale "increment" to the driver and aborted
+    // on spark.driver.maxResultSize — "small relative to the corpus"
+    // is not "small in absolute terms". Below the gate the increment
+    // rides the hint (the plan spec above); at a forced-zero ceiling
+    // the same call must plan a shuffled join AND return identical
+    // pairs. autoBroadcastJoinThreshold is disabled for the gated-off
+    // plan so Spark's own size heuristic (which would re-broadcast
+    // this tiny fixture) cannot mask the gate.
+    val index = MinHashLSH.buildIndex(corpus, col("text"), col("doc_id"), p)
+    def innerBroadcast(plan: String): Boolean =
+      plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("Inner"))
+    val hinted = MinHashLSH
+      .pairsAgainstIndex(index, increment, col("text"), col("doc_id"), p)
+    assert(innerBroadcast(hinted.queryExecution.executedPlan.toString),
+      "a small increment must ride the broadcast hint")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val gated =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val g = MinHashLSH.pairsAgainstIndex(
+          index, increment, col("text"), col("doc_id"), p,
+          broadcastBytes = 0L)
+        assert(!innerBroadcast(g.queryExecution.executedPlan.toString),
+          "an above-gate increment must not be collected for broadcast")
+        g.collect().map(_.toSeq).toSet
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(hinted.collect().map(_.toSeq).toSet == gated,
+      "the gated-off plan changed the pairs")
+    // the portable twin carries the same gate
+    val pHinted = graft.operators.dedup.PortableMinHash
+      .incrementalPairs(corpus, increment, col("text"), col("doc_id"), 0.3)
+      .collect().map(_.toSeq).toSet
+    val pGated =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.operators.dedup.PortableMinHash
+          .incrementalPairs(corpus, increment, col("text"), col("doc_id"), 0.3,
+            broadcastBytes = 0L)
+          .collect().map(_.toSeq).toSet
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(pHinted == pGated, "the portable twin's gate changed the pairs")
+  }
+
   test("hot corpus buckets are excluded from the increment join") {
     // 50 near-identical corpus docs flood their buckets past maxBucket
     val flood = (100L to 149L).map(i => (i, s"$base boiler $i")).toDF("doc_id", "text")
