@@ -22,13 +22,24 @@ object IngestPipeline {
   def corpusFingerprints(corpus: DataFrame, text: Column): DataFrame =
     corpus.select(md5(TextOps.normalized(text)).as("fp")).distinct()
 
+  /** Broadcast ceiling for the static fingerprint set (round 18 —
+    * the incremental-miner lesson, [[MinHashLSH
+    * .IncrementBroadcastBytes]], applied to the streaming guard): a
+    * fingerprint set whose plan estimate exceeds this joins UNHINTED
+    * (the stream shuffles per micro-batch) instead of being collected
+    * to the driver and re-shipped to every executor per batch. A
+    * 100 TB corpus's fp set is tens of GB — at that size pass `bloom`
+    * so only positives ever reach the confirm join. */
+  val FingerprintBroadcastBytes: Long = 128L << 20
+
   /** Exact ingest dedup, fully streaming: drop documents whose
     * fingerprint exists in the static corpus (stream-static broadcast
     * LEFT ANTI — stateless, evaluated per micro-batch), then drop
     * within-stream re-deliveries of the same fingerprint inside the
     * watermark horizon (keyed state bounded by horizon × arrival
-    * rate). The stream side is never shuffled by the anti-join; the
-    * fingerprint set ships once per executor.
+    * rate). The stream side is never shuffled by the anti-join while
+    * the fingerprint set fits under [[FingerprintBroadcastBytes]]
+    * (the size-gated hint); past the gate the join goes unhinted.
     *
     * With `bloom` (built over the same fingerprint universe — see
     * [[exactGuard]]), bloom-negative rows bypass the anti-join as
@@ -42,8 +53,12 @@ object IngestPipeline {
       fingerprints: DataFrame,
       eventTime: String = "ts",
       horizon: String = "2 hours",
-      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      broadcastBytes: Long = FingerprintBroadcastBytes): DataFrame = {
     val withFp = stream.withColumn("__fp", md5(TextOps.normalized(text)))
+    val fpRel = fingerprints.select(col("fp").as("__fp"))
+    val fpHinted = graft.operators.similarity.ProbeBatch.hinted(fpRel,
+      graft.operators.similarity.ProbeBatch.fitsBroadcast(fpRel, broadcastBytes))
     val guarded = bloom match {
       case Some(bf) =>
         // null __fp (null text) must route with the bloom-NEGATIVE
@@ -54,12 +69,10 @@ object IngestPipeline {
         val hit = coalesce(
           graft.functions.BloomExprs.mightContain(bf, col("__fp")), lit(false))
         withFp.filter(hit)
-          .join(broadcast(fingerprints.select(col("fp").as("__fp"))),
-            Seq("__fp"), "left_anti")
+          .join(fpHinted, Seq("__fp"), "left_anti")
           .unionByName(withFp.filter(!hit))
       case None =>
-        withFp.join(broadcast(fingerprints.select(col("fp").as("__fp"))),
-          Seq("__fp"), "left_anti")
+        withFp.join(fpHinted, Seq("__fp"), "left_anti")
     }
     guarded
       .withWatermark(eventTime, horizon)

@@ -54,6 +54,29 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
   }
 
+  test("a fingerprint set past the broadcast gate dedups identically, unhinted") {
+    // round-18: the guard hint is size-gated (a 100 TB corpus's fp
+    // set must not be collected to the driver per micro-batch); a
+    // forced-zero ceiling exercises the unhinted stream-static
+    // anti-join, which must admit exactly the same survivors
+    val dir = stage(arrivals.withColumn("ts", lit("2026-01-01 10:00:00").cast("timestamp")), twice = true)
+    val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = IngestPipeline.dedupIngest(stream, col("text"), fps,
+        broadcastBytes = 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out_gated")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingest_out_gated").select("doc_id").as[Long]
+      .collect().sorted
+    assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
+  }
+
   test("bloom-prefiltered streaming dedup lands on the identical survivor set") {
     val dir = stage(arrivals.withColumn("ts", lit("2026-01-01 10:00:00").cast("timestamp")), twice = true)
     val fps = IngestPipeline.corpusFingerprints(corpus, col("text"))
