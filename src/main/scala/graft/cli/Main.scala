@@ -24,6 +24,10 @@ import graft.sync.{Compare, JdbcSink, Sink, Sync}
   *   graft curate --table t --into t2       one-command corpus curation
   *                                          ([--rules] [--bench evaltbl]
   *                                          [--min-tokens n] [--threshold x])
+  *   graft curate-stream --source d --index d --into t2
+  *                                          streaming curation against a
+  *                                          persisted index (bloom sidecar
+  *                                          auto-wired; AvailableNow drain)
   *   graft hll build|append|show --table t --index d
   *                                          distinct-count register
   *                                          sidecar (fold corpus /
@@ -469,6 +473,53 @@ object Main {
         println(f"Curate finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs, " +
           s"kept $n3/$n0 -> $into")
         0
+      case "curate-stream" =>
+        // the STREAMING curation lifecycle: a parquet file-stream of
+        // documents-shaped rows curated against a persisted index dir
+        // ([[graft.streaming.IngestPipeline.curateIngest]]) — exact
+        // guard over corpus ∪ already-ingested fingerprints, near-dup
+        // guard against the LSH index, survivors appended to the sink.
+        // The index dir's bloom sidecar is wired BY DEFAULT (round-18
+        // verdict): past the fingerprint broadcast ceiling an
+        // all-negative micro-batch never scans the fingerprint table
+        // at all, and positives confirm through one guard pass.
+        import org.apache.spark.sql.functions.col
+        val idC = opt("--id").getOrElse("doc_id")
+        val txtC = opt("--text").getOrElse("text")
+        val p = graft.operators.dedup.MinHashLSH.Params(
+          threshold = opt("--threshold").map(_.toDouble).getOrElse(0.5),
+          maxBucket = opt("--max-bucket").map(_.toInt).getOrElse(1000))
+        (opt("--source"), opt("--index"), opt("--into")) match {
+          case (Some(srcDir), Some(dir), Some(into)) =>
+            val sink = sinkFor(cfg.dest, cfg)
+            // file streams need an explicit schema: take it from a
+            // static footer read of the same directory (no data scan)
+            val schema = spark.read.parquet(srcDir).schema
+            val stream = spark.readStream.schema(schema).parquet(srcDir)
+            val index = graft.operators.dedup.MinHashLSH.readIndex(spark, dir)
+            val fps = spark.read.parquet(s"$dir/fps")
+            val bloom = graft.streaming.IngestPipeline.readBloom(spark, s"$dir/bloom")
+            val bench = opt("--bench-index")
+              .map(graft.operators.dedup.MinHashLSH.readIndex(spark, _))
+            val ckpt = opt("--checkpoint").getOrElse(s"$dir/_stream_ckpt_$into")
+            val q = graft.streaming.IngestPipeline.curateIngest(
+              stream, sink, into, ckpt, index, fps, col(txtC), idC, p,
+              benchmark = bench, bloom = bloom)
+            q.awaitTermination() // AvailableNow: drains what exists, stops
+            val kept =
+              if (sink.exists(spark, into)) sink.readBack(spark, into).count() else 0L
+            println(table(Seq(
+              Seq("Object", "CorpusDocs", "KeptTotal", "Bloom"),
+              Seq(into, index.docs.count().toString, kept.toString,
+                if (bloom.isDefined) "sidecar" else "none"))))
+            println(f"Curate-stream finished, elapsed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            0
+          case _ =>
+            println("usage: graft curate-stream --source <parquet-dir> --index <dir> " +
+              "--into <dest-table> [--checkpoint <dir>] [--bench-index <dir>] " +
+              "[--id doc_id] [--text text] [--threshold 0.5] --config cfg.yml")
+            2
+        }
       case "pack" if args.contains("--append") && args.contains("--materialize") =>
         // an appended increment shares tail sequences with already-
         // materialized rows; a partial re-materialization would ship
@@ -1702,7 +1753,7 @@ object Main {
         println("graft 0.1.0 (Spark-native mysqlDataSyncTool equivalent)")
         0
       case other =>
-        println(s"unknown command '$other'; usage: graft <sync [--delta|--ledger d [--from-scratch]]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|cc <build|append|compact>|curate|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
+        println(s"unknown command '$other'; usage: graft <sync [--delta|--ledger d [--from-scratch]]|compare [--content]|create-table|index <build|append|compact>|ann <build|append|compact|search>|cc <build|append|compact>|curate|curate-stream|pack|compact|diff <build|against>|profile [--sketch|--key c]|hll <build|append|show>|hist <build|append|show>|lm <score|coverage>|dsir|mix [--budget N]|tokenize <train|apply>|version> --config cfg.yml")
         2
     }
     }

@@ -63,6 +63,39 @@ object Barrier {
     }
   }
 
+  /** Release a SUPERSEDED barriered frame mid-run: unpersist its
+    * blocks (the localCheckpoint mode) and delete its
+    * reliable-checkpoint files NOW (the checkpointDir mode). The
+    * ContextCleaner only reclaims a reliable checkpoint when the
+    * driver happens to GC its RDD, so an iterative operator
+    * (ConnectedComponents' round loop, GraphExpand's hops) otherwise
+    * accumulates one full table copy per round for the whole run —
+    * at 1000× that fills the scratch disk before the job ends
+    * (SCALE.md round-18: qp09/qp11 ENOSPC at ~75 GB with
+    * accumulation as the named cause). The CALLER asserts the frame
+    * is dead: round k+1 is materialized and nothing — no plan, no
+    * retry — will read round k again. A deleted checkpoint that IS
+    * read again fails the job with FileNotFoundException, so misuse
+    * is loud, not wrong. */
+  def release(df: DataFrame): Unit = {
+    // local mode keeps the pre-release discipline: cache-manager
+    // unpersist here, block reclaim by the ContextCleaner on GC —
+    // force-unpersisting the locally-checkpointed leaf RDDs would work
+    // too but logs a cannot-recompute WARN per round; the disk-leak
+    // problem this method exists for is reliable-checkpoint FILES
+    df.unpersist(blocking = false)
+    val files = org.apache.spark.sql.graftbridge.PlanBridge.checkpointFiles(df)
+    if (files.nonEmpty) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      files.foreach { f =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, true)
+        } catch { case _: java.io.IOException => () } // cleaner's backstop
+      }
+    }
+  }
+
   /** Delete this application's resolved UUID checkpoint subdir on JVM
     * exit — the backstop for checkpoints the ContextCleaner never got
     * to (e.g. still-referenced results at shutdown). */

@@ -50,18 +50,37 @@ object GraphExpand {
     var frontier = reached.select("id")
     var h = 1
     var drained = false
+    var anyRound = false // frontier only stops aliasing the live
+                         // `reached` once a round has replaced it
     while (h <= maxHops && !drained) {
       val next = Barrier(
         frontier.join(sym, frontier("id") === sym("src"))
           .select(col("dst").as("id")).distinct()
           .join(reached, Seq("id"), "left_anti"))
-      if (next.isEmpty) drained = true
-      else {
-        reached = Barrier(reached.union(next.withColumn("hop", lit(h))))
+      if (next.isEmpty) {
+        drained = true
+        // the empty frontier's own (empty) checkpoint is dead on
+        // arrival; the live `reached` is untouched
+        Barrier.release(next)
+      } else {
+        val grown = Barrier(reached.union(next.withColumn("hop", lit(h))))
+        // `grown` and `next` are materialized; hop h-1's frames are
+        // superseded — release them NOW (checkpointDir mode leaks one
+        // reached-copy per hop otherwise; SCALE.md round-18 ENOSPC).
+        // At h=1 the first frontier is a projection OF `reached`, so
+        // releasing both deletes the seed checkpoint exactly once.
+        Barrier.release(reached)
+        if (anyRound) Barrier.release(frontier)
+        anyRound = true
+        reached = grown
         frontier = next
       }
       h += 1
     }
+    // the last successful round's frontier is folded into the
+    // materialized `reached` and never read again
+    if (anyRound) Barrier.release(frontier)
+    Barrier.release(sym)
     reached
   }
 }

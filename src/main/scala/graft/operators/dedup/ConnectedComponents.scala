@@ -67,17 +67,19 @@ object ConnectedComponents {
         .isEmpty
       // `next` is already materialized (eager checkpoint) and the
       // convergence check consumed the old labels — release the stale
-      // round's blocks now instead of leaking one cached copy per round
-      labels.unpersist(false)
+      // round NOW: blocks in localCheckpoint mode, checkpoint FILES in
+      // checkpointDir mode (round-18 1000x: relying on driver GC let
+      // superseded rounds accumulate to ENOSPC)
+      Barrier.release(labels)
       labels = next
       it += 1
     }
-    sym.unpersist(false)
+    Barrier.release(sym)
     if (!converged) {
       // graph diameter exceeds the dedup-clump assumption (min-label
       // propagation needs diameter rounds); switch to star contraction,
       // which halves path lengths per round — O(log^2 n) total
-      labels.unpersist(false)
+      Barrier.release(labels)
       return componentsByContraction(edges, edgeA, edgeB, nodes, nodeId)
     }
     labels.select(col("node").as(nodeId), col("label").as("component"))
@@ -116,7 +118,7 @@ object ConnectedComponents {
       val next = smallStar(largeStar(e)).transform(Barrier.apply)
       val sig = edgeSig(next)
       converged = sig == prevSig
-      e.unpersist(false)
+      Barrier.release(e)
       e = next
       prevSig = sig
       it += 1

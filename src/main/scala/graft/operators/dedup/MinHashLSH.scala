@@ -197,9 +197,35 @@ object MinHashLSH {
 
   /** Derived-payload multiplier for the gate: the broadcast relation
     * is the band-EXPLODED signature rows (`bands` rows per doc, each
-    * carrying the numHashes-wide sig), a few KB per document vs the
-    * compressed raw text row the plan estimate measures. */
-  val IncrementPayloadExpansion: Int = 4
+    * carrying the numHashes-wide sig) — a FIXED per-document payload
+    * of roughly `bands × (8·numHashes + rowOverhead)` bytes (~5 KB at
+    * the 48/12 defaults), regardless of how short or well-compressed
+    * the raw text row the plan estimate measures is. A constant
+    * multiplier under-gated short documents (round-19 advice: an
+    * increment of tweet-length rows passed the 128 MB gate yet
+    * materialized a near-maxResultSize driver object), so the
+    * expansion is DERIVED from the banding params against a
+    * conservative floor on the raw row estimate: short rows get a
+    * large multiplier, long-document rows keep the old small one. */
+  def incrementPayloadExpansion(bands: Int, numHashes: Int): Int = {
+    // per-band-row payload: the numHashes-wide long sig + id/band/bh
+    // fields + Spark row overhead, ~48 bytes beyond the sig itself
+    val perDocPayload = bands.toLong * (8L * numHashes + 48L)
+    // plan estimates of parquet text land well above this only for
+    // genuinely long documents; anything shorter must inflate
+    val assumedMinRawRowBytes = 256L
+    math.max(4L,
+      (perDocPayload + assumedMinRawRowBytes - 1) / assumedMinRawRowBytes
+    ).toInt
+  }
+
+  /** The derived expansion at the default banding (48 hashes / 12
+    * bands ⇒ ~21×) — kept as a named value for the spec that pins the
+    * gate's arithmetic. */
+  val IncrementPayloadExpansion: Int = {
+    val p = Params()
+    incrementPayloadExpansion(p.bands, p.numHashes)
+  }
 
   /** Near-dup pairs between a NEW batch and the persisted corpus —
     * the daily-increment shape: dedup today's crawl against the whole
@@ -228,7 +254,8 @@ object MinHashLSH {
       p: Params = Params(),
       broadcastBytes: Long = IncrementBroadcastBytes): DataFrame = {
     val small = graft.operators.similarity.ProbeBatch.fitsBroadcast(
-      newDf, broadcastBytes, IncrementPayloadExpansion)
+      newDf, broadcastBytes,
+      incrementPayloadExpansion(p.bands, p.numHashes))
     val newSigs = signatures(newDf, text, id, p)
       .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
       .transform(Barrier.apply)

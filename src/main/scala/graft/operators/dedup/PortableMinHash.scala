@@ -101,7 +101,8 @@ object PortableMinHash {
       threshold: Double,
       broadcastBytes: Long = MinHashLSH.IncrementBroadcastBytes): DataFrame = {
     val small = graft.operators.similarity.ProbeBatch.fitsBroadcast(
-      inc, broadcastBytes, MinHashLSH.IncrementPayloadExpansion)
+      inc, broadcastBytes,
+      MinHashLSH.incrementPayloadExpansion(bands, numHashes))
     val cb = banded(corpus, text, id).transform(Barrier.apply)
       .select(col("id").as("doc_old"), col("sig").as("sig_old"),
         posexplode(col("bks")).as(Seq("band", "bk")))

@@ -46,6 +46,15 @@ object IngestPipeline {
     * definite novels (no false negatives) and only positives confirm
     * against the static set — the per-micro-batch join touches the
     * true-dup fraction plus ~fpp noise instead of every arriving row.
+    *
+    * When no explicit `bloom` is passed but `bloomPath` names the
+    * index's persisted sidecar ([[buildIndexDir]] writes one), the
+    * sidecar is AUTO-LOADED exactly when the fingerprint relation
+    * exceeds the broadcast gate (round-18 verdict: past the ceiling a
+    * no-bloom caller paid an unhinted corpus-fingerprint shuffle PER
+    * MICRO-BATCH — the sidecar already existed, it just wasn't picked
+    * up). Under the gate the set broadcasts anyway and the extra
+    * bloom branch would only widen the plan.
     */
   def dedupIngest(
       stream: DataFrame,
@@ -54,12 +63,17 @@ object IngestPipeline {
       eventTime: String = "ts",
       horizon: String = "2 hours",
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
-      broadcastBytes: Long = FingerprintBroadcastBytes): DataFrame = {
+      broadcastBytes: Long = FingerprintBroadcastBytes,
+      bloomPath: Option[String] = None): DataFrame = {
     val withFp = stream.withColumn("__fp", md5(TextOps.normalized(text)))
     val fpRel = fingerprints.select(col("fp").as("__fp"))
-    val fpHinted = graft.operators.similarity.ProbeBatch.hinted(fpRel,
-      graft.operators.similarity.ProbeBatch.fitsBroadcast(fpRel, broadcastBytes))
-    val guarded = bloom match {
+    val fits =
+      graft.operators.similarity.ProbeBatch.fitsBroadcast(fpRel, broadcastBytes)
+    val fpHinted = graft.operators.similarity.ProbeBatch.hinted(fpRel, fits)
+    val effectiveBloom = bloom.orElse(
+      if (fits) None
+      else bloomPath.flatMap(readBloom(stream.sparkSession, _)))
+    val guarded = effectiveBloom match {
       case Some(bf) =>
         // null __fp (null text) must route with the bloom-NEGATIVE
         // branch: the no-bloom anti-join keeps such rows (null keys
@@ -119,13 +133,15 @@ object IngestPipeline {
       p: MinHashLSH.Params = MinHashLSH.Params(),
       benchmark: Option[MinHashLSH.LshIndex] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val novel = curateBatch(batch, sink, table, index, fingerprints, text, idCol, p)
+        val novel =
+          curateBatch(batch, sink, table, index, fingerprints, text, idCol, p, bloom)
         val (clean, dirty) = benchmark match {
           case Some(b) => deconSplit(novel, b, text, idCol, p)
           case None => (novel, novel.limit(0))
@@ -203,12 +219,21 @@ object IngestPipeline {
         // tiny) broadcast INTO one streaming scan of the guard to find
         // the confirmed dups, which broadcast again for the final
         // anti-join. The guard is never broadcast and never shuffled.
+        // An ALL-NEGATIVE batch short-circuits before any plan that
+        // touches the guard is built (the MediaIngest admission
+        // pattern): no false negatives means every row is definitely
+        // novel, and the driver-side probe costs one pass over the
+        // BATCH — foreachBatch context, so a job here is legal — vs a
+        // full scan of the corpus-scale fingerprint set per batch.
         val hit = graft.functions.BloomExprs.mightContain(bf, col("__fp"))
         val probeFps = withFp.filter(hit).select(col("__fp")).distinct()
           .transform(graft.operators.Barrier.apply) // read by two joins
-        val dupFps = guard.select(col("fp").as("__fp"))
-          .join(broadcast(probeFps), Seq("__fp"), "left_semi")
-        withFp.join(broadcast(dupFps), Seq("__fp"), "left_anti")
+        if (probeFps.isEmpty) withFp
+        else {
+          val dupFps = guard.select(col("fp").as("__fp"))
+            .join(broadcast(probeFps), Seq("__fp"), "left_semi")
+          withFp.join(broadcast(dupFps), Seq("__fp"), "left_anti")
+        }
       case None =>
         // small-corpus mode: one guard broadcast, one anti-join
         withFp.join(broadcast(guard.select(col("fp").as("__fp"))),

@@ -22,4 +22,15 @@ object PlanBridge {
     }
     if (jdbc.nonEmpty && jdbc.length == leaves.length) Some(jdbc.sum) else None
   }
+
+  /** Reliable-checkpoint file paths backing the frame's LogicalRDD
+    * leaves — exactly the files `Dataset.checkpoint(eager = true)`
+    * wrote for this frame. Empty for localCheckpoint frames (their
+    * RDDs report no checkpoint file) and for any non-checkpoint leaf,
+    * so a caller can delete the returned paths without mode checks. */
+  def checkpointFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+    }.flatten
 }

@@ -127,6 +127,8 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   private def freshStore(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_store").toString + "/cc"
+    // a stress failure's artifact lists this dir's residue
+    graft.RaceStress.residuePath = Some(dir)
     val base = Seq((1L, 1L), (2L, 1L), (10L, 10L)).toDF("id", "component")
     ConnectedComponents.writeComponentsStore(base, "id", dir, nBuckets = 8)
     dir
@@ -329,7 +331,7 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("a reader's journal replay waits for the store lock (live appender)") {
-    graft.RaceStress.loop {
+    graft.RaceStress.loop("cc-reader-journal-replay") {
     val dir = freshStore()
     // the round-15 race: an appender is INSIDE applyRewrite (marker
     // on disk, buckets half-swapped) when a reader calls

@@ -26,6 +26,19 @@ class IncrementalDedupSpec extends SparkSpec {
   private val p = MinHashLSH.Params(
     shingleSize = 5, numHashes = 48, bands = 12, threshold = 0.3, maxBucket = 1000)
 
+  test("the gate's payload expansion derives from the banding params") {
+    // round-19 advice: the broadcast relation carries a FIXED per-doc
+    // payload (bands x numHashes-wide sig), so a constant 4x under-
+    // gated short documents. 48/12 defaults: 12 x (8*48 + 48) = 5184
+    // bytes/doc over a 256-byte raw-row floor = ceil -> 21x.
+    assert(MinHashLSH.incrementPayloadExpansion(12, 48) == 21)
+    assert(MinHashLSH.IncrementPayloadExpansion == 21)
+    // denser banding inflates further; trivial banding floors at 4x
+    assert(MinHashLSH.incrementPayloadExpansion(48, 48) >
+      MinHashLSH.incrementPayloadExpansion(12, 48))
+    assert(MinHashLSH.incrementPayloadExpansion(1, 8) == 4)
+  }
+
   test("increment pairs find cross-batch near-dups and re-ingests, not novel docs") {
     val index = MinHashLSH.buildIndex(corpus, col("text"), col("doc_id"), p)
     val pairs = MinHashLSH

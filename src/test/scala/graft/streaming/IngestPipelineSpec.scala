@@ -96,6 +96,80 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
   }
 
+  test("past the gate, dedupIngest auto-loads the bloom sidecar; under it, it doesn't") {
+    // round-18 verdict item 4: a no-bloom caller past the broadcast
+    // ceiling paid an unhinted corpus-fingerprint shuffle PER
+    // MICRO-BATCH while the sidecar sat on disk — with bloomPath the
+    // sidecar is wired in exactly when the fp relation exceeds the
+    // gate, and the survivor set is unchanged.
+    val dataDir = stage(arrivals.withColumn("ts",
+      lit("2026-01-01 10:00:00").cast("timestamp")), twice = false)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_idx_auto").toString
+    IngestPipeline.buildIndexDir(corpus, col("text"), col("doc_id"), idxDir)
+    val fps = spark.read.parquet(s"$idxDir/fps")
+    def stream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+      .option("recursiveFileLookup", "true").parquet(dataDir)
+    // past the gate (forced-zero ceiling): the sidecar engages
+    val past = IngestPipeline.dedupIngest(stream(), col("text"), fps,
+      broadcastBytes = 0L, bloomPath = Some(s"$idxDir/bloom"))
+    assert(past.queryExecution.analyzed.toString.contains("bloom_might_contain"),
+      "past the gate the sidecar bloom must guard the anti-join")
+    // under the gate: the fp set broadcasts; no bloom branch in the plan
+    val under = IngestPipeline.dedupIngest(stream(), col("text"), fps,
+      bloomPath = Some(s"$idxDir/bloom"))
+    assert(!under.queryExecution.analyzed.toString.contains("bloom_might_contain"),
+      "under the gate the broadcast set needs no bloom detour")
+    val q = past.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_auto_bloom")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingest_auto_bloom").select("doc_id").as[Long]
+      .collect().sorted
+    assert(got.sameElements(Array(11L, 13L, 15L)), got.mkString(","))
+  }
+
+  test("with the sidecar, an all-negative batch never scans the fingerprint table") {
+    // the MediaIngest admission discipline carried to the text path:
+    // every arriving fingerprint bloom-negative (definitely novel)
+    // means NO executed plan may read the fps table at all — at
+    // 100 TB that is the difference between bloom-probe cost and a
+    // corpus-fingerprint scan per batch.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_idx_neg").toString
+    IngestPipeline.buildIndexDir(corpus, col("text"), col("doc_id"), idxDir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_sink_neg").toString
+    val sink = ParquetSink(sinkDir)
+    val novelOnly = Seq(
+      (21L, "a wholly new document with nothing in common with the corpus"),
+      (23L, "another novel arrival about benchmarks and latencies only")
+    ).toDF("doc_id", "text")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (in, kept) = IngestPipeline.ingestBatch(
+        spark, idxDir, novelOnly, sink, "neg_docs", col("text"), "doc_id")
+      assert(in == 2 && kept == 2, s"novel batch must land whole: $in/$kept")
+      Thread.sleep(2000) // listener bus is async
+      val offenders = plans.synchronized {
+        plans.filter(_.linesIterator.exists(l =>
+          l.contains("FileScan") && l.contains(s"$idxDir/fps"))).toSeq
+      }
+      assert(offenders.isEmpty,
+        s"all-negative batch read the fingerprint table:\n${offenders.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("rule cleaning composes into the stream ahead of stateful dedup") {
     // keepPredicate is one per-row expression (no join/state), so it
     // legally precedes the streaming dedup stages — the streaming

@@ -4,13 +4,21 @@ import graft.SparkSpec
 
 class SyncLedgerSpec extends SparkSpec {
 
-  private def freshDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_ledger").toString
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    // register the dir so a stress failure's artifact can list its
+    // residual sentinels/claims (round-18 verdict: a failure's
+    // identity must be impossible to lose)
+    graft.RaceStress.residuePath = Some(d)
+    d
+  }
 
   // Opt-in stress for the contention specs — see graft.RaceStress
   // (SPARK_GRAFT_RACE_STRESS=30 loops each race body under a widened
-  // adoption window; default 1 keeps the suite fast).
-  private def stressed(body: => Unit): Unit = graft.RaceStress.loop(body)
+  // adoption window; default 1 keeps the suite fast). The name rides
+  // into the failure artifact.
+  private def stressed(name: String)(body: => Unit): Unit =
+    graft.RaceStress.loop(name)(body)
 
   test("interleaved markDone writers never lose a commit") {
     val dir = freshDir()
@@ -29,7 +37,7 @@ class SyncLedgerSpec extends SparkSpec {
   }
 
   test("the FS lock serializes critical sections across lock objects") {
-    stressed {
+    stressed("fs-lock-serializes") {
     val dir = freshDir()
     // two raw withFsLock users (bypassing the JVM object lock, i.e.
     // the two-driver shape): a read-sleep-write on an unsynchronized
@@ -60,7 +68,7 @@ class SyncLedgerSpec extends SparkSpec {
     // object lock entirely — ONLY the FS lock serializes the
     // read-union-swap. Every table must survive; a lost commit means
     // two holders interleaved.
-    stressed {
+    stressed("cross-driver-writers") {
     val dir = freshDir()
     val n = 12
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -79,7 +87,7 @@ class SyncLedgerSpec extends SparkSpec {
   }
 
   test("a forced stale-adoption race admits exactly one adopter, loses nothing") {
-    stressed {
+    stressed("forced-stale-adoption") {
     val dir = freshDir()
     SyncLedger.markDoneFsLocked(spark, dir, "pre", 1L)
     // plant a dead holder's sentinel and age it past staleMs, then
@@ -190,6 +198,11 @@ class SyncLedgerSpec extends SparkSpec {
     // against a pre-planted stale sentinel, so one of them must take
     // the adoption path — and their enter/exit log must strictly
     // nest; any interleaving means two PROCESSES held together.
+    // Runs under the stress multiplier too (round-18 verdict optional
+    // item), capped — each iteration forks four JVMs, so stress 30
+    // would otherwise spend minutes here for interleavings the
+    // in-process specs already explore more densely.
+    graft.RaceStress.loopCapped("xproc-nesting", 5) {
     val dir = freshDir()
     val lp = new org.apache.hadoop.fs.Path(s"$dir/xproc_lock")
     val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -221,6 +234,7 @@ class SyncLedgerSpec extends SparkSpec {
         s"processes interleaved inside the critical section: $lines")
     }
     assert(!fs.exists(lp), "lock sentinel leaked after the processes exited")
+    }
   }
 
   test("a crashed adopter's stray lower generation self-heals") {
