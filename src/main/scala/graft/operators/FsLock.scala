@@ -67,6 +67,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * was vacuous (the stale holder released, or a generation recurred)
   * and the adopter must withdraw its claim and re-contend. Any future
   * lock call site that grows its own recovery inherits all three.
+  *
+  * JANITOR WARNING: the generation files `lockName.gN` ARE the lock's
+  * namespace in whatever directory the lock lives in — a maintenance
+  * job that "cleans up stray files" by deleting them manually can
+  * delete a LIVE adopter's sentinel and let two writers in. Leave
+  * anything matching `<lockName>` or `<lockName>.g<digits>` alone: a
+  * genuinely dead chain self-heals through adoption (strays age past
+  * `staleMs` and are superseded), and the only file a human should
+  * ever delete is the one a timeout error names explicitly.
   */
 object FsLock {
 
