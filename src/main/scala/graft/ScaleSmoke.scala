@@ -405,23 +405,31 @@ object ScaleSmoke {
       writeMarker(evG, replicas)
     }
     val done = new java.io.File(s"$bigDir/_BUILT")
+    // per-table markers (round 19): a documents-ONLY subset build used
+    // to leave NO marker at all (the combined _BUILT means "both"), so
+    // every later run re-replicated a fixture that was already on disk
+    // — ~20 min and a full table rewrite wasted per timed attempt
+    val docG = new java.io.File(s"$bigDir/_BUILT_documents")
+    val embG = new java.io.File(s"$bigDir/_BUILT_embeddings")
     if (checkMarker(done, replicas)) return
-    if (tables("documents")) {
+    if (tables("documents") && !checkMarker(docG, replicas)) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       writeReplicated(s"$bigDir/documents.parquet")(i => docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         alphaPerm(col("text"), i).as("text"),
         col("lang"), col("source"), col("n_chars")))
+      writeMarker(docG, replicas)
     }
-    if (tables("embeddings")) {
+    if (tables("embeddings") && !checkMarker(embG, replicas)) {
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
       writeReplicated(s"$bigDir/embeddings.parquet")(i => emb.select(
         (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
         embPerm(col("embedding"), i).as("embedding"), col("label")))
+      writeMarker(embG, replicas)
     }
-    // the _BUILT marker means "documents+embeddings complete" — a
-    // subset build that wrote both may claim it; one that didn't
-    // leaves the corpus adoptable by a later full build
+    // the combined _BUILT marker still means "documents+embeddings
+    // complete" — a subset build that wrote both may claim it; one
+    // that didn't leaves the corpus adoptable by a later full build
     if (tables("documents") && tables("embeddings")) writeMarker(done, replicas)
     ()
   }

@@ -138,4 +138,37 @@ class ScaleSmokeSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$big/documents.parquet")) == mtime,
       "a legacy empty marker must adopt the corpus, not rebuild it")
   }
+
+  test("a single-table subset build leaves its own marker and is not rebuilt") {
+    // round 19: a documents-ONLY build wrote no marker at all (the
+    // combined _BUILT means "both tables"), so every timed attempt
+    // re-replicated a fixture already on disk — at 1000x that is a
+    // ~20-minute full-table rewrite per run
+    val big = java.nio.file.Files.createTempDirectory("graft_bigmark1")
+      .toString + "/big"
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 2,
+      tables = Set("documents"))
+    val docMarker = java.nio.file.Paths.get(s"$big/_BUILT_documents")
+    assert(java.nio.file.Files.exists(docMarker),
+      "documents-only build must leave its per-table marker")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$big/_BUILT")),
+      "a subset build must not claim the combined marker")
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet"))
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 2,
+      tables = Set("documents"))
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet")) == mtime,
+      "a matching documents-only rebuild must not rewrite the corpus")
+    // a later FULL build adopts the existing documents and adds the
+    // rest: embeddings appear, documents stay untouched
+    ScaleSmoke.buildBig(spark, sf0001, big, replicas = 2,
+      tables = Set("documents", "embeddings"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$big/embeddings.parquet")))
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$big/documents.parquet")) == mtime,
+      "the full build must adopt, not rewrite, the marked documents")
+  }
 }
