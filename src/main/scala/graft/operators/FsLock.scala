@@ -91,6 +91,15 @@ object FsLock {
     * steal fired roughly once per N full suites without it. */
   @volatile private[graft] var adoptionRaceWindow: Path => Unit = _ => ()
 
+  /** Test seam: invoked between the TAG read and the MTIME read of
+    * one observation (the round-19 advice window — two FS calls, so
+    * the sentinel can be replaced between them; `adoptionRaceWindow`
+    * fires too late to widen it). The regression spec parks a
+    * contender here while a supersede + release + re-create lands,
+    * proving the tag-first order binds the old tag to the FRESH
+    * incarnation's mtime and adopts nothing. */
+  @volatile private[graft] var observationGap: Path => Unit = _ => ()
+
   /** What a contender that times out is told the lock guards — pure
     * error-message context. */
   def withLock[T](
@@ -180,6 +189,7 @@ object FsLock {
           val observed =
             try {
               val t = StagedSwap.readSidecar(fs, cur)
+              observationGap(cur)
               Some((fs.getFileStatus(cur).getModificationTime, t))
             }
             catch { case _: java.io.IOException => None }

@@ -237,6 +237,147 @@ class SyncLedgerSpec extends SparkSpec {
     }
   }
 
+  test("a replacement landing between the tag and mtime reads adopts nothing") {
+    // round-19 advice: one "observation" is TWO FS calls, so a
+    // supersede + release + re-create can land between them. With the
+    // pre-fix order (mtime first, tag second) the contender bound the
+    // STALE mtime to the fresh holder's tag, its post-claim verify
+    // passed, and it deleted the LIVE lock — the steal via the
+    // narrower window adoptionRaceWindow cannot widen. Tag-first, the
+    // contender binds the old tag to the FRESH incarnation's mtime:
+    // not stale, nothing adopted. The observationGap seam parks the
+    // contender exactly between the reads.
+    import graft.operators.FsLock
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lp, true)
+    out.write("dead-run@nowhere".getBytes("UTF-8")); out.close()
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    val cInGap = new java.util.concurrent.CountDownLatch(1)
+    val cResume = new java.util.concurrent.CountDownLatch(1)
+    val pausedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    FsLock.observationGap = p => {
+      if (p.getName.startsWith("ledger_lock") &&
+          pausedOnce.compareAndSet(false, true)) {
+        cInGap.countDown()
+        cResume.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    }
+    @volatile var dInside = false
+    @volatile var cRan = false
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val c = new Thread(() =>
+      try FsLock.withLock(fs, lp, "gap-test",
+        staleMs = 2000, timeoutMs = 30000) {
+        if (dInside) overlap.set(true)
+        cRan = true
+      } catch { case t: Throwable => errs.add(t); () })
+    try {
+      c.start()
+      assert(cInGap.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "contender never reached the observation gap")
+      // B: adopts the stale sentinel and releases (C parked mid-read)
+      FsLock.withLock(fs, lp, "gap-test",
+        staleMs = 2000, timeoutMs = 30000)(())
+      // D: fresh holder re-creates generation 0 at the SAME path; C
+      // resumes while D is inside
+      val d = new Thread(() =>
+        try FsLock.withLock(fs, lp, "gap-test",
+          staleMs = 2000, timeoutMs = 30000) {
+          dInside = true
+          cResume.countDown()
+          Thread.sleep(800)
+          dInside = false
+        } catch { case t: Throwable => errs.add(t); () })
+      d.start()
+      d.join(60000); c.join(60000)
+      assert(errs.isEmpty, s"locking failed: ${errs.toArray.mkString(", ")}")
+      assert(cRan, "contender never acquired after the replacement")
+      assert(!overlap.get,
+        "two writers held together — the observation-gap steal fired")
+      val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).filter(_.startsWith("ledger_lock")).toSeq
+      assert(residue.isEmpty, s"sentinels leaked: $residue")
+    } finally {
+      cResume.countDown()
+      FsLock.observationGap = _ => ()
+      c.join(60000)
+    }
+  }
+
+  test("a failing lock-dir listing never reads as 'no lock'") {
+    // round-19 advice: currentGen used to map ANY listing IOException
+    // to an empty dir, so a transient FS error while generation 1 was
+    // live sent the contender down the fresh-acquisition branch —
+    // g0's path is free after a supersede, createExclusive succeeded,
+    // and two holders ran together. A failed scan must wait (and time
+    // out with the scan named), never acquire.
+    import graft.operators.FsLock
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val g1 = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock.g1")
+    val out = fs.create(g1, true)
+    out.write("live-holder@elsewhere".getBytes("UTF-8")); out.close()
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listStatus(p: org.apache.hadoop.fs.Path)
+          : Array[org.apache.hadoop.fs.FileStatus] =
+        throw new java.io.IOException("injected scan failure")
+      override def getScheme: String = "file"
+    }
+    var ran = false
+    val e = intercept[IllegalStateException] {
+      FsLock.withLock(flaky, lp, "scan-test",
+        staleMs = 2000, timeoutMs = 600) { ran = true }
+    }
+    assert(!ran, "a failed scan let a second holder in beside the live g1")
+    assert(e.getMessage.contains("listing"), e.getMessage)
+    assert(!fs.exists(lp),
+      "the contender fresh-created g0 beside a live g1")
+    fs.delete(g1, false)
+    ()
+  }
+
+  test("a failed supersede delete is loud and leaves the adoption held") {
+    // round-18 verdict watch item: both adoption-path deletes used to
+    // swallow IOException; a silently-leaked file blocks contenders
+    // for up to staleMs and trips the residue asserts with no trace.
+    // The delete now retries and WARNS with the leak's consequence.
+    import graft.operators.FsLock
+    val dir = freshDir()
+    val lp = new org.apache.hadoop.fs.Path(s"$dir/ledger_lock")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(lp, true)
+    out.write("dead-run@nowhere".getBytes("UTF-8")); out.close()
+    fs.setTimes(lp, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    // deletes of the ORPHAN path fail persistently; all else delegates
+    val noDelete = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def delete(p: org.apache.hadoop.fs.Path,
+          recursive: Boolean): Boolean =
+        if (p.getName == "ledger_lock")
+          throw new java.io.IOException("injected delete failure")
+        else super.delete(p, recursive)
+      override def getScheme: String = "file"
+    }
+    FsLock.lastDeleteWarn = None
+    var ran = false
+    FsLock.withLock(noDelete, lp, "delete-test",
+      staleMs = 500, timeoutMs = 30000) { ran = true }
+    assert(ran, "adoption must survive a failed supersede delete")
+    assert(FsLock.lastDeleteWarn.exists(_.contains("superseded sentinel")),
+      s"a persistently failed delete must WARN, got ${FsLock.lastDeleteWarn}")
+    // the stray g0 remains (its delete was blocked); the adopter's own
+    // g1 sentinel released through the unblocked path
+    assert(fs.exists(lp), "test rig: the blocked delete should leave g0")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ledger_lock.g1")),
+      "the adopter's g1 must release after the body")
+    fs.delete(lp, false)
+    ()
+  }
+
   test("a crashed adopter's stray lower generation self-heals") {
     // generation-chain edge: an adopter that dies between winning its
     // claim (creating lockPath.g1) and superseding the orphan leaves
