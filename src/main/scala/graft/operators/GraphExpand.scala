@@ -44,14 +44,23 @@ object GraphExpand {
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var reached = Barrier(
+    // `reached` is kept as the UNION of the per-hop frontier
+    // checkpoints instead of a re-materialized copy per hop (r19): the
+    // former `Barrier(reached ∪ next)` re-wrote the ENTIRE reached set
+    // every hop — O(hops × |reached|) checkpoint churn — where the
+    // union view reads each hop's (already materialized) frontier
+    // exactly once per consumer. Every part is live until the result
+    // is consumed, so total checkpoint footprint is |reached| — the
+    // same as the old FINAL frame, without the per-hop copies the
+    // round-18 ENOSPC postmortem was about. Nothing is released
+    // mid-run because nothing is superseded mid-run.
+    val seed = Barrier(
       seeds.select(seedCol).distinct()
         .select(col(seedCol).as("id"), lit(0).as("hop")))
-    var frontier = reached.select("id")
+    var reached = seed
+    var frontier = seed.select("id")
     var h = 1
     var drained = false
-    var anyRound = false // frontier only stops aliasing the live
-                         // `reached` once a round has replaced it
     while (h <= maxHops && !drained) {
       val next = Barrier(
         frontier.join(sym, frontier("id") === sym("src"))
@@ -63,23 +72,12 @@ object GraphExpand {
         // arrival; the live `reached` is untouched
         Barrier.release(next)
       } else {
-        val grown = Barrier(reached.union(next.withColumn("hop", lit(h))))
-        // `grown` and `next` are materialized; hop h-1's frames are
-        // superseded — release them NOW (checkpointDir mode leaks one
-        // reached-copy per hop otherwise; SCALE.md round-18 ENOSPC).
-        // At h=1 the first frontier is a projection OF `reached`, so
-        // releasing both deletes the seed checkpoint exactly once.
-        Barrier.release(reached)
-        if (anyRound) Barrier.release(frontier)
-        anyRound = true
-        reached = grown
-        frontier = next
+        val part = next.withColumn("hop", lit(h))
+        reached = reached.union(part)
+        frontier = next.select("id")
       }
       h += 1
     }
-    // the last successful round's frontier is folded into the
-    // materialized `reached` and never read again
-    if (anyRound) Barrier.release(frontier)
     Barrier.release(sym)
     reached
   }

@@ -53,25 +53,32 @@ object ConnectedComponents {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val viaNeighbor = sym
+      // one round = ONE aggregation + ONE join (r19 optimization):
+      // neighbor minima fold map-side out of the edge join, then a
+      // left join onto the labels takes least(old, neighbor-min) AND
+      // carries a per-row `changed` flag — so convergence reads as a
+      // filter scan of the just-materialized checkpoint instead of the
+      // former separate next⋈labels comparison join (guide §2.4: that
+      // join re-shuffled both label copies every round for one bit).
+      val nmins = sym
         .join(labels, sym("b") === labels("node"))
-        .select(sym("a").as("node"), col("label"))
+        .groupBy(sym("a").as("node"))
+        .agg(min("label").as("nl"))
       val next = labels
-        .unionByName(viaNeighbor)
-        .groupBy("node")
-        .agg(min("label").as("label"))
+        .join(nmins, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("changed"))
         .transform(Barrier.apply)
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev"))
-        .isEmpty
+      converged = next.where(col("changed")).isEmpty
       // `next` is already materialized (eager checkpoint) and the
       // convergence check consumed the old labels — release the stale
       // round NOW: blocks in localCheckpoint mode, checkpoint FILES in
       // checkpointDir mode (round-18 1000x: relying on driver GC let
       // superseded rounds accumulate to ENOSPC)
       Barrier.release(labels)
-      labels = next
+      labels = next.select("node", "label")
       it += 1
     }
     Barrier.release(sym)

@@ -106,11 +106,8 @@ object MinHashLSH {
     val sigs = signatures(df, text, id, p)
       .withColumn("bks", bandKeys(col("sig"), p.bands, p.rows))
       .transform(Barrier.apply)
-    // the band self-join moves ONLY (band, bh, id) — signatures are
-    // re-attached per side after pair dedup, so each signature crosses
-    // the wire once per document instead of once per band replica
-    // (k-long arrays are the bulk of the row; this divides the big
-    // shuffle's volume by the band count)
+    // ids-only explode feeds ONLY the hot-bucket count (the pair join
+    // below carries signatures inline — see its comment)
     val buckets = sigs
       .select(col("id"), posexplode(col("bks")).as(Seq("band", "bh")))
     // cap pathological buckets before the quadratic pair expansion:
@@ -121,20 +118,27 @@ object MinHashLSH {
       .count()
       .filter(col("count") > p.maxBucket)
       .select("band", "bh")
-    val capped = buckets.join(broadcast(big), Seq("band", "bh"), "left_anti")
-    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"))
-    // candidate pairs keep band-collision duplicates until AFTER the
-    // similarity filter: a duplicate pair yields the identical estimate
-    // (deterministic), so deduping the small filtered set is equivalent
-    // to deduping the big candidate set and saves a full-width shuffle
-    val pairs = a.join(b, Seq("band", "bh"))
+    // signatures ride the band join INLINE (r19; the shape
+    // pairsAgainstIndex and the portable twins always had): the bucket
+    // shuffle grows to rows × bands × sig, but the two signature
+    // re-attach joins it replaces were PAIR-linear — candidate volume,
+    // which the 1000× smokes measured at 1551× collision mass, is
+    // unbounded by input size, so input-linear is the 100 TB-safe
+    // side of the trade. Band-collision duplicates still survive
+    // until after the similarity filter (identical estimates per
+    // pair), so the only pair-shaped shuffle left is the dedup of the
+    // small ≥threshold set. (The PortableMinHash.pairs first-band
+    // mask trick is NOT safe here: the maxBucket cap can remove a
+    // pair's first colliding band from the join, which would drop the
+    // pair instead of deduping it.)
+    val capped = sigs
+      .select(col("id"), col("sig"), posexplode(col("bks")).as(Seq("band", "bh")))
+      .join(broadcast(big), Seq("band", "bh"), "left_anti")
+    capped.select(col("band"), col("bh"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(capped.select(col("band"), col("bh"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    val bySig = sigs.select(col("id"), col("sig"))
-    pairs
-      .join(bySig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(bySig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), p.numHashes))
       .filter(col("est_jaccard") >= p.threshold)
       .select("id_a", "id_b", "est_jaccard")

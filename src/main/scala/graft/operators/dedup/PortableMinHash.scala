@@ -62,29 +62,48 @@ object PortableMinHash {
           ","))))
 
   /** Near-dup pairs (doc_a < doc_b) with the signature-estimated
-    * Jaccard, filtered to >= threshold. Same join shape as
-    * MinHashLSH.candidatePairs (ids through the band join, signatures
-    * re-attached after dedup). */
+    * Jaccard, filtered to >= threshold. */
   def pairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
+    // r19 shape — the [[bandingCurve]] distinct-pair scan applied to
+    // the plain pair mine: signatures ride the ONE bucket-join shuffle
+    // inline (input-linear, rows × bands — the re-attach joins it
+    // replaces were PAIR-linear, which the 1000× smokes measured at
+    // 1551× collision mass), and a pair's full band-collision set
+    // falls out of its two signatures as one bitmask
+    // ([[graft.functions.BandCollisionMask]]), so keeping only the
+    // FIRST colliding band's row makes the stream distinct by
+    // construction: no signature re-attach joins, no dedup shuffle —
+    // the whole mine is one exchange. (Band key = md5 of the sig
+    // slice, so a row's own band always collides and mask ≠ 0 — the
+    // same slice-equality⇔key-equality identity bandingCurve rests
+    // on.) No bucket cap here, so unlike MinHashLSH.candidatePairs
+    // the first-colliding-band row always survives to the join.
     val sigs = banded(df, text, id).transform(Barrier.apply)
-    val buckets = sigs.select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
-    val a = buckets.select(col("band"), col("bk"), col("id").as("doc_a"))
-    val b = buckets.select(col("band"), col("bk"), col("id").as("doc_b"))
-    // band-collision duplicates survive until after the similarity
-    // filter (identical estimates per pair), saving a full-width
-    // shuffle — see MinHashLSH.candidatePairs
-    val cand = a.join(b, Seq("band", "bk"))
+    val fine = sigs.select(col("id"), col("sig"),
+      posexplode(col("bks")).as(Seq("band", "bk")))
+    fine.select(col("band"), col("bk"),
+        col("id").as("doc_a"), col("sig").as("sig_a"))
+      .join(fine.select(col("band"), col("bk"),
+        col("id").as("doc_b"), col("sig").as("sig_b")), Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val bySig = sigs.select(col("id"), col("sig"))
-    cand
-      .join(bySig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(bySig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("mask", graft.functions.BandCollisionMask(
+        col("sig_a"), col("sig_b"), rowsPerBand))
+      .filter(expr(
+        "(mask & -mask) = shiftleft(cast(1 as bigint), band)"))
       .withColumn("est_jaccard",
         MinHashLSH.estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
-      .dropDuplicates("doc_a", "doc_b")
+      // size the RESULT's partitioning to its data (AQE rebalance),
+      // not to the bucket join's task count: the filtered pair set is
+      // orders of magnitude smaller than the collision stream, and
+      // iterative consumers (ConnectedComponents re-reads the
+      // materialized edges every round) pay the stale layout once per
+      // round — measured 2× on qd37's base CC when the mine's 32
+      // near-empty join partitions leaked into the checkpoint. Costs
+      // one pair-set-sized exchange, exactly what the old shape's
+      // dedup shuffle was.
+      .hint("rebalance")
   }
 
   /** Portable twin of [[MinHashLSH.pairsAgainstIndex]]: (new, old)

@@ -1,7 +1,6 @@
 package graft.operators.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{PortableRound, TextOps}
@@ -118,13 +117,29 @@ object BackoffLm {
       minCount: Long,
       carry: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = graft.operators.Parallelism.ensureMin(df)
+    // p1/p2 derive from the token ARRAY at explode time — pos is the
+    // 0-based array index, so lag(term, k) over (id, pos) is exactly
+    // toks[pos−k]. The lag() formulation paid a full window
+    // exchange+sort of the exploded stream, and paid it once per
+    // CONSUMER: this un-Barrier'd subtree is evaluated by c1, c2, c3
+    // AND the scoring join (four plans), so the window was four
+    // shuffles per scoring run. The array is carried through the
+    // generate only within the stage (never shuffled) and read by
+    // guarded element_at — row values are identical to the lag form.
+    val stream = graft.operators.Parallelism.ensureMin(df)
       .select((id.as("id") +: carry.map(col)) :+
-        posexplode(TextOps.tokens(text)).as(Seq("pos", "term")): _*)
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    val stream = toks
-      .withColumn("p1", lag("term", 1).over(byDoc))
-      .withColumn("p2", lag("term", 2).over(byDoc))
+        TextOps.tokens(text).as("__t"): _*)
+      .select((col("id") +: carry.map(col)) ++ Seq(
+        col("__t"), posexplode(col("__t")).as(Seq("pos", "term"))): _*)
+      .select((col("id") +: carry.map(col)) ++ Seq(
+        col("pos"), col("term"),
+        when(col("pos") >= 1, element_at(col("__t"), col("pos"))).as("p1"),
+        when(col("pos") >= 2, element_at(col("__t"), col("pos") - 1)).as("p2")): _*)
+      // four consumers (c1, c2, c3 and the scoring join) read this
+      // stream; without a barrier each re-runs the tokenize+explode
+      // scan — one materialization amortizes it 4× (same rationale as
+      // the LSH signature barrier)
+      .transform(graft.operators.Barrier.apply)
     val c1 = stream.groupBy("term").agg(count(lit(1)).as("n1"))
     val n = c1.agg(sum("n1").cast("double").as("total"))
     val c2 = stream.where(col("p1").isNotNull)

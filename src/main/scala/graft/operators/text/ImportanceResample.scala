@@ -77,16 +77,40 @@ object ImportanceResample {
       col("b"),
       micro(col("ct"), col("tt")).as("lt"),
       micro(col("cr"), col("tr")).as("lr"))
-    feats
-      .join(broadcast(probs), Seq("b"))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_feats"),
-        sum(col("lt") - col("lr")).as("lr_micro"))
+    scoreByModel(df, text, id, buckets, probs)
+  }
+
+  /** Score every document against a B-row (b, lt, lr) bucket model:
+    * the model folds into ONE broadcast row (bucket → lt−lr map) and
+    * each document sums its own feature array through it in place —
+    * same integer micro-nat values as the former explode →
+    * broadcast-join → groupBy(id) rollup (every document bucket is in
+    * the model by construction, and the sum is order-free), but the
+    * scoring pass is map-only: the per-doc shuffle of the whole
+    * (id, bucket) feature stream is gone (guide §2.4). */
+  private def scoreByModel(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      buckets: Int,
+      probs: DataFrame): DataFrame = {
+    val model = probs.agg(
+      map_from_entries(
+        collect_list(struct(col("b"), (col("lt") - col("lr")).as("d"))))
+        .as("dm"))
+    graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), featureBuckets(text, buckets).as("__f"))
+      .where(col("__f").isNotNull) // null text exploded to no rows before
+      .crossJoin(broadcast(model))
       .select(
         col("id"),
-        col("n_feats").cast("bigint").as("n_feats"),
-        col("lr_micro").cast("bigint").as("lr_micro"),
+        size(col("__f")).cast("bigint").as("n_feats"),
+        aggregate(
+          transform(col("__f"), b => element_at(col("dm"), b)),
+          lit(0L),
+          (acc, x) => acc + x).cast("bigint").as("lr_micro"))
+      .select(
+        col("id"), col("n_feats"), col("lr_micro"),
         PortableRound.floorTo(
           col("lr_micro").cast("double") / lit(1e6) /
             col("n_feats").cast("double"), 4).as("avg_logratio"))
@@ -128,19 +152,7 @@ object ImportanceResample {
       col("b"),
       micro(col("ct"), col("tt")).as("lt"),
       micro(col("cr"), col("tr")).as("lr"))
-    rawFeats
-      .join(broadcast(probs), Seq("b"))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_feats"),
-        sum(col("lt") - col("lr")).as("lr_micro"))
-      .select(
-        col("id"),
-        col("n_feats").cast("bigint").as("n_feats"),
-        col("lr_micro").cast("bigint").as("lr_micro"),
-        PortableRound.floorTo(
-          col("lr_micro").cast("double") / lit(1e6) /
-            col("n_feats").cast("double"), 4).as("avg_logratio"))
+    scoreByModel(raw, rawText, rawId, buckets, probs)
   }
 
   /** Resample top-k by (weight DESC, id) and report how the selection

@@ -49,17 +49,30 @@ object PerplexityFilter {
       .select(col("term"),
         graft.operators.PortableRound.floorTo(log(col("n").cast("double") / col("total")), 6).as("lp"))
     val oov = tot.select(graft.operators.PortableRound.floorTo(log(lit(1.0) / col("total")), 6).as("olp"))
-    toks
-      .join(broadcast(voc), Seq("term"), "left")
-      .crossJoin(broadcast(oov))
-      .select(col("id"), col("pos"), coalesce(col("lp"), col("olp")).as("lp"))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
+    // the model is V+1 numbers — fold it into ONE broadcast row (a
+    // term→lp map plus the OOV floor) and score each document by an
+    // in-order array fold over its own token array: same values as the
+    // former explode → broadcast-join → collect_list/sort/fold rollup
+    // (the array IS the position order, element_at(map) IS the join),
+    // but the scoring pass is now map-only — the per-doc shuffle of
+    // the whole (id, pos, lp) token stream is gone (guide §2.4), and
+    // so is the collect_list re-materialization of every document.
+    val model = voc
+      .agg(map_from_entries(collect_list(struct(col("term"), col("lp"))))
+        .as("lpm"))
+      .crossJoin(oov)
+    graft.operators.Parallelism.ensureMin(df)
+      .select(id.as("id"), TextOps.tokens(text).as("__t"))
+      .where(col("__t").isNotNull) // null text exploded to no rows before
+      .crossJoin(broadcast(model))
+      .select(
+        col("id"),
+        size(col("__t")).cast("long").as("n_tokens"),
         aggregate(
-          array_sort(collect_list(struct(col("pos"), col("lp")))),
+          transform(col("__t"),
+            t => coalesce(element_at(col("lpm"), t), col("olp"))),
           lit(0.0),
-          (acc, x) => acc + x.getField("lp")).as("sumlp"))
+          (acc, x) => acc + x).as("sumlp"))
       .select(
         col("id"), col("n_tokens"),
         graft.operators.PortableRound.floorTo(-col("sumlp") / col("n_tokens").cast("double"), 4).as("ce"))

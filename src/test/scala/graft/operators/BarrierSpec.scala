@@ -92,9 +92,16 @@ class BarrierSpec extends SparkSpec {
       val reach = graft.operators.GraphExpand
         .expand(seeds, "id", edges, "a", "b", maxHops = 3)
       val afterHops = rddDirs(dir)
-      // CC's final frame + expand's final frame
-      assert(afterHops.size == 2,
-        s"GraphExpand leaked superseded hop checkpoints: $afterHops")
+      // r19 accounting: expand keeps ONE checkpoint per hop part (the
+      // seed frame + one per non-empty hop), each holding only ITS
+      // hop's rows — total bytes = |reached| with every row written
+      // once, where the pre-r19 shape re-materialized the whole
+      // reached set per hop (write amplification O(hops × |reached|))
+      // and needed mid-run release to stay bounded. No row is stored
+      // twice, so the dir count is the LIVE part count, not a leak:
+      // CC's final frame + expand's seed + hops 1..3.
+      assert(afterHops.size == 5,
+        s"GraphExpand checkpoint accounting changed: $afterHops")
       assert(reach.count() == 4) // 0 + hops 1..3
     } finally spark.conf.unset(Barrier.ConfKey)
   }

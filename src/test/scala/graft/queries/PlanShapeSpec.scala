@@ -350,14 +350,22 @@ class PlanShapeSpec extends SparkSpec {
       s"packing scan reads unused columns: $schema")
   }
 
-  test("qp20: the DSIR bucket table broadcasts onto the feature stream") {
-    // the model is a B-row table; it must reach the exploded feature
-    // stream as a broadcast hash join — a sort-merge here would
-    // shuffle the whole feature stream by bucket for nothing
+  test("qp20: the DSIR model reaches the documents as ONE broadcast row") {
+    // r19 shape: the B-row bucket model folds into a single
+    // (bucket → lt−lr) map row that cross-broadcasts onto the raw
+    // documents, and each doc scores itself by an in-order array fold —
+    // the scoring side must carry NO per-doc shuffle at all (the former
+    // shape broadcast-joined the model onto an exploded feature stream
+    // and then shuffled the whole stream by doc id to roll it up). The
+    // only exchanges allowed are the model-side bucket aggregation and
+    // the parallelism repartition of the scan.
     val p = plan("qp20_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       s"bucket join degraded to a stream shuffle:\n$p")
+    // no hash exchange on doc id anywhere: scoring is map-only
+    assert(!p.contains("hashpartitioning(id#"),
+      s"per-doc rollup shuffle reappeared:\n$p")
     val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!schema.contains("source") && !schema.contains("n_chars"),
       s"DSIR scan reads unused columns: $schema")
