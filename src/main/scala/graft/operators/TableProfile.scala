@@ -134,18 +134,32 @@ object TableProfile {
     // shuffle (column INDEX, value) — a 4-byte tag instead of the
     // column-name string on every one of the n_rows × n_cols pair
     // rows; names re-attach to the n_cols result rows at the end.
-    // Floating columns add +0.0 BEFORE the string cast: IEEE maps
-    // −0.0 → 0.0 (all else unchanged), matching count(DISTINCT)'s
-    // −0.0 = 0.0 semantics in both engines — a bare cast would split
-    // them into "-0.0"/"0.0" (review finding)
+    // Values ride a TYPED two-field encoding (r19): integral and
+    // timestamp columns as exact longs in `vl` (injective — no
+    // toString per cell, narrower shuffle rows), everything else as
+    // the string `vs`. The column index disambiguates, so distinctness
+    // per column is unchanged. Floating columns stay on the string
+    // side and add +0.0 BEFORE the cast: IEEE maps −0.0 → 0.0 (all
+    // else unchanged), matching count(DISTINCT)'s −0.0 = 0.0 semantics
+    // in both engines — a bare cast would split them into
+    // "-0.0"/"0.0" (review finding), and a raw-bits long encoding
+    // would split NaN payloads count(DISTINCT) treats as one.
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
     val pairs = Parallelism.ensureMin(df).select(explode(array(
       cols.zipWithIndex.map { case (n, i) =>
-        val v = df.schema(n).dataType match {
-          case FloatType | DoubleType => (col(n) + lit(0.0)).cast("string")
-          case _ => col(n).cast("string")
+        val (vl, vs) = df.schema(n).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            (col(n).cast("long"), nullS)
+          case TimestampType | TimestampNTZType =>
+            (unix_micros(col(n).cast("timestamp")), nullS)
+          case FloatType | DoubleType =>
+            (nullL, (col(n) + lit(0.0)).cast("string"))
+          case _ => (nullL, col(n).cast("string"))
         }
-        struct(lit(i).as("ci"), v.as("v"))
-      }: _*)).as("r")).select("r.ci", "r.v").where(col("v").isNotNull)
+        struct(lit(i).as("ci"), vl.as("vl"), vs.as("vs"))
+      }: _*)).as("r")).select("r.ci", "r.vl", "r.vs")
+      .where(col("vl").isNotNull || col("vs").isNotNull)
     val counts = pairs.distinct()
       .groupBy("ci").agg(count(lit(1)).as("distinct"))
     cols.zipWithIndex.map { case (n, i) => (i, n) }.toDF("ci", "col_name")

@@ -229,19 +229,27 @@ object ConnectedComponents {
     // endpoint → base component where the endpoint is an old node
     val la = baseL.select(col("__n").as("a"), col("__c").as("ca"))
     val lb = baseL.select(col("__n").as("b"), col("__c").as("cb"))
+    // the mapping join already knows which endpoints were OLD (their
+    // lookup hit), so the touched set derives from two carried flags
+    // (r19) instead of the former endpoints-semi-join against a
+    // DISTINCT over every base label — that distinct was the one
+    // corpus-sized shuffle in an otherwise increment-sized plan.
+    // Old and new ids are disjoint by the API contract (an increment
+    // re-using an old id is a re-ingest, not an append), so flagging
+    // at the join is exactly the membership the semi-join tested.
     val mapped = Barrier(e0
       .join(la, Seq("a"), "left")
       .join(lb, Seq("b"), "left")
       .select(
         coalesce(col("ca"), col("a")).as("a"),
-        coalesce(col("cb"), col("b")).as("b"))
+        coalesce(col("cb"), col("b")).as("b"),
+        col("ca").isNotNull.as("fa"),
+        col("cb").isNotNull.as("fb"))
       .filter(col("a") =!= col("b")))
-    // touched old components: reps that appear as mapped endpoints
-    val comps = baseL.select(col("__c")).distinct()
-    val touched = Barrier(mapped.select(col("a").as("__c"))
-      .unionByName(mapped.select(col("b").as("__c")))
-      .distinct()
-      .join(comps, Seq("__c"), "semi"))
+    val touched = Barrier(
+      mapped.filter(col("fa")).select(col("a").as("__c"))
+        .unionByName(mapped.filter(col("fb")).select(col("b").as("__c")))
+        .distinct())
     val rnodes = newIds.select(col(nodeId).as("rn"))
       .unionByName(touched.select(col("__c").as("rn")))
       .distinct()

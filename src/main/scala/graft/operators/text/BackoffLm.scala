@@ -135,11 +135,6 @@ object BackoffLm {
         col("pos"), col("term"),
         when(col("pos") >= 1, element_at(col("__t"), col("pos"))).as("p1"),
         when(col("pos") >= 2, element_at(col("__t"), col("pos") - 1)).as("p2")): _*)
-      // four consumers (c1, c2, c3 and the scoring join) read this
-      // stream; without a barrier each re-runs the tokenize+explode
-      // scan — one materialization amortizes it 4× (same rationale as
-      // the LSH signature barrier)
-      .transform(graft.operators.Barrier.apply)
     val c1 = stream.groupBy("term").agg(count(lit(1)).as("n1"))
     val n = c1.agg(sum("n1").cast("double").as("total"))
     val c2 = stream.where(col("p1").isNotNull)

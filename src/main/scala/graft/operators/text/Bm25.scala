@@ -48,9 +48,11 @@ object Bm25 {
     val stats = docs.agg(
       (sum("dl") / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n"))
-    val hits = docs
+    // both tf and dfq consume the hit stream whose lineage is the full
+    // tokenize+explode corpus scan — barrier so it runs once (r19)
+    val hits = graft.operators.Barrier(docs
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(queryTerms: _*)))
     val tf = hits.groupBy("id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
     val dfq = hits.groupBy("term")
@@ -105,9 +107,12 @@ object Bm25 {
     val stats = docs.agg(
       (sum("dl") / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n"))
-    val hits = docs
+    // the hit stream is tiny (query-term matches only) but its lineage
+    // is the full tokenize+explode corpus scan, and BOTH dfq and tf
+    // consume it — barrier so the scan runs once, not twice (r19)
+    val hits = graft.operators.Barrier(docs
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qterms), Seq("term")))
     // df(term) is query-independent: distinct docs per term over the
     // hit stream (duplicate (qid, term) hits cannot inflate it)
     val dfq = hits.select("term", "id").distinct()

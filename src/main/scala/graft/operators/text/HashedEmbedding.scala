@@ -82,7 +82,9 @@ object HashedEmbedding {
       probeId: Long,
       dim: Int = 64,
       k: Int = 10): DataFrame = {
-    val comp = components(df, text, id, dim)
+    // three consumers (the probe row, norms, the hit join) — barrier
+    // the component scan so it runs once (r19)
+    val comp = graft.operators.Barrier(components(df, text, id, dim))
     val probe = comp.where(col("id") === probeId)
       .select(col("j"), col("v").as("pv"))
     rankAgainst(comp, probe, k, excludeId = Some(probeId))
@@ -100,7 +102,8 @@ object HashedEmbedding {
       k: Int = 10): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
-    val comp = components(df, text, id, dim)
+    // norms + the hit join both consume the component scan (r19)
+    val comp = graft.operators.Barrier(components(df, text, id, dim))
     val probe = components(
         Seq((0L, query)).toDF("qid", "qtext"),
         col("qtext"), col("qid"), dim)
@@ -125,7 +128,10 @@ object HashedEmbedding {
     require(queries.nonEmpty, "empty query batch")
     val ss = df.sparkSession
     import ss.implicits._
-    val comp = components(df, text, id, dim)
+    // norms AND the probe hit-join both consume the corpus components,
+    // whose lineage is a tokenize+md5 explode scan — barrier so the
+    // scan runs once, not twice (r19)
+    val comp = graft.operators.Barrier(components(df, text, id, dim))
     val probes = components(
         queries.toDF("qid", "qtext"), col("qtext"), col("qid"), dim)
       .select(col("id").as("query_id"), col("j"), col("v").as("pv"))

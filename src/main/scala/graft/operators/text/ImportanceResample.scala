@@ -94,10 +94,18 @@ object ImportanceResample {
       id: Column,
       buckets: Int,
       probs: DataFrame): DataFrame = {
+    // DENSE delta array indexed by bucket, not a map: Spark map lookup
+    // (GetMapValue) is a linear scan, O(B) per feature — the bucket id
+    // is already a perfect array index, so the one-row model projects
+    // its map into a length-B array once and scoring pays O(1) per
+    // feature. Buckets unseen by the model (possible only for buckets
+    // no document's features hit — never actually indexed) fill 0.
     val model = probs.agg(
       map_from_entries(
         collect_list(struct(col("b"), (col("lt") - col("lr")).as("d"))))
         .as("dm"))
+      .select(transform(sequence(lit(0L), lit(buckets - 1L)),
+        i => coalesce(element_at(col("dm"), i), lit(0L))).as("da"))
     graft.operators.Parallelism.ensureMin(df)
       .select(id.as("id"), featureBuckets(text, buckets).as("__f"))
       .where(col("__f").isNotNull) // null text exploded to no rows before
@@ -106,7 +114,8 @@ object ImportanceResample {
         col("id"),
         size(col("__f")).cast("bigint").as("n_feats"),
         aggregate(
-          transform(col("__f"), b => element_at(col("dm"), b)),
+          transform(col("__f"),
+            b => element_at(col("da"), (b + lit(1L)).cast("int"))),
           lit(0L),
           (acc, x) => acc + x).cast("bigint").as("lr_micro"))
       .select(

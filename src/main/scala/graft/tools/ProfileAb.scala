@@ -31,13 +31,11 @@ object ProfileAb {
 
     time("full", graft.operators.TableProfile.profile(df, useSketch = false))
     time("distinct-leg", graft.operators.TableProfile.exactDistinct(df, cols))
-    time("plain-leg", {
-      // the profile minus its distinct rows: approximate by running the
-      // full profile of a 0-col distinct... instead just do the big agg
-      // via profile on a table trick is awkward; time the whole and
-      // subtract the distinct leg.
-      graft.operators.TableProfile.profile(df.limit(0), useSketch = false)
-    })
+    // the plain-metrics leg = full − distinct (one map-side-combined
+    // aggregation pass); timed here as the sketch-tier profile minus
+    // its (cheap) HLL rows to get a comparable single-pass number
+    time("plain-leg(sketch-tier)",
+      graft.operators.TableProfile.profile(df, useSketch = true))
     // variant: numeric columns shuffled as longs (null string field),
     // strings as strings — same distinct semantics, no toString for
     // numerics
