@@ -165,6 +165,22 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // driver-parse assist (r19 verdict item 2 — every BENCH_r1[6-9]
+    // artifact carried "parsed": null despite the headline printing):
+    // a SECOND file holding ONLY the headline line, so a parser that
+    // greps any {"metric":...} line — and was likely matching the
+    // spread line first — has a file with exactly one candidate.
+    // Additions only; stdout and bench.json above are unchanged.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_headline.json"),
+        (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(
+            s"[bench] could not write bench_headline.json: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -57,10 +57,43 @@ object Barrier {
           sc.setCheckpointDir(dir)
           armCleanup(sc)
         }
-        df.checkpoint(eager = true)
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .checkpointWithLayout(df, reliable = true)
       case None =>
-        df.localCheckpoint(eager = true)
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .checkpointWithLayout(df, reliable = false)
     }
+  }
+
+  /** Barrier `df` PRE-PARTITIONED by `cols`, with the partitioning
+    * surfaced on the checkpoint leaf (r19 "not yet optimized" #2 /
+    * r20 item 1: a plain checkpoint under AQE erases the layout, so
+    * every keyed consumer re-paid an exchange). The repartition uses
+    * an EXPLICIT partition count — AQE never coalesces user-numbered
+    * repartitions, so the surfaced HashPartitioning is exact and a
+    * later co-partitioned JOIN can elide its exchange too, which a
+    * runtime-coalesced layout cannot promise. The count defaults to
+    * the session's shuffle parallelism (scale-adaptive: the cluster
+    * conf drives it, not a constant).
+    *
+    * Worth it only when the barriered frame has MULTIPLE consumers
+    * keyed by `cols` (aggregations, joins, windows): the pre-key
+    * exchange is paid once where each consumer used to shuffle the
+    * stream itself. A single-consumer frame should keep its one
+    * downstream exchange instead. */
+  def keyed(df: DataFrame, cols: String*): DataFrame = {
+    // explicit count = the session's shuffle parallelism: what a
+    // downstream exchange on these keys would have used, conf-driven
+    // (scales with the cluster, stays comparable at local core
+    // counts). A stats-derived count was measured and rejected: plan
+    // statistics through checkpoint/join lineage here range from 170
+    // KB to 10^201 "bytes" for same-magnitude frames, so the derived
+    // n is noise, and an explicit-count repartition must never be
+    // smaller than the work needs (it is exempt from AQE coalescing
+    // by design — that exemption is what makes the surfaced
+    // HashPartitioning exact).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    apply(df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*))
   }
 
   /** Release a SUPERSEDED barriered frame mid-run: unpersist its

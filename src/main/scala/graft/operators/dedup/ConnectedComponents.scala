@@ -42,6 +42,17 @@ object ConnectedComponents {
       nodes: DataFrame,
       nodeId: String,
       maxIter: Int = 20)(implicit spark: SparkSession): DataFrame = {
+    // PRE-KEYING the loop inputs (Barrier.keyed on b / node) was
+    // measured and REJECTED (r20): the per-round frames here are
+    // increment- or clump-sized, and pinning them to a fixed keyed
+    // layout disabled every runtime adaptation AQE provides for the
+    // rounds (partition coalescing, broadcast conversion) — qd37 ran
+    // 3.8 s → 7.7 s with keyed barriers at the session parallelism.
+    // The plain Barrier still SURFACES whatever layout the executed
+    // plan produced (checkpointWithLayout), so a round whose output
+    // really is node-partitioned passes that fact to the next round
+    // for free, without forcing a layout the data is too small to
+    // want.
     val sym = edges
       .select(col(edgeA).as("a"), col(edgeB).as("b"))
       .unionByName(edges.select(col(edgeB).as("a"), col(edgeA).as("b")))
@@ -70,6 +81,9 @@ object ConnectedComponents {
           col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (coalesce(col("nl"), col("label")) < col("label")).as("changed"))
+        // plain Barrier: the left join's node-partitioning is READ
+        // from the executed plan and surfaced on the checkpoint, so
+        // round k+1's labels are node-keyed without a fresh shuffle
         .transform(Barrier.apply)
       converged = next.where(col("changed")).isEmpty
       // `next` is already materialized (eager checkpoint) and the

@@ -73,10 +73,20 @@ object SpanDedup {
     require(maxDocs >= minDocs,
       s"maxDocs ($maxDocs) must be >= minDocs ($minDocs): a span past " +
         "the cap is counted as shared without enumeration")
-    val exploded = Barrier(
+    // the span stream is keyed by g at its barrier (r20): the count
+    // aggregation and the shared-span join both consume it by g, so
+    // surfacing the partitioning elides their exchanges — one span-
+    // stream shuffle where each keyed consumer used to pay its own
+    val exploded = Barrier.keyed(
       graft.operators.Parallelism.ensureMin(df)
-        .select(id.as("id"), explode(spanKeys(text, n)).as("g")))
-    val counts = exploded.groupBy("g").agg(count(lit(1)).as("nd"))
+        .select(id.as("id"), explode(spanKeys(text, n)).as("g")), "g")
+    // materialized once (r20): hot and shared both derive from it, and
+    // without the barrier each consumer re-ran the full aggregation
+    // over the span stream (the r19 qt13 plan carried THREE copies of
+    // this agg — guide §1.2, don't compute things twice); g-partitioned
+    // input makes the agg map-side only, and the surfaced layout keeps
+    // the shared-span join exchange-free on both sides
+    val counts = Barrier(exploded.groupBy("g").agg(count(lit(1)).as("nd")))
     val hot = counts.filter(col("nd") > maxDocs)
       .select(col("g"), lit(1).as("hot"))
     val shared = counts
@@ -150,25 +160,34 @@ object SpanDedup {
     require(maxDocs >= minDocs,
       s"maxDocs ($maxDocs) must be >= minDocs ($minDocs)")
     import org.apache.spark.sql.expressions.Window
-    val ps = Barrier(
+    // keyed barriers (r20), same rationale as [[spanProfile]]: the
+    // positional stream is keyed by g (one-vote distinct, counts and
+    // the shared join all cluster by g — g ⊆ {id, g} satisfies the
+    // distinct's clustering too, so its exchange elides as well)
+    val ps = Barrier.keyed(
       graft.operators.Parallelism.ensureMin(df)
-        .select(id.as("id"), posexplode(posSpanKeys(text, n)).as(Seq("pos", "g"))))
-    val counts = ps.select("id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
+        .select(id.as("id"), posexplode(posSpanKeys(text, n)).as(Seq("pos", "g"))),
+      "g")
+    val counts = Barrier(ps.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd")))
     val hot = counts.filter(col("nd") > maxDocs)
       .select(col("g"), lit(1).as("hot"))
     val shared = counts
       .filter(col("nd") >= minDocs && col("nd") <= maxDocs)
       .select(col("g"), lit(1).as("sh"))
     val preFlag = ps.join(broadcast(hot), Seq("g"), "left")
-    val flagged = Barrier(
+    // the flag stream is keyed by id: the gaps-and-islands window, the
+    // per-doc aggregate and the runs join all cluster by id — one
+    // id-shuffle at the barrier where each used to pay its own
+    val flagged = Barrier.keyed(
       preFlag.filter(col("hot") === 1)
         .select(col("id"), col("pos"), lit(1).as("fl"))
         .unionByName(
           preFlag.filter(col("hot").isNull)
             .join(shared, Seq("g"), "left")
             .select(col("id"), col("pos"),
-              when(col("sh") === 1, lit(1)).otherwise(lit(0)).as("fl"))))
+              when(col("sh") === 1, lit(1)).otherwise(lit(0)).as("fl"))),
+      "id")
     val w = Window.partitionBy("id").orderBy("pos")
     val runs = flagged.filter(col("fl") === 1)
       .withColumn("grp", col("pos") - row_number().over(w))
