@@ -118,13 +118,13 @@ object TableProfile {
   }
 
   /** Exact distinct cardinality per column as (col_name, distinct) —
-    * one narrow (col, string-value) explode, a map-side-combinable
-    * dedup shuffle, then a per-column count. String casts are
-    * injective for every profiled type up to count(DISTINCT)'s own
-    * equivalences (Double.toString separates all distinct doubles;
-    * −0.0 pre-normalizes to 0.0 to match both engines' −0.0 = 0.0;
-    * every NaN renders "NaN", matching NaN-equals-NaN distinct
-    * semantics; timestamps render µs), so counts equal
+    * one narrow (col, value) explode, a map-side-combinable dedup
+    * shuffle, then a per-column count. Every encoding is injective up
+    * to count(DISTINCT)'s own equivalences: integral/timestamp cells
+    * as exact longs, float/double cells as IEEE bit patterns (−0.0
+    * pre-normalized to 0.0 to match both engines' −0.0 = 0.0; every
+    * NaN canonicalized to one pattern, matching NaN-equals-NaN
+    * distinct semantics), strings/arrays as strings — so counts equal
     * `count(DISTINCT c)`. All-null columns re-attach as 0 via the
     * column-list join. */
   def exactDistinct(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -139,11 +139,14 @@ object TableProfile {
     // toString per cell, narrower shuffle rows), everything else as
     // the string `vs`. The column index disambiguates, so distinctness
     // per column is unchanged. Floating columns stay on the string
-    // side and add +0.0 BEFORE the cast: IEEE maps −0.0 → 0.0 (all
-    // else unchanged), matching count(DISTINCT)'s −0.0 = 0.0 semantics
-    // in both engines — a bare cast would split them into
-    // "-0.0"/"0.0" (review finding), and a raw-bits long encoding
-    // would split NaN payloads count(DISTINCT) treats as one.
+    // side. Floating columns ride the long side too (r20, closing the
+    // r19 gap): +0.0 first — IEEE maps −0.0 → 0.0, all else unchanged,
+    // matching count(DISTINCT)'s −0.0 = 0.0 semantics in both engines
+    // — then [[graft.functions.DoubleBits]], whose doubleToLongBits
+    // canonicalizes every NaN payload to ONE pattern (the same
+    // all-NaNs-equal equivalence count(DISTINCT) applies; a RAW-bits
+    // encoding would split them) and is injective on everything else.
+    // No per-cell toString remains for any numeric/timestamp column.
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     val pairs = Parallelism.ensureMin(df).select(explode(array(
@@ -154,7 +157,8 @@ object TableProfile {
           case TimestampType | TimestampNTZType =>
             (unix_micros(col(n).cast("timestamp")), nullS)
           case FloatType | DoubleType =>
-            (nullL, (col(n) + lit(0.0)).cast("string"))
+            (graft.functions.DoubleBits(
+              (col(n) + lit(0.0)).cast("double")), nullS)
           case _ => (nullL, col(n).cast("string"))
         }
         struct(lit(i).as("ci"), vl.as("vl"), vs.as("vs"))

@@ -92,18 +92,33 @@ object Bm25 {
       queries: Seq[(Long, Seq[String])],
       k: Int = 15,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75): DataFrame =
+    topKBatchTok(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), TextOps.tokens(text).as("toks"))
+        .select(col("id"), col("toks"),
+          size(col("toks")).cast("double").as("dl")),
+      queries, k, k1, b)
+
+  /** [[topKBatch]] over a PRE-TOKENIZED frame (id, toks, dl) — the
+    * shared-scan entry (r20): HybridRetrieval tokenizes the corpus
+    * once behind a barrier and feeds this leg and the hashed-embedding
+    * leg from it, instead of each leg (and the corpus-stats aggregate
+    * here) re-running the tokenize scan. Same expressions row for row,
+    * so scores are bit-identical to [[topKBatch]]. */
+  private[text] def topKBatchTok(
+      docs: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k >= 1,
       "empty query batch or bad k")
-    val ss = df.sparkSession
+    val ss = docs.sparkSession
     import ss.implicits._
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("query_id", "term")
-    val docs = graft.operators.Parallelism.ensureMin(df)
-      .select(id.as("id"), TextOps.tokens(text).as("toks"))
-      .select(col("id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
     val stats = docs.agg(
       (sum("dl") / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n"))

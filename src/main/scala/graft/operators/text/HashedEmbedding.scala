@@ -38,10 +38,21 @@ object HashedEmbedding {
 
   /** Sparse components: (id, j, v) — only nonzero dims. */
   def components(
-      df: DataFrame, text: Column, id: Column, dim: Int): DataFrame = {
+      df: DataFrame, text: Column, id: Column, dim: Int): DataFrame =
+    componentsTok(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), TextOps.tokens(text).as("toks")), dim)
+
+  /** [[components]] over a PRE-TOKENIZED frame (id, toks, ...) — the
+    * shared-scan entry (r20): a caller that already tokenized the
+    * corpus (HybridRetrieval shares one tokenized barrier across both
+    * retrieval legs) skips the second tokenize pass; the md5 hashing
+    * and rollup are identical expressions, so components are
+    * bit-identical to [[components]]. */
+  private[text] def componentsTok(tok: DataFrame, dim: Int): DataFrame = {
     require(dim >= 2, s"bad dim $dim")
-    graft.operators.Parallelism.ensureMin(df)
-      .select(id.as("id"), explode(TextOps.tokens(text)).as("term"))
+    tok
+      .select(col("id"), explode(col("toks")).as("term"))
       .where(col("term") =!= "")
       .select(col("id"), bucket(col("term"), dim).as("j"),
         sign(col("term")).as("s"))
@@ -124,14 +135,26 @@ object HashedEmbedding {
       id: Column,
       queries: Seq[(Long, String)],
       dim: Int = 64,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    queryTopKBatchTok(
+      graft.operators.Parallelism.ensureMin(df)
+        .select(id.as("id"), TextOps.tokens(text).as("toks")),
+      df.sparkSession, queries, dim, k)
+
+  /** [[queryTopKBatch]] over a PRE-TOKENIZED frame (id, toks, ...) —
+    * see [[componentsTok]]. */
+  private[text] def queryTopKBatchTok(
+      tok: DataFrame,
+      ss: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, String)],
+      dim: Int,
+      k: Int): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
-    val ss = df.sparkSession
     import ss.implicits._
     // norms AND the probe hit-join both consume the corpus components,
     // whose lineage is a tokenize+md5 explode scan — barrier so the
     // scan runs once, not twice (r19)
-    val comp = graft.operators.Barrier(components(df, text, id, dim))
+    val comp = graft.operators.Barrier(componentsTok(tok, dim))
     val probes = components(
         queries.toDF("qid", "qtext"), col("qtext"), col("qid"), dim)
       .select(col("id").as("query_id"), col("j"), col("v").as("pv"))

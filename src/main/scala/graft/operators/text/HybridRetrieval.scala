@@ -101,10 +101,21 @@ object HybridRetrieval {
       require(terms.nonEmpty, s"empty query $qid")
       (qid, terms)
     }
-    val lex = Bm25.topKBatch(docs, text, id, termed, kPerList)
+    // ONE tokenized corpus scan for both retrieval legs (r20): the
+    // BM25 leg (corpus stats + hit stream) and the hashed-embedding
+    // leg each used to run their own tokenize pass — three in total.
+    // The barriered frame carries (id, toks, dl); both legs' scoring
+    // expressions are unchanged, so results are bit-identical.
+    val tok = graft.operators.Barrier(
+      graft.operators.Parallelism.ensureMin(docs)
+        .select(id.as("id"),
+          graft.operators.TextOps.tokens(text).as("toks"))
+        .select(col("id"), col("toks"),
+          size(col("toks")).cast("double").as("dl")))
+    val lex = Bm25.topKBatchTok(tok, termed, kPerList, 1.2, 0.75)
       .select(col("query_id"), col("id"), col("lex_rank"))
     val dense = HashedEmbedding
-      .queryTopKBatch(docs, text, id, queries, dim, kPerList)
+      .queryTopKBatchTok(tok, docs.sparkSession, queries, dim, kPerList)
       .select(col("query_id"), col("id"), col("dense_rank"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_scaled").desc, col("id"))

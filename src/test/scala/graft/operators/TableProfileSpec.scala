@@ -54,6 +54,31 @@ class TableProfileSpec extends SparkSpec {
     assert(got(("tag", "len_sum")).isEmpty)
   }
 
+  test("float distinct rides the bits encoding with count(DISTINCT) semantics") {
+    // r20: float/double cells shuffle as IEEE bit patterns, not
+    // strings — the encoding must keep count(DISTINCT)'s equivalences:
+    // all NaNs one value (incl. a non-canonical payload), −0.0 = 0.0,
+    // nulls ignored, everything else separated
+    val payloadNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq(
+      Some(Double.NaN), Some(payloadNaN), Some(-0.0), Some(0.0),
+      Some(1.5), Some(-1.5), Some(Double.PositiveInfinity),
+      Some(Double.MinPositiveValue), None)
+      .toDF("x")
+    val got = TableProfile.exactDistinct(df, Seq("x"))
+      .select("distinct").as[Long].head()
+    val ref = df.select(countDistinct(col("x"))).head().getLong(0)
+    assert(got == ref, s"bits-encoded distinct $got != count(DISTINCT) $ref")
+    assert(got == 6L) // {NaN, 0.0, 1.5, -1.5, +inf, minpos}
+    // floats (not just doubles) take the same path
+    val f = Seq(Some(1.5f), Some(-0.0f), Some(0.0f), Some(Float.NaN), None)
+      .toDF("x")
+    val gotF = TableProfile.exactDistinct(f, Seq("x"))
+      .select("distinct").as[Long].head()
+    assert(gotF == f.select(countDistinct(col("x"))).head().getLong(0))
+    assert(gotF == 3L)
+  }
+
   test("distinctSketch tracks exact cardinality within HLL error") {
     val df = spark.read.parquet(s"$sf001/lineitem.parquet")
     val cols = Seq("l_orderkey", "l_returnflag", "l_quantity")
