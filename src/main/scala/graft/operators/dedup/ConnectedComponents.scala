@@ -32,7 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @param edges undirected pair set, two long-compatible columns
+  /** When `spark.graft.cc.validate` is true, contract violations fault
+    * loudly (one extra aggregate/semi-join per call) instead of
+    * degrading silently — off by default, for debugging misuse. */
+  val ValidateKey = "spark.graft.cc.validate"
+
+  private def validating(spark: SparkSession): Boolean =
+    spark.conf.getOption(ValidateKey).exists(_.toBoolean)
+
+  /** @param edges undirected pair set, two long-compatible columns;
+    *   every endpoint MUST appear in `nodes` — an uncovered endpoint
+    *   is IGNORED (it gets no label and, since r19's left-join round,
+    *   no longer bridges connectivity between its covered neighbors;
+    *   the pre-r19 union-groupBy round degraded more gracefully by
+    *   labeling it anyway). Set [[ValidateKey]] to fault on misuse.
     * @param nodes one row per node id (singletons keep their own label)
     * @return (id, component) with component = min reachable id */
   def components(
@@ -61,6 +74,14 @@ object ConnectedComponents {
     var labels = nodes
       .select(col(nodeId).as("node"), col(nodeId).as("label"))
       .transform(Barrier.apply)
+    if (validating(spark)) {
+      val uncovered = sym.select(col("b").as("node"))
+        .join(labels, Seq("node"), "left_anti").limit(1).collect()
+      require(uncovered.isEmpty,
+        s"components: edge endpoint ${uncovered.head.get(0)} is not in " +
+          "nodes — uncovered endpoints are ignored and do not bridge " +
+          "connectivity (see scaladoc); pass a complete node set")
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -239,6 +260,18 @@ object ConnectedComponents {
       nodeId: String,
       maxIter: Int = 20)(implicit spark: SparkSession): (DataFrame, DataFrame) = {
     val baseL = Barrier(base.select(col(nodeId).as("__n"), col("component").as("__c")))
+    if (validating(spark)) {
+      // the flagged-membership shortcut below assumes old/new ids are
+      // DISJOINT (an increment re-using an old id is a re-ingest, not
+      // an append); with the flag on, misuse faults instead of
+      // silently leaving the colliding id's old component un-relabeled
+      val collide = newIds.select(col(nodeId).as("__n"))
+        .join(baseL, Seq("__n"), "semi").limit(1).collect()
+      require(collide.isEmpty,
+        s"appendComponents: increment id ${collide.head.get(0)} already " +
+          "exists in the base labeling — old/new ids must be disjoint " +
+          "(re-ingest is not an append)")
+    }
     val e0 = newEdges.select(col(edgeA).as("a"), col(edgeB).as("b"))
     // endpoint → base component where the endpoint is an old node
     val la = baseL.select(col("__n").as("a"), col("__c").as("ca"))

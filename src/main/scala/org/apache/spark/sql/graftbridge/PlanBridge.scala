@@ -43,6 +43,10 @@ object PlanBridge {
   def checkpointWithLayout(df: DataFrame, reliable: Boolean): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val session = ds.sparkSession
+    // kill switch for A/B isolation and emergencies: false restores
+    // the UnknownPartitioning behavior of a plain Dataset.checkpoint
+    val surface = session.conf.getOption("spark.graft.barrier.surfaceLayout")
+      .forall(_.toBoolean)
     val qe = ds.queryExecution
     // mirror Dataset.checkpoint: execute the plan (with AQE this
     // materializes every query stage and fixes the final plan), copy
@@ -74,7 +78,9 @@ object PlanBridge {
       if (r.references.subsetOf(outSet)) Some(r) else None
     }
     val n = rdd.getNumPartitions
-    val surfaced: Partitioning = firstLeaf(phys.outputPartitioning) match {
+    val surfaced: Partitioning = (if (surface)
+      firstLeaf(phys.outputPartitioning)
+    else UnknownPartitioning(n)) match {
       case hp: HashPartitioning if hp.numPartitions == n =>
         rewriteHash(hp).getOrElse(UnknownPartitioning(n))
       case chp: CoalescedHashPartitioning if chp.numPartitions == n =>

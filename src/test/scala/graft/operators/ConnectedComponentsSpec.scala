@@ -523,4 +523,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     val span2 = ConnectedComponents.storeSpan(spark, dir2).get
     crashAndRecover(dir2, span2, 8, "id", "interval day to second")
   }
+  test("validate flag faults on uncovered endpoints and id collisions") {
+    spark.conf.set(ConnectedComponents.ValidateKey, "true")
+    try {
+      // edge endpoint 9 absent from nodes: without the flag this is
+      // silently ignored (r19 advice) — with it, a loud contract error
+      val edges = Seq((1L, 9L)).toDF("a", "b")
+      val nodes = Seq(1L).toDF("id")
+      val e1 = intercept[IllegalArgumentException] {
+        ConnectedComponents.components(edges, "a", "b", nodes, "id").collect()
+      }
+      assert(e1.getMessage.contains("not in"))
+      // increment id re-using a base id: appendComponents assumes
+      // disjointness (flagged membership) — with the flag on it faults
+      val base = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+      val e2 = intercept[IllegalArgumentException] {
+        ConnectedComponents.appendComponents(
+          base, Seq((2L, 3L)).toDF("a", "b"), "a", "b",
+          Seq(2L, 3L).toDF("id"), "id").collect()
+      }
+      assert(e2.getMessage.contains("disjoint"))
+      // a CLEAN call under the flag still works end to end
+      val ok = ConnectedComponents.components(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        Seq(1L, 2L, 3L).toDF("id"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    } finally spark.conf.unset(ConnectedComponents.ValidateKey)
+  }
 }

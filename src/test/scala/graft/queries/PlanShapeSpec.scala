@@ -363,9 +363,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       s"bucket join degraded to a stream shuffle:\n$p")
-    // no hash exchange on doc id anywhere: scoring is map-only
-    assert(!p.contains("hashpartitioning(id#"),
-      s"per-doc rollup shuffle reappeared:\n$p")
+    // no hash exchange except the model-side bucket aggregations:
+    // scoring is map-only (r19 advice: asserting on the literal
+    // attribute name `id#` was brittle — enumerate the hash exchanges
+    // and pin every one to the bucket key instead)
+    val hashKeys = """Exchange hashpartitioning\((\w+)#""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(hashKeys.nonEmpty && hashKeys.forall(_ == "b"),
+      s"per-doc rollup shuffle reappeared (hash exchanges on " +
+        s"$hashKeys):\n$p")
     val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!schema.contains("source") && !schema.contains("n_chars"),
       s"DSIR scan reads unused columns: $schema")
