@@ -46,9 +46,16 @@ object Barrier {
   private val cleanupArmed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = counting(df, None)._1
+
+  /** Barrier whose materializing action ALSO returns a count — all
+    * rows (`boolCol` None) or rows where the boolean column is true —
+    * so an iterative caller's loop condition (CC convergence,
+    * GraphExpand frontier drained) costs zero extra jobs instead of a
+    * per-round re-scan of the frame the round just materialized. */
+  def counting(df: DataFrame, boolCol: Option[String]): (DataFrame, Long) = {
     val spark = df.sparkSession
-    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+    val reliable = spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
         // setCheckpointDir appends a fresh UUID subdir on every call —
@@ -57,12 +64,11 @@ object Barrier {
           sc.setCheckpointDir(dir)
           armCleanup(sc)
         }
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .checkpointWithLayout(df, reliable = true)
-      case None =>
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .checkpointWithLayout(df, reliable = false)
+        true
+      case None => false
     }
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .checkpointCounting(df, reliable, boolCol)
   }
 
   /** Barrier `df` PRE-PARTITIONED by `cols`, with the partitioning

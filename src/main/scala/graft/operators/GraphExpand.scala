@@ -62,11 +62,14 @@ object GraphExpand {
     var h = 1
     var drained = false
     while (h <= maxHops && !drained) {
-      val next = Barrier(
+      // the barrier's materializing action counts the frontier (r20):
+      // the drained test was a second per-hop job over the checkpoint
+      val (next, nNext) = Barrier.counting(
         frontier.join(sym, frontier("id") === sym("src"))
           .select(col("dst").as("id")).distinct()
-          .join(reached, Seq("id"), "left_anti"))
-      if (next.isEmpty) {
+          .join(reached, Seq("id"), "left_anti"),
+        None)
+      if (nNext == 0L) {
         drained = true
         // the empty frontier's own (empty) checkpoint is dead on
         // arrival; the live `reached` is untouched

@@ -96,17 +96,21 @@ object ConnectedComponents {
         .join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("node"))
         .agg(min("label").as("nl"))
-      val next = labels
-        .join(nmins, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("changed"))
-        // plain Barrier: the left join's node-partitioning is READ
-        // from the executed plan and surfaced on the checkpoint, so
-        // round k+1's labels are node-keyed without a fresh shuffle
-        .transform(Barrier.apply)
-      converged = next.where(col("changed")).isEmpty
+      // plain Barrier: the left join's node-partitioning is READ
+      // from the executed plan and surfaced on the checkpoint, so
+      // round k+1's labels are node-keyed without a fresh shuffle.
+      // The barrier's own materializing action counts the changed
+      // rows (r20) — convergence costs zero extra jobs per round
+      // (it was a separate re-scan of the just-written checkpoint).
+      val (next, nChanged) = Barrier.counting(
+        labels
+          .join(nmins, Seq("node"), "left")
+          .select(
+            col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+            (coalesce(col("nl"), col("label")) < col("label")).as("changed")),
+        Some("changed"))
+      converged = nChanged == 0L
       // `next` is already materialized (eager checkpoint) and the
       // convergence check consumed the old labels — release the stale
       // round NOW: blocks in localCheckpoint mode, checkpoint FILES in

@@ -40,7 +40,21 @@ object PlanBridge {
     * onto the checkpoint output via the same helper
     * `Dataset.checkpoint` uses, so broadcast-size estimation behaves
     * identically to a plain checkpoint. */
-  def checkpointWithLayout(df: DataFrame, reliable: Boolean): DataFrame = {
+  def checkpointWithLayout(df: DataFrame, reliable: Boolean): DataFrame =
+    checkpointCounting(df, reliable, None)._1
+
+  /** [[checkpointWithLayout]] whose MATERIALIZING action also counts —
+    * all rows (`boolCol` None) or rows where the named boolean column
+    * is true — so an iterative caller (ConnectedComponents' per-round
+    * convergence test, GraphExpand's frontier-drained test) reads its
+    * loop condition from the checkpoint job itself instead of paying a
+    * second job to re-scan the frame it just materialized. The count
+    * is computed from the same rows the checkpoint writes, in the same
+    * pass a bare `rdd.count()` would have made. */
+  def checkpointCounting(
+      df: DataFrame,
+      reliable: Boolean,
+      boolCol: Option[String]): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val session = ds.sparkSession
     // kill switch for A/B isolation and emergencies: false restores
@@ -54,7 +68,27 @@ object PlanBridge {
     // then an eager count to materialize checkpoint blocks/files
     val rdd = qe.toRdd.map(_.copy())
     if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
-    rdd.count()
+    // the eager materialization action, counting as it goes; the
+    // checkpoint (reliable or local) triggers on this job's completion
+    // exactly as it would for Dataset.checkpoint's bare count()
+    val count = boolCol match {
+      case None => rdd.count()
+      case Some(name) =>
+        val i = ds.logicalPlan.output.indexWhere(_.name == name)
+        require(i >= 0 &&
+          ds.logicalPlan.output(i).dataType ==
+            org.apache.spark.sql.types.BooleanType,
+          s"checkpointCounting: no boolean column '$name' in " +
+            ds.logicalPlan.output.map(_.name).mkString(", "))
+        rdd.mapPartitions { it =>
+          var c = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            if (!r.isNullAt(i) && r.getBoolean(i)) c += 1
+          }
+          Iterator.single(c)
+        }.fold(0L)(_ + _)
+    }
     val phys = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan // final, post-execution
       case p => p
@@ -94,10 +128,11 @@ object PlanBridge {
       .takeWhile(_.references.subsetOf(outSet))
     val (stats, constraints) =
       LogicalRDD.rewriteStatsAndConstraints(ds.logicalPlan, qe.optimizedPlan)
-    classic.Dataset.ofRows(
+    (classic.Dataset.ofRows(
       session,
       LogicalRDD(logicalOut, rdd, surfaced, ordering, isStreaming = false)(
-        session, stats, constraints).newInstance())
+        session, stats, constraints).newInstance()),
+      count)
   }
 
   /** The exact number of scan partitions the plan's leaves will
